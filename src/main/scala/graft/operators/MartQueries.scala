@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables.Tpch
+
+/** The implied analytic mart layer of the reference pipeline (SURVEY.md §2-B).
+  *
+  * The reference declares-but-never-ships a dbt mart layer
+  * (reference `README.md:62`, `docker-compose.yml:99-100`); its composite index
+  * `(account_id, created_at)` (reference `docker/postgres/SCHEMA.sql:31`)
+  * licenses exactly this query family: per-key time-ordered windows, daily
+  * revenue marts, customer-360 joins, status funnels. Re-expressed over the
+  * driver's TPC-H-ish testdata (FIXTURES.md table mapping).
+  *
+  * Scale notes (100 TB design point):
+  *  - dims (`region`/`nation`, and `customer` below ~a few GB) are broadcast;
+  *    the fact-fact join (`orders ⋈ lineitem`) is a shuffle on the join key and
+  *    stays one — AQE picks sort-merge vs shuffled-hash at runtime.
+  *  - aggregates are declarative `groupBy` → Catalyst plans partial+final
+  *    HashAggregate (map-side combine), so shuffle volume is the group count,
+  *    not the row count.
+  *  - money sums go through DecimalType(18,4): decimal addition is exact and
+  *    associative, so results are independent of partitioning / merge order —
+  *    required both for the DuckDB oracle hash-match and for run-to-run
+  *    determinism on a real cluster.
+  */
+object MartQueries {
+
+  /** Exact, order-independent money aggregate: cast each term to decimal,
+    * sum (exact), round, return double. Double-sum of 10^9 rows is
+    * partition-order dependent; decimal-sum is not. */
+  def moneySum(term: Column): Column =
+    round(sum(term.cast(DecimalType(18, 4))), 2).cast("double")
+
+  private def revenueTerm: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  /** Flagship: daily completed-revenue by region.
+    * region ⋈ nation ⋈ customer (broadcast chain) ⋈ orders ⋈ lineitem (shuffle)
+    * → groupBy(region, day) → exact money sum → stable sort. */
+  def dailyRegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val custGeo = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custGeo), col("o_custkey") === col("c_custkey"))
+      .groupBy(
+        col("r_name").as("region_name"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(moneySum(revenueTerm).as("revenue"))
+      .orderBy(col("region_name"), col("order_date"))
+  }
+
+  val dailyRegionRevenueSql: String =
+    """SELECT r.r_name AS region_name,
+      |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+      |       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      |JOIN region r   ON n.n_regionkey = r.r_regionkey
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+}

@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver testdata star schema.
+  *
+  * Mirrors the reference's lake layer: Hive-partitioned Parquet on object
+  * storage (reference `consumer/consumer.py:47-49`). Here the tables are flat
+  * single-file Parquet; at 100 TB they would be date/key-partitioned
+  * directories and the same `spark.read.parquet(dir)` call picks up partition
+  * pruning for free — query code never needs to change.
+  */
+object Tables {
+  val All: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from a scale-factor directory. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Convenience bundle so query bodies read like SQL FROM clauses. */
+  final case class Tpch(spark: SparkSession, sfDir: String) {
+    def region: DataFrame     = load(spark, sfDir, "region")
+    def nation: DataFrame     = load(spark, sfDir, "nation")
+    def customer: DataFrame   = load(spark, sfDir, "customer")
+    def supplier: DataFrame   = load(spark, sfDir, "supplier")
+    def part: DataFrame       = load(spark, sfDir, "part")
+    def orders: DataFrame     = load(spark, sfDir, "orders")
+    def lineitem: DataFrame   = load(spark, sfDir, "lineitem")
+    def events: DataFrame     = load(spark, sfDir, "events")
+    def documents: DataFrame  = load(spark, sfDir, "documents")
+    def embeddings: DataFrame = load(spark, sfDir, "embeddings")
+  }
+}

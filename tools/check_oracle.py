@@ -1,0 +1,80 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from oracle_sql.json in DuckDB over <sfDir>/<table>.parquet views,
+sorts columns by name, and compares row counts / schemas / values.
+Dev-only tooling — NOT part of the shipped Scala library.
+"""
+import json, math, sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return str(a) == str(b)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+            duck_df = con.execute(sql).fetchdf()
+            s, d = canon(spark_df), canon(duck_df)
+            ok_rows = len(s) == len(d)
+            ok_cols = list(s.columns) == list(d.columns)
+            ok_vals = False
+            if ok_rows and ok_cols:
+                ok_vals = all(
+                    values_equal(s.iat[i, j], d.iat[i, j])
+                    for i in range(len(s)) for j in range(len(s.columns)))
+            status = "OK " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+            if status == "FAIL":
+                n_fail += 1
+            print(f"[{status}] {name}: rows {len(s)}/{len(d)} cols ok={ok_cols} vals ok={ok_vals}")
+            if status == "FAIL" and ok_rows and ok_cols:
+                for i in range(len(s)):
+                    for j in range(len(s.columns)):
+                        if not values_equal(s.iat[i, j], d.iat[i, j]):
+                            print(f"    first diff @row {i} col {s.columns[j]}: "
+                                  f"spark={s.iat[i, j]!r} duck={d.iat[i, j]!r}")
+                            break
+                    else:
+                        continue
+                    break
+            elif status == "FAIL" and not ok_cols:
+                print(f"    spark cols: {list(s.columns)}")
+                print(f"    duck  cols: {list(d.columns)}")
+        except Exception as e:
+            n_fail += 1
+            print(f"[ERR ] {name}: {e}")
+    print(f"\n{len(oracle) - n_fail}/{len(oracle)} queries match")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
