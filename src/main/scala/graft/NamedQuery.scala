@@ -1,0 +1,12 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query: a Spark implementation plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB as the correctness oracle.
+  * `oracle = None` → the driver records a weaker rows-only check.
+  */
+final case class NamedQuery(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])

@@ -3,16 +3,21 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+  /** All engine queries, one NamedQuery per implemented operator
+    * (SURVEY.md §2 coverage checklist). */
+  def registry: Seq[NamedQuery] =
+    MartQueries.all ++ AuditQueries.all ++ FunctionQueries.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     MartQueries.dailyRegionRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_daily_region_revenue" -> (MartQueries.dailyRegionRevenue _),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q_daily_region_revenue" -> MartQueries.dailyRegionRevenueSql,
-  )
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Constraint-audit operators — the reference's declared-but-unenforceable
+  * schema constraints (reference `docker/postgres/SCHEMA.sql:3,6,13,15,25`)
+  * re-expressed as distributed audits (SURVEY.md §2-A C1–C4).
+  *
+  * Spark enforces no constraints; a lake needs these as queries:
+  *  - PK uniqueness   → groupBy(pk).count > 1 (C1)
+  *  - UNIQUE(email)   → duplicate count over the unique column (C2)
+  *  - FK integrity    → LEFT ANTI join orphan scan (C3)
+  *  - CHECK clauses   → validation-filter counts (C4)
+  *
+  * All are single-shuffle aggregations or anti joins — at 100 TB the anti
+  * join shuffles both sides once on the key (or broadcasts the dim side);
+  * none collect to the driver.
+  */
+object AuditQueries {
+
+  /** C1: PK uniqueness audit on orders. Empty result = constraint holds. */
+  def pkAuditOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1)
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** C2: duplicate count over the would-be-UNIQUE column (email analog:
+    * c_name). Single row; 0 = constraint holds. */
+  def uniqueNameAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.customer.agg(
+      (count(lit(1)) - countDistinct(col("c_name"))).as("dup_names"))
+  }
+
+  /** C3a: orphaned fact rows — lineitems whose parent order is missing.
+    * LEFT ANTI join, then count. 0 = FK holds. */
+  def orphanLineitems(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+  }
+
+  /** C3b: LEFT SEMI — customers that do have orders, counted per nation
+    * (the EXISTS side of the FK audit). */
+  def activeCustomersPerNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** C4: CHECK-style validation filters over the fact table, one count per
+    * rule (mirrors CHECK(balance>=0) / CHECK(amount>0), SCHEMA.sql:15,25). */
+  def checkViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.lineitem.agg(
+      count(when(col("l_quantity") <= 0, 1)).as("bad_quantity"),
+      count(when(col("l_extendedprice") <= 0, 1)).as("bad_price"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
+      count(when(col("l_tax") < 0, 1)).as("bad_tax"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_audit_pk_orders", pkAuditOrders, Some(
+      """SELECT o_orderkey, COUNT(*) AS n FROM orders
+        |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_audit_unique_name", uniqueNameAudit, Some(
+      "SELECT COUNT(*) - COUNT(DISTINCT c_name) AS dup_names FROM customer")),
+    NamedQuery("q_audit_orphan_lineitems", orphanLineitems, Some(
+      """SELECT COUNT(*) AS orphans FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin)),
+    NamedQuery("q_audit_active_customers", activeCustomersPerNation, Some(
+      """SELECT c_nationkey AS nationkey, COUNT(*) AS n_active FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_audit_check_violations", checkViolations, Some(
+      """SELECT COUNT(*) FILTER (WHERE l_quantity <= 0) AS bad_quantity,
+        |       COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS bad_price,
+        |       COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS bad_discount,
+        |       COUNT(*) FILTER (WHERE l_tax < 0) AS bad_tax
+        |FROM lineitem""".stripMargin)),
+  )
+}

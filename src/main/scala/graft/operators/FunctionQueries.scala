@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+import MartQueries.{moneySum, moneySumSql}
+
+/** Scalar-function query pack — the string/date/math/JSON surface of the
+  * reference (SURVEY.md §2-B):
+  *  - email/phone synthesis string shapes (reference `generator.py:82-123`)
+  *  - date bucketing for the partitioned lake (reference `consumer.py:45,48`)
+  *  - round-number money semantics (reference `generator.py:286-292`)
+  *  - JSON envelope extraction (reference `consumer.py:23,66-67`) over the
+  *    `events.props` JSON column.
+  *
+  * All pure builtin column expressions — codegen'd, no UDFs, fully pushed
+  * into whole-stage codegen at any scale.
+  */
+object FunctionQueries {
+
+  /** G3-shaped email synthesis over customer names: lower/replace/concat/md5.
+    * (The reference's retry-against-seen-set loop is inherently sequential;
+    * the distributed equivalent is deterministic derivation + dedup — see
+    * Datagen for the generator side.) */
+  def emailSynthesis(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.customer.select(
+      col("c_custkey"),
+      concat(lower(regexp_replace(col("c_name"), " ", ".")), lit("@bank.example"))
+        .as("email"),
+      md5(col("c_name")).as("name_fp"),
+      length(col("c_name")).as("name_len"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Monthly revenue mart — date_trunc bucketing (the lake's date= partition
+    * scheme, one level up). */
+  def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+        .as("month"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+      .orderBy(col("month"))
+  }
+
+  /** Math-function bucket histogram: floor-bucketed order values with exact
+    * min/max per bucket (round-number-bias detection family,
+    * generator.py:286-292). */
+  def priceBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders
+      .groupBy(floor(col("o_totalprice") / 10000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("bucket"))
+  }
+
+  /** JSON extraction over events.props (the CDC-envelope parse shape,
+    * consumer.py:23,66-67): pull props.k, aggregate per event type. */
+  def eventPropsExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        moneySum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Daily event mart — tumbling 1-day batch aggregation over event time
+    * (the batch twin of the streaming daily mart). */
+  def eventsDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_str_email_synthesis", emailSynthesis, Some(
+      """SELECT c_custkey,
+        |       lower(replace(c_name, ' ', '.')) || '@bank.example' AS email,
+        |       md5(c_name) AS name_fp,
+        |       CAST(length(c_name) AS INT) AS name_len
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+    NamedQuery("q_date_monthly_revenue", monthlyRevenue, Some(
+      s"""SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         |       COUNT(*) AS n_orders, ${moneySumSql("o_totalprice")} AS revenue
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_math_price_buckets", priceBuckets, Some(
+      """SELECT CAST(FLOOR(o_totalprice / 10000) AS BIGINT) AS bucket,
+        |       COUNT(*) AS n, MIN(o_totalprice) AS min_price,
+        |       MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_json_event_props", eventPropsExtract, Some(
+      s"""SELECT event_type, COUNT(*) AS n,
+         |       CAST(SUM(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         |       ${moneySumSql("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_events_daily", eventsDaily, Some(
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         |       COUNT(*) AS n, ${moneySumSql("value")} AS sum_value,
+         |       COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+  )
+}

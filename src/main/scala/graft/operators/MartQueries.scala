@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.NamedQuery
 import graft.sources.Tables.Tpch
 
 /** The implied analytic mart layer of the reference pipeline (SURVEY.md §2-B).
@@ -13,20 +14,22 @@ import graft.sources.Tables.Tpch
   * (reference `README.md:62`, `docker-compose.yml:99-100`); its composite index
   * `(account_id, created_at)` (reference `docker/postgres/SCHEMA.sql:31`)
   * licenses exactly this query family: per-key time-ordered windows, daily
-  * revenue marts, customer-360 joins, status funnels. Re-expressed over the
-  * driver's TPC-H-ish testdata (FIXTURES.md table mapping).
+  * revenue marts, customer-360 joins, status funnels, top-k per group.
+  * Re-expressed over the driver's TPC-H-ish testdata (FIXTURES.md mapping:
+  * customer↔customers, orders↔accounts, lineitem↔transactions).
   *
   * Scale notes (100 TB design point):
-  *  - dims (`region`/`nation`, and `customer` below ~a few GB) are broadcast;
-  *    the fact-fact join (`orders ⋈ lineitem`) is a shuffle on the join key and
-  *    stays one — AQE picks sort-merge vs shuffled-hash at runtime.
-  *  - aggregates are declarative `groupBy` → Catalyst plans partial+final
-  *    HashAggregate (map-side combine), so shuffle volume is the group count,
-  *    not the row count.
+  *  - dims (`region`/`nation`, customer-geo below ~GBs) are broadcast; the
+  *    fact-fact join (`orders ⋈ lineitem`) shuffles once on the join key and
+  *    AQE picks sort-merge vs shuffled-hash at runtime.
+  *  - every aggregate is declarative `groupBy` → Catalyst plans partial+final
+  *    HashAggregate (map-side combine): shuffle volume = group count, not rows.
+  *  - windows partition by high-cardinality keys (custkey/orderkey) — no
+  *    single-partition global windows anywhere.
   *  - money sums go through DecimalType(18,4): decimal addition is exact and
-  *    associative, so results are independent of partitioning / merge order —
-  *    required both for the DuckDB oracle hash-match and for run-to-run
-  *    determinism on a real cluster.
+  *    associative, so results are independent of partition/merge order —
+  *    needed for the DuckDB oracle hash-match AND for run-to-run determinism
+  *    on a real cluster.
   */
 object MartQueries {
 
@@ -36,12 +39,20 @@ object MartQueries {
   def moneySum(term: Column): Column =
     round(sum(term.cast(DecimalType(18, 4))), 2).cast("double")
 
+  /** The matching oracle-side SQL fragment for [[moneySum]]. */
+  def moneySumSql(term: String): String =
+    s"CAST(ROUND(SUM(CAST($term AS DECIMAL(18,4))), 2) AS DOUBLE)"
+
+  /** Dates cross the oracle boundary as strings: parquet date32 vs DuckDB
+    * DATE→pandas Timestamp makes value compares ambiguous otherwise. */
+  private def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")
+
   private def revenueTerm: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
   /** Flagship: daily completed-revenue by region.
-    * region ⋈ nation ⋈ customer (broadcast chain) ⋈ orders ⋈ lineitem (shuffle)
-    * → groupBy(region, day) → exact money sum → stable sort. */
+    * region ⋈ nation ⋈ customer (broadcast chain) ⋈ orders ⋈ lineitem
+    * (shuffle) → groupBy(region, day) → exact money sum → stable sort. */
   def dailyRegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val custGeo = t.customer
@@ -53,20 +64,245 @@ object MartQueries {
       .join(broadcast(custGeo), col("o_custkey") === col("c_custkey"))
       .groupBy(
         col("r_name").as("region_name"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        dayStr(col("o_orderdate")).as("order_date"))
       .agg(moneySum(revenueTerm).as("revenue"))
       .orderBy(col("region_name"), col("order_date"))
   }
 
-  val dailyRegionRevenueSql: String =
-    """SELECT r.r_name AS region_name,
-      |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
-      |       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
-      |FROM lineitem l
-      |JOIN orders o   ON l.l_orderkey = o.o_orderkey
-      |JOIN customer c ON o.o_custkey = c.c_custkey
-      |JOIN nation n   ON c.c_nationkey = n.n_nationkey
-      |JOIN region r   ON n.n_regionkey = r.r_regionkey
-      |GROUP BY 1, 2
-      |ORDER BY 1, 2""".stripMargin
+  /** Customer-360: the canonical mart for the reference's banking schema —
+    * one row per customer with geography + order-book aggregates. LEFT join
+    * keeps order-less customers (nullable aggregates mirror SQL semantics). */
+  def customer360(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(
+        col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_name").as("nation_name"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_spend"),
+        max(col("o_totalprice")).as("max_order"),
+        dayStr(max(col("o_orderdate"))).as("last_order_date"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Status funnel: count + volume per (status, priority) — the reference's
+    * TXN_STATUSES 85/8/4/3 distribution check (generator.py:49-54) as a mart. */
+  def statusFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders
+      .groupBy(col("o_orderstatus").as("status"), col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("volume"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  /** Multi-dim rollup (type × status totals + subtotals + grand total) —
+    * the account_type × currency rollup family of SURVEY §2-B. Grouping
+    * nulls are rewritten to 'ALL' so the oracle compare has no null-vs-null
+    * ordering ambiguity. */
+  def rollupSegmentStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .rollup(col("c_mktsegment"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("volume"))
+      .select(
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n"), col("volume"))
+      .orderBy(col("segment"), col("status"))
+  }
+
+  /** Top-3 orders per customer by value — ranking window with deterministic
+    * tiebreak; the "latest/top txns per account" query the reference's
+    * composite index exists for (SCHEMA.sql:31). */
+  def topOrdersPerCustomer(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t.orders
+      .withColumn("rank_in_customer", row_number().over(w))
+      .where(col("rank_in_customer") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rank_in_customer"))
+      .orderBy(col("o_custkey"), col("rank_in_customer"))
+  }
+
+  /** Running balance per order — the banking schema's defining analytic:
+    * cumulative signed amount over time per account (here: cumulative line
+    * price per order, ordered by line number). ROWS frame, exact decimal.
+    * The summed column itself is part of the window ORDER so that rows tying
+    * on (orderkey, linenumber) — the testdata has such dups — contribute in
+    * a deterministic order: the output multiset is then engine-independent. */
+  def runningBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.lineitem
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4))).over(w), 2)
+          .cast("double").as("running_total"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("running_total"))
+  }
+
+  /** Rolling 7-day spend per customer — RANGE frame over event time
+    * (rolling-window family licensed by the reference's
+    * (account_id, created_at) index). */
+  def rolling7dSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    // TIMESTAMP_NTZ has no direct long cast in Spark 4; order the RANGE frame
+    // by epoch-days instead (order dates are midnight-aligned).
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      .rangeBetween(-6L, 0L)
+    t.orders
+      .select(
+        col("o_custkey"),
+        dayStr(col("o_orderdate")).as("order_date"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w), 2)
+          .cast("double").as("spend_7d"))
+      .orderBy(col("o_custkey"), col("order_date"), col("spend_7d"))
+  }
+
+  /** Exact distinct-count per group (UNIQUE(email) audit family). */
+  def distinctCustomersPerStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("status"))
+  }
+
+  /** Approximate distinct (HLL) — the 100 TB-scale variant of the above.
+    * No oracle: DuckDB's approx sketch differs; driver records rows-only. */
+  def approxDistinctCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"))
+      .orderBy(col("status"))
+  }
+
+  /** Global top-k by value — Catalyst plans TakeOrderedAndProject: each
+    * partition keeps k rows, only k×partitions reach the driver. */
+  def topRevenueOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** Union of two source branches then aggregate — the reference's 3-topic
+    * merge shape (consumer.py:55-59) as a set operation. */
+  def unionSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val building = t.customer.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_nationkey"))
+    val richer = t.customer.where(col("c_acctbal") > 5000)
+      .select(col("c_nationkey"))
+    building.unionByName(richer)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** EXCEPT: nations that have customers but no suppliers. */
+  def customerOnlyNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .except(t.supplier.select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  // ---------------------------------------------------------------- oracle SQL
+
+  private val revenueSql = moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_daily_region_revenue", dailyRegionRevenue, Some(
+      s"""SELECT r.r_name AS region_name,
+         |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+         |       $revenueSql AS revenue
+         |FROM lineitem l
+         |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+         |JOIN region r   ON n.n_regionkey = r.r_regionkey
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_customer_360", customer360, Some(
+      s"""SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name AS nation_name,
+         |       COUNT(o.o_orderkey) AS n_orders,
+         |       ${moneySumSql("o.o_totalprice")} AS total_spend,
+         |       MAX(o.o_totalprice) AS max_order,
+         |       strftime(MAX(o.o_orderdate), '%Y-%m-%d') AS last_order_date
+         |FROM customer c
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY 1""".stripMargin)),
+    NamedQuery("q_status_funnel", statusFunnel, Some(
+      s"""SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         |       COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS volume
+         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_rollup_segment_status", rollupSegmentStatus, Some(
+      s"""SELECT COALESCE(c.c_mktsegment, 'ALL') AS segment,
+         |       COALESCE(o.o_orderstatus, 'ALL') AS status,
+         |       COUNT(*) AS n, ${moneySumSql("o.o_totalprice")} AS volume
+         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |GROUP BY ROLLUP(c.c_mktsegment, o.o_orderstatus)
+         |ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_topk_per_customer", topOrdersPerCustomer, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |               AS rank_in_customer
+        |      FROM orders)
+        |WHERE rank_in_customer <= 3
+        |ORDER BY o_custkey, rank_in_customer""".stripMargin)),
+    NamedQuery("q_running_balance", runningBalance, Some(
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |                    OVER (PARTITION BY l_orderkey
+        |                          ORDER BY l_linenumber, l_extendedprice
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |                  2) AS DOUBLE) AS running_total
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, running_total""".stripMargin)),
+    NamedQuery("q_rolling_7d_spend", rolling7dSpend, Some(
+      """SELECT o_custkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |                          RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW),
+        |                  2) AS DOUBLE) AS spend_7d
+        |FROM orders
+        |ORDER BY o_custkey, order_date, spend_7d""".stripMargin)),
+    NamedQuery("q_distinct_customers", distinctCustomersPerStatus, Some(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+        |       COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_approx_distinct_customers", approxDistinctCustomers, None),
+    NamedQuery("q_top_revenue_orders", topRevenueOrders, Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)),
+    NamedQuery("q_union_segments", unionSegments, Some(
+      """SELECT c_nationkey AS nationkey, COUNT(*) AS n
+        |FROM (SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |      UNION ALL
+        |      SELECT c_nationkey FROM customer WHERE c_acctbal > 5000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_customer_only_nations", customerOnlyNations, Some(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY 1""".stripMargin)),
+  )
 }

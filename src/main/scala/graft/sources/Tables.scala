@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Parquet table loader for the driver testdata star schema.
   *
@@ -28,7 +30,19 @@ object Tables {
     def part: DataFrame       = load(spark, sfDir, "part")
     def orders: DataFrame     = load(spark, sfDir, "orders")
     def lineitem: DataFrame   = load(spark, sfDir, "lineitem")
-    def events: DataFrame     = load(spark, sfDir, "events")
+    /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+      * rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set in the
+      * Verify/Bench session builders) it arrives as nano-epoch LongType;
+      * normalize back to a (second-truncated) timestamp so query code sees
+      * one schema either way. Day-level aggregates are unaffected. */
+    def events: DataFrame = {
+      val df = load(spark, sfDir, "events")
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+        case _ => df
+      }
+    }
     def documents: DataFrame  = load(spark, sfDir, "documents")
     def embeddings: DataFrame = load(spark, sfDir, "embeddings")
   }
