@@ -6,7 +6,8 @@ object SparkEntry {
   /** All engine queries, one NamedQuery per implemented operator
     * (SURVEY.md §2 coverage checklist). */
   def registry: Seq[NamedQuery] =
-    MartQueries.all ++ AuditQueries.all ++ FunctionQueries.all
+    MartQueries.all ++ AuditQueries.all ++ FunctionQueries.all ++
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

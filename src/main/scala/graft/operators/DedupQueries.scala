@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Deduplication operators over `documents` — the core training-data-pipeline
+  * surface (north-star, SURVEY.md §2-C): exact, MinHash+LSH near-dup, SimHash
+  * near-dup, and inverted-index n-gram Jaccard.
+  *
+  * Scale design (the 100 TB contract):
+  *  - NO all-pairs `crossJoin` anywhere. Candidate generation is always a
+  *    bucket equi-join (LSH band hash / SimHash chunk / rare shingle), so the
+  *    shuffle key cardinality tracks true-duplicate cliques, not n².
+  *  - Signatures (shingles → minhash → bands) are pure Catalyst higher-order
+  *    array expressions (`transform`/`aggregate`/`zip_with`) — codegen'd
+  *    per-row work, embarrassingly parallel, no UDFs, no driver collect.
+  *  - Within-bucket pair expansion is quadratic ONLY in bucket size, which is
+  *    bounded by duplicate-clique size; pathological buckets are real dups.
+  */
+object DedupQueries {
+
+  /** Exact dedup stats per language: docs vs distinct texts. */
+  def exactDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.documents
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"))
+      .orderBy(col("lang"))
+  }
+
+  /** Exact dedup keep-first: the surviving doc_id per distinct text
+    * (min doc_id = deterministic keeper, the distributed analog of the
+    * reference's first-wins email seen-set, generator.py:101-114). */
+  def exactDedupKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.documents
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Word-3-gram shingle set, as a named column "shingles" (distinct).
+    * Public so specs can brute-force ground-truth Jaccard on the exact same
+    * shingle definition. */
+  def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) >= 3
+          |     THEN array_distinct(transform(sequence(0, size(toks) - 3),
+          |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+          |     ELSE array(text) END""".stripMargin))
+
+  /** MinHash signature (16 hash fns via seeded murmur3) + 4 bands of 4. */
+  private def withMinhashBands(df: DataFrame): DataFrame =
+    df.withColumn("minhash", expr(
+        "transform(sequence(0, 15), p -> array_min(transform(shingles, s -> hash(s, p))))"))
+      .withColumn("band", explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band_id, hash(slice(minhash, b*4 + 1, 4)) AS band_sig))")))
+      .select(col("doc_id"), col("shingles"),
+        col("band.band_id").as("band_id"), col("band.band_sig").as("band_sig"))
+
+  /** Expand sorted in-bucket id lists into ordered candidate pairs. */
+  private val pairsFromIds =
+    "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS doc_a, b AS doc_b))))"
+
+  /** MinHash+LSH near-duplicate pairs: shingle → 16-perm minhash → 4×4 bands
+    * → band-hash groupBy buckets → in-bucket candidate pairs → exact Jaccard
+    * verify ≥ 0.5. Oracle-free (sketching isn't ANSI-SQL-expressible);
+    * Jaccard math is unit-tested in DedupSpec. */
+  def minhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val docs = withShingles(t.documents.select(col("doc_id"), col("text")))
+    val banded = withMinhashBands(docs)
+    val candidates = banded
+      .groupBy(col("band_id"), col("band_sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(pairsFromIds)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signed-bit-sum signature over
+    * tokens, banded into 4×16-bit chunks for candidates, verified by Hamming
+    * distance ≤ 3. By pigeonhole, any pair within Hamming 3 agrees on at
+    * least one of the 4 chunks — so banding loses NO qualifying pair: the
+    * LSH here is exact, not probabilistic. */
+  def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val sigs = simhashSignatures(t.documents.select(col("doc_id"), col("text")))
+    val banded = sigs.withColumn("chunk_id", explode(expr("sequence(0, 3)")))
+      .withColumn("chunk", expr("shiftright(simhash, chunk_id * 16) & 65535"))
+    val candidates = banded
+      .groupBy(col("chunk_id"), col("chunk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(pairsFromIds)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash per doc over its distinct tokens (signed bit-sum of
+    * xxhash64 token hashes). Public for spec-side brute-force verification. */
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", expr("array_distinct(split(text, ' '))"))
+      .withColumn("bits", expr(
+        """aggregate(toks, array_repeat(0L, 64),
+          |  (acc, t) -> zip_with(acc,
+          |     transform(sequence(0, 63),
+          |       i -> CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1L ELSE -1L END),
+          |     (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN bits[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)"))
+      .select(col("doc_id"), col("simhash"))
+
+  /** Inverted-index n-gram Jaccard: candidates = pairs sharing a *rare*
+    * shingle (document frequency ≤ 5 — common shingles carry no dedup signal
+    * and would blow up the join), then exact Jaccard ≥ 0.5. */
+  def ngramJaccardDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val docs = withShingles(t.documents.select(col("doc_id"), col("text")))
+    val posting = docs
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = posting
+      .groupBy(col("shingle"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, 5))
+    val candidates = rare
+      .select(explode(expr(pairsFromIds)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_dedup_exact_stats", exactDedupStats, Some(
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_dedup_keep_first", exactDedupKeepFirst, Some(
+      """SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1""".stripMargin)),
+    NamedQuery("q_dedup_minhash", minhashNearDups, None),
+    NamedQuery("q_dedup_simhash", simhashNearDups, None),
+    NamedQuery("q_dedup_ngram_jaccard", ngramJaccardDups, None),
+  )
+}

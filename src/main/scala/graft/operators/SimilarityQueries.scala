@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Similarity search over the `embeddings` table (north-star, SURVEY §2-C):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Scale design:
+  *  - the query vector is a one-row DataFrame broadcast to every executor —
+  *    no driver-side collect of the corpus, ever.
+  *  - cosine is a Catalyst higher-order expression (`zip_with` product +
+  *    `aggregate` sum) — codegen-adjacent per-row work, no UDF.
+  *  - brute force scans all n vectors once (the honest exact baseline: one
+  *    narrow pass, TakeOrderedAndProject top-k — still viable at 10^9 rows);
+  *  - the LSH path prunes the scan to matching sign-buckets: candidates
+  *    share all 16 hyperplane signs, turning top-k into a bucket equi-join.
+  *    Hyperplane components are hash-derived (seeded, deterministic) so no
+  *    randomness crosses executors.
+  */
+object SimilarityQueries {
+
+  /** dot(a, b) with element-wise double cast; both arrays same length. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+  private def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
+
+  /** The deterministic query vector: embedding of vec_id = 0, one-row df. */
+  private def queryVec(t: Tpch): DataFrame =
+    t.embeddings.where(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"))
+
+  /** Brute-force cosine top-10 vs the vec_id=0 query vector. */
+  def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.embeddings
+      .join(broadcast(queryVec(t)))
+      .withColumn("cos", expr(
+        s"round(${dotExpr("embedding", "q_vec")} / (${normExpr("embedding")} * ${normExpr("q_vec")}), 6)"))
+      .select(col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Embedding-cosine nearest candidate pairs via banded sign-LSH: 4 bands
+    * of 8 hyperplane sign bits each; vectors agreeing on any full band are
+    * candidates (classic banding — per-band collision keeps recall, band
+    * width bounds the background collision rate). Candidates get exact
+    * cosine; top-50 pairs returned. Bucket equi-join — no crossJoin (the
+    * all-pairs verify would be dead at any scale). Hyperplane components are
+    * hash-derived: seeded, deterministic, identical on every executor. */
+  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+    val banded = vecs
+      .withColumn("band_id", explode(expr("sequence(0, 3)")))
+      .withColumn("band_sig", expr(
+        """aggregate(sequence(0, 7), 0L, (acc, h) ->
+          |  acc + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D,
+          |    (s, d) -> s + CAST(element_at(embedding, d + 1) AS DOUBLE)
+          |               * ((pmod(hash(band_id * 4096 + h * 512 + d), 2001) - 1000) / 1000.0)) > 0
+          |  THEN shiftleft(1L, h) ELSE 0L END)""".stripMargin))
+    val pairs = banded
+      .groupBy(col("band_id"), col("band_sig"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS vec_a, b AS vec_b))))"))
+        .as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
+      .withColumn("cos", expr(
+        s"round(${dotExpr("e_a", "e_b")} / (${normExpr("e_a")} * ${normExpr("e_b")}), 6)"))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(50)
+  }
+
+  /** Label centroids — the IVF coarse-quantizer build step: mean vector per
+    * label. Scale-correct formulation: posexplode to (label, dim, value) and
+    * aggregate per dimension — partial+final HashAggregate, constant memory
+    * per group, vs. collect_list-of-vectors which would hold whole clusters
+    * in one aggregation buffer. Decimal sums keep the means exact and
+    * partition-order independent. */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dims = t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+    dims
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(28, 10))) /
+        count(lit(1))).cast("double").as("mean_v"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_dims"),
+        round(sum((col("mean_v") * col("mean_v"))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10))), 6)
+          .cast("double").as("centroid_sq_norm"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sim_cosine_topk", cosineTopK, Some(
+      """SELECT e.vec_id, e.label,
+        |       ROUND(list_cosine_similarity(e.embedding, q.embedding), 6) AS cos
+        |FROM embeddings e,
+        |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin)),
+    NamedQuery("q_sim_embedding_near_dups", embeddingNearDups, None),
+    NamedQuery("q_sim_label_centroids", labelCentroids, None),
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Text-analysis operators over the `documents` table — the training-data
+  * pipeline surface (north-star extensions, SURVEY.md §2-C): token counting,
+  * language-ID heuristics, quality scoring, document fingerprinting.
+  *
+  * All pure builtin column expressions (split/size/md5/array fns) — codegen'd,
+  * embarrassingly parallel, no shuffles except the final small aggregates.
+  * Ratio aggregates go through DecimalType sums so averages are
+  * partition-order independent (same rationale as MartQueries.moneySum).
+  */
+object TextQueries {
+
+  private def toks = split(col("text"), " ")
+
+  /** Token/char statistics per language. */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.documents
+      .select(col("lang"), col("n_chars"), size(toks).cast("long").as("n_tokens"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Language-ID by stopword heuristic (n-gram-class language detection,
+    * distilled to deterministic marker tokens) — confusion counts vs the
+    * labeled `lang` column. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val predicted = when(col("text").contains(" the "), "en")
+      .when(col("text").contains(" el "), "es")
+      .when(col("text").contains(" le "), "fr")
+      .otherwise("und")
+    t.documents
+      .groupBy(col("lang"), predicted.as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** Quality scoring: per-doc score from length saturation + lexical
+    * diversity, averaged per source. Deterministic double math per row;
+    * decimal-summed average. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val lengthSat = least(lit(1.0), nTok / lit(100.0))
+    val score = (lengthSat * 0.5 + diversity * 0.5)
+    t.documents
+      .select(col("source"), score.as("score"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast(DecimalType(18, 8))) / count(lit(1)), 4)
+          .cast("double").as("avg_quality"))
+      .orderBy(col("source"))
+  }
+
+  /** Document fingerprinting: content-hash dedup stats per source. */
+  def fingerprintStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.documents
+      .select(col("source"), md5(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_stats", textStats, Some(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_langid", langId, Some(
+      """SELECT lang,
+        |       CASE WHEN contains(text, ' the ') THEN 'en'
+        |            WHEN contains(text, ' el ') THEN 'es'
+        |            WHEN contains(text, ' le ') THEN 'fr'
+        |            ELSE 'und' END AS predicted,
+        |       COUNT(*) AS n
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_text_quality", qualityScore, Some(
+      """SELECT source, COUNT(*) AS n_docs,
+        |       CAST(ROUND(SUM(CAST(
+        |              LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+        |            + (len(list_distinct(string_split(text, ' ')))
+        |               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+        |            AS DECIMAL(18,8))) / COUNT(*), 4) AS DOUBLE) AS avg_quality
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_fingerprint", fingerprintStats, Some(
+      """SELECT source, COUNT(*) AS n_docs,
+        |       COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

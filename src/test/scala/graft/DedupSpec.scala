@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupQueries
+import graft.sources.Tables.Tpch
+
+/** Correctness of the oracle-free dedup sketches, checked against brute-force
+  * ground truth computed driver-side on sf0.001 (500 docs — quadratic is fine
+  * in a spec; the operators themselves must never be quadratic).
+  */
+class DedupSpec extends SparkSpec {
+
+  /** doc_id → shingle set, using the operators' own shingle definition. */
+  private lazy val shingleSets: Map[Long, Set[String]] = {
+    val t = Tpch(spark, Sf)
+    DedupQueries.withShingles(t.documents.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("shingles"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .toMap
+  }
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    (a & b).size.toDouble / (a | b).size.toDouble
+
+  /** All pairs with true Jaccard ≥ threshold, brute force. */
+  private def truePairs(threshold: Double): Set[(Long, Long)] = {
+    val ids = shingleSets.keys.toArray.sorted
+    val out = Set.newBuilder[(Long, Long)]
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      if (jaccard(shingleSets(ids(i)), shingleSets(ids(j))) >= threshold)
+        out += ((ids(i), ids(j)))
+    }
+    out.result()
+  }
+
+  test("corpus has near-duplicate pairs to find") {
+    assert(truePairs(0.9).nonEmpty)
+  }
+
+  test("minhash LSH: reported jaccards are exact; recall on j>=0.9 pairs >= 80%") {
+    val got = DedupQueries.minhashNearDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case ((a, b), j) =>
+      val expected = math.rint(jaccard(shingleSets(a), shingleSets(b)) * 1e4) / 1e4
+      assert(j == expected, s"pair ($a,$b): reported $j != brute-force $expected")
+      assert(j >= 0.5)
+    }
+    val strong = truePairs(0.9)
+    val recalled = strong.count(got.contains)
+    assert(recalled >= strong.size * 0.8,
+      s"recall $recalled/${strong.size} below 80% on j>=0.9 pairs")
+  }
+
+  test("simhash banding is exact: reported == all pairs within hamming 3") {
+    val sigs = DedupQueries
+      .simhashSignatures(Tpch(spark, Sf).documents.select(col("doc_id"), col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = sigs.keys.toArray.sorted
+    val expected = (for {
+      i <- ids.indices.iterator
+      j <- ((i + 1) until ids.length).iterator
+      if java.lang.Long.bitCount(sigs(ids(i)) ^ sigs(ids(j))) <= 3
+    } yield (ids(i), ids(j))).toSet
+    val got = DedupQueries.simhashNearDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"banding mismatch: missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("ngram inverted-index: full recall on j>=0.9 pairs, exact jaccards") {
+    val got = DedupQueries.ngramJaccardDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    got.foreach { case ((a, b), j) =>
+      val expected = math.rint(jaccard(shingleSets(a), shingleSets(b)) * 1e4) / 1e4
+      assert(j == expected)
+    }
+    truePairs(0.9).foreach { p =>
+      assert(got.contains(p), s"missing strong pair $p")
+    }
+  }
+
+  test("keep-first dedup keeps exactly one doc per distinct text") {
+    val t = Tpch(spark, Sf)
+    val nDistinct = t.documents.select("text").distinct().count()
+    val kept = DedupQueries.exactDedupKeepFirst(spark, Sf)
+    assert(kept.count() == nDistinct)
+    assert(kept.select("doc_id").distinct().count() == nDistinct)
+  }
+}

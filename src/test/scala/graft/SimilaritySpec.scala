@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityQueries
+import graft.sources.Tables.Tpch
+
+/** Correctness of the similarity-search operators against hand-computed
+  * expectations on sf0.001. */
+class SimilaritySpec extends SparkSpec {
+
+  test("cosine top-k: self-similarity of the query vector is 1.0 and ranks first") {
+    val top = SimilarityQueries.cosineTopK(spark, Sf).collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 0L, "vec_id=0 (the query) must rank first")
+    assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
+    // scores are non-increasing
+    val scores = top.map(_.getDouble(2)).toSeq
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("cosine top-k matches a driver-side brute-force computation") {
+    val t = Tpch(spark, Sf)
+    val rows = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = rows(0L)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = rows.toSeq.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+    val got = SimilarityQueries.cosineTopK(spark, Sf).collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("LSH near-dup candidates carry exact cosine scores") {
+    val t = Tpch(spark, Sf)
+    val rows = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val pairs = SimilarityQueries.embeddingNearDups(spark, Sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val expected = cos(rows(r.getLong(0)), rows(r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - expected) < 1e-4,
+        s"pair (${r.getLong(0)},${r.getLong(1)}) cos ${r.getDouble(2)} != $expected")
+    }
+  }
+
+  test("label centroids cover every label with full dimensionality") {
+    val t = Tpch(spark, Sf)
+    val nLabels = t.embeddings.select("label").distinct().count()
+    val rows = SimilarityQueries.labelCentroids(spark, Sf).collect()
+    assert(rows.length == nLabels)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 64L, s"label ${r.getInt(0)} has ${r.getLong(1)} dims")
+      assert(r.getDouble(2) >= 0.0)
+    }
+  }
+}
