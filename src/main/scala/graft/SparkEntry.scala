@@ -7,7 +7,8 @@ object SparkEntry {
     * (SURVEY.md §2 coverage checklist). */
   def registry: Seq[NamedQuery] =
     MartQueries.all ++ AuditQueries.all ++ FunctionQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      CdcQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

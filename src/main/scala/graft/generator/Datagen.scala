@@ -1,0 +1,241 @@
+package graft.generator
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed synthetic banking datagen (SURVEY.md §2-A G1–G13) — the
+  * reference's row-at-a-time Python generator (`data-generator/generator.py`)
+  * re-expressed as pure, seeded column expressions over `spark.range(n)`.
+  *
+  * Design: the reference loops INSERT-per-row at ~275 rows/s
+  * (generator.py:175,204-208); here every distribution is a deterministic
+  * closed-form expression of (row id, seed) — embarrassingly parallel,
+  * codegen'd, reproducible across executors and runs, and scales to any n.
+  * Sequential-id semantics (the DB's RETURNING id, generator.py:204-209) are
+  * row_number over an explicit ordering, not monotonically_increasing_id
+  * (which is partition-layout dependent).
+  */
+object Datagen {
+
+  /** Deterministic uniform [0,1) from id+seed+salt — the distributed stand-in
+    * for the reference's `random.random()`: hash-based so it is stable under
+    * repartitioning (unlike rand(seed), which is partition-indexed). */
+  private def u(idCol: Column, seed: Long, salt: Int): Column =
+    (pmod(xxhash64(idCol, lit(seed), lit(salt)), lit(1000000000L)).cast("double")
+      / 1000000000.0)
+
+  /** G1: weighted categorical sampling via CDF when-chain
+    * (generator.py:135-139 weighted_choice). */
+  def weightedChoice(r: Column, valuesWithWeights: Seq[(String, Double)]): Column = {
+    val total = valuesWithWeights.map(_._2).sum
+    val cdf = valuesWithWeights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val pairs = valuesWithWeights.map(_._1).zip(cdf)
+    pairs.init.foldRight(lit(pairs.last._1): Column) { case ((v, c), rest) =>
+      when(r < c, v).otherwise(rest)
+    }
+  }
+
+  /** G2: bounded decimal money, quantized to cents ROUND_DOWN
+    * (generator.py:78-80). */
+  def boundedMoney(r: Column, min: Double, max: Double): Column =
+    (floor(r * (max - min) * 100 + min * 100) / 100).cast(DecimalType(18, 2))
+
+  /** G12: round-number bias — 30% to $10, extra 10% to $100, floor $1
+    * (generator.py:286-292). */
+  def roundNumberBias(amount: Column, r1: Column, r2: Column): Column = {
+    val rounded10 = (round(amount / 10) * 10).cast(DecimalType(18, 2))
+    val rounded100 = (round(amount / 100) * 100).cast(DecimalType(18, 2))
+    val biased = when(r2 < 0.1, rounded100).when(r1 < 0.3, rounded10).otherwise(amount)
+    greatest(biased, lit(1.0).cast(DecimalType(18, 2)))
+  }
+
+  /** G6: random timestamp in [start, end], business-hours biased: 70% of
+    * rows re-pinned to hour ∈ [9,18], rest [6,22] (generator.py:141-163). */
+  def businessHoursTimestamp(start: Column, end: Column,
+                             rSpan: Column, rBias: Column, rHour: Column): Column = {
+    val startS = unix_timestamp(start)
+    val endS = unix_timestamp(end)
+    val base = timestamp_seconds(startS + (rSpan * (endS - startS)).cast("long"))
+    val hour9to18 = (lit(9) + (rHour * 10).cast("int"))
+    val hour6to22 = (lit(6) + (rHour * 17).cast("int"))
+    val hr = when(rBias < 0.7, hour9to18).otherwise(hour6to22)
+    val pinned = make_timestamp(year(base), month(base), dayofmonth(base), hr,
+      minute(base), second(base).cast("decimal(8,6)"))
+    // Hour re-pinning can jump outside [start, end] on the boundary days
+    // (a real wraparound in the reference's random_timestamp,
+    // generator.py:141-163) — clamp so referential ordering (G10) holds.
+    least(greatest(pinned, start), end)
+  }
+
+  private val FirstNames = Seq("ava", "liam", "mia", "noah", "zoe", "eli",
+    "ida", "max", "lea", "kai", "amy", "ben", "eva", "sam", "joy", "leo")
+  private val LastNames = Seq("stone", "rivera", "chen", "okafor", "mills",
+    "berg", "kato", "silva", "novak", "reed", "diaz", "larsen", "moss",
+    "iyer", "fox", "king")
+  private val Domains = Seq("example.com", "mail.example", "bank.example")
+  private val Streets = Seq("oak ave", "elm st", "lake rd", "hill blvd",
+    "park ln", "main st", "bay ct", "ridge way")
+  private val Cities = Seq("springfield", "rivertown", "lakeside",
+    "hilldale", "brookfield", "fairview", "midvale", "easton")
+  private val States = Seq("CA", "NY", "TX", "WA", "IL", "MA", "GA", "OR")
+
+  private def pick(values: Seq[String], r: Column): Column =
+    element_at(array(values.map(lit): _*), (r * values.size).cast("int") + 1)
+
+  /** Customers (generator.py:185-214): unique email (G3 — deterministic
+    * pattern + id salt replaces the retry-against-seen-set loop), phone
+    * (G4), nested address struct (G5), created_at in a fixed window (G6),
+    * sequential ids (G7). */
+  def customers(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    val ids = spark.range(n).toDF("rid")
+    val first = pick(FirstNames, u(col("rid"), seed, 1))
+    val last = pick(LastNames, u(col("rid"), seed, 2))
+    ids.select(
+      (col("rid") + 1).cast("int").as("id"),
+      initcap(first).as("first_name"),
+      initcap(last).as("last_name"),
+      // G3: 8 reference patterns collapse to name-derived + id-salt — the
+      // id suffix IS the uniqueness guarantee (no sequential seen-set).
+      concat(first, lit("."), last, col("rid"), lit("@"),
+        pick(Domains, u(col("rid"), seed, 3))).as("email"),
+      // G4: +1-XXX-XXX-XXXX shape (generator.py:116-123)
+      format_string("+1-%03d-%03d-%04d",
+        (u(col("rid"), seed, 4) * 800 + 200).cast("int"),
+        (u(col("rid"), seed, 5) * 900 + 100).cast("int"),
+        (u(col("rid"), seed, 6) * 10000).cast("int")).as("phone"),
+      // G5: nested address struct (generated, dropped before INSERT in the
+      // reference, generator.py:125-133,204-208 — kept here)
+      struct(
+        concat((u(col("rid"), seed, 7) * 9899 + 100).cast("int"), lit(" "),
+          pick(Streets, u(col("rid"), seed, 8))).as("street"),
+        pick(Cities, u(col("rid"), seed, 9)).as("city"),
+        pick(States, u(col("rid"), seed, 10)).as("state"),
+        format_string("%05d", (u(col("rid"), seed, 11) * 100000).cast("int")).as("postal"),
+        lit("US").as("country")).as("address"),
+      (u(col("rid"), seed, 12) * 60 + 18).cast("int").as("age"),
+      businessHoursTimestamp(
+        lit("2023-01-01 00:00:00").cast("timestamp"),
+        lit("2024-01-01 00:00:00").cast("timestamp"),
+        u(col("rid"), seed, 13), u(col("rid"), seed, 14), u(col("rid"), seed, 15))
+        .as("created_at"))
+  }
+
+  /** Accounts (generator.py:220-268): 1–4 per customer fan-out (G8), 90%
+    * CHECKING-first (G8), weighted types (G1), per-type balance ranges (G2),
+    * age>50 balance boost (G9), created_at ≥ parent's (G10). */
+  def accounts(customersDf: DataFrame, seed: Long = 42L): DataFrame = {
+    val typeWeights = Seq("CHECKING" -> 0.35, "SAVINGS" -> 0.35,
+      "BUSINESS" -> 0.15, "INVESTMENT" -> 0.15)
+    val currencyWeights = Seq("USD" -> 0.60, "EUR" -> 0.15, "GBP" -> 0.10,
+      "INR" -> 0.08, "CAD" -> 0.04, "AUD" -> 0.03)
+    val cid = col("customer_id")
+    val fannedOut = customersDf
+      .select(col("id").as("customer_id"), col("age"),
+        col("created_at").as("cust_created_at"))
+      // G8: explode 1..(1 + uniform{0..3}) account slots per customer
+      .withColumn("slot", explode(expr(
+        "sequence(1, 1 + cast(pmod(xxhash64(customer_id, 7001), 4) as int))")))
+    val rSlot = u(cid * 7 + col("slot"), seed, 20)
+    val accountType =
+      when(col("slot") === 1 && u(cid, seed, 21) < 0.9, "CHECKING")
+        .otherwise(weightedChoice(rSlot, typeWeights))
+    val baseBalance =
+      when(col("account_type") === "CHECKING",
+        boundedMoney(u(cid * 7 + col("slot"), seed, 22), 100, 20000))
+        .when(col("account_type") === "SAVINGS",
+          boundedMoney(u(cid * 7 + col("slot"), seed, 22), 500, 100000))
+        .when(col("account_type") === "BUSINESS",
+          boundedMoney(u(cid * 7 + col("slot"), seed, 22), 1000, 500000))
+        .otherwise(boundedMoney(u(cid * 7 + col("slot"), seed, 22), 1000, 250000))
+    val w = Window.orderBy(col("customer_id"), col("slot"))
+    fannedOut
+      .withColumn("account_type", accountType)
+      .withColumn("balance0", baseBalance)
+      // G9: age > 50 ⇒ balance × 1.5 (generator.py:240-241)
+      .withColumn("balance",
+        when(col("age") > 50, (col("balance0") * 1.5).cast(DecimalType(18, 2)))
+          .otherwise(col("balance0")))
+      .withColumn("currency",
+        weightedChoice(u(cid * 7 + col("slot"), seed, 23), currencyWeights))
+      // G10: account created within [customer.created_at, +1y]
+      .withColumn("created_at", businessHoursTimestamp(
+        col("cust_created_at"),
+        col("cust_created_at") + expr("INTERVAL 365 DAYS"),
+        u(cid * 7 + col("slot"), seed, 24),
+        u(cid * 7 + col("slot"), seed, 25),
+        u(cid * 7 + col("slot"), seed, 26)))
+      // G7: sequential ids via row_number (RETURNING id analog)
+      .withColumn("id", row_number().over(w))
+      .select(col("id"), col("customer_id"), col("account_type"),
+        col("balance"), col("currency"), col("created_at"))
+  }
+
+  /** Transactions (generator.py:273-319): weighted type/status (G1),
+    * per-type amount ranges (G2), round-number bias (G12), created_at ≥
+    * account's (G10), TRANSFER partner selection 40% same-customer via
+    * self-join (G11). */
+  def transactions(accountsDf: DataFrame, n: Long, seed: Long = 42L): DataFrame = {
+    val spark = accountsDf.sparkSession
+    val typeWeights = Seq("DEPOSIT" -> 0.25, "WITHDRAWAL" -> 0.20,
+      "TRANSFER" -> 0.25, "PAYMENT" -> 0.15, "REFUND" -> 0.05,
+      "FEE" -> 0.05, "INTEREST" -> 0.05)
+    val statusWeights = Seq("COMPLETED" -> 0.85, "PENDING" -> 0.08,
+      "FAILED" -> 0.04, "CANCELLED" -> 0.03)
+    val nAccounts = accountsDf.count()
+    val base = spark.range(n).toDF("rid")
+      .withColumn("account_id",
+        (pmod(xxhash64(col("rid"), lit(seed), lit(30)), lit(nAccounts)) + 1).cast("int"))
+      .withColumn("txn_type", weightedChoice(u(col("rid"), seed, 31), typeWeights))
+      .withColumn("status", weightedChoice(u(col("rid"), seed, 32), statusWeights))
+    val amount0 =
+      when(col("txn_type").isin("DEPOSIT", "WITHDRAWAL", "TRANSFER"),
+        boundedMoney(u(col("rid"), seed, 33), 10, 5000))
+        .when(col("txn_type") === "PAYMENT", boundedMoney(u(col("rid"), seed, 33), 5, 2000))
+        .when(col("txn_type") === "REFUND", boundedMoney(u(col("rid"), seed, 33), 5, 500))
+        .when(col("txn_type") === "FEE", boundedMoney(u(col("rid"), seed, 33), 1, 50))
+        .otherwise(boundedMoney(u(col("rid"), seed, 33), 1, 100))
+    val acc = accountsDf.select(col("id").as("account_id"),
+      col("customer_id"), col("created_at").as("acct_created_at"))
+    // G11: partner = deterministic pick among the same customer's OTHER
+    // accounts (40%), else any other account — both via joins, no loops.
+    val sameCust = accountsDf.select(col("customer_id"),
+      col("id").as("partner_id"))
+    val withAcct = base.join(broadcast(acc), "account_id")
+    val partnerPool = withAcct
+      .join(broadcast(sameCust), Seq("customer_id"), "left")
+      .where(col("partner_id").isNull || col("partner_id") =!= col("account_id"))
+      .withColumn("pick", row_number().over(
+        Window.partitionBy(col("rid")).orderBy(
+          xxhash64(col("rid"), col("partner_id"), lit(seed)))))
+      .where(col("pick") === 1)
+      .select(col("rid"), col("partner_id"))
+    withAcct.join(partnerPool, Seq("rid"), "left")
+      .withColumn("related_account_id",
+        when(col("txn_type") === "TRANSFER",
+          when(u(col("rid"), seed, 34) < 0.4 && col("partner_id").isNotNull,
+            col("partner_id"))
+            // any OTHER account: offset in [1, n-1] from self, mod n — can
+            // never land back on account_id (mirrors generator.py:296-304)
+            .otherwise((pmod(col("account_id") - 1 +
+              pmod(xxhash64(col("rid"), lit(seed), lit(35)), lit(nAccounts - 1)) + 1,
+              lit(nAccounts)) + 1).cast("int")))
+          .otherwise(lit(null).cast("int")))
+      .withColumn("amount", roundNumberBias(amount0,
+        u(col("rid"), seed, 36), u(col("rid"), seed, 37)))
+      .withColumn("created_at", businessHoursTimestamp(
+        col("acct_created_at"),
+        col("acct_created_at") + expr("INTERVAL 180 DAYS"),
+        u(col("rid"), seed, 38), u(col("rid"), seed, 39), u(col("rid"), seed, 40)))
+      .withColumn("id", col("rid") + 1)
+      .select(col("id"), col("account_id"), col("txn_type"), col("amount"),
+        col("related_account_id"), col("status"), col("created_at"))
+  }
+
+  /** G13: the per-type summary the reference prints each iteration
+    * (generator.py:322). */
+  def accountTypeSummary(accountsDf: DataFrame): DataFrame =
+    accountsDf.groupBy(col("account_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("account_type"))
+}

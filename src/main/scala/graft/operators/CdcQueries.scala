@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.NamedQuery
+import graft.generator.Datagen
+import graft.sources.Tables.Tpch
+import graft.streaming.CdcEnvelope
+import MartQueries.{moneySum, moneySumSql}
+
+/** CDC-envelope and datagen queries wired into the driver's correctness
+  * gate.
+  *
+  * `q_cdc_roundtrip` is the envelope codec's oracle-checked proof: orders
+  * rows → Debezium-shaped JSON (money as DECIMAL(18,2), mirroring the OLTP
+  * side) → decode (which demotes decimals to double per the reference's
+  * `decimal.handling.mode=double`) → aggregate. The DuckDB oracle computes
+  * the same aggregate straight from the parquet — if envelope encode/decode
+  * perturbed any row or any cent, the hashes diverge.
+  *
+  * The `q_gen_*` queries run the seeded synthetic generator and summarize
+  * its distributions (no oracle — rand streams aren't reproducible in
+  * DuckDB; distribution properties are asserted in DatagenSpec).
+  */
+object CdcQueries {
+
+  def cdcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    // Stage OLTP-shaped rows: money as NUMERIC(18,2) like SCHEMA.sql:15
+    val oltp = t.orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
+      col("o_orderdate"))
+    val wire = CdcEnvelope.wrap(oltp, "orders")
+    val decoded = CdcEnvelope.decode(wire, oltp.schema)
+    decoded
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("volume"))
+      .orderBy(col("status"))
+  }
+
+  def genAccountSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val customers = Datagen.customers(spark, 2000)
+    Datagen.accountTypeSummary(Datagen.accounts(customers))
+  }
+
+  def genTransactionSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val accounts = Datagen.accounts(Datagen.customers(spark, 1000))
+    Datagen.transactions(accounts, 5000)
+      .groupBy(col("txn_type"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("amount")).as("volume"))
+      .orderBy(col("txn_type"), col("status"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_cdc_roundtrip", cdcRoundtrip, Some(
+      s"""SELECT o_orderstatus AS status, COUNT(*) AS n,
+         |       ${moneySumSql("o_totalprice")} AS volume
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_gen_account_summary", genAccountSummary, None),
+    NamedQuery("q_gen_transaction_summary", genTransactionSummary, None),
+  )
+}

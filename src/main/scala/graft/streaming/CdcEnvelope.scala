@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium-shaped CDC envelope codec (SURVEY.md §2-A S2/T1–T3).
+  *
+  * Wire shape consumed by the reference at `consumer/consumer.py:66-67`, with
+  * JSON schemas disabled (`docker-compose.yml:44-45`):
+  *
+  * {{{
+  * {"payload": {"before": null, "after": {...row...}, "op": "c",
+  *              "source": {"table": "<table>"}}}
+  * }}}
+  *
+  * Money semantics are the reference's CRITICAL quirk: Debezium is configured
+  * `decimal.handling.mode=double` (`Connector_post_and_generate.py:29`), so
+  * NUMERIC(18,2) columns arrive as JSON doubles. [[decode]] mirrors that
+  * exactly — every DecimalType field of the payload schema is cast to double
+  * after parse.
+  *
+  * The wrapper exists so the whole CDC leg is testable without Kafka: any
+  * batch DataFrame → envelope JSON strings → (optionally a Kafka topic) →
+  * [[decode]]. Both directions are pure column expressions (to_json /
+  * from_json) — codegen'd, narrow, no shuffle.
+  */
+object CdcEnvelope {
+
+  /** Envelope schema for a given row schema (the `value` side of the topic). */
+  def envelopeSchema(rowSchema: StructType): StructType =
+    StructType(Seq(StructField("payload", StructType(Seq(
+      StructField("before", rowSchema, nullable = true),
+      StructField("after", rowSchema, nullable = true),
+      StructField("op", StringType, nullable = true),
+      StructField("source", StructType(Seq(
+        StructField("table", StringType, nullable = true))), nullable = true))))))
+
+  /** Wrap every row of `df` into a Debezium-shaped JSON string column
+    * `value` (op = "c", before = null), plus the `topic` the reference's
+    * connector would emit it on (`banking_server.public.<table>`,
+    * Connector_post_and_generate.py:23). */
+  def wrap(df: DataFrame, table: String): DataFrame = {
+    val after = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.select(
+      lit(s"banking_server.public.$table").as("topic"),
+      to_json(struct(
+        struct(
+          lit(null).cast(StructType(df.schema.fields)).as("before"),
+          after.as("after"),
+          lit("c").as("op"),
+          struct(lit(table).as("table")).as("source")
+        ).as("payload"))).as("value"))
+  }
+
+  /** Decode envelope JSON back to rows: parse, drop tombstones/deletes
+    * (null `after`, consumer.py:69-71), project `payload.after.*`, and
+    * demote decimals to double (decimal.handling.mode=double). */
+  def decode(df: DataFrame, rowSchema: StructType, valueCol: String = "value"): DataFrame = {
+    val parsed = df
+      .withColumn("__env", from_json(col(valueCol).cast("string"), envelopeSchema(rowSchema)))
+      .where(col("__env.payload.after").isNotNull)
+      .select(col("__env.payload.after.*"))
+    rowSchema.fields.foldLeft(parsed) { (acc, f) =>
+      f.dataType match {
+        case _: DecimalType => acc.withColumn(f.name, col(f.name).cast("double"))
+        case _ => acc
+      }
+    }
+  }
+
+  /** Table name from the reference's topic naming: last dotted segment
+    * (consumer.py:74). */
+  def tableFromTopic(topic: Column): Column = substring_index(topic, ".", -1)
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamReader, DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Date-partitioned Parquet landing layer (SURVEY.md §2-A S4–S6, T4–T5).
+  *
+  * Reference contract (`consumer/consumer.py:41-51`):
+  *   `<root>/<table>/date=YYYY-MM-DD/<file>.parquet`
+  * where `date` is the ARRIVAL date (consumer.py:45 uses wall clock, not
+  * event time — mirrored here deliberately; see SURVEY §7 "hard parts"),
+  * `table` is the last dotted topic segment (consumer.py:74), and each
+  * topic's buffer flushes independently every 50 records (consumer.py:54).
+  *
+  * Spark mapping: `partitionBy("date")` parquet append per table — unique
+  * filenames come free from task attempts; downstream readers get partition
+  * pruning on `date` for free. At scale the flush-count trigger becomes
+  * `maxOffsetsPerTrigger` (count-per-trigger has no native Spark trigger);
+  * [[CountBatcher]] reproduces the reference's exact per-table
+  * flush-50/hold-tail semantics for parity testing.
+  */
+object LandingWriter {
+
+  /** Land one table's batch: append under `<root>/<table>/date=<d>/`. */
+  def landBatch(df: DataFrame, root: String, table: String,
+                dateOverride: Option[String] = None): Unit = {
+    val dated = df.withColumn("date",
+      dateOverride.map(lit).getOrElse(current_date().cast("string")))
+    dated.write.mode("append").partitionBy("date").parquet(s"$root/$table")
+  }
+
+  /** Demultiplex a mixed-topic frame (columns `topic`, `value`) into
+    * per-table landings, mirroring the consumer's buffer-per-topic demux
+    * (T4). `tables` is the static allow-list (the connector's
+    * table.include.list, Connector_post_and_generate.py:24) — no
+    * driver-side data collect needed to route. */
+  def demuxAndLand(df: DataFrame, root: String, tables: Seq[String],
+                   dateOverride: Option[String] = None): Unit = {
+    val withTable = df.withColumn("table", CdcEnvelope.tableFromTopic(col("topic")))
+    tables.foreach { t =>
+      val part = withTable.where(col("table") === t).drop("table")
+      landBatch(part, root, t, dateOverride)
+    }
+  }
+
+  /** Streaming variant: foreachBatch → demux → date-partitioned append.
+    * Checkpointing upgrades the reference's at-least-once (auto-commit,
+    * consumer.py:21) to exactly-once into the lake — documented delta. */
+  def streamingLanding(stream: DataFrame, root: String, tables: Seq[String],
+                       checkpoint: String,
+                       trigger: Trigger = Trigger.ProcessingTime("2 seconds"))
+      : DataStreamWriter[Row] = {
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        demuxAndLand(batch, root, tables)
+      }
+  }
+
+  /** The Kafka leg as a configured reader (S4): 3-topic subscribe, earliest
+    * offsets — group/commit management is replaced by Spark checkpointing.
+    * Returned unloaded so environments without the Kafka connector jar can
+    * still build the config surface. */
+  def kafkaReader(spark: SparkSession, bootstrap: String, topics: Seq[String],
+                  maxOffsetsPerTrigger: Long = 150): DataStreamReader =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+
+  /** Exact count-based flush semantics of the reference consumer (T5):
+    * per-table independent flush every `batchSize` records, tail records
+    * held until the next batch (and indefinitely at stream end — a real
+    * behavior of consumer.py:54,73-75 preserved consciously).
+    *
+    * Buffered rows stay distributed (cached DataFrames); only counts reach
+    * the driver. State is driver-held and NOT checkpoint-recoverable —
+    * production flows should prefer maxOffsetsPerTrigger; this exists for
+    * semantic parity and tests.
+    */
+  final class CountBatcher(root: String, tables: Seq[String], batchSize: Int = 50) {
+    private var buffers: Map[String, DataFrame] = Map.empty
+
+    def bufferedCount(table: String): Long =
+      buffers.get(table).map(_.count()).getOrElse(0L)
+
+    /** Offer a mixed-topic micro-batch; flush any table reaching batchSize. */
+    def offer(df: DataFrame, dateOverride: Option[String] = None): Unit = {
+      val withTable = df.withColumn("table", CdcEnvelope.tableFromTopic(col("topic")))
+      tables.foreach { t =>
+        val incoming = withTable.where(col("table") === t).drop("table")
+        val merged = buffers.get(t).map(_.unionByName(incoming)).getOrElse(incoming)
+        val n = merged.count()
+        if (n >= batchSize) {
+          val flushCount = (n / batchSize) * batchSize
+          // FIFO within what Spark preserves: limit() takes the head rows.
+          val toFlush = merged.limit(flushCount.toInt)
+          LandingWriter.landBatch(toFlush, root, t, dateOverride)
+          val rest = merged.exceptAll(toFlush)
+          buffers = buffers.updated(t, rest.localCheckpoint(eager = true))
+        } else {
+          buffers = buffers.updated(t, merged.localCheckpoint(eager = true))
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.CdcEnvelope
+
+/** Envelope codec semantics against golden Debezium-shaped JSON — the wire
+  * shape of reference consumer.py:66-67 with decimal.handling.mode=double. */
+class CdcEnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val txnSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("account_id", IntegerType),
+    StructField("txn_type", StringType),
+    StructField("amount", DecimalType(18, 2)),
+    StructField("related_account_id", IntegerType),
+    StructField("status", StringType)))
+
+  test("decode parses a golden Debezium envelope and demotes money to double") {
+    val golden =
+      """{"payload": {"before": null,
+        |             "after": {"id": 7, "account_id": 3, "txn_type": "TRANSFER",
+        |                       "amount": 250.00, "related_account_id": 9,
+        |                       "status": "COMPLETED"},
+        |             "op": "c", "source": {"table": "transactions"}}}""".stripMargin
+    val df = Seq(golden).toDF("value")
+    val out = CdcEnvelope.decode(df, txnSchema).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 7L)
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2) == "TRANSFER")
+    // decimal.handling.mode=double: amount must arrive as DoubleType
+    assert(CdcEnvelope.decode(df, txnSchema).schema("amount").dataType == DoubleType)
+    assert(r.getDouble(3) == 250.0)
+    assert(r.getInt(4) == 9)
+    assert(r.getString(5) == "COMPLETED")
+  }
+
+  test("decode drops tombstones/deletes (null after) — the T3 null filter") {
+    val tombstone = """{"payload": {"before": {"id": 1}, "after": null, "op": "d", "source": {"table": "transactions"}}}"""
+    val df = Seq(tombstone).toDF("value")
+    assert(CdcEnvelope.decode(df, txnSchema).count() == 0)
+  }
+
+  test("wrap → decode round-trips rows exactly, including timestamps") {
+    val rows = Seq(
+      (1L, 10, "DEPOSIT", BigDecimal("99.99"), Timestamp.valueOf("2023-06-01 10:15:30")),
+      (2L, 11, "FEE", BigDecimal("1.50"), Timestamp.valueOf("2023-06-02 09:00:00")))
+      .toDF("id", "account_id", "txn_type", "amount", "created_at")
+      .withColumn("amount", col("amount").cast(DecimalType(18, 2)))
+    val wire = CdcEnvelope.wrap(rows, "transactions")
+    assert(wire.columns.toSeq == Seq("topic", "value"))
+    assert(wire.select("topic").distinct().as[String].collect()
+      .toSeq == Seq("banking_server.public.transactions"))
+    val back = CdcEnvelope.decode(wire, rows.schema)
+      .orderBy("id").collect()
+    assert(back.length == 2)
+    assert(back(0).getLong(0) == 1L)
+    assert(back(0).getDouble(3) == 99.99)
+    assert(back(0).getTimestamp(4) == Timestamp.valueOf("2023-06-01 10:15:30"))
+    assert(back(1).getDouble(3) == 1.5)
+  }
+
+  test("tableFromTopic extracts the last dotted segment (consumer.py:74)") {
+    val df = Seq("banking_server.public.customers").toDF("topic")
+    assert(df.select(CdcEnvelope.tableFromTopic(col("topic"))).as[String]
+      .head() == "customers")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.generator.Datagen
+
+/** Distribution + invariant checks for the synthetic generator, mirroring
+  * the reference's configured distributions (generator.py:18-54,135-163). */
+class DatagenSpec extends SparkSpec {
+
+  private lazy val customers = Datagen.customers(spark, 5000).cache()
+  private lazy val accounts = Datagen.accounts(customers).cache()
+  private lazy val transactions = Datagen.transactions(accounts, 10000).cache()
+
+  test("datagen is deterministic under reruns") {
+    val a = Datagen.customers(spark, 100).collect().map(_.toString).sorted
+    val b = Datagen.customers(spark, 100).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("G3: emails are unique; G7: ids are sequential 1..n") {
+    assert(customers.select("email").distinct().count() == 5000)
+    val ids = customers.select("id").collect().map(_.getInt(0)).sorted
+    assert(ids.head == 1 && ids.last == 5000 && ids.distinct.length == 5000)
+  }
+
+  test("G1: txn status weights ~ 85/8/4/3 (chi-squared tolerance)") {
+    val n = transactions.count().toDouble
+    val got = transactions.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val expected = Map("COMPLETED" -> 0.85, "PENDING" -> 0.08,
+      "FAILED" -> 0.04, "CANCELLED" -> 0.03)
+    val chi2 = expected.map { case (k, p) =>
+      val e = p * n; val o = got.getOrElse(k, 0.0); (o - e) * (o - e) / e
+    }.sum
+    // df=3, p=0.001 critical value ≈ 16.27
+    assert(chi2 < 16.27, s"chi2=$chi2 for observed $got")
+  }
+
+  test("G2/G12: amounts are positive cents in range with $1 floor") {
+    val bad = transactions
+      .where(col("amount") < 1.0 || col("amount") > 5000 ||
+        (col("amount") * 100) =!= floor(col("amount") * 100))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("G8: 1-4 accounts per customer; 90% of first accounts are CHECKING") {
+    val perCust = accounts.groupBy("customer_id").count()
+    assert(perCust.where(col("count") < 1 || col("count") > 4).count() == 0)
+    val firsts = accounts.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("customer_id").orderBy("id")))
+      .where(col("rk") === 1)
+    val checkingShare = firsts.where(col("account_type") === "CHECKING").count()
+      .toDouble / firsts.count()
+    assert(checkingShare > 0.85 && checkingShare <= 1.0, s"share=$checkingShare")
+  }
+
+  test("G10: temporal referential ordering holds at both levels") {
+    val custJoined = accounts.alias("a")
+      .join(customers.alias("c"), col("a.customer_id") === col("c.id"))
+      .where(col("a.created_at") < col("c.created_at"))
+    assert(custJoined.count() == 0)
+    val acctJoined = transactions.alias("t")
+      .join(accounts.alias("a"), col("t.account_id") === col("a.id"))
+      .where(col("t.created_at") < col("a.created_at"))
+    assert(acctJoined.count() == 0)
+  }
+
+  test("G11: TRANSFER rows have a non-null partner that is never self") {
+    val transfers = transactions.where(col("txn_type") === "TRANSFER")
+    assert(transfers.count() > 0)
+    assert(transfers.where(col("related_account_id").isNull).count() == 0)
+    assert(transfers.where(col("related_account_id") === col("account_id")).count() == 0)
+    val nonTransfers = transactions.where(col("txn_type") =!= "TRANSFER")
+    assert(nonTransfers.where(col("related_account_id").isNotNull).count() == 0)
+  }
+
+  test("G6: business-hours bias — most rows in 9-18, all in 6-22") {
+    val hours = customers.select(hour(col("created_at")).as("h"))
+    assert(hours.where(col("h") < 6 || col("h") > 22).count() == 0)
+    val inBiz = hours.where(col("h").between(9, 18)).count().toDouble / 5000
+    assert(inBiz > 0.6, s"business-hours share=$inBiz")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.{CdcEnvelope, LandingWriter}
+
+/** Landing layout + flush semantics vs the reference's contract:
+  * `<table>/date=YYYY-MM-DD/` parquet files (consumer.py:48), per-topic demux
+  * (consumer.py:55-59), 50-record flush with tail hold (consumer.py:54,73-75). */
+class LandingWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def partitionDirs(root: Path, table: String): Seq[String] =
+    Files.list(root.resolve(table)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("date=")).toSeq
+
+  test("batch landing writes <table>/date=YYYY-MM-DD/ hive layout") {
+    val root = tmpDir("land")
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    LandingWriter.landBatch(df, root.toString, "customers", Some("2024-03-01"))
+    assert(partitionDirs(root, "customers") == Seq("date=2024-03-01"))
+    val back = spark.read.parquet(s"$root/customers")
+    assert(back.count() == 2)
+    assert(back.columns.contains("date"))
+  }
+
+  test("demux routes mixed topics to per-table directories") {
+    val root = tmpDir("demux")
+    val mixed = Seq(
+      ("banking_server.public.customers", """{"id": 1}"""),
+      ("banking_server.public.accounts", """{"id": 2}"""),
+      ("banking_server.public.accounts", """{"id": 3}"""))
+      .toDF("topic", "value")
+    LandingWriter.demuxAndLand(mixed, root.toString,
+      Seq("customers", "accounts", "transactions"), Some("2024-03-02"))
+    assert(spark.read.parquet(s"$root/customers").count() == 1)
+    assert(spark.read.parquet(s"$root/accounts").count() == 2)
+    assert(!Files.exists(root.resolve("transactions/date=2024-03-02")))
+  }
+
+  test("streaming landing via foreachBatch lands envelope rows") {
+    val root = tmpDir("stream")
+    val ckpt = tmpDir("ckpt")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val stream = mem.toDF().toDF("topic", "value")
+    val q = LandingWriter.streamingLanding(stream, root.toString,
+      Seq("customers"), ckpt.toString, Trigger.AvailableNow()).start()
+    mem.addData(("banking_server.public.customers", """{"id": 1}"""))
+    mem.addData(("banking_server.public.customers", """{"id": 2}"""))
+    q.awaitTermination(60000)
+    val back = spark.read.parquet(s"$root/customers")
+    assert(back.count() == 2)
+    assert(back.columns.contains("date"))
+  }
+
+  test("CountBatcher: flush at 50 per table, tail held (consumer.py:54,73-75)") {
+    val root = tmpDir("cb")
+    val batcher = new LandingWriter.CountBatcher(root.toString,
+      Seq("customers", "accounts"), batchSize = 50)
+    def mk(topic: String, n: Int, off: Int) =
+      (0 until n).map(i => (topic, s"""{"id": ${off + i}}""")).toDF("topic", "value")
+    // 30 customers + 60 accounts: accounts flushes 50, holds 10; customers holds 30
+    batcher.offer(mk("x.public.customers", 30, 0)
+      .unionByName(mk("x.public.accounts", 60, 1000)), Some("2024-03-03"))
+    assert(!Files.exists(root.resolve("customers/date=2024-03-03")))
+    assert(spark.read.parquet(s"$root/accounts").count() == 50)
+    assert(batcher.bufferedCount("customers") == 30)
+    assert(batcher.bufferedCount("accounts") == 10)
+    // +25 customers → 55 → flush 50 hold 5; accounts +40 → 50 → flush all
+    batcher.offer(mk("x.public.customers", 25, 100)
+      .unionByName(mk("x.public.accounts", 40, 2000)), Some("2024-03-03"))
+    assert(spark.read.parquet(s"$root/customers").count() == 50)
+    assert(spark.read.parquet(s"$root/accounts").count() == 100)
+    assert(batcher.bufferedCount("customers") == 5)
+    assert(batcher.bufferedCount("accounts") == 0)
+  }
+}
