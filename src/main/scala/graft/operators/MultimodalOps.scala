@@ -1,0 +1,116 @@
+package graft.operators
+
+import java.security.MessageDigest
+import java.util.zip.CRC32
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+import MartQueries.moneySumSql
+
+/** Multimodal column handling (north-star): image/audio/video as opaque
+  * `binary` payloads with typed metadata, decoded/feature-extracted in
+  * distributed per-partition batches.
+  *
+  * The actual codecs (image decode, resampling, frame extraction) are NOT in
+  * this container — the decode step is a clearly-marked deterministic STUB
+  * ([[StubCodec]]). Everything around it is real and tested: the
+  * (payload, meta) schema, the `mapPartitions` batch shape (one iterator per
+  * partition — the Scala analog of `mapInPandas` batches), partitioning, and
+  * the feature outputs' determinism.
+  *
+  * Scale: decode is embarrassingly parallel; the only cross-partition ops
+  * are the final aggregates. Payload bytes never leave executors.
+  */
+object MultimodalOps {
+
+  /** One media row: opaque payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String,          // image | audio | video
+      payload: Array[Byte],
+      format: String,        // container format tag, e.g. "png"
+      width: Int, height: Int, sample_rate: Int)
+
+  /** Extracted features (stub-decoded). */
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Long,
+      crc: Long,
+      content_fp: String,    // hex MD5 of payload
+      frame_count: Int)
+
+  /** STUB codec — stands in for libjpeg/ffmpeg-style decode, which is
+    * unavailable here. Deterministic pure function of the payload bytes so
+    * specs and oracles can verify the distributed plumbing end-to-end.
+    * Replace `decode` with a real codec binding in production. */
+  object StubCodec {
+    def decode(r: MediaRow): MediaFeatures = {
+      val crc = new CRC32(); crc.update(r.payload)
+      val md5 = MessageDigest.getInstance("MD5").digest(r.payload)
+        .map("%02x".format(_)).mkString
+      // ??? real decode would go here; frame_count is a fake derived from
+      // the payload size and the declared sample_rate/format metadata.
+      val frames = if (r.kind == "video") (r.payload.length / 64) max 1 else 1
+      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+        crc.getValue, md5, frames)
+    }
+
+    /** "Frame sample" stub: every k-th 16-byte slice of the payload. */
+    def frameSample(payload: Array[Byte], k: Int): Seq[Array[Byte]] =
+      payload.grouped(16).zipWithIndex.collect {
+        case (frame, i) if i % k == 0 => frame
+      }.toSeq
+  }
+
+  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of the
+    * text (a deterministic opaque blob), kind from the source id, metadata
+    * columns typed as a real pipeline would carry them. */
+  def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    val t = Tpch(spark, sfDir)
+    t.documents.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      lit("raw").as("format"),
+      lit(64).as("width"), lit(64).as("height"), lit(16000).as("sample_rate"))
+      .as[MediaRow]
+  }
+
+  /** Distributed stub-decode: per-partition batch iteration (the
+    * mapInPandas batch shape), no shuffle. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(StubCodec.decode))
+  }
+
+  /** Oracle-checked query through the full binary path: synthesize payloads,
+    * stub-decode per partition, aggregate per kind. The DuckDB oracle
+    * computes the same aggregates from the text column directly — equal
+    * results prove bytes survived the binary cast + mapPartitions round trip
+    * (md5-of-bytes == md5-of-text, lengths match). */
+  def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = extractFeatures(mediaFromDocuments(spark, sfDir))
+    feats.toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("byte_len")).as("total_bytes"),
+        countDistinct(col("content_fp")).as("n_unique"))
+      .orderBy(col("kind"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_multimodal_features", multimodalFeatures, Some(
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |       COUNT(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

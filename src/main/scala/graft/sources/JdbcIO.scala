@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, DataFrameWriter, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** JDBC source/sink surface (SURVEY.md §2-A S1) — the Spark rebuild of the
+  * reference's row-at-a-time psycopg2 INSERT loop
+  * (reference `data-generator/generator.py:168-176,204-208`).
+  *
+  * Differences by design:
+  *  - batched executor-side writes (`batchsize`) replace autocommit
+  *    row-at-a-time INSERTs (~275 rows/s in the reference);
+  *  - partitioned parallel reads (`partitionColumn`/`numPartitions`) replace
+  *    the single connection;
+  *  - `INSERT ... RETURNING id` has no JDBC-writer analog → ids are assigned
+  *    BEFORE the write with [[withSequentialId]] (row_number, not
+  *    monotonically_increasing_id, so ids are dense and
+  *    partition-layout-independent — the semantics the oracle compares).
+  *
+  * Connection config mirrors the reference's env surface
+  * (`data-generator/.env`: host/port/db/user/password). Runtime JDBC needs a
+  * driver jar + live database — not present in this container, so this
+  * module is exercised structurally (option building, id assignment) in
+  * JdbcIOSpec and documented as the deployment surface.
+  */
+object JdbcIO {
+
+  final case class Conn(url: String, user: String, password: String,
+                        driver: String = "org.postgresql.Driver")
+
+  /** Partitioned parallel scan of one table. */
+  def reader(spark: SparkSession, conn: Conn, table: String,
+             partitionColumn: Option[String] = None,
+             bounds: Option[(Long, Long)] = None,
+             numPartitions: Int = 8): DataFrameReader = {
+    val base = spark.read.format("jdbc")
+      .option("url", conn.url)
+      .option("dbtable", table)
+      .option("user", conn.user)
+      .option("password", conn.password)
+      .option("driver", conn.driver)
+    (partitionColumn, bounds) match {
+      case (Some(c), Some((lo, hi))) => base
+        .option("partitionColumn", c)
+        .option("lowerBound", lo).option("upperBound", hi)
+        .option("numPartitions", numPartitions)
+      case _ => base
+    }
+  }
+
+  /** Batched append writer (the INSERT path, batched). */
+  def writer(df: DataFrame, conn: Conn, table: String,
+             batchSize: Int = 10000): DataFrameWriter[Row] =
+    df.write.format("jdbc")
+      .option("url", conn.url)
+      .option("dbtable", table)
+      .option("user", conn.user)
+      .option("password", conn.password)
+      .option("driver", conn.driver)
+      .option("batchsize", batchSize)
+      .mode("append")
+
+  /** Dense sequential ids starting at `offset + 1`, ordered by `orderCols` —
+    * the distributed analog of SERIAL + RETURNING id (generator.py:204-209).
+    * Cross-batch monotonicity = pass the previous max id as `offset`. */
+  def withSequentialId(df: DataFrame, idCol: String, offset: Long,
+                       orderCols: String*): DataFrame = {
+    val w = Window.orderBy(orderCols.map(col): _*)
+    df.withColumn(idCol, (row_number().over(w) + offset).cast("long"))
+  }
+}

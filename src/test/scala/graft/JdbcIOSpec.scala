@@ -1,0 +1,25 @@
+package graft
+
+import graft.sources.JdbcIO
+
+/** Structural checks of the JDBC surface (no live database in this
+  * environment — runtime writes are a deployment concern). */
+class JdbcIOSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sequential id assignment is dense, ordered, and offset-aware") {
+    val df = Seq(("c", 30), ("a", 10), ("b", 20)).toDF("name", "v")
+    val withIds = JdbcIO.withSequentialId(df, "id", offset = 100, "name")
+    val rows = withIds.orderBy("id").collect()
+    assert(rows.map(_.getLong(2)).toSeq == Seq(101L, 102L, 103L))
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("reader/writer carry the connection + partitioning option surface") {
+    val conn = JdbcIO.Conn("jdbc:postgresql://localhost:5432/banking", "u", "p")
+    // Builders must construct without a live DB; load()/save() would need one.
+    JdbcIO.reader(spark, conn, "transactions",
+      partitionColumn = Some("id"), bounds = Some((1L, 1000000L)), numPartitions = 16)
+    JdbcIO.writer(Seq((1, "x")).toDF("id", "v"), conn, "customers")
+  }
+}
