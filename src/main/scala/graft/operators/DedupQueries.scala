@@ -121,20 +121,36 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash per doc over its distinct tokens (signed bit-sum of
-    * xxhash64 token hashes). Public for spec-side brute-force verification. */
-  def simhashSignatures(docs: DataFrame): DataFrame =
-    docs
-      .withColumn("toks", expr("array_distinct(split(text, ' '))"))
-      .withColumn("bits", expr(
-        """aggregate(toks, array_repeat(0L, 64),
-          |  (acc, t) -> zip_with(acc,
-          |     transform(sequence(0, 63),
-          |       i -> CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1L ELSE -1L END),
-          |     (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        "aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN bits[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)"))
+  /** 64-bit SimHash per doc over its word-3-gram shingle set (signed
+    * bit-sum of xxhash64 feature hashes).
+    *
+    * Two deliberate choices, both measured at sf0.1:
+    *  - shingles, not unigrams: with a small vocabulary, unigram SETS are
+    *    near-identical across unrelated docs, collapsing signatures into
+    *    giant buckets and a quadratic in-bucket pair expansion;
+    *  - explode + 64 codegen'd sum() aggregates instead of nested
+    *    higher-order lambdas (`aggregate`/`zip_with` run interpreted,
+    *    allocating a 64-array per shingle — 467 s at sf0.1; this
+    *    formulation is whole-stage-codegen HashAggregate, with map-side
+    *    partial aggregation shrinking the shuffle to 64 longs per doc).
+    *
+    * Public for spec-side brute-force verification. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val exploded = withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .withColumn("h", xxhash64(col("sh")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$i")
+    }
+    val packed = (0 until 64)
+      .map(i => s"CASE WHEN b$i > 0 THEN shiftleft(1L, $i) ELSE 0L END")
+      .mkString(" + ")
+    exploded
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", expr(packed))
       .select(col("doc_id"), col("simhash"))
+  }
 
   /** Inverted-index n-gram Jaccard: candidates = pairs sharing a *rare*
     * shingle (document frequency ≤ 5 — common shingles carry no dedup signal

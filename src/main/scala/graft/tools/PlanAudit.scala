@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dev tool: dump the formatted physical plan of one or all registered
+  * queries, for auditing broadcast choices, pushed filters, and
+  * whole-stage-codegen coverage. Not part of the driver contract.
+  *
+  * Usage: runMain graft.tools.PlanAudit <sfDir> [queryName]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val only = args.lift(1)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.registry
+      .filter(q => only.forall(_ == q.name))
+      .foreach { q =>
+        println(s"\n========== ${q.name} ==========")
+        q.fn(spark, sfDir).explain("formatted")
+      }
+    spark.stop()
+  }
+}
