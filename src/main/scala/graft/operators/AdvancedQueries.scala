@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+import MartQueries.{moneySum, moneySumSql}
+
+/** Remaining §2-B operator families: as-of join, CUBE, INTERSECT.
+  *
+  * The as-of join is the "latest account balance as of txn time" family the
+  * reference's (account_id, created_at) index licenses. Spark has no native
+  * ASOF JOIN; the scale-correct formulation (SURVEY §2-B) is the
+  * union + last(ignoreNulls) carry-forward window — one shuffle on the key,
+  * no range-join explosion, no per-row subqueries. The DuckDB oracle uses
+  * its native ASOF JOIN, so the two independent formulations check each
+  * other.
+  */
+object AdvancedQueries {
+
+  /** As-of join: for each event, the acting customer's most recent order
+    * on-or-before the event time. Orders deduped to one row per
+    * (custkey, day) first so the as-of target is unique and deterministic. */
+  def asofEventOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val ordersByDay = t.orders
+      .groupBy(col("o_custkey").as("k"),
+        to_date(col("o_orderdate")).as("d"))
+      .agg(max(col("o_orderkey")).as("ok"))
+      .select(col("k"), unix_timestamp(col("d").cast("timestamp")).as("t"),
+        lit(0).as("kind"), col("ok"),
+        lit(null).cast("long").as("event_id"))
+    val events = t.events
+      .select(col("user_id").as("k"), unix_timestamp(col("ts")).as("t"),
+        lit(1).as("kind"), lit(null).cast("long").as("ok"),
+        col("event_id"))
+    // kind orders the order-row before any event at the same instant → the
+    // as-of is inclusive (ts >= order time), matching ASOF JOIN semantics.
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordersByDay.unionByName(events)
+      .withColumn("asof_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+      .where(col("kind") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("custkey"), col("asof_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  /** CUBE over part attributes: all 4 grouping combinations, with the
+    * grouping nulls rewritten to 'ALL' (same rationale as the rollup). */
+  def cubeParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.part
+      .cube(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("p_retailprice")).as("retail"))
+      .select(
+        coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        coalesce(col("p_type"), lit("ALL")).as("ptype"),
+        col("n"), col("retail"))
+      .orderBy(col("brand"), col("ptype"))
+  }
+
+  /** INTERSECT: nations having both customers and suppliers. */
+  def sharedNations(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.customer.select(col("c_nationkey").as("nationkey"))
+      .intersect(t.supplier.select(col("s_nationkey").as("nationkey")))
+      .orderBy(col("nationkey"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_asof_event_order", asofEventOrder, Some(
+      """SELECT ev.event_id, ev.user_id AS custkey, o.ok AS asof_orderkey
+        |FROM events ev
+        |ASOF JOIN (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+        |                  MAX(o_orderkey) AS ok
+        |           FROM orders GROUP BY 1, 2) o
+        |  ON ev.user_id = o.k AND ev.ts >= CAST(o.d AS TIMESTAMP)
+        |ORDER BY ev.event_id""".stripMargin)),
+    NamedQuery("q_cube_parts", cubeParts, Some(
+      s"""SELECT COALESCE(p_brand, 'ALL') AS brand,
+         |       COALESCE(p_type, 'ALL') AS ptype,
+         |       COUNT(*) AS n, ${moneySumSql("p_retailprice")} AS retail
+         |FROM part GROUP BY CUBE(p_brand, p_type)
+         |ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_shared_nations", sharedNations, Some(
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY 1""".stripMargin)),
+  )
+}
