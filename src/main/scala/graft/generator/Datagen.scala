@@ -183,10 +183,15 @@ object Datagen {
       "FEE" -> 0.05, "INTEREST" -> 0.05)
     val statusWeights = Seq("COMPLETED" -> 0.85, "PENDING" -> 0.08,
       "FAILED" -> 0.04, "CANCELLED" -> 0.03)
-    val nAccounts = accountsDf.count()
+    // Sample against the frame's ACTUAL id range (ids are dense but may be
+    // offset by the G14 cross-iteration loop), not an assumed 1..n.
+    val (nAccounts, idBase) = {
+      val r = accountsDf.agg(count(lit(1)), min(col("id"))).head()
+      (r.getLong(0), r.getInt(1).toLong - 1L)
+    }
     val base = spark.range(n).toDF("rid")
       .withColumn("account_id",
-        (pmod(xxhash64(col("rid"), lit(seed), lit(30)), lit(nAccounts)) + 1).cast("int"))
+        (pmod(xxhash64(col("rid"), lit(seed), lit(30)), lit(nAccounts)) + 1 + idBase).cast("int"))
       .withColumn("txn_type", weightedChoice(u(col("rid"), seed, 31), typeWeights))
       .withColumn("status", weightedChoice(u(col("rid"), seed, 32), statusWeights))
     val amount0 =
@@ -218,9 +223,9 @@ object Datagen {
             col("partner_id"))
             // any OTHER account: offset in [1, n-1] from self, mod n — can
             // never land back on account_id (mirrors generator.py:296-304)
-            .otherwise((pmod(col("account_id") - 1 +
+            .otherwise((pmod(col("account_id") - 1 - idBase +
               pmod(xxhash64(col("rid"), lit(seed), lit(35)), lit(nAccounts - 1)) + 1,
-              lit(nAccounts)) + 1).cast("int")))
+              lit(nAccounts)) + 1 + idBase).cast("int")))
           .otherwise(lit(null).cast("int")))
       .withColumn("amount", roundNumberBias(amount0,
         u(col("rid"), seed, 36), u(col("rid"), seed, 37)))
@@ -238,4 +243,33 @@ object Datagen {
   def accountTypeSummary(accountsDf: DataFrame): DataFrame =
     accountsDf.groupBy(col("account_type")).agg(count(lit(1)).as("n"))
       .orderBy(col("account_type"))
+
+  /** G14: the micro-batch driver loop (generator.py:57-64,327-338 — loop:
+    * generate → sink → sleep; `--once` ⇒ single iteration). Per-iteration
+    * id offsets keep ids monotone across batches, the cross-iteration
+    * analog of the DB's SERIAL. Returns total rows written per table. */
+  def runIterations(spark: SparkSession,
+                    sink: (String, DataFrame) => Unit,
+                    iterations: Int = 1,
+                    customersPerBatch: Long = 100,
+                    txnsPerBatch: Long = 200,
+                    sleepMillis: Long = 0,
+                    seed: Long = 42L): Map[String, Long] = {
+    var totals = Map("customers" -> 0L, "accounts" -> 0L, "transactions" -> 0L)
+    (0 until iterations).foreach { it =>
+      val cust = customers(spark, customersPerBatch, seed + it)
+        .withColumn("id", (col("id") + lit(totals("customers"))).cast("int"))
+      val acct = accounts(cust, seed + it)
+        .withColumn("id", (col("id") + lit(totals("accounts"))).cast("int"))
+      val txn = transactions(acct, txnsPerBatch, seed + it)
+        .withColumn("id", col("id") + lit(totals("transactions")))
+      sink("customers", cust); sink("accounts", acct); sink("transactions", txn)
+      totals = Map(
+        "customers" -> (totals("customers") + cust.count()),
+        "accounts" -> (totals("accounts") + acct.count()),
+        "transactions" -> (totals("transactions") + txn.count()))
+      if (sleepMillis > 0 && it < iterations - 1) Thread.sleep(sleepMillis)
+    }
+    totals
+  }
 }

@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Index-equivalent physical layout (SURVEY.md §2-A C5).
+  *
+  * The reference's composite B-tree index `(account_id, created_at)`
+  * (reference `docker/postgres/SCHEMA.sql:31`) serves per-account
+  * time-ordered scans. Spark has no indexes; the equivalent is layout:
+  * repartition by the key column + sort within partitions by the time
+  * column. Readers then get:
+  *  - co-located keys (one partition holds all of a key's rows → window
+  *    functions over (key, time) need no extra sort after the exchange),
+  *  - parquet min/max row-group statistics on the sort column → row-group
+  *    skipping for time-range predicates,
+  *  - a layout that survives at any scale (partition count is a knob, the
+  *    invariants aren't).
+  */
+object IndexedLayout {
+
+  /** Write `df` clustered by `key` and sorted by `time` within partitions. */
+  def write(df: DataFrame, path: String, key: String, time: String,
+            numPartitions: Int): Unit =
+    df.repartition(numPartitions, col(key))
+      .sortWithinPartitions(col(key), col(time))
+      .write.mode("overwrite").parquet(path)
+
+  /** S5: object-store/path bootstrap — the reference's create-bucket-if-
+    * absent (consumer.py:27-38) maps to an idempotent mkdirs on the
+    * Hadoop filesystem behind the path (local, HDFS, or S3A alike). */
+  def ensureRoot(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.IndexedLayout
+import graft.sources.Tables
+
+/** C5 layout invariants: key co-location + within-partition time order. */
+class IndexedLayoutSpec extends SparkSpec {
+
+  test("ensureRoot is idempotent (S5 bucket-bootstrap analog)") {
+    val root = Files.createTempDirectory("boot").resolve("raw")
+    assert(IndexedLayout.ensureRoot(spark, root.toString))
+    assert(IndexedLayout.ensureRoot(spark, root.toString)) // second call: no-op, still true
+  }
+
+  test("clustered layout co-locates keys and sorts by time within partitions") {
+    val out = Files.createTempDirectory("layout").resolve("lineitem")
+    val li = Tables.load(spark, Sf, "lineitem")
+    IndexedLayout.write(li, out.toString, "l_orderkey", "l_shipdate", numPartitions = 4)
+
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == li.count())
+
+    // co-location: every key appears in exactly one parquet file
+    val fileSpread = back
+      .select(col("l_orderkey"),
+        input_file_name().as("f"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct("f").as("nf"))
+      .where(col("nf") > 1)
+      .count()
+    assert(fileSpread == 0, "some keys span multiple files")
+
+    // within-file ordering on (key, time): read order within a parquet file
+    // is write order; validate sortedness
+    val rows = back.select(col("l_orderkey"), col("l_shipdate").cast("string"),
+      input_file_name().as("f")).collect()
+    rows.groupBy(_.getString(2)).foreach { case (_, rs) =>
+      // timestamp-as-string sorts lexicographically == chronologically
+      val pairs = rs.map(r => (r.getLong(0), r.getString(1)))
+      pairs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2),
+            s"out of order: $a then $b")
+        case _ => ()
+      }
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.generator.Datagen
+
+/** Streaming coverage beyond landing: event-time tumbling window with a
+  * watermark (the streaming twin of the daily mart), and the G14
+  * micro-batch generate→sink loop. */
+class StreamingMartSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tumbling daily window with watermark aggregates by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "status", "amount")
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("status"))
+      .agg(count(lit(1)).as("n"), sum("amount").as("volume"))
+    mem.addData(
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "COMPLETED", 100.0),
+      (Timestamp.valueOf("2024-03-01 15:00:00"), "COMPLETED", 50.0),
+      (Timestamp.valueOf("2024-03-01 16:00:00"), "PENDING", 10.0),
+      (Timestamp.valueOf("2024-03-02 09:00:00"), "COMPLETED", 25.0))
+    val q = stream.writeStream.format("memory").queryName("daily_mart")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("daily_mart")
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("status"), col("n"), col("volume"))
+      .orderBy("day", "status").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq(("2024-03-01", "COMPLETED", 2L, 150.0),
+        ("2024-03-01", "PENDING", 1L, 10.0),
+        ("2024-03-02", "COMPLETED", 1L, 25.0)))
+  }
+
+  test("G14 micro-batch loop: monotone ids across iterations, stable totals") {
+    var seen = Map.empty[String, Seq[Long]]
+    val totals = Datagen.runIterations(spark,
+      sink = (table, df) => {
+        val ids = df.select(col("id").cast("long")).collect().map(_.getLong(0)).toSeq
+        seen = seen.updated(table, seen.getOrElse(table, Seq.empty) ++ ids)
+      },
+      iterations = 3, customersPerBatch = 50, txnsPerBatch = 100)
+    assert(totals("customers") == 150)
+    assert(totals("transactions") == 300)
+    // ids are dense 1..n across iterations for every table (SERIAL analog)
+    seen.foreach { case (table, ids) =>
+      assert(ids.sorted == (1L to ids.length.toLong),
+        s"$table ids not dense: ${ids.sorted.take(5)}...")
+    }
+  }
+}
