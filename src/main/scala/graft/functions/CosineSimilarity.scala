@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: cosine similarity between two float vectors.
+  *
+  * Why a custom Expression instead of the `zip_with`/`aggregate` column
+  * formulation: higher-order functions evaluate interpreted — one lambda
+  * invocation and boxed Float per element — which is the hot path of every
+  * similarity operator (top-k scans touch every vector in the corpus). This
+  * expression generates a tight primitive loop via `doGenCode` (no boxing,
+  * no per-element closures) and falls back to an equally tight interpreted
+  * `nullSafeEval`. Preference order per the build brief: compose builtins →
+  * custom Expression → custom plan; this is the step-2 case.
+  *
+  * Semantics: double-precision accumulation over the min common length;
+  * NULL when either input is NULL or either norm is zero (null elements
+  * inside a vector are treated as 0, matching `zip_with`'s null product
+  * behavior closer than throwing).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cosine expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yi = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = $a.isNullAt(i) ? 0.0 : (double) $a.getFloat(i);
+         |  double yi = $b.isNullAt(i) ? 0.0 : (double) $b.getFloat(i);
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |double denom = java.lang.Math.sqrt(nx) * java.lang.Math.sqrt(ny);
+         |if (denom == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = dot / denom;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration for [[CosineSimilarity]] as SQL function `graft_cosine`. */
+object GraftFunctions {
+  val CosineName = "graft_cosine"
+
+  private def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, s"$CosineName takes exactly 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  /** Imperative registration — idempotent, call from any entry point. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CosineName, builder, "built-in")
+
+  /** Builder triple for SparkSessionExtensions.injectFunction. */
+  val injectable: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, CosineName),
+      builder)
+}
+
+/** `SparkSessionExtensions` hook: enable with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` so `graft_cosine`
+  * exists in every session without imperative registration. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftFunctions.injectable)
+}

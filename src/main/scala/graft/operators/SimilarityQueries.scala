@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.NamedQuery
+import graft.functions.GraftFunctions
 import graft.sources.Tables.Tpch
 
 /** Similarity search over the `embeddings` table (north-star, SURVEY §2-C):
@@ -24,24 +25,22 @@ import graft.sources.Tables.Tpch
   */
 object SimilarityQueries {
 
-  /** dot(a, b) with element-wise double cast; both arrays same length. */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
-
-  private def normExpr(a: String): String = s"sqrt(${dotExpr(a, a)})"
-
   /** The deterministic query vector: embedding of vec_id = 0, one-row df. */
   private def queryVec(t: Tpch): DataFrame =
     t.embeddings.where(col("vec_id") === 0)
       .select(col("embedding").as("q_vec"))
 
-  /** Brute-force cosine top-10 vs the vec_id=0 query vector. */
+  /** Brute-force cosine top-10 vs the vec_id=0 query vector. The scoring
+    * runs through the codegen'd [[graft.functions.CosineSimilarity]] native
+    * expression — the zip_with/aggregate formulation evaluates interpreted
+    * per element, which is the difference between a memory-bound and a
+    * lambda-bound corpus scan at 10^9 vectors. */
   def cosineTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val t = Tpch(spark, sfDir)
     t.embeddings
       .join(broadcast(queryVec(t)))
-      .withColumn("cos", expr(
-        s"round(${dotExpr("embedding", "q_vec")} / (${normExpr("embedding")} * ${normExpr("q_vec")}), 6)"))
+      .withColumn("cos", expr("round(graft_cosine(embedding, q_vec), 6)"))
       .select(col("vec_id"), col("label"), col("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
       .limit(10)
@@ -55,6 +54,7 @@ object SimilarityQueries {
     * all-pairs verify would be dead at any scale). Hyperplane components are
     * hash-derived: seeded, deterministic, identical on every executor. */
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
     val t = Tpch(spark, sfDir)
     val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
     val banded = vecs
@@ -77,8 +77,7 @@ object SimilarityQueries {
     pairs
       .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
-      .withColumn("cos", expr(
-        s"round(${dotExpr("e_a", "e_b")} / (${normExpr("e_a")} * ${normExpr("e_b")}), 6)"))
+      .withColumn("cos", expr("round(graft_cosine(e_a, e_b), 6)"))
       .select(col("vec_a"), col("vec_b"), col("cos"))
       .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(50)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** The native graft_cosine expression: correctness vs scalar math, null and
+  * zero-vector semantics, and parity between codegen and interpreted paths. */
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def viaSql(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+    GraftFunctions.register(spark)
+    Seq((a, b)).toDF("a", "b")
+      .select(expr("graft_cosine(a, b)").as("c"))
+      .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+  }
+
+  test("matches scalar cosine") {
+    val a = Seq(1.0f, 2.0f, 3.0f)
+    val b = Seq(-1.0f, 0.5f, 2.0f)
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expected = dot / (math.sqrt(a.map(x => x * x * 1.0).sum) * math.sqrt(b.map(x => x * x * 1.0).sum))
+    assert(math.abs(viaSql(a, b).get - expected) < 1e-12)
+  }
+
+  test("identical vectors score 1.0; orthogonal score 0.0; zero vector is NULL") {
+    val v = Seq(0.5f, -0.25f, 4.0f)
+    assert(math.abs(viaSql(v, v).get - 1.0) < 1e-12)
+    assert(math.abs(viaSql(Seq(1f, 0f), Seq(0f, 1f)).get) < 1e-12)
+    assert(viaSql(Seq(0f, 0f), Seq(1f, 2f)).isEmpty)
+  }
+
+  test("null input yields NULL") {
+    GraftFunctions.register(spark)
+    val out = Seq((Seq(1f, 2f), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+      .select(expr("graft_cosine(a, b)").as("c")).collect().head
+    assert(out.isNullAt(0))
+  }
+
+  test("codegen and interpreted paths agree on the corpus") {
+    GraftFunctions.register(spark)
+    val emb = graft.sources.Tables.load(spark, Sf, "embeddings").limit(100)
+      .select(col("vec_id"), col("embedding"))
+    val paired = emb.crossJoin(emb.select(col("embedding").as("e2")).limit(1))
+    val viaCodegen = paired.select(expr("graft_cosine(embedding, e2)").as("c"))
+      .collect().map(_.getDouble(0))
+    // force interpreted evaluation
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val viaInterp = try {
+      paired.select(expr("graft_cosine(embedding, e2)").as("c"))
+        .collect().map(_.getDouble(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(viaCodegen.toSeq == viaInterp.toSeq)
+  }
+
+  test("the injectable builder registers into a fresh session's registry") {
+    val fresh = spark.newSession()
+    val (id, info, builder) = GraftFunctions.injectable
+    fresh.sessionState.functionRegistry.registerFunction(id, info, builder)
+    import fresh.implicits._
+    val r = Seq((Seq(1f, 2f), Seq(1f, 2f))).toDF("a", "b")
+      .selectExpr("graft_cosine(a, b)").collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}
