@@ -74,7 +74,11 @@ object DedupQueries {
     * Jaccard math is unit-tested in DedupSpec. */
   def minhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
+    // Shingling is an interpreted higher-order transform and this plan uses
+    // the result three times (banding + both sides of the verify join) —
+    // materialize once, executor-local, instead of recomputing per use.
     val docs = withShingles(t.documents.select(col("doc_id"), col("text")))
+      .localCheckpoint()
     val banded = withMinhashBands(docs)
     val candidates = banded
       .groupBy(col("band_id"), col("band_sig"))
@@ -102,7 +106,11 @@ object DedupQueries {
     * LSH here is exact, not probabilistic. */
   def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
+    // Signatures feed banding plus both sides of the verify join —
+    // materialize once (the explode + 64-way aggregation is the expensive
+    // part, and it is tiny at rest: one long per doc).
     val sigs = simhashSignatures(t.documents.select(col("doc_id"), col("text")))
+      .localCheckpoint()
     val banded = sigs.withColumn("chunk_id", explode(expr("sequence(0, 3)")))
       .withColumn("chunk", expr("shiftright(simhash, chunk_id * 16) & 65535"))
     val candidates = banded
@@ -157,7 +165,9 @@ object DedupQueries {
     * and would blow up the join), then exact Jaccard ≥ 0.5. */
   def ngramJaccardDups(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
+    // Same once-not-thrice materialization rationale as minhashNearDups.
     val docs = withShingles(t.documents.select(col("doc_id"), col("text")))
+      .localCheckpoint()
     val posting = docs
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val rare = posting
