@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.generator.Datagen
+
+/** Property-based checks (ScalaCheck driven from ScalaTest — no
+  * scalatestplus bridge in the dependency set) for the datagen column
+  * expressions, SURVEY §5 item 3. Each property evaluates the expression
+  * through Spark on literal inputs, so the checked semantics are the
+  * executed semantics. */
+class DatagenPropertiesSpec extends SparkSpec {
+
+  private def check(p: Prop, min: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def eval1(c: org.apache.spark.sql.Column): org.apache.spark.sql.Row =
+    spark.range(1).select(c.as("v")).collect().head
+
+  test("G1 weightedChoice: selection follows the CDF exactly for any weights") {
+    val weightsGen = for {
+      n <- Gen.choose(2, 6)
+      ws <- Gen.listOfN(n, Gen.choose(0.05, 10.0))
+    } yield ws
+    val p = Prop.forAll(weightsGen, Gen.choose(0.0, 0.999999)) { (ws, u) =>
+      val pairs = ws.zipWithIndex.map { case (w, i) => (s"v$i", w) }
+      val total = ws.sum
+      val cdf = ws.scanLeft(0.0)(_ + _ / total).tail
+      val expected = pairs(cdf.indexWhere(u < _) match {
+        case -1 => pairs.length - 1 // u beyond last cdf (fp rounding)
+        case i  => i
+      })._1
+      val got = eval1(Datagen.weightedChoice(lit(u), pairs)).getString(0)
+      got == expected
+    }
+    check(p)
+  }
+
+  test("G2 boundedMoney: cents-quantized, never above max, floor-rounded at min") {
+    val rangeGen = for {
+      lo <- Gen.choose(0.0, 5000.0)
+      span <- Gen.choose(0.01, 100000.0)
+    } yield (lo, lo + span)
+    val p = Prop.forAll(rangeGen, Gen.choose(0.0, 0.999999)) { case ((lo, hi), u) =>
+      val v = eval1(Datagen.boundedMoney(lit(u), lo, hi)).getDecimal(0)
+      val d = v.doubleValue()
+      d <= hi && d >= math.floor(lo * 100) / 100 &&
+        v.remainder(new java.math.BigDecimal("0.01")).compareTo(java.math.BigDecimal.ZERO) == 0
+    }
+    check(p)
+  }
+
+  test("G12 roundNumberBias: $1 floor, cents scale, and one of the three forms") {
+    val p = Prop.forAll(
+      Gen.choose(0.01, 10000.0), Gen.choose(0.0, 0.999999), Gen.choose(0.0, 0.999999)) {
+      (amt0, r1, r2) =>
+        val amt = math.floor(amt0 * 100) / 100
+        val v = eval1(Datagen.roundNumberBias(
+          lit(amt).cast(org.apache.spark.sql.types.DecimalType(18, 2)),
+          lit(r1), lit(r2))).getDecimal(0).doubleValue()
+        val candidates = Set(amt, math.rint(amt / 10) * 10, math.rint(amt / 100) * 100, 1.0)
+        v >= 1.0 && candidates.exists(c => math.abs(c.max(1.0) - v) < 1e-9)
+    }
+    check(p)
+  }
+
+  test("G6 businessHoursTimestamp: always clamped inside [start, end]") {
+    val base = java.sql.Timestamp.valueOf("2023-01-01 00:00:00").getTime / 1000
+    val p = Prop.forAll(
+      Gen.choose(0L, 300L * 86400), Gen.choose(1L, 300L * 86400),
+      Gen.choose(0.0, 0.999999), Gen.choose(0.0, 0.999999), Gen.choose(0.0, 0.999999)) {
+      (startOff, span, rs, rb, rh) =>
+        val start = base + startOff
+        val end = start + span
+        val v = eval1(Datagen.businessHoursTimestamp(
+          timestamp_seconds(lit(start)), timestamp_seconds(lit(end)),
+          lit(rs), lit(rb), lit(rh)).cast("long")).getLong(0)
+        v >= start && v <= end
+    }
+    check(p)
+  }
+
+  test("running balance equals a driver-side left fold (SURVEY §5.3)") {
+    val out = graft.operators.MartQueries.runningBalance(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val li = graft.sources.Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expected = li.groupBy(_._1).toSeq.flatMap { case (ok, rows) =>
+      var acc = BigDecimal(0)
+      rows.sortBy(r => (r._2, r._3)).map { r =>
+        acc += BigDecimal(r._3).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        (ok, r._2, acc.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(out.toSeq == expected)
+  }
+}
