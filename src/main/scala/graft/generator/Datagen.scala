@@ -149,7 +149,6 @@ object Datagen {
         .when(col("account_type") === "BUSINESS",
           boundedMoney(u(cid * 7 + col("slot"), seed, 22), 1000, 500000))
         .otherwise(boundedMoney(u(cid * 7 + col("slot"), seed, 22), 1000, 250000))
-    val w = Window.orderBy(col("customer_id"), col("slot"))
     fannedOut
       .withColumn("account_type", accountType)
       .withColumn("balance0", baseBalance)
@@ -166,8 +165,11 @@ object Datagen {
         u(cid * 7 + col("slot"), seed, 24),
         u(cid * 7 + col("slot"), seed, 25),
         u(cid * 7 + col("slot"), seed, 26)))
-      // G7: sequential ids via row_number (RETURNING id analog)
-      .withColumn("id", row_number().over(w))
+      // G7: sequential ids (RETURNING id analog) — scalable two-pass dense
+      // numbering, not a single-task global window
+      .transform(df => graft.sources.JdbcIO.withSequentialId(
+        df, "id", offset = 0, "customer_id", "slot"))
+      .withColumn("id", col("id").cast("int"))
       .select(col("id"), col("customer_id"), col("account_type"),
         col("balance"), col("currency"), col("created_at"))
   }

@@ -63,10 +63,37 @@ object JdbcIO {
 
   /** Dense sequential ids starting at `offset + 1`, ordered by `orderCols` —
     * the distributed analog of SERIAL + RETURNING id (generator.py:204-209).
-    * Cross-batch monotonicity = pass the previous max id as `offset`. */
+    * Cross-batch monotonicity = pass the previous max id as `offset`.
+    *
+    * Scalable two-pass formulation: a global `Window.orderBy` would funnel
+    * every row through ONE task (dead at 100 TB). Instead: range-partition
+    * on the ordering key, number rows per partition in parallel, and add
+    * per-partition offsets computed from the (tiny, numPartitions-sized)
+    * count vector. Ids are identical to the global-window answer whenever
+    * `orderCols` is a total order. */
   def withSequentialId(df: DataFrame, idCol: String, offset: Long,
                        orderCols: String*): DataFrame = {
-    val w = Window.orderBy(orderCols.map(col): _*)
-    df.withColumn(idCol, (row_number().over(w) + offset).cast("long"))
+    val cols = orderCols.map(col)
+    // localCheckpoint pins the range partitioning so the count pass and the
+    // numbering pass see identical partitions.
+    val parted = df
+      .repartitionByRange(cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    val partOffsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)).init).toMap
+    val offsetCol =
+      if (partOffsets.isEmpty) lit(0L)
+      else element_at(
+        map(partOffsets.toSeq.sortBy(_._1).flatMap { case (p, o) =>
+          Seq(lit(p), lit(o)) }: _*),
+        col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(cols: _*)
+    parted
+      .withColumn(idCol, (row_number().over(w) + offsetCol + offset).cast("long"))
+      .drop("__pid")
   }
 }
