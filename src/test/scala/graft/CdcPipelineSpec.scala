@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.DecimalType
+
+import graft.generator.Datagen
+import graft.streaming.{CdcEnvelope, LandingWriter}
+
+/** End-to-end E3 trace (SURVEY §3): OLTP-shaped rows → Debezium envelope →
+  * (memory-)stream → demuxed date-partitioned landing → decode → the landed
+  * lake equals the source, with money demoted to double exactly once. */
+class CdcPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("generated transactions survive the full CDC leg row-for-row") {
+    val root = Files.createTempDirectory("e3").toString
+    val ckpt = Files.createTempDirectory("e3ckpt").toString
+
+    // OLTP stage: generated transactions with NUMERIC(18,2) money
+    val accounts = Datagen.accounts(Datagen.customers(spark, 50))
+    val txns = Datagen.transactions(accounts, 200)
+      .withColumn("amount", col("amount").cast(DecimalType(18, 2)))
+    val rowSchema = txns.schema
+
+    // CDC wire stage: envelope JSON on the per-table topic
+    val wire = CdcEnvelope.wrap(txns, "transactions").collect()
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    mem.addData(wire.map(r => (r.getString(0), r.getString(1))).toIndexedSeq)
+
+    val q = LandingWriter.streamingLanding(
+      mem.toDF().toDF("topic", "value"), root,
+      Seq("customers", "accounts", "transactions"), ckpt,
+      Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    // Lake stage: decode landed envelope rows, compare against the source
+    val landed = spark.read.parquet(s"$root/transactions")
+    assert(landed.columns.contains("date"), "landing must be date-partitioned")
+    val decoded = CdcEnvelope.decode(landed, rowSchema)
+
+    val source = txns.withColumn("amount", col("amount").cast("double"))
+      .withColumn("created_at", date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss"))
+      .orderBy("id").collect().map(_.toString)
+    val roundTripped = decoded
+      .withColumn("created_at", date_format(col("created_at"), "yyyy-MM-dd HH:mm:ss"))
+      .select(txns.columns.map(col).toIndexedSeq: _*)
+      .orderBy("id").collect().map(_.toString)
+    assert(roundTripped.length == 200)
+    assert(roundTripped.sameElements(source))
+  }
+
+  test("driver smoke: entry() answers on sf0.001 with rows") {
+    val df = SparkEntry.entry(spark)
+    assert(df.columns.toSeq == Seq("region_name", "order_date", "revenue"))
+    assert(df.count() > 0)
+  }
+}
