@@ -64,6 +64,15 @@ object DedupQueries {
       .select(col("doc_id"), col("shingles"),
         col("band.band_id").as("band_id"), col("band.band_sig").as("band_sig"))
 
+  /** The documents table arrives as one parquet file → one partition; the
+    * per-row shingling/signature work is the expensive part of these
+    * operators, so spread it across the cluster first. (Small input + heavy
+    * compute is exactly the case where an explicit repartition pays for its
+    * shuffle; at 100 TB the source is many files and this becomes a no-op
+    * cost-wise.) */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Expand sorted in-bucket id lists into ordered candidate pairs. */
   private val pairsFromIds =
     "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS doc_a, b AS doc_b))))"
@@ -77,7 +86,7 @@ object DedupQueries {
     // Shingling is an interpreted higher-order transform and this plan uses
     // the result three times (banding + both sides of the verify join) —
     // materialize once, executor-local, instead of recomputing per use.
-    val docs = withShingles(t.documents.select(col("doc_id"), col("text")))
+    val docs = withShingles(spread(t.documents.select(col("doc_id"), col("text"))))
       .localCheckpoint()
     val banded = withMinhashBands(docs)
     val candidates = banded
@@ -109,7 +118,7 @@ object DedupQueries {
     // Signatures feed banding plus both sides of the verify join —
     // materialize once (the explode + 64-way aggregation is the expensive
     // part, and it is tiny at rest: one long per doc).
-    val sigs = simhashSignatures(t.documents.select(col("doc_id"), col("text")))
+    val sigs = simhashSignatures(spread(t.documents.select(col("doc_id"), col("text"))))
       .localCheckpoint()
     val banded = sigs.withColumn("chunk_id", explode(expr("sequence(0, 3)")))
       .withColumn("chunk", expr("shiftright(simhash, chunk_id * 16) & 65535"))
@@ -144,9 +153,18 @@ object DedupQueries {
     *
     * Public for spec-side brute-force verification. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val exploded = withShingles(docs)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .withColumn("h", xxhash64(col("sh")))
+    // Feature = xxhash64 of the token 3-gram hashed DIRECTLY from the three
+    // tokens — same shingle semantics as withShingles (collisions on 64-bit
+    // hashes are negligible) without materializing a concatenated string per
+    // shingle just to hash it.
+    val exploded = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hs", expr(
+        """CASE WHEN size(toks) >= 3
+          |     THEN array_distinct(transform(sequence(0, size(toks) - 3),
+          |            i -> xxhash64(toks[i], toks[i+1], toks[i+2])))
+          |     ELSE array(xxhash64(text)) END""".stripMargin))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
     val bitSums = (0 until 64).map { i =>
       sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$i")
     }
@@ -166,7 +184,7 @@ object DedupQueries {
   def ngramJaccardDups(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     // Same once-not-thrice materialization rationale as minhashNearDups.
-    val docs = withShingles(t.documents.select(col("doc_id"), col("text")))
+    val docs = withShingles(spread(t.documents.select(col("doc_id"), col("text"))))
       .localCheckpoint()
     val posting = docs
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))

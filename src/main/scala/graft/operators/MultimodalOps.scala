@@ -72,7 +72,8 @@ object MultimodalOps {
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     val t = Tpch(spark, sfDir)
-    t.documents.select(
+    // single-file source → repartition so decode parallelizes
+    t.documents.repartition(spark.sparkContext.defaultParallelism).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),

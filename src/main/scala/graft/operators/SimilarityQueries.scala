@@ -56,7 +56,11 @@ object SimilarityQueries {
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
     val t = Tpch(spark, sfDir)
-    val vecs = t.embeddings.select(col("vec_id"), col("embedding"))
+    // single-file source → repartition so the hyperplane projections (the
+    // heavy per-row compute) parallelize
+    val vecs = t.embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding"))
     val banded = vecs
       .withColumn("band_id", explode(expr("sequence(0, 3)")))
       .withColumn("band_sig", expr(
