@@ -66,6 +66,21 @@ class LandingWriterSpec extends SparkSpec {
     assert(back.columns.contains("date"))
   }
 
+  test("landed lake gets date-partition pruning: one date read, one skipped") {
+    val root = tmpDir("prune")
+    LandingWriter.landBatch(Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      root.toString, "transactions", Some("2024-03-01"))
+    LandingWriter.landBatch(Seq((3, "c")).toDF("id", "v"),
+      root.toString, "transactions", Some("2024-03-02"))
+    val pruned = spark.read.parquet(s"$root/transactions")
+      .where(col("date") === "2024-03-01")
+    assert(pruned.count() == 2)
+    val planText = pruned.queryExecution.executedPlan.toString
+    assert(planText.contains("PartitionFilters") &&
+      planText.contains("2024-03-01"),
+      s"expected partition filter in plan:\n$planText")
+  }
+
   test("CountBatcher: flush at 50 per table, tail held (consumer.py:54,73-75)") {
     val root = tmpDir("cb")
     val batcher = new LandingWriter.CountBatcher(root.toString,
