@@ -1,0 +1,52 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join strategies for the two classic 100 TB failure modes: key skew and
+  * repeated fact-fact shuffles.
+  *
+  * - [[saltedJoin]]: when one key dominates (a hot account, an empty-string
+  *   email), a plain shuffle join lands the whole hot key in ONE task.
+  *   Salting splits each left key into `saltFactor` sub-keys and replicates
+  *   the matching right rows across them, bounding any task's share of the
+  *   hot key at 1/saltFactor. (AQE's skew-join handles sort-merge skew
+  *   post-hoc; explicit salting is the plan-level tool when you know the
+  *   skew and need hash joins or deterministic layout.)
+  *
+  * - [[writeBucketed]]: two fact tables repeatedly joined on the same key
+  *   should be bucketed on that key at write time — Spark then plans the
+  *   join with NO shuffle on either side (bucket-to-bucket, the lakehouse
+  *   equivalent of co-located storage).
+  */
+object ScaleJoins {
+
+  /** Shuffle-skew-proof equi-join on `key` (inner). The left (large,
+    * skewed) side gets a deterministic per-row salt in [0, saltFactor);
+    * the right side is replicated across all salts via a tiny literal
+    * array explode — right-side rows multiply by saltFactor, which is the
+    * price of bounding the hot key's per-task share. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor > 1, "saltFactor must be > 1")
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id(), col(key)), lit(saltFactor))
+        .cast("int"))
+    val replicated = right
+      .withColumn("__salt", explode(expr(s"sequence(0, ${saltFactor - 1})")))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Persist `df` bucketed (and sorted) by `key` as a catalog table, so
+    * subsequent equi-joins between tables bucketed the same way skip the
+    * shuffle entirely. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+}

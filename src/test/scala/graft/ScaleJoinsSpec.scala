@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.ScaleJoins
+
+/** Salting and bucketing: results must equal the plain join, and the plans
+  * must show the promised shapes (spread salt keys; no shuffle between
+  * co-bucketed tables). */
+class ScaleJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on a skewed key") {
+    // 10k rows of one hot key + a spread tail
+    val left = spark.range(10000).select(lit(1L).as("k"), col("id").as("lv"))
+      .unionByName(spark.range(100).select((col("id") + 2).as("k"), col("id").as("lv")))
+    val right = Seq((1L, "hot"), (2L, "a"), (50L, "b")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .collect().map(_.toString).sorted
+    val salted = ScaleJoins.saltedJoin(left, right, "k", saltFactor = 8)
+      .select("k", "lv", "rv").collect().map(_.toString).sorted
+    assert(salted.length == plain.length)
+    assert(salted.sameElements(plain))
+  }
+
+  test("salt actually spreads the hot key across sub-keys") {
+    val left = spark.range(8000).select(lit(1L).as("k"), col("id").as("lv"))
+    val right = Seq((1L, "hot")).toDF("k", "rv")
+    // Re-derive the salted left the same way the implementation does and
+    // check the hot key occupies many salt values.
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id(), col("k")), lit(8)).cast("int"))
+    val nSalts = salted.select("__salt").distinct().count()
+    assert(nSalts >= 7, s"hot key only landed on $nSalts salt values")
+    assert(ScaleJoins.saltedJoin(left, right, "k", 8).count() == 8000)
+  }
+
+  test("co-bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val orders = graft.sources.Tables.load(spark, Sf, "orders")
+      val lineitem = graft.sources.Tables.load(spark, Sf, "lineitem")
+      ScaleJoins.writeBucketed(
+        orders.withColumnRenamed("o_orderkey", "k"), "b_orders", "k", 8)
+      ScaleJoins.writeBucketed(
+        lineitem.withColumnRenamed("l_orderkey", "k"), "b_lineitem", "k", 8)
+      val joined = ScaleJoins.readTable(spark, "b_orders")
+        .join(ScaleJoins.readTable(spark, "b_lineitem"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected bucket join without shuffle:\n$plan")
+      val expected = orders.join(lineitem,
+        orders("o_orderkey") === lineitem("l_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
