@@ -261,9 +261,9 @@ object MartQueries {
     NamedQuery("q_topk_per_customer", topOrdersPerCustomer, Some(
       """SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
-        |             ROW_NUMBER() OVER (PARTITION BY o_custkey
-        |                                ORDER BY o_totalprice DESC, o_orderkey ASC)
-        |               AS rank_in_customer
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |                  AS INT) AS rank_in_customer
         |      FROM orders)
         |WHERE rank_in_customer <= 3
         |ORDER BY o_custkey, rank_in_customer""".stripMargin)),

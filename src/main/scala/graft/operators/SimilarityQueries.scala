@@ -110,13 +110,30 @@ object SimilarityQueries {
   }
 
   val all: Seq[NamedQuery] = Seq(
+    // Double-precision cosine spelled out via aligned UNNEST — DuckDB's
+    // list_cosine_similarity returns FLOAT (float32), which would diverge
+    // from the engine's double math in the 8th decimal and break the exact
+    // hash compare.
     NamedQuery("q_sim_cosine_topk", cosineTopK, Some(
-      """SELECT e.vec_id, e.label,
-        |       ROUND(list_cosine_similarity(e.embedding, q.embedding), 6) AS cos
-        |FROM embeddings e,
-        |     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |ORDER BY cos DESC, e.vec_id ASC LIMIT 10""".stripMargin)),
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |     pairs AS (
+        |       SELECT e.vec_id, e.label,
+        |              CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+        |              CAST(UNNEST(q.qe) AS DOUBLE) AS y
+        |       FROM embeddings e, q)
+        |SELECT vec_id, label,
+        |       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)),
     NamedQuery("q_sim_embedding_near_dups", embeddingNearDups, None),
-    NamedQuery("q_sim_label_centroids", labelCentroids, None),
+    NamedQuery("q_sim_label_centroids", labelCentroids, Some(
+      """SELECT label, COUNT(*) AS n_dims,
+        |       CAST(ROUND(SUM(CAST(m*m AS DECIMAL(28,10))), 6) AS DOUBLE) AS centroid_sq_norm
+        |FROM (SELECT label, pos, CAST(SUM(CAST(v AS DECIMAL(28,10))) / COUNT(*) AS DOUBLE) AS m
+        |      FROM (SELECT label, UNNEST(embedding) AS v,
+        |                   generate_subscripts(embedding, 1) AS pos
+        |            FROM embeddings)
+        |      GROUP BY 1, 2)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -1,0 +1,25 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+/** Dev tool: time one registered query N times in a warm session. */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, name) = args.take(2)
+    val n = args.lift(2).map(_.toInt).getOrElse(3)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val fn = SparkEntry.queries(name)
+    (1 to n).foreach { i =>
+      val t0 = System.nanoTime()
+      val c = fn(spark, sfDir).count()
+      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+    }
+    spark.stop()
+  }
+}

@@ -24,12 +24,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_equal(a, b) -> bool:
+    import numbers
     if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
+    # numpy float32/float64 are numbers.Real but not python float — treating
+    # them as strings once masked a float32-vs-double oracle divergence.
+    if isinstance(a, numbers.Real) and isinstance(b, numbers.Real) \
+            and not isinstance(a, bool) and not isinstance(b, bool):
+        af, bf = float(a), float(b)
+        if math.isnan(af) and math.isnan(bf):
             return True
-        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+        return af == bf  # driver hash-compares exactly; so do we
     return str(a) == str(b)
 
 
