@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful per-account running balance over a transaction stream —
+  * the incremental twin of MartQueries.runningBalance, keeping the
+  * banking schema's defining aggregate current across micro-batches with
+  * `mapGroupsWithState` (SURVEY §2-B streaming-stateful surface).
+  *
+  * Signed amount semantics follow the reference's transaction types
+  * (generator.py:38-46): DEPOSIT/REFUND/INTEREST credit; WITHDRAWAL/
+  * PAYMENT/FEE/TRANSFER debit.
+  *
+  * Scale: state is one Double per account key, partitioned by the shuffle
+  * on the grouping key — executor-local, checkpointed by the streaming
+  * engine, no driver involvement. Cents are tracked in Long to keep the
+  * state exact under any accumulation order.
+  */
+object StatefulBalance {
+
+  final case class Txn(account_id: Int, txn_type: String, amount: Double)
+  final case class Balance(account_id: Int, n_txns: Long, balance: Double)
+
+  private val Credit = Set("DEPOSIT", "REFUND", "INTEREST")
+
+  def signedCents(t: Txn): Long = {
+    val cents = math.round(t.amount * 100)
+    if (Credit.contains(t.txn_type)) cents else -cents
+  }
+
+  /** State update: fold the batch's transactions for one account into the
+    * stored (count, cents) pair. */
+  def update(accountId: Int, txns: Iterator[Txn],
+             state: GroupState[(Long, Long)]): Balance = {
+    val (n0, cents0) = state.getOption.getOrElse((0L, 0L))
+    var n = n0
+    var cents = cents0
+    txns.foreach { t => n += 1; cents += signedCents(t) }
+    state.update((n, cents))
+    Balance(accountId, n, cents / 100.0)
+  }
+
+  /** Wire a transaction stream into the stateful balance. Caller attaches
+    * the sink (`writeStream` + checkpoint + OutputMode.Update). */
+  def balances(txns: Dataset[Txn]): Dataset[Balance] = {
+    import txns.sparkSession.implicits._
+    txns.groupByKey(_.account_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StatefulBalance
+import graft.streaming.StatefulBalance.{Balance, Txn}
+
+/** mapGroupsWithState running balance: state must accumulate across
+  * micro-batches, sign by transaction type, and stay exact in cents. */
+class StatefulBalanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("balance accumulates across micro-batches with signed amounts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Txn]
+    val q = StatefulBalance.balances(mem.toDS())
+      .writeStream.format("memory").queryName("balances")
+      .outputMode(OutputMode.Update()).start()
+
+    mem.addData(
+      Txn(1, "DEPOSIT", 100.00),
+      Txn(1, "WITHDRAWAL", 30.50),
+      Txn(2, "DEPOSIT", 10.10))
+    q.processAllAvailable()
+    val after1 = spark.table("balances").as[Balance]
+      .collect().map(b => b.account_id -> b).toMap
+    assert(after1(1).balance == 69.50 && after1(1).n_txns == 2)
+    assert(after1(2).balance == 10.10)
+
+    mem.addData(
+      Txn(1, "FEE", 0.25),
+      Txn(2, "INTEREST", 0.01),
+      Txn(3, "DEPOSIT", 5.00))
+    q.processAllAvailable()
+    // memory sink in Update mode appends updated rows; latest per key wins
+    val after2 = spark.table("balances").as[Balance].collect()
+      .groupBy(_.account_id).map { case (k, rows) => k -> rows.maxBy(_.n_txns) }
+    assert(after2(1).balance == 69.25 && after2(1).n_txns == 3)
+    assert(after2(2).balance == 10.11 && after2(2).n_txns == 2)
+    assert(after2(3).balance == 5.00 && after2(3).n_txns == 1)
+    q.stop()
+  }
+
+  test("cents arithmetic avoids float drift on adversarial amounts") {
+    // 0.1 + 0.2 != 0.3 in doubles; in cents it is exact
+    val drift = Seq(Txn(9, "DEPOSIT", 0.10), Txn(9, "DEPOSIT", 0.20))
+      .map(StatefulBalance.signedCents).sum
+    assert(drift == 30L)
+  }
+}
