@@ -1,0 +1,21 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.GraftFunctions
+
+/** SQL-facing surface: register every testdata table as a temp view plus the
+  * engine's native functions, so users can work in plain `spark.sql` — the
+  * way reference users query their warehouse interactively
+  * (reference `README.md:65-84`, DBeaver against Postgres).
+  */
+object Catalog {
+
+  /** Register all tables of one scale-factor directory as temp views named
+    * exactly like the oracle schema, plus `graft_cosine`. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    val tpch = Tables.Tpch(spark, sfDir)
+    Tables.All.foreach(t => tpch.table(t).createOrReplaceTempView(t))
+    GraftFunctions.register(spark)
+  }
+}

@@ -45,5 +45,11 @@ object Tables {
     }
     def documents: DataFrame  = load(spark, sfDir, "documents")
     def embeddings: DataFrame = load(spark, sfDir, "embeddings")
+
+    /** Name-based lookup routing through the normalizing accessors. */
+    def table(name: String): DataFrame = name match {
+      case "events" => events
+      case other    => Tables.load(spark, sfDir, other)
+    }
   }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.sources.Catalog
+
+/** The spark.sql user surface: registered views + native functions answer
+  * ad-hoc SQL like the reference's interactive warehouse access; plus
+  * sliding-window streaming coverage. */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered views answer ad-hoc SQL across tables and functions") {
+    Catalog.registerAll(spark, Sf)
+    val top = spark.sql(
+      """SELECT n.n_name, COUNT(*) AS n
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY 1 ORDER BY n DESC, n_name LIMIT 3""".stripMargin).collect()
+    assert(top.length == 3 && top.head.getLong(1) > 0)
+    val cos = spark.sql(
+      """SELECT graft_cosine(e1.embedding, e2.embedding) AS c
+        |FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id = 0 AND e2.vec_id = 0""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    // events view gets the nanos-normalized timestamp schema
+    assert(spark.sql("SELECT MIN(ts) FROM events").schema.head.dataType.typeName == "timestamp")
+  }
+
+  test("sliding windows: 1-day window sliding by 12h doubles event coverage") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-03-01 03:00:00"), 10.0),
+      (java.sql.Timestamp.valueOf("2024-03-01 15:00:00"), 5.0))
+    val agg = mem.toDF().toDF("ts", "v")
+      .groupBy(window(col("ts"), "1 day", "12 hours").as("w"))
+      .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sliding")
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("s"), col("sv"), col("n"))
+      .orderBy("s").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    // event@03:00 → windows starting 02-29 12:00 and 03-01 00:00;
+    // event@15:00 → windows starting 03-01 00:00 and 03-01 12:00
+    assert(rows.toSeq == Seq(
+      ("2024-02-29 12:00", 10.0, 1L),
+      ("2024-03-01 00:00", 15.0, 2L),
+      ("2024-03-01 12:00", 5.0, 1L)))
+  }
+}
