@@ -8,7 +8,8 @@ object SparkEntry {
   def registry: Seq[NamedQuery] =
     MartQueries.all ++ AuditQueries.all ++ FunctionQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      CdcQueries.all ++ MultimodalOps.all ++ AdvancedQueries.all
+      CdcQueries.all ++ MultimodalOps.all ++ AdvancedQueries.all ++
+      OlapQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

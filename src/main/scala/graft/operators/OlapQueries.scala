@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+import MartQueries.{moneySum, moneySumSql}
+
+/** Deeper OLAP compositions over the star schema — the shapes a dbt mart
+  * layer on the reference's warehouse would grow into (multi-join +
+  * HAVING-filtered, conditional aggregation, ordered-set aggregates).
+  */
+object OlapQueries {
+
+  /** Returned-revenue per customer (TPC-H Q10 shape): which customers
+    * returned the most value. Multi-join + filter + top-k. */
+  def topReturningCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.lineitem.where(col("l_returnflag") === "R")
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("returned_revenue"))
+      .orderBy(col("returned_revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  /** Promo-revenue share per month (TPC-H Q14 shape): conditional
+    * aggregation — the ratio of promo-part revenue to all revenue. Both
+    * sums decimal-exact; the final ratio rounded from exact decimals. */
+  def promoRevenueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(date_trunc("month", col("l_shipdate")), "yyyy-MM")
+        .as("month"))
+      .agg(
+        moneySum(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0)))
+          .as("promo_revenue"),
+        moneySum(rev).as("total_revenue"))
+      .withColumn("promo_share",
+        round(col("promo_revenue") / col("total_revenue"), 6))
+      .orderBy(col("month"))
+  }
+
+  /** Ordered-set aggregates: exact interpolated percentiles of order value
+    * per status (median + p95) — the percentile family the mart layer
+    * needs for SLO-style reporting. */
+  def orderValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+      .orderBy(col("status"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_top_returning_customers", topReturningCustomers, Some(
+      s"""SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+         |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS returned_revenue
+         |FROM lineitem l
+         |JOIN orders o   ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n   ON c.c_nationkey = n.n_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |GROUP BY 1, 2, 3
+         |ORDER BY returned_revenue DESC, c.c_custkey ASC LIMIT 20""".stripMargin)),
+    NamedQuery("q_promo_revenue_share", promoRevenueShare, Some(
+      s"""SELECT month, promo_revenue, total_revenue,
+         |       ROUND(promo_revenue / total_revenue, 6) AS promo_share
+         |FROM (SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS month,
+         |             ${moneySumSql("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")} AS promo_revenue,
+         |             ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS total_revenue
+         |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |      GROUP BY 1)
+         |ORDER BY month""".stripMargin)),
+    NamedQuery("q_order_value_percentiles", orderValuePercentiles, Some(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}
