@@ -61,7 +61,49 @@ object OlapQueries {
       .orderBy(col("status"))
   }
 
+  /** Explicit GROUPING SETS (the third grouping construct besides rollup/
+    * cube) — exercised through the engine's SQL surface (Catalog views),
+    * the way a dbt model would express it. */
+  def groupingSetsRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    spark.sql(
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |       COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS volume
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Pivot: order counts per market segment, statuses as columns. The
+    * value set is declared explicitly so the output schema is static and
+    * plan-friendly (no dry-run distinct scan). */
+  def pivotSegmentStatus(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("segment"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_grouping_sets_revenue", groupingSetsRevenue, Some(
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |       COALESCE(o_orderpriority, 'ALL') AS priority,
+         |       COUNT(*) AS n, ${moneySumSql("o_totalprice")} AS volume
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_pivot_segment_status", pivotSegmentStatus, Some(
+      """SELECT c.c_mktsegment AS segment,
+        |       COUNT(*) FILTER (WHERE o.o_orderstatus = 'F') AS "F",
+        |       COUNT(*) FILTER (WHERE o.o_orderstatus = 'O') AS "O",
+        |       COUNT(*) FILTER (WHERE o.o_orderstatus = 'P') AS "P"
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_top_returning_customers", topReturningCustomers, Some(
       s"""SELECT c.c_custkey, c.c_name, n.n_name AS nation,
          |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS returned_revenue
