@@ -153,17 +153,14 @@ object DedupQueries {
     *
     * Public for spec-side brute-force verification. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    // Feature = xxhash64 of the token 3-gram hashed DIRECTLY from the three
-    // tokens — same shingle semantics as withShingles (collisions on 64-bit
-    // hashes are negligible) without materializing a concatenated string per
-    // shingle just to hash it.
+    // Feature = xxhash64 of each token 3-gram via the native codegen'd
+    // graft_shingle_hashes expression — the interpreted higher-order
+    // formulation (`transform(..., i -> xxhash64(toks[i], ...))`) was the
+    // hottest stage of the whole dedup pipeline (~13 µs/element).
+    graft.functions.ShingleHashes.register(docs.sparkSession)
     val exploded = docs
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("hs", expr(
-        """CASE WHEN size(toks) >= 3
-          |     THEN array_distinct(transform(sequence(0, size(toks) - 3),
-          |            i -> xxhash64(toks[i], toks[i+1], toks[i+2])))
-          |     ELSE array(xxhash64(text)) END""".stripMargin))
+      .withColumn("hs", expr("array_distinct(graft_shingle_hashes(toks))"))
       .select(col("doc_id"), explode(col("hs")).as("h"))
     val bitSums = (0 until 64).map { i =>
       sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$i")

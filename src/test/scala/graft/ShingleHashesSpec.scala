@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ShingleHashes
+
+/** Native shingle hashing: parity with the builtin chained xxhash64, edge
+  * cases, and codegen/interpreted agreement. */
+class ShingleHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches builtin xxhash64(a, b, c) chained-seed semantics per 3-gram") {
+    ShingleHashes.register(spark)
+    val df = Seq("the quick brown fox jumps").toDF("text")
+      .withColumn("toks", split(col("text"), " "))
+    val native = df.selectExpr("graft_shingle_hashes(toks) AS hs")
+      .collect().head.getSeq[Long](0)
+    val builtin = df.selectExpr(
+      "transform(sequence(0, size(toks) - 3), i -> xxhash64(toks[i], toks[i+1], toks[i+2])) AS hs")
+      .collect().head.getSeq[Long](0)
+    assert(native == builtin)
+    assert(native.length == 3)
+  }
+
+  test("short inputs collapse to one whole-list hash; n is configurable") {
+    ShingleHashes.register(spark)
+    val short = Seq("one two").toDF("text").withColumn("toks", split(col("text"), " "))
+    assert(short.selectExpr("size(graft_shingle_hashes(toks))")
+      .collect().head.getInt(0) == 1)
+    val bigrams = Seq("a b c d").toDF("text").withColumn("toks", split(col("text"), " "))
+      .selectExpr("size(graft_shingle_hashes(toks, 2))").collect().head.getInt(0)
+    assert(bigrams == 3)
+  }
+
+  test("codegen and interpreted paths agree over the corpus") {
+    ShingleHashes.register(spark)
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .select(split(col("text"), " ").as("toks")).limit(200)
+    val viaCodegen = docs.selectExpr("graft_shingle_hashes(toks) AS hs")
+      .collect().map(_.getSeq[Long](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val viaInterp = try {
+      docs.selectExpr("graft_shingle_hashes(toks) AS hs")
+        .collect().map(_.getSeq[Long](0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(viaCodegen.toSeq == viaInterp.toSeq)
+  }
+}
