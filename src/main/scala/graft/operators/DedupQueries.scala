@@ -44,16 +44,18 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Word-3-gram shingle set, as a named column "shingles" (distinct).
-    * Public so specs can brute-force ground-truth Jaccard on the exact same
-    * shingle definition. */
-  def withShingles(df: DataFrame): DataFrame =
+  /** Word-3-gram shingle set as 64-bit hashes (distinct), via the native
+    * codegen'd graft_shingle_hashes expression. Hash-represented shingles
+    * make every downstream step cheaper — minhash permutations hash longs
+    * instead of strings, posting lists shuffle 8 bytes per shingle, and
+    * Jaccard over hash sets equals string-set Jaccard up to 64-bit
+    * collisions (negligible at any realistic corpus size). Public so specs
+    * can brute-force ground-truth Jaccard on the exact same definition. */
+  def withShingles(df: DataFrame): DataFrame = {
+    graft.functions.ShingleHashes.register(df.sparkSession)
     df.withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(toks) >= 3
-          |     THEN array_distinct(transform(sequence(0, size(toks) - 3),
-          |            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
-          |     ELSE array(text) END""".stripMargin))
+      .withColumn("shingles", expr("array_distinct(graft_shingle_hashes(toks))"))
+  }
 
   /** MinHash signature (16 hash fns via seeded murmur3) + 4 bands of 4. */
   private def withMinhashBands(df: DataFrame): DataFrame =

@@ -11,17 +11,17 @@ import graft.sources.Tables.Tpch
   */
 class DedupSpec extends SparkSpec {
 
-  /** doc_id → shingle set, using the operators' own shingle definition. */
-  private lazy val shingleSets: Map[Long, Set[String]] = {
+  /** doc_id → shingle-hash set, using the operators' own shingle definition. */
+  private lazy val shingleSets: Map[Long, Set[Long]] = {
     val t = Tpch(spark, Sf)
     DedupQueries.withShingles(t.documents.select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("shingles"))
       .collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
       .toMap
   }
 
-  private def jaccard(a: Set[String], b: Set[String]): Double =
+  private def jaccard(a: Set[Long], b: Set[Long]): Double =
     (a & b).size.toDouble / (a | b).size.toDouble
 
   /** All pairs with true Jaccard ≥ threshold, brute force. */
