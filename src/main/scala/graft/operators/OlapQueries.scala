@@ -61,6 +61,31 @@ object OlapQueries {
       .orderBy(col("status"))
   }
 
+  /** Cross-nation trade volume (TPC-H Q7 shape): the same dim table joined
+    * twice through two different FK paths (customer-side and supplier-side
+    * nation), aliased — the transfer-counterparty analytics of the banking
+    * schema (nullable related_account FK, SCHEMA.sql:26). */
+  def nationTradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val custNation = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppNation = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .where(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("volume"))
+      .orderBy(col("volume").desc, col("cust_nation"), col("supp_nation"))
+      .limit(30)
+  }
+
   /** Explicit GROUPING SETS (the third grouping construct besides rollup/
     * cube) — exercised through the engine's SQL surface (Catalog views),
     * the way a dbt model would express it. */
@@ -90,6 +115,19 @@ object OlapQueries {
   }
 
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_nation_trade_volume", nationTradeVolume, Some(
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |       COUNT(*) AS n_lines,
+         |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS volume
+         |FROM lineitem l
+         |JOIN orders o    ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c  ON o.o_custkey = c.c_custkey
+         |JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+         |JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+         |WHERE cn.n_name <> sn.n_name
+         |GROUP BY 1, 2
+         |ORDER BY volume DESC, cust_nation, supp_nation LIMIT 30""".stripMargin)),
     NamedQuery("q_grouping_sets_revenue", groupingSetsRevenue, Some(
       s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
          |       COALESCE(o_orderpriority, 'ALL') AS priority,
