@@ -109,7 +109,44 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
+  /** IVF-style ANN: route the query vector to its nearest label centroid
+    * (the coarse quantizer built the scale-correct way — dimension-wise
+    * aggregation), then search ONLY that cluster. The 100 TB path: the
+    * probe scans corpus/n_clusters instead of everything; recall is traded
+    * explicitly via the (here: 1) probed cluster. Everything stays
+    * distributed — the query vector, the chosen label, and the candidate
+    * set are all DataFrames, broadcast where one-row. */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val t = Tpch(spark, sfDir)
+    val q = queryVec(t)
+    // per-(label, dim) centroid components
+    val comps = t.embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+    // score each centroid against the (broadcast) query vector, pick argmax
+    val qComps = t.embeddings.where(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
+    val bestLabel = comps
+      .join(broadcast(qComps), "pos")
+      .groupBy(col("label"))
+      .agg(sum(col("m") * col("qv").cast("double")).as("score"))
+      .orderBy(col("score").desc, col("label").asc)
+      .limit(1)
+      .select(col("label"))
+    // search only the routed cluster
+    t.embeddings
+      .join(broadcast(bestLabel), "label")
+      .join(broadcast(q))
+      .withColumn("cos", expr("round(graft_cosine(embedding, q_vec), 6)"))
+      .select(col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sim_ivf_topk", ivfTopK, None),
     // Double-precision cosine spelled out via aligned UNNEST — DuckDB's
     // list_cosine_similarity returns FLOAT (float32), which would diverge
     // from the engine's double math in the 8th decimal and break the exact

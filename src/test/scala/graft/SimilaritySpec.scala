@@ -55,6 +55,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k equals brute force restricted to the routed cluster") {
+    val t = Tpch(spark, Sf)
+    val rows = t.embeddings.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    val q = rows.find(_._1 == 0L).get._2
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // driver-side IVF emulation: centroid per label, route, search cluster
+    val centroids = rows.groupBy(_._3).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val c = new Array[Double](dim)
+      vs.foreach(v => (0 until dim).foreach(i => c(i) += v._2(i)))
+      (0 until dim).foreach(i => c(i) /= vs.length)
+      l -> c
+    }
+    val routed = centroids.maxBy { case (l, c) =>
+      (q.zip(c).map { case (a, b) => a * b }.sum, -l)
+    }._1
+    val expected = rows.filter(_._3 == routed)
+      .map { case (id, v, _) => (id, cos(v, q)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    val got = SimilarityQueries.ivfTopK(spark, Sf).collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"got $got expected $expected (cluster $routed)")
+  }
+
   test("label centroids cover every label with full dimensionality") {
     val t = Tpch(spark, Sf)
     val nLabels = t.embeddings.select("label").distinct().count()
