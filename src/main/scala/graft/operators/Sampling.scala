@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Deterministic weighted sampling without replacement — the corpus-
+  * subsampling step of a training-data pipeline ("sample 1B docs
+  * proportional to quality").
+  *
+  * Formulation: Efraimidis–Spirakis priority sampling. Each row gets
+  * priority u^(1/w) with u a seeded hash-uniform of its key; the sample is
+  * the global top-k by priority. This composes entirely from builtins
+  * (preference order: builtins before custom Aggregators):
+  *  - exact weighted sample semantics, no UDAF and no reservoir merging;
+  *  - deterministic under any partitioning (u depends on key+seed only);
+  *  - top-k plans as TakeOrderedAndProject — k rows per partition move,
+  *    never the corpus.
+  */
+object Sampling {
+
+  /** Hash-uniform in (0, 1]: (pmod(xxhash64(key, seed), M) + 1) / M. */
+  private def u(key: Column, seed: Long): Column =
+    (pmod(xxhash64(key, lit(seed)), lit(1000000007L)) + 1.0) / 1000000007.0
+
+  /** Priority column for weighted sampling: u^(1/w). Weights must be > 0. */
+  def priority(key: Column, weight: Column, seed: Long): Column =
+    pow(u(key, seed), lit(1.0) / weight)
+
+  /** Top-k weighted sample of `df` by `weight`, keyed on `key`. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     seed: Long = 42L): DataFrame =
+    df.withColumn("__p", priority(key, weight, seed))
+      .orderBy(col("__p").desc, key.asc)
+      .limit(k)
+      .drop("__p")
+
+  /** Sample 100 documents weighted by a quality proxy (lexical diversity ×
+    * length saturation — the TextQueries score), deterministic seed. */
+  def sampleDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val toks = split(col("text"), " ")
+    val nTok = size(toks).cast("double")
+    val score = least(lit(1.0), nTok / lit(100.0)) * 0.5 +
+      (size(array_distinct(toks)).cast("double") / nTok) * 0.5
+    weightedSample(
+      t.documents.withColumn("quality", score),
+      col("doc_id"), col("quality"), k = 100)
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(col("quality"), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    // No oracle: the priority depends on Spark's xxhash64, which DuckDB
+    // cannot reproduce; SamplingSpec recomputes the exact expected sample
+    // driver-side instead.
+    NamedQuery("q_sample_documents", sampleDocuments, None),
+  )
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.sources.Tables.Tpch
+
+/** Weighted priority sampling: exact driver-side reproduction, determinism
+  * under repartitioning, and weight-monotonic inclusion odds. */
+class SamplingSpec extends SparkSpec {
+
+  test("sample equals the driver-side top-k by priority, any partitioning") {
+    val t = Tpch(spark, Sf)
+    val weighted = t.documents
+      .withColumn("w", (col("n_chars").cast("double") + 1.0) / 100.0)
+    val expected = weighted
+      .withColumn("p", Sampling.priority(col("doc_id"), col("w"), 42L))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("p")))
+      .sortBy { case (id, p) => (-p, id) }.take(50).map(_._1).sorted.toSeq
+    val got = Sampling.weightedSample(weighted, col("doc_id"), col("w"), 50)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expected)
+    val gotRepart = Sampling.weightedSample(
+      weighted.repartition(17), col("doc_id"), col("w"), 50)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotRepart == expected, "sample changed under repartitioning")
+  }
+
+  test("heavier rows win more often across seeds (weight monotonicity)") {
+    val t = Tpch(spark, Sf)
+    val df = t.documents.limit(200)
+      .withColumn("w", when(col("doc_id") < 20, 50.0).otherwise(0.5))
+    val heavyHits = (1L to 10L).map { seed =>
+      Sampling.weightedSample(df, col("doc_id"), col("w"), 20, seed)
+        .where(col("doc_id") < 20).count()
+    }.sum
+    // 20 heavy rows at 100x weight should dominate the 20-row sample
+    assert(heavyHits >= 150, s"heavy rows sampled only $heavyHits/200 slots")
+  }
+
+  test("q_sample_documents returns exactly k distinct docs deterministically") {
+    val a = Sampling.sampleDocuments(spark, Sf).collect().map(_.getLong(0)).toSeq
+    val b = Sampling.sampleDocuments(spark, Sf).collect().map(_.getLong(0)).toSeq
+    assert(a.length == 100 && a.distinct.length == 100)
+    assert(a == b)
+  }
+}
