@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Native Catalyst expression: all random-hyperplane sign-LSH band
+  * signatures of a float vector in one codegen'd pass.
+  *
+  * `graft_hyperplane_sigs(vec, nBands, nBits)` returns `array<long>` of
+  * length nBands; element b is the nBits-bit signature whose bit h is set
+  * iff `dot(vec, plane(b, h)) > 0`. Hyperplane components are hash-derived
+  * (deterministic, identical on every executor, no randomness shipped):
+  * component d of plane (b, h) is
+  * `(pmod(murmur3(b*4096 + h*512 + d, seed=42), 2001) - 1000) / 1000.0`
+  * — exactly the value the SQL formulation
+  * `(pmod(hash(band_id*4096 + h*512 + d), 2001) - 1000) / 1000.0` produces,
+  * so signatures (and therefore candidate pairs) are bit-identical to the
+  * previous higher-order-function implementation.
+  *
+  * Why a custom Expression: the nested `aggregate(... aggregate(...))`
+  * formulation evaluates interpreted — one boxed lambda invocation per
+  * (band, bit, dimension) — and was the slowest stage of the whole bench
+  * (11.2 s at sf0.1, ~19 % of total). This is the same step-2 case as
+  * [[CosineSimilarity]]: tight primitive loop, no boxing, whole-stage
+  * codegen keeps the corpus scan memory-bound. Computing all bands in one
+  * call also removes the need to explode the embedding once per band.
+  *
+  * Null semantics mirror the SQL fold: a null vector yields null; a null
+  * *element* poisons every dot product (`s + null = null`), whose
+  * `> 0` check is then false — i.e. all signatures collapse to 0.
+  */
+case class HyperplaneSigs(child: Expression, nBands: Int = 4, nBits: Int = 8)
+    extends UnaryExpression {
+
+  require(nBands >= 1 && nBits >= 1 && nBits <= 63,
+    s"graft_hyperplane_sigs needs 1 <= nBands and 1 <= nBits <= 63, got ($nBands, $nBits)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_hyperplane_sigs expects array<float>, got ${dt.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val len = a.numElements()
+    var anyNull = false
+    var d = 0
+    while (d < len && !anyNull) { anyNull = a.isNullAt(d); d += 1 }
+    val out = new Array[Long](nBands)
+    if (!anyNull) {
+      var b = 0
+      while (b < nBands) {
+        var sig = 0L
+        var h = 0
+        while (h < nBits) {
+          var s = 0.0
+          var i = 0
+          while (i < len) {
+            val m = Math.floorMod(Murmur3_x86_32.hashInt(b * 4096 + h * 512 + i, 42), 2001)
+            s += a.getFloat(i).toDouble * ((m - 1000) / 1000.0)
+            i += 1
+          }
+          if (s > 0) sig |= 1L << h
+          h += 1
+        }
+        out(b) = sig
+        b += 1
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mm = classOf[Murmur3_x86_32].getName
+      val uad = classOf[UnsafeArrayData].getName
+      s"""
+         |int len = $a.numElements();
+         |boolean anyNull = false;
+         |for (int d = 0; d < len && !anyNull; d++) anyNull = $a.isNullAt(d);
+         |long[] out = new long[$nBands];
+         |if (!anyNull) {
+         |  for (int b = 0; b < $nBands; b++) {
+         |    long sig = 0L;
+         |    for (int h = 0; h < $nBits; h++) {
+         |      double s = 0.0;
+         |      for (int i = 0; i < len; i++) {
+         |        int m = java.lang.Math.floorMod(
+         |          $mm.hashInt(b * 4096 + h * 512 + i, 42), 2001);
+         |        s += ((double) $a.getFloat(i)) * ((m - 1000) / 1000.0);
+         |      }
+         |      if (s > 0) sig |= 1L << h;
+         |    }
+         |    out[b] = sig;
+         |  }
+         |}
+         |${ev.value} = $uad.fromPrimitiveArray(out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+}
+
+object HyperplaneSigs {
+  val Name = "graft_hyperplane_sigs"
+
+  /** Register alongside graft_cosine (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Name,
+      { children =>
+        require(children.nonEmpty && children.length <= 3,
+          s"$Name takes 1 to 3 arguments")
+        def intArg(i: Int, dflt: Int): Int =
+          children.lift(i).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(dflt)
+        HyperplaneSigs(children.head, intArg(1, 4), intArg(2, 8))
+      },
+      "built-in")
+}

@@ -52,7 +52,10 @@ object MartQueries {
 
   /** Flagship: daily completed-revenue by region.
     * region ⋈ nation ⋈ customer (broadcast chain) ⋈ orders ⋈ lineitem
-    * (shuffle) → groupBy(region, day) → exact money sum → stable sort. */
+    * (shuffle) → groupBy(region, day) → exact money sum → stable sort.
+    * Only the fixed-cardinality dims (nation=25, region=5) carry broadcast
+    * hints; customer grows with scale factor, so its join side is left to
+    * AQE (shuffled hash / sort-merge at the 100 TB design point). */
   def dailyRegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val custGeo = t.customer
@@ -61,7 +64,7 @@ object MartQueries {
       .select(col("c_custkey"), col("r_name"))
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custGeo), col("o_custkey") === col("c_custkey"))
+      .join(custGeo, col("o_custkey") === col("c_custkey"))
       .groupBy(
         col("r_name").as("region_name"),
         dayStr(col("o_orderdate")).as("order_date"))

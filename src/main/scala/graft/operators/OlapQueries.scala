@@ -75,8 +75,8 @@ object OlapQueries {
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .where(col("cust_nation") =!= col("supp_nation"))
       .groupBy(col("cust_nation"), col("supp_nation"))
       .agg(count(lit(1)).as("n_lines"),

@@ -55,20 +55,21 @@ object SimilarityQueries {
     * hash-derived: seeded, deterministic, identical on every executor. */
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
     GraftFunctions.register(spark)
+    graft.functions.HyperplaneSigs.register(spark)
     val t = Tpch(spark, sfDir)
     // single-file source → repartition so the hyperplane projections (the
     // heavy per-row compute) parallelize
     val vecs = t.embeddings
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding"))
+    // one codegen'd pass computes every band's signature (array<long>);
+    // posexplode yields (band_id, band_sig) without duplicating the
+    // embedding per band. Signatures are bit-identical to the former
+    // nested-aggregate SQL formulation (see HyperplaneSigs scaladoc).
     val banded = vecs
-      .withColumn("band_id", explode(expr("sequence(0, 3)")))
-      .withColumn("band_sig", expr(
-        """aggregate(sequence(0, 7), 0L, (acc, h) ->
-          |  acc + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D,
-          |    (s, d) -> s + CAST(element_at(embedding, d + 1) AS DOUBLE)
-          |               * ((pmod(hash(band_id * 4096 + h * 512 + d), 2001) - 1000) / 1000.0)) > 0
-          |  THEN shiftleft(1L, h) ELSE 0L END)""".stripMargin))
+      .select(col("vec_id"),
+        posexplode(expr("graft_hyperplane_sigs(embedding, 4, 8)"))
+          .as(Seq("band_id", "band_sig")))
     val pairs = banded
       .groupBy(col("band_id"), col("band_sig"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))

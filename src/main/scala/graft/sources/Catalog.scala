@@ -12,10 +12,13 @@ import graft.functions.GraftFunctions
 object Catalog {
 
   /** Register all tables of one scale-factor directory as temp views named
-    * exactly like the oracle schema, plus `graft_cosine`. */
+    * exactly like the oracle schema, plus the engine's native functions
+    * (`graft_cosine`, `graft_shingle_hashes`, `graft_hyperplane_sigs`). */
   def registerAll(spark: SparkSession, sfDir: String): Unit = {
     val tpch = Tables.Tpch(spark, sfDir)
     Tables.All.foreach(t => tpch.table(t).createOrReplaceTempView(t))
     GraftFunctions.register(spark)
+    graft.functions.ShingleHashes.register(spark)
+    graft.functions.HyperplaneSigs.register(spark)
   }
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.HyperplaneSigs
+
+/** Native hyperplane signatures: bit-exact parity with the higher-order SQL
+  * formulation it replaced, plus codegen/interpreted agreement. */
+class HyperplaneSigsSpec extends SparkSpec {
+
+  private def vecs = graft.sources.Tables.load(spark, Sf, "embeddings")
+    .select(col("vec_id"), col("embedding")).limit(100)
+
+  /** The former interpreted nested-aggregate formulation, evaluated per
+    * band — the ground truth the native expression must reproduce. */
+  private val sqlFormulation =
+    """aggregate(sequence(0, 7), 0L, (acc, h) ->
+      |  acc + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D,
+      |    (s, d) -> s + CAST(element_at(embedding, d + 1) AS DOUBLE)
+      |               * ((pmod(hash(band_id * 4096 + h * 512 + d), 2001) - 1000) / 1000.0)) > 0
+      |  THEN shiftleft(1L, h) ELSE 0L END)""".stripMargin
+
+  test("signatures are bit-identical to the nested-aggregate SQL formulation") {
+    HyperplaneSigs.register(spark)
+    val native = vecs
+      .select(col("vec_id"),
+        posexplode(expr("graft_hyperplane_sigs(embedding, 4, 8)"))
+          .as(Seq("band_id", "band_sig")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaSql = vecs
+      .withColumn("band_id", explode(expr("sequence(0, 3)")))
+      .withColumn("band_sig", expr(sqlFormulation))
+      .select(col("vec_id"), col("band_id"), col("band_sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(native.size == viaSql.size)
+    assert(native == viaSql)
+  }
+
+  test("codegen and interpreted paths agree") {
+    HyperplaneSigs.register(spark)
+    val viaCodegen = vecs.selectExpr("graft_hyperplane_sigs(embedding) AS s")
+      .collect().map(_.getSeq[Long](0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val viaInterp = try {
+      vecs.selectExpr("graft_hyperplane_sigs(embedding) AS s")
+        .collect().map(_.getSeq[Long](0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(viaCodegen.toSeq == viaInterp.toSeq)
+  }
+
+  test("a null element collapses every band signature to 0 (SQL null-fold parity)") {
+    HyperplaneSigs.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq(Some(1.0f), None, Some(0.5f))).toDF("embedding")
+    val sigs = df.selectExpr("graft_hyperplane_sigs(embedding, 4, 8) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(sigs == Seq(0L, 0L, 0L, 0L))
+  }
+}
