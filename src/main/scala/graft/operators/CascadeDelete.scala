@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** FK `ON DELETE CASCADE` propagation (SURVEY.md §2-A C3).
+  *
+  * The reference's OLTP schema declares cascading FKs
+  * (`docker/postgres/SCHEMA.sql:13,23`): deleting a customer deletes its
+  * accounts, which deletes their transactions — Postgres does this
+  * transparently, and the downstream lake (which only ever lands
+  * post-images) never finds out. This operator is the lake-side equivalent:
+  * given the keys deleted at a parent, anti-join-propagate the deletion down
+  * the FK chain so referential integrity audits
+  * ([[AuditQueries]]-style orphan checks) return zero afterwards.
+  *
+  * Scale shape: each level is one anti-join (child vs deleted parent keys) +
+  * one semi-join (to derive the next level's deleted keys). The deleted-key
+  * frames are typically tiny relative to the child tables, so AQE broadcasts
+  * them; nothing is collected to the driver and no level needs the previous
+  * level's *surviving* rows — only its deleted keys — so the chain is a
+  * linear sequence of narrow-per-child passes.
+  */
+object CascadeDelete {
+
+  /** One cascade level: remove from `child` every row whose `fk` references
+    * a deleted parent key. Returns (survivors, deletedChildKeys) where
+    * deletedChildKeys is the child's `pk` column for the next level,
+    * renamed to the next level's FK target name by the caller if needed. */
+  def level(
+      child: DataFrame,
+      fk: String,
+      deletedParentKeys: DataFrame,
+      pk: String): (DataFrame, DataFrame) = {
+    val parentKeyCol = deletedParentKeys.columns.head
+    val keys = deletedParentKeys.select(deletedParentKeys(parentKeyCol).as(fk))
+    val survivors = child.join(keys, Seq(fk), "left_anti")
+    val deletedChildKeys = child.join(keys, Seq(fk), "left_semi").select(pk)
+    (survivors, deletedChildKeys)
+  }
+
+  /** The banking-schema chain (SCHEMA.sql:13,23): customers → accounts →
+    * transactions. `deletedCustomerIds` is a one-column frame of customer
+    * PKs; returns the three tables after cascade. Transactions reference
+    * accounts through both `account_id` and the nullable
+    * `related_account_id` (SCHEMA.sql:23,26) — ON DELETE CASCADE applies to
+    * the owning FK only; the related-account side is left intact, matching
+    * Postgres (the column keeps its value; it is informational after the
+    * cascade, exactly as in OLTP where only the declared FK cascades). */
+  def banking(
+      customers: DataFrame,
+      accounts: DataFrame,
+      transactions: DataFrame,
+      deletedCustomerIds: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val custKeyCol = deletedCustomerIds.columns.head
+    val custKeys = deletedCustomerIds.select(deletedCustomerIds(custKeyCol).as("id"))
+    val customersAfter = customers.join(custKeys, Seq("id"), "left_anti")
+    val (accountsAfter, deletedAccountIds) =
+      level(accounts, "customer_id", custKeys, pk = "id")
+    val (transactionsAfter, _) =
+      level(transactions, "account_id", deletedAccountIds, pk = "id")
+    (customersAfter, accountsAfter, transactionsAfter)
+  }
+}

@@ -41,6 +41,47 @@ object CdcQueries {
       .orderBy(col("status"))
   }
 
+  /** Op-aware CDC apply, oracle-checked end to end: the customer table is
+    * the base snapshot; a change stream of updates (freeze every 100th
+    * customer) and deletes (every 97th) goes through the full wire —
+    * `wrapOp` → Debezium JSON → `decodeOps` → `applyOps` (last-writer-wins
+    * by lsn, deletes removed). The DuckDB oracle states the same final
+    * table declaratively; any envelope or apply defect diverges the hash. */
+  def cdcApplyOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val base = t.customer
+    val updates = CdcEnvelope.wrapOp(
+      base.where(pmod(col("c_custkey"), lit(100)) === 0)
+        .withColumn("c_acctbal", lit(-1.0))
+        .withColumn("c_mktsegment", lit("FROZEN")),
+      "customers", op = "u", lsn = lit(2L))
+    val deletes = CdcEnvelope.wrapOp(
+      base.where(pmod(col("c_custkey"), lit(97)) === 0),
+      "customers", op = "d", lsn = lit(3L))
+    val changes = CdcEnvelope.decodeOps(updates.union(deletes), base.schema)
+    CdcEnvelope.applyOps(base, changes, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** FK ON DELETE CASCADE propagation (C3, SCHEMA.sql:13,23) over the
+    * customer → orders → lineitem chain: surviving row counts per table
+    * after deleting every 50th customer. */
+  def cascadeDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val deletedCust = t.customer
+      .where(pmod(col("c_custkey"), lit(50)) === 0).select(col("c_custkey"))
+    val custAfter = t.customer.join(deletedCust, Seq("c_custkey"), "left_anti")
+    val (ordersAfter, deletedOrders) =
+      CascadeDelete.level(t.orders, "o_custkey", deletedCust, pk = "o_orderkey")
+    val (lineAfter, _) =
+      CascadeDelete.level(t.lineitem, "l_orderkey", deletedOrders, pk = "l_orderkey")
+    custAfter.agg(count(lit(1)).as("n")).withColumn("tbl", lit("customer"))
+      .unionByName(lineAfter.agg(count(lit(1)).as("n")).withColumn("tbl", lit("lineitem")))
+      .unionByName(ordersAfter.agg(count(lit(1)).as("n")).withColumn("tbl", lit("orders")))
+      .select(col("tbl"), col("n"))
+      .orderBy(col("tbl"))
+  }
+
   def genAccountSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val customers = Datagen.customers(spark, 2000)
     Datagen.accountTypeSummary(Datagen.accounts(customers))
@@ -60,6 +101,26 @@ object CdcQueries {
       s"""SELECT o_orderstatus AS status, COUNT(*) AS n,
          |       ${moneySumSql("o_totalprice")} AS volume
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_cdc_apply_ops", cdcApplyOps, Some(
+      """SELECT c_custkey, c_name, c_nationkey,
+        |       CASE WHEN c_custkey % 100 = 0 THEN -1.0 ELSE c_acctbal END AS c_acctbal,
+        |       CASE WHEN c_custkey % 100 = 0 THEN 'FROZEN' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 97 <> 0
+        |ORDER BY c_custkey""".stripMargin)),
+    NamedQuery("q_cascade_delete", cascadeDelete, Some(
+      """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
+        |     delo AS (SELECT o_orderkey FROM orders
+        |              WHERE o_custkey IN (SELECT c_custkey FROM delc))
+        |SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM delc)
+        |UNION ALL
+        |SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM delo)
+        |UNION ALL
+        |SELECT 'orders' AS tbl, COUNT(*) AS n FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)
+        |ORDER BY tbl""".stripMargin)),
     NamedQuery("q_gen_account_summary", genAccountSummary, None),
     NamedQuery("q_gen_transaction_summary", genTransactionSummary, None),
   )

@@ -27,29 +27,43 @@ import org.apache.spark.sql.types._
   */
 object CdcEnvelope {
 
-  /** Envelope schema for a given row schema (the `value` side of the topic). */
+  /** Envelope schema for a given row schema (the `value` side of the topic).
+    * `source.lsn` is Debezium's Postgres log sequence number — the total
+    * order [[applyOps]] uses for last-writer-wins. */
   def envelopeSchema(rowSchema: StructType): StructType =
     StructType(Seq(StructField("payload", StructType(Seq(
       StructField("before", rowSchema, nullable = true),
       StructField("after", rowSchema, nullable = true),
       StructField("op", StringType, nullable = true),
       StructField("source", StructType(Seq(
-        StructField("table", StringType, nullable = true))), nullable = true))))))
+        StructField("table", StringType, nullable = true),
+        StructField("lsn", LongType, nullable = true))), nullable = true))))))
 
   /** Wrap every row of `df` into a Debezium-shaped JSON string column
     * `value` (op = "c", before = null), plus the `topic` the reference's
     * connector would emit it on (`banking_server.public.<table>`,
     * Connector_post_and_generate.py:23). */
-  def wrap(df: DataFrame, table: String): DataFrame = {
-    val after = struct(df.columns.map(col).toIndexedSeq: _*)
+  def wrap(df: DataFrame, table: String): DataFrame =
+    wrapOp(df, table, op = "c", lsn = lit(0L))
+
+  /** Wrap rows as change events of a given op type. Deletes carry the row
+    * as `before` with a null `after` (the real Debezium delete shape the
+    * reference's consumer silently drops, consumer.py:69-71); creates/
+    * updates carry it as `after`. `lsn` is the per-event log sequence
+    * number that orders events for [[applyOps]]. */
+  def wrapOp(df: DataFrame, table: String, op: String, lsn: Column): DataFrame = {
+    val image = struct(df.columns.map(col).toIndexedSeq: _*)
+    val nullImage = lit(null).cast(StructType(df.schema.fields))
+    val (before, after) =
+      if (op == "d") (image, nullImage) else (nullImage, image)
     df.select(
       lit(s"banking_server.public.$table").as("topic"),
       to_json(struct(
         struct(
-          lit(null).cast(StructType(df.schema.fields)).as("before"),
+          before.as("before"),
           after.as("after"),
-          lit("c").as("op"),
-          struct(lit(table).as("table")).as("source")
+          lit(op).as("op"),
+          struct(lit(table).as("table"), lsn.as("lsn")).as("source")
         ).as("payload"))).as("value"))
   }
 
@@ -67,6 +81,54 @@ object CdcEnvelope {
         case _ => acc
       }
     }
+  }
+
+  /** Op-aware decode: one output row per change event, carrying the row
+    * image (`after` for creates/reads/updates, `before` for deletes) plus
+    * `_op` and `_lsn` metadata columns. This is the decode mode the
+    * reference *should* have: its consumer keeps only post-images
+    * (consumer.py:69-71), so a lake it feeds silently diverges from OLTP on
+    * every DELETE — the envelope schema even declares `before`/`op`
+    * (consumer.py:66-67 wire shape) and never reads them. Decimals are
+    * demoted to double exactly as in [[decode]]. */
+  def decodeOps(df: DataFrame, rowSchema: StructType, valueCol: String = "value"): DataFrame = {
+    val parsed = df
+      .withColumn("__env", from_json(col(valueCol).cast("string"), envelopeSchema(rowSchema)))
+      .where(col("__env.payload").isNotNull &&
+        (col("__env.payload.after").isNotNull || col("__env.payload.before").isNotNull))
+      .select(
+        coalesce(col("__env.payload.after"), col("__env.payload.before")).as("__img"),
+        coalesce(col("__env.payload.op"),
+          when(col("__env.payload.after").isNull, lit("d")).otherwise(lit("c"))).as("_op"),
+        coalesce(col("__env.payload.source.lsn"), lit(0L)).as("_lsn"))
+      .select(col("__img.*"), col("_op"), col("_lsn"))
+    rowSchema.fields.foldLeft(parsed) { (acc, f) =>
+      f.dataType match {
+        case _: DecimalType => acc.withColumn(f.name, col(f.name).cast("double"))
+        case _ => acc
+      }
+    }
+  }
+
+  /** Apply a decoded change stream (from [[decodeOps]]) onto a base
+    * snapshot: per primary key, the event with the highest `_lsn` wins;
+    * a winning delete removes the row, a winning create/update replaces it.
+    *
+    * Scale shape: one shuffle of the (small) change set for the per-key
+    * window, one shuffle-or-broadcast anti-join of base against touched
+    * keys — no global sort, no driver-side state. Base partitions with no
+    * touched keys stream through the anti-join untouched. */
+  def applyOps(base: DataFrame, changes: DataFrame, pk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = pk.map(col)
+    val latest = changes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keyCols: _*).orderBy(col("_lsn").desc)))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+    val untouched = base.join(latest.select(keyCols: _*), pk, "left_anti")
+    val upserts = latest.where(col("_op") =!= "d").drop("_op", "_lsn")
+    untouched.unionByName(upserts.select(base.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Table name from the reference's topic naming: last dotted segment

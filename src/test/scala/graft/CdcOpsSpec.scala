@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.generator.Datagen
+import graft.operators.CascadeDelete
+import graft.streaming.CdcEnvelope
+
+/** Op-aware CDC semantics (the reference's envelope done right): deletes and
+  * updates applied to the lake instead of silently dropped, and FK cascade
+  * propagation driven by decoded delete events. */
+class CdcOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def baseLake = Seq(
+    (1L, "ACTIVE", 100.0),
+    (2L, "ACTIVE", 200.0),
+    (3L, "ACTIVE", 300.0))
+    .toDF("id", "status", "balance")
+
+  test("decodeOps keeps delete before-images with _op/_lsn metadata") {
+    val deletes = CdcEnvelope.wrapOp(
+      baseLake.where(col("id") === 3), "accounts", op = "d", lsn = lit(11L))
+    val decoded = CdcEnvelope.decodeOps(deletes, baseLake.schema)
+    val r = decoded.collect().head
+    assert(decoded.columns.toSeq == Seq("id", "status", "balance", "_op", "_lsn"))
+    assert(r.getLong(0) == 3L && r.getString(3) == "d" && r.getLong(4) == 11L)
+  }
+
+  test("applyOps: a delete envelope removes the row; an update replaces it") {
+    val update = CdcEnvelope.wrapOp(
+      Seq((2L, "FROZEN", 250.0)).toDF("id", "status", "balance"),
+      "accounts", op = "u", lsn = lit(10L))
+    val delete = CdcEnvelope.wrapOp(
+      baseLake.where(col("id") === 3), "accounts", op = "d", lsn = lit(11L))
+    val changes = CdcEnvelope.decodeOps(update.union(delete), baseLake.schema)
+    val applied = CdcEnvelope.applyOps(baseLake, changes, Seq("id"))
+      .orderBy("id").collect()
+    assert(applied.map(_.getLong(0)).toSeq == Seq(1L, 2L), "row 3 must be deleted")
+    assert(applied(1).getString(1) == "FROZEN" && applied(1).getDouble(2) == 250.0)
+  }
+
+  test("applyOps is last-writer-wins by lsn under conflicting updates") {
+    val older = CdcEnvelope.wrapOp(
+      Seq((1L, "STALE", 1.0)).toDF("id", "status", "balance"),
+      "accounts", op = "u", lsn = lit(5L))
+    val newer = CdcEnvelope.wrapOp(
+      Seq((1L, "CURRENT", 2.0)).toDF("id", "status", "balance"),
+      "accounts", op = "u", lsn = lit(6L))
+    // union order deliberately newest-first: ordering must come from lsn
+    val changes = CdcEnvelope.decodeOps(newer.union(older), baseLake.schema)
+    val applied = CdcEnvelope.applyOps(baseLake, changes, Seq("id"))
+      .where(col("id") === 1).collect().head
+    assert(applied.getString(1) == "CURRENT" && applied.getDouble(2) == 2.0)
+  }
+
+  test("a delete that is itself superseded by a later re-insert survives") {
+    val del = CdcEnvelope.wrapOp(
+      baseLake.where(col("id") === 1), "accounts", op = "d", lsn = lit(7L))
+    val reinsert = CdcEnvelope.wrapOp(
+      Seq((1L, "REBORN", 9.0)).toDF("id", "status", "balance"),
+      "accounts", op = "c", lsn = lit(8L))
+    val changes = CdcEnvelope.decodeOps(del.union(reinsert), baseLake.schema)
+    val applied = CdcEnvelope.applyOps(baseLake, changes, Seq("id"))
+    assert(applied.where(col("id") === 1).collect().head.getString(1) == "REBORN")
+  }
+
+  test("cascade: decoded customer deletes propagate to accounts and transactions") {
+    val customers = Datagen.customers(spark, 40)
+    val accounts = Datagen.accounts(customers)
+    val transactions = Datagen.transactions(accounts, 150)
+
+    // CDC leg: delete envelopes for 5 customers, decoded op-aware
+    val victims = customers.where(col("id") <= 5)
+    val wire = CdcEnvelope.wrapOp(victims, "customers", op = "d", lsn = lit(100L))
+    val deletedIds = CdcEnvelope.decodeOps(wire, customers.schema)
+      .where(col("_op") === "d").select("id")
+    assert(deletedIds.count() == 5)
+
+    // without cascade, naive parent-only deletion leaves orphans
+    val naive = customers.join(deletedIds, Seq("id"), "left_anti")
+    val orphanedAccounts = accounts.join(
+      naive.select(col("id").as("customer_id")), Seq("customer_id"), "left_anti")
+    assert(orphanedAccounts.count() > 0, "fixture must actually exercise the cascade")
+
+    val (custAfter, acctAfter, txnAfter) =
+      CascadeDelete.banking(customers, accounts, transactions, deletedIds)
+
+    // referential integrity audits return zero after propagation (C3 done)
+    assert(custAfter.join(deletedIds, Seq("id"), "left_semi").count() == 0)
+    assert(acctAfter.join(
+      custAfter.select(col("id").as("customer_id")), Seq("customer_id"), "left_anti")
+      .count() == 0, "no account may orphan a deleted customer")
+    assert(txnAfter.join(
+      acctAfter.select(col("id").as("account_id")), Seq("account_id"), "left_anti")
+      .count() == 0, "no transaction may orphan a deleted account")
+
+    // survivors are untouched: counts add up exactly
+    val deletedAccounts = accounts.join(
+      victims.select(col("id").as("customer_id")), Seq("customer_id"), "left_semi")
+    assert(acctAfter.count() == accounts.count() - deletedAccounts.count())
+  }
+}
