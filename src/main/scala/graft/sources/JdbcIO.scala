@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *    partition-layout-independent — the semantics the oracle compares).
   *
   * Connection config mirrors the reference's env surface
-  * (`data-generator/.env`: host/port/db/user/password). Runtime JDBC needs a
-  * driver jar + live database — not present in this container, so this
-  * module is exercised structurally (option building, id assignment) in
-  * JdbcIOSpec and documented as the deployment surface.
+  * (`data-generator/.env`: host/port/db/user/password). JdbcIOSpec
+  * exercises the full write+read round trip against embedded Apache Derby
+  * (jar ships with Spark) — batched INSERTs, partitioned parallel scans,
+  * and cross-batch id monotonicity all run against a real SQL database;
+  * Postgres differs only in the driver/url pair of [[Conn]].
   */
 object JdbcIO {
 

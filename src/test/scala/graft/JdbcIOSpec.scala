@@ -1,11 +1,58 @@
 package graft
 
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
 import graft.sources.JdbcIO
 
-/** Structural checks of the JDBC surface (no live database in this
-  * environment — runtime writes are a deployment concern). */
+/** JDBC surface checks: option-building structure, plus a REAL SQL round
+  * trip against embedded Apache Derby (the derby jars ship with Spark) —
+  * the write+read leg the reference runs against Postgres
+  * (generator.py:168-176,204-208), exercised against an actual database. */
 class JdbcIOSpec extends SparkSpec {
   import spark.implicits._
+
+  private def derbyConn(db: String) = JdbcIO.Conn(
+    s"jdbc:derby:$db;create=true", user = "app", password = "app",
+    driver = "org.apache.derby.jdbc.EmbeddedDriver")
+
+  test("writer -> reader round-trips rows through an embedded SQL database") {
+    val db = Files.createTempDirectory("derby").resolve("bankdb").toString
+    val conn = derbyConn(db)
+    val rows = (1 to 500).map(i => (s"cust_$i", i * 10))
+      .toDF("name", "v")
+    val withIds = JdbcIO.withSequentialId(rows, "id", offset = 0, "name")
+
+    // batched INSERT leg (batchsize exercised with a small batch)
+    JdbcIO.writer(withIds, conn, "customers", batchSize = 64).save()
+
+    // partitioned parallel scan leg
+    val back = JdbcIO.reader(spark, conn, "customers",
+      partitionColumn = Some("id"), bounds = Some((1L, 500L)), numPartitions = 4)
+      .load()
+    assert(back.rdd.getNumPartitions == 4, "scan must be split across partitions")
+    assert(back.count() == 500)
+    val a = withIds.select("id", "name", "v").orderBy("id").collect().map(_.toString)
+    val b = back.select("id", "name", "v").orderBy("id").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  test("append mode accumulates cross-batch writes with monotone ids") {
+    val db = Files.createTempDirectory("derby").resolve("appenddb").toString
+    val conn = derbyConn(db)
+    val batch1 = JdbcIO.withSequentialId(
+      Seq(("a", 1), ("b", 2)).toDF("name", "v"), "id", offset = 0, "name")
+    JdbcIO.writer(batch1, conn, "t").save()
+    val maxId = JdbcIO.reader(spark, conn, "t").load()
+      .agg(max("id")).collect().head.getLong(0)
+    val batch2 = JdbcIO.withSequentialId(
+      Seq(("c", 3)).toDF("name", "v"), "id", offset = maxId, "name")
+    JdbcIO.writer(batch2, conn, "t").save()
+    val ids = JdbcIO.reader(spark, conn, "t").load()
+      .select("id").orderBy("id").as[Long].collect().toSeq
+    assert(ids == Seq(1L, 2L, 3L), "ids must stay dense across batches (RETURNING-id parity)")
+  }
 
   test("sequential id assignment is dense, ordered, and offset-aware") {
     val df = Seq(("c", 30), ("a", 10), ("b", 20)).toDF("name", "v")
@@ -13,6 +60,29 @@ class JdbcIOSpec extends SparkSpec {
     val rows = withIds.orderBy("id").collect()
     assert(rows.map(_.getLong(2)).toSeq == Seq(101L, 102L, 103L))
     assert(rows.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("sequential ids under duplicate order keys stay dense and key-ordered (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // Many duplicates on purpose: orderCols is NOT a total order here, so the
+    // documented contract is (a) ids are a dense permutation of
+    // offset+1..offset+n, (b) sorting by id never descends in the order key —
+    // within a tie the assignment is partition-stable but unspecified.
+    val keysGen = for {
+      n <- Gen.choose(1, 60)
+      ks <- Gen.listOfN(n, Gen.choose(0, 5))
+    } yield ks
+    val p = Prop.forAll(keysGen, Gen.choose(0L, 1000L)) { (ks, offset) =>
+      val df = ks.zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "payload")
+      val rows = JdbcIO.withSequentialId(df, "id", offset, "k")
+        .select("id", "k").orderBy("id").collect()
+      val ids = rows.map(_.getLong(0)).toSeq
+      val keysById = rows.map(_.getInt(1)).toSeq
+      ids == (offset + 1 to offset + ks.length).toSeq &&
+        keysById.zip(keysById.drop(1)).forall { case (a, b) => a <= b }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(res.passed, res.status.toString)
   }
 
   test("reader/writer carry the connection + partitioning option surface") {
