@@ -110,40 +110,63 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
-  /** IVF-style ANN: route the query vector to its nearest label centroid
-    * (the coarse quantizer built the scale-correct way — dimension-wise
-    * aggregation), then search ONLY that cluster. The 100 TB path: the
-    * probe scans corpus/n_clusters instead of everything; recall is traded
-    * explicitly via the (here: 1) probed cluster. Everything stays
-    * distributed — the query vector, the chosen label, and the candidate
-    * set are all DataFrames, broadcast where one-row. */
-  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    GraftFunctions.register(spark)
+  /** Build and persist the IVF coarse quantizer: one row per (label, dim)
+    * centroid component, written as a parquet index table. At scale the
+    * quantizer is an artifact with its own lifecycle — built once over the
+    * corpus (or a sample), read by every probe — not recomputed per query.
+    * The build is the scale-correct dimension-wise aggregation (posexplode
+    * → partial+final HashAggregate, constant memory per group). */
+  def buildCentroids(spark: SparkSession, sfDir: String, outPath: String): Unit = {
     val t = Tpch(spark, sfDir)
-    val q = queryVec(t)
-    // per-(label, dim) centroid components
-    val comps = t.embeddings
+    t.embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(avg(col("v").cast("double")).as("m"))
-    // score each centroid against the (broadcast) query vector, pick argmax
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Default cache location for one scale factor's centroid index. */
+  def centroidsPath(sfDir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** IVF probe against a persisted centroid index: route the query vector
+    * to its `nProbe` highest-scoring centroids, then search only those
+    * clusters. The 100 TB path: the probe scans ~corpus*nProbe/n_clusters
+    * instead of everything; recall is traded explicitly via nProbe (probing
+    * more clusters only ever adds candidates, so recall is monotone in
+    * nProbe — asserted in SimilaritySpec). Everything stays distributed —
+    * the query vector, the routed labels, and the candidate set are all
+    * DataFrames, broadcast where small. */
+  def ivfProbe(spark: SparkSession, sfDir: String, centroids: DataFrame,
+               nProbe: Int = 1, k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val t = Tpch(spark, sfDir)
     val qComps = t.embeddings.where(col("vec_id") === 0)
       .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
-    val bestLabel = comps
+    val routedLabels = centroids
       .join(broadcast(qComps), "pos")
       .groupBy(col("label"))
       .agg(sum(col("m") * col("qv").cast("double")).as("score"))
       .orderBy(col("score").desc, col("label").asc)
-      .limit(1)
+      .limit(nProbe)
       .select(col("label"))
-    // search only the routed cluster
     t.embeddings
-      .join(broadcast(bestLabel), "label")
-      .join(broadcast(q))
+      .join(broadcast(routedLabels), "label")
+      .join(broadcast(queryVec(t)))
       .withColumn("cos", expr("round(graft_cosine(embedding, q_vec), 6)"))
       .select(col("vec_id"), col("label"), col("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
+  }
+
+  /** The registered query: build-if-absent the persisted index, then probe
+    * it (nProbe=1 — output identical to the pre-index formulation). */
+  def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = centroidsPath(sfDir)
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hadoopPath)) buildCentroids(spark, sfDir, path)
+    ivfProbe(spark, sfDir, spark.read.parquet(path), nProbe = 1)
   }
 
   val all: Seq[NamedQuery] = Seq(

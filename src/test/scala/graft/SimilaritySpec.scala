@@ -84,6 +84,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected (cluster $routed)")
   }
 
+  test("probing more IVF clusters is monotone in recall and converges to brute force") {
+    val t = Tpch(spark, Sf)
+    val path = SimilarityQueries.centroidsPath(Sf)
+    SimilarityQueries.buildCentroids(spark, Sf, path)
+    val centroids = spark.read.parquet(path)
+    val exact = SimilarityQueries.cosineTopK(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    val nLabels = t.embeddings.select("label").distinct().count().toInt
+    def recall(nProbe: Int): Double = {
+      val got = SimilarityQueries.ivfProbe(spark, Sf, centroids, nProbe)
+        .collect().map(_.getLong(0)).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    assert(r2 >= r1, s"nProbe=2 recall $r2 must be >= nProbe=1 recall $r1")
+    assert(recall(nLabels) == 1.0, "probing every cluster must equal brute force")
+  }
+
   test("label centroids cover every label with full dimensionality") {
     val t = Tpch(spark, Sf)
     val nLabels = t.embeddings.select("label").distinct().count()
