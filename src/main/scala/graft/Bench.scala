@@ -20,20 +20,23 @@ object Bench {
         graft.sources.Tables.load(spark, sfDir, t).count()
       }
     } catch { case _: Throwable => () }
-    // Two timed runs per query, min reported: the box this runs on shows
-    // 2-3x run-to-run variance under load; min-of-2 is the steadier signal.
+    // Three timed runs per query: min is the headline (the box shows 2-3x
+    // run-to-run variance under load; min is the steadier signal), median
+    // reported alongside so a regression can't hide behind one lucky run.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> (times.min, times.sorted.apply(times.length / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(f: ((Double, Double)) => Double): String = results
+      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    val totalMedian = results.values.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
+      s""""queries":${obj(_._1)},"queries_median":${obj(_._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,41 @@ class StreamingMartSpec extends SparkSpec {
         ("2024-03-02", "COMPLETED", 1L, 25.0)))
   }
 
+  test("append mode drops rows older than the watermark and emits only closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Double)]
+    val stream = mem.toDF().toDF("ts", "amount")
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("late_mart")
+      .outputMode("append").start()
+    try {
+      // batch 1: establishes watermark = 2024-03-01 12:00 (max - 1 day)
+      mem.addData(
+        (Timestamp.valueOf("2024-03-01 10:00:00"), 1.0),
+        (Timestamp.valueOf("2024-03-01 15:00:00"), 1.0),
+        (Timestamp.valueOf("2024-03-02 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: one row beyond the watermark (window closed — must DROP),
+      // one late-but-in-open-window row (must count), one advancing row
+      mem.addData(
+        (Timestamp.valueOf("2024-02-27 09:00:00"), 99.0), // beyond watermark
+        (Timestamp.valueOf("2024-03-01 23:00:00"), 1.0),  // late, window open
+        (Timestamp.valueOf("2024-03-04 00:01:00"), 1.0))  // watermark -> 03-03
+      q.processAllAvailable()
+      // batch 3: dummy future row so the newly-advanced watermark emits
+      mem.addData((Timestamp.valueOf("2024-03-05 00:00:00"), 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("late_mart")
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"), col("n"))
+      .orderBy("day").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // 02-27 never appears (dropped), 03-01 counts the open-window late row
+    // but not the dropped one, 03-04/03-05 windows are still open
+    assert(emitted == Seq(("2024-03-01", 3L), ("2024-03-02", 1L)))
+  }
+
   test("G14 micro-batch loop: monotone ids across iterations, stable totals") {
     var seen = Map.empty[String, Seq[Long]]
     val totals = Datagen.runIterations(spark,
