@@ -209,9 +209,11 @@ object Datagen {
     // accounts (40%), else any other account — both via joins, no loops.
     val sameCust = accountsDf.select(col("customer_id"),
       col("id").as("partner_id"))
-    val withAcct = base.join(broadcast(acc), "account_id")
+    // no broadcast hints: the accounts frame grows with the batch size, so
+    // the join strategy is left to AQE (it still broadcasts while small)
+    val withAcct = base.join(acc, "account_id")
     val partnerPool = withAcct
-      .join(broadcast(sameCust), Seq("customer_id"), "left")
+      .join(sameCust, Seq("customer_id"), "left")
       .where(col("partner_id").isNull || col("partner_id") =!= col("account_id"))
       .withColumn("pick", row_number().over(
         Window.partitionBy(col("rid")).orderBy(

@@ -23,23 +23,28 @@ import graft.sources.Tables.Tpch
   */
 object DedupQueries {
 
-  /** Exact dedup stats per language: docs vs distinct texts. */
+  /** Exact dedup stats per language: docs vs distinct texts. Distinctness
+    * is computed on a 256-bit fingerprint (sha2) rather than the raw text:
+    * at 100 TB the shuffle then moves 32 bytes per doc instead of whole
+    * documents, and collision probability is cryptographically negligible. */
   def exactDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     t.documents
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_unique"))
+        countDistinct(sha2(col("text"), 256)).as("n_unique"))
       .orderBy(col("lang"))
   }
 
   /** Exact dedup keep-first: the surviving doc_id per distinct text
     * (min doc_id = deterministic keeper, the distributed analog of the
-    * reference's first-wins email seen-set, generator.py:101-114). */
+    * reference's first-wins email seen-set, generator.py:101-114). Groups
+    * on the text fingerprint — same shuffle-width rationale as
+    * [[exactDedupStats]]. */
   def exactDedupKeepFirst(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     t.documents
-      .groupBy(col("text"))
+      .groupBy(sha2(col("text"), 256))
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
       .orderBy(col("doc_id"))

@@ -131,6 +131,40 @@ object CdcEnvelope {
     untouched.unionByName(upserts.select(base.columns.map(col).toIndexedSeq: _*))
   }
 
+  /** Infer the payload row schema from raw envelope JSON — the reference's
+    * wire is schema-less (`*_SCHEMAS_ENABLE: 'false'`,
+    * docker-compose.yml:44-45; its pandas consumer re-infers per batch), so
+    * a new table can land before anyone declares its schema. Distributed
+    * Spark JSON inference over (a sample of) the messages; the `after` and
+    * `before` struct schemas are merged so delete-only samples still yield
+    * the full row shape. Inference semantics mirror the wire's reality:
+    * integers widen to LONG, NUMERIC-as-double arrives DOUBLE (the
+    * decimal.handling.mode=double quirk) — exactly what the reference's
+    * pandas frames held. */
+  def inferRowSchema(df: DataFrame, valueCol: String = "value",
+                     sampleRows: Int = 1000): StructType = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df.select(col(valueCol).cast("string")).limit(sampleRows).as[String]
+    val envSchema = spark.read.json(sample).schema
+    val payload = envSchema.fields.find(_.name == "payload").map(_.dataType) match {
+      case Some(s: StructType) => s
+      case _ => throw new IllegalArgumentException(
+        "not a CDC envelope stream: no payload struct in sampled JSON")
+    }
+    def imageOf(name: String): Option[StructType] =
+      payload.fields.find(_.name == name).map(_.dataType).collect { case s: StructType => s }
+    (imageOf("after"), imageOf("before")) match {
+      case (Some(a), Some(b)) =>
+        val extra = b.fields.filterNot(f => a.fieldNames.contains(f.name))
+        StructType(a.fields ++ extra)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalArgumentException(
+        "not a CDC envelope stream: payload has neither after nor before image")
+    }
+  }
+
   /** Table name from the reference's topic naming: last dotted segment
     * (consumer.py:74). */
   def tableFromTopic(topic: Column): Column = substring_index(topic, ".", -1)

@@ -66,6 +66,33 @@ class CdcEnvelopeSpec extends SparkSpec {
     assert(back(1).getDouble(3) == 1.5)
   }
 
+  test("inferRowSchema recovers the row shape from schema-less envelope JSON") {
+    val rows = Seq((7L, "TRANSFER", 250.5), (8L, "FEE", 1.25))
+      .toDF("id", "txn_type", "amount")
+    val wire = CdcEnvelope.wrap(rows, "transactions")
+    val inferred = CdcEnvelope.inferRowSchema(wire)
+    assert(inferred.fieldNames.toSeq == Seq("amount", "id", "txn_type"))
+    // schema-less JSON reality: ints widen to LONG, money arrives DOUBLE
+    assert(inferred("id").dataType == LongType)
+    assert(inferred("amount").dataType == DoubleType)
+    // the inferred schema drives decode end to end
+    val decoded = CdcEnvelope.decode(wire, inferred).orderBy("id").collect()
+    assert(decoded.length == 2 && decoded.head.getAs[Double]("amount") == 250.5)
+  }
+
+  test("inferRowSchema merges before/after images so delete-only samples work") {
+    val rows = Seq((1L, "gone")).toDF("id", "name")
+    val deletes = CdcEnvelope.wrapOp(rows, "customers", op = "d", lsn = lit(1L))
+    val inferred = CdcEnvelope.inferRowSchema(deletes)
+    assert(inferred.fieldNames.sorted.toSeq == Seq("id", "name"))
+    // creates + deletes together still yield one merged row schema
+    val mixed = CdcEnvelope.wrap(rows, "customers").union(deletes)
+    assert(CdcEnvelope.inferRowSchema(mixed).fieldNames.sorted.toSeq == Seq("id", "name"))
+    intercept[IllegalArgumentException] {
+      CdcEnvelope.inferRowSchema(Seq("""{"not":"an envelope"}""").toDF("value"))
+    }
+  }
+
   test("tableFromTopic extracts the last dotted segment (consumer.py:74)") {
     val df = Seq("banking_server.public.customers").toDF("topic")
     assert(df.select(CdcEnvelope.tableFromTopic(col("topic"))).as[String]
