@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** End-to-end training-corpus preparation — the composed pipeline a
+  * 100 TB pretraining-data run actually executes, as ONE oracle-checked
+  * query: quality filter → language-consistency filter → exact dedup
+  * (keep-first) → per-language quota balancing.
+  *
+  * Composition matters at scale: each stage is a narrow filter or a single
+  * keyed shuffle, and Catalyst fuses the filters into the scan (quality +
+  * language predicates are codegen'd into one pass over the corpus; only
+  * survivors reach the dedup shuffle). The per-language quota is a
+  * ranking window partitioned on `lang` — bounded cardinality, no global
+  * sort.
+  */
+object CorpusPrep {
+
+  private def toks = split(col("text"), " ")
+
+  /** Same scoring/prediction expressions as TextQueries (quality, langid) —
+    * reused here as *filters* instead of aggregates. */
+  private def qualityScore = {
+    val nTok = size(toks).cast("double")
+    least(lit(1.0), nTok / lit(100.0)) * 0.5 +
+      (size(array_distinct(toks)).cast("double") / nTok) * 0.5
+  }
+
+  private def predictedLang = when(col("text").contains(" the "), "en")
+    .when(col("text").contains(" el "), "es")
+    .when(col("text").contains(" le "), "fr")
+    .otherwise("und")
+
+  def corpusPrep(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val filtered = t.documents
+      .where(qualityScore >= 0.55 && predictedLang =!= "und")
+    // keep-first dedup carrying the keeper's attributes: min over a struct
+    // ordered by doc_id picks the keeper row without a join-back
+    val keepers = filtered
+      .groupBy(col("text"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("source"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.source").as("source"))
+    keepers
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      .where(col("rn") <= 50)
+      .drop("rn")
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_corpus_prep", corpusPrep, Some(
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source, text,
+        |         LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+        |         + (len(list_distinct(string_split(text, ' ')))
+        |            / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5 AS score,
+        |         CASE WHEN contains(text, ' the ') THEN 'en'
+        |              WHEN contains(text, ' el ') THEN 'es'
+        |              WHEN contains(text, ' le ') THEN 'fr'
+        |              ELSE 'und' END AS predicted
+        |  FROM documents),
+        |filtered AS (SELECT * FROM scored WHERE score >= 0.55 AND predicted <> 'und'),
+        |keeper AS (SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY text),
+        |enriched AS (SELECT f.doc_id, f.lang, f.source
+        |             FROM filtered f JOIN keeper k ON f.doc_id = k.doc_id),
+        |quota AS (SELECT doc_id, lang, source,
+        |                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |          FROM enriched)
+        |SELECT doc_id, lang, source FROM quota WHERE rn <= 50
+        |ORDER BY lang, doc_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,23 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming deduplication — the ingest-time twin of the batch dedup pack:
+  * drop re-deliveries of the same document as the stream lands, holding
+  * per-key state only within the watermark horizon.
+  *
+  * Why watermark-bounded: unbounded `dropDuplicates` state grows with every
+  * distinct key ever seen — a leak at 100 TB/day ingest.
+  * `dropDuplicatesWithinWatermark` evicts key state once the watermark
+  * passes, so memory tracks the de-dup horizon (late re-deliveries beyond
+  * the horizon are the at-least-once residue the lake's batch dedup
+  * catches — the two layers are complementary, not redundant).
+  */
+object StreamingDedup {
+
+  /** First occurrence per `idCols` within the watermark horizon. */
+  def dedupStream(df: DataFrame, idCols: Seq[String],
+                  eventTimeCol: String, delay: String): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+}

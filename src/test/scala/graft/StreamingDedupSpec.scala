@@ -1,0 +1,37 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingDedup
+
+/** Watermark-bounded streaming dedup: re-deliveries within the horizon are
+  * dropped, state is evicted past the watermark. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("re-delivered doc ids within the watermark emit exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamingDedup.dedupStream(
+      mem.toDF().toDF("doc_id", "ts", "text"),
+      idCols = Seq("doc_id"), eventTimeCol = "ts", delay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-03-01 10:00:00"), "doc one"),
+        (2L, Timestamp.valueOf("2024-03-01 10:05:00"), "doc two"),
+        (1L, Timestamp.valueOf("2024-03-01 10:00:00"), "doc one")) // in-batch dup
+      q.processAllAvailable()
+      mem.addData(
+        (1L, Timestamp.valueOf("2024-03-01 10:20:00"), "doc one re-delivery"),
+        (3L, Timestamp.valueOf("2024-03-01 10:30:00"), "doc three"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), s"each doc exactly once, got $ids")
+  }
+}
