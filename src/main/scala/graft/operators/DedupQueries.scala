@@ -103,6 +103,17 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** SimHash signatures likewise cached per (session, sf): one long per
+    * doc, derived from the shared shingles — the signatures view of the
+    * dedup pack, materialized once. */
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def sharedSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+      simhashFromShingled(sharedShingled(spark, sfDir))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
   /** MinHash+LSH near-duplicate pairs: shingle → 16-perm minhash → 4×4 bands
     * → band-hash groupBy buckets → in-bucket candidate pairs → exact Jaccard
     * verify ≥ 0.5. Oracle-free (sketching isn't ANSI-SQL-expressible);
@@ -135,10 +146,10 @@ object DedupQueries {
     * least one of the 4 chunks — so banding loses NO qualifying pair: the
     * LSH here is exact, not probabilistic. */
   def simhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    // Signatures derive from the shared shingle cache; the result (one long
-    // per doc) feeds banding plus both sides of the verify join. Lineage to
-    // the persisted shingles stays intact — executor loss recomputes.
-    val sigs = simhashFromShingled(sharedShingled(spark, sfDir))
+    // Signatures come from the shared cached view (one long per doc) and
+    // feed banding plus both sides of the verify join. Lineage to the
+    // persisted shingles stays intact — executor loss recomputes.
+    val sigs = sharedSimhash(spark, sfDir)
     val banded = sigs.withColumn("chunk_id", explode(expr("sequence(0, 3)")))
       .withColumn("chunk", expr("shiftright(simhash, chunk_id * 16) & 65535"))
     val candidates = banded

@@ -65,6 +65,24 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** BPE-style pre-tokenization counts: alongside the whitespace count, a
+    * GPT-2-ish pre-tokenizer regex (letter runs | digit runs | punctuation
+    * runs) — the token accounting a pretraining pipeline budgets by.
+    * Pure codegen'd regexp over the corpus scan, one small final agg. */
+  def tokenClasses(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val bpeish = """\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"""
+    t.documents
+      .select(col("lang"),
+        size(toks).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit(bpeish), lit(0))).cast("long").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .orderBy(col("lang"))
+  }
+
   /** Document fingerprinting: content-hash dedup stats per source. */
   def fingerprintStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
@@ -97,6 +115,11 @@ object TextQueries {
         |            + (len(list_distinct(string_split(text, ' ')))
         |               / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
         |            AS DECIMAL(18,8))) / COUNT(*), 4) AS DOUBLE) AS avg_quality
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_token_classes", tokenClasses, Some(
+      """SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |       CAST(SUM(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_fingerprint", fingerprintStats, Some(
       """SELECT source, COUNT(*) AS n_docs,
