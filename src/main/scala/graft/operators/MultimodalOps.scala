@@ -64,6 +64,18 @@ object MultimodalOps {
       payload.grouped(16).zipWithIndex.collect {
         case (frame, i) if i % k == 0 => frame
       }.toSeq
+
+    /** "Resize" stub: deterministic w×h-byte output derived by cycling the
+      * payload (stands in for a real resample; output size contract is the
+      * part the pipeline plumbing depends on). */
+    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = new Array[Byte](w * h)
+      if (payload.nonEmpty) {
+        var i = 0
+        while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+      }
+      out
+    }
   }
 
   /** Synthesize a media table from `documents`: payload = UTF-8 bytes of the
@@ -105,7 +117,33 @@ object MultimodalOps {
       .orderBy(col("kind"))
   }
 
+  /** Distributed frame sampling (the mapInPandas-shaped video leg): explode
+    * every 4th 16-byte frame per payload inside the partition, aggregate
+    * counts per kind. The oracle recomputes the sampled-frame count
+    * arithmetically from the text length — equality proves the distributed
+    * explode sampled exactly the declared stride. */
+  def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val frames = mediaFromDocuments(spark, sfDir)
+      .mapPartitions(_.flatMap { r =>
+        StubCodec.frameSample(r.payload, 4).map(f => (r.media_id, r.kind, f.length))
+      })
+      .toDF("media_id", "kind", "frame_bytes")
+    frames
+      .groupBy(col("kind"))
+      .agg(countDistinct(col("media_id")).as("n_docs"),
+        count(lit(1)).as("total_frames"))
+      .orderBy(col("kind"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_multimodal_frames", multimodalFrames, Some(
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(CEIL(CEIL(octet_length(CAST(text AS BLOB)) / 16.0) / 4.0)) AS BIGINT)
+        |         AS total_frames
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_multimodal_features", multimodalFeatures, Some(
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,

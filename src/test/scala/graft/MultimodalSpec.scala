@@ -48,4 +48,13 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.toSeq == payload.slice(0, 16).toSeq)
     assert(frames(1).toSeq == payload.slice(32, 48).toSeq)
   }
+
+  test("resize stub honors the w*h output-size contract deterministically") {
+    val payload = "tiny payload".getBytes
+    val out = StubCodec.resize(payload, 32, 16)
+    assert(out.length == 32 * 16)
+    assert(out.toSeq == StubCodec.resize(payload, 32, 16).toSeq)
+    assert(out.take(payload.length).toSeq == payload.toSeq, "cycled prefix preserved")
+    assert(StubCodec.resize(Array.emptyByteArray, 8, 8).length == 64)
+  }
 }
