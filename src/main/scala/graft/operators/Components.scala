@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.NamedQuery
+
+/** Connected components over a pair graph — the clustering step that turns
+  * near-duplicate PAIRS into duplicate GROUPS so a dedup pipeline can pick
+  * one canonical doc per group (pairs alone can't: near-dup is not
+  * transitive, the group is the transitive closure).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with itself; each round every node takes the min label among itself and
+  * its neighbors; converges in O(graph diameter) rounds. Each round is one
+  * equi-join + one aggregation — plain shuffles, no driver-side graph, no
+  * recursion depth tied to component size. Duplicate-clique graphs have
+  * tiny diameters (dense cliques converge in 1-2 rounds), so the loop count
+  * stays small at any corpus scale. Intermediates persist MEMORY_AND_DISK
+  * with lineage intact (same fault-tolerance contract as the dedup caches);
+  * the loop's convergence check is a count aggregate, the only driver-side
+  * value.
+  */
+object Components {
+
+  /** Components of an undirected edge list (columns `a`, `b`): returns
+    * (id, component) where component = min node id reachable. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    while (!converged) {
+      val neighborMin = sym
+        .join(labels.select(col("id").as("b"), col("component").as("nc")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nc")).as("min_nc"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("min_nc"), col("component")))
+            .as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** Near-duplicate groups over the MinHash pair graph: component id (the
+    * canonical keeper = min doc_id) and group size, largest groups first.
+    * Rows-only (the edge set comes from the LSH sketch); exactness is
+    * pinned in ComponentsSpec against driver-side union-find. */
+  def nearDupComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = DedupQueries.minhashNearDups(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("component"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_dedup_components", nearDupComponents, None),
+  )
+}

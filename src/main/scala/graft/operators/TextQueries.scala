@@ -83,6 +83,28 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** PII-style redaction sweep: scrub email-shaped and long-digit-run
+    * tokens (the canonical pretraining scrub pass), report per-language how
+    * many docs were touched and the total characters removed. Pure
+    * codegen'd regexp_replace over the scan — the redaction itself is a
+    * narrow map, the aggregate is the only shuffle. */
+  def redactionSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val digitsRe = """[0-9]{6,}"""
+    val redacted = regexp_replace(
+      regexp_replace(col("text"), emailRe, "[EMAIL]"), digitsRe, "[NUM]")
+    t.documents
+      .select(col("lang"),
+        (length(col("text")) - length(redacted)).cast("long").as("removed"),
+        when(redacted =!= col("text"), 1L).otherwise(0L).as("touched"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("touched")).as("docs_redacted"),
+        sum(col("removed")).as("chars_removed"))
+      .orderBy(col("lang"))
+  }
+
   /** Document fingerprinting: content-hash dedup stats per source. */
   def fingerprintStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
@@ -121,6 +143,17 @@ object TextQueries {
         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
         |       CAST(SUM(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_redact", redactionSweep, Some(
+      """WITH r AS (
+        |  SELECT lang, text,
+        |         regexp_replace(regexp_replace(text,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |           '[0-9]{6,}', '[NUM]', 'g') AS red
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
+        |       CAST(SUM(len(text) - len(red)) AS BIGINT) AS chars_removed
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_fingerprint", fingerprintStats, Some(
       """SELECT source, COUNT(*) AS n_docs,
         |       COUNT(DISTINCT md5(text)) AS n_unique

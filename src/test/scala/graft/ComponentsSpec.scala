@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Components, DedupQueries}
+
+/** Connected components: exact equality with driver-side union-find, both
+  * on a synthetic graph and on the real minhash near-dup pair graph. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain union-find ground truth. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("min-label propagation equals union-find on a multi-component chain graph") {
+    // two chains (diameter > 1 forces multiple propagation rounds) + a clique
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+    val got = Components.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(edges))
+    assert(got(4L) == 1L && got(12L) == 10L && got(22L) == 20L)
+  }
+
+  test("near-dup groups equal union-find over the real minhash pair graph") {
+    val pairs = DedupQueries.minhashNearDups(spark, Sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty)
+    val truth = unionFind(pairs).groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val got = Components.nearDupComponents(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == truth, s"got $got expected $truth")
+  }
+}
