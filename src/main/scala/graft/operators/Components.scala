@@ -35,19 +35,21 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var converged = false
     while (!converged) {
-      val neighborMin = sym
-        .join(labels.select(col("id").as("b"), col("component").as("nc")), "b")
-        .groupBy(col("a").as("id"))
-        .agg(min(col("nc")).as("min_nc"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("min_nc"), col("component")))
-            .as("component"))
+      // one join + one agg per round: neighbor label contributions unioned
+      // with each node's own label (tagged, so the same agg also yields the
+      // old label for a join-free convergence check)
+      val contributions = sym
+        .join(labels.select(col("id").as("b"), col("component").as("c")), "b")
+        .select(col("a").as("id"), col("c"), lit(null).cast("long").as("own"))
+        .union(labels.select(col("id"), col("component").as("c"),
+          col("component").as("own")))
+      val next = contributions
+        .groupBy(col("id"))
+        .agg(min(col("c")).as("component"), max(col("own")).as("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).count()
+      val changed = next.where(col("component") =!= col("old")).count()
       labels.unpersist()
-      labels = next
+      labels = next.select(col("id"), col("component"))
       converged = changed == 0
     }
     sym.unpersist()
