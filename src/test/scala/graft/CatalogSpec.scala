@@ -26,6 +26,15 @@ class CatalogSpec extends SparkSpec {
     assert(math.abs(cos - 1.0) < 1e-12)
     // events view gets the nanos-normalized timestamp schema
     assert(spark.sql("SELECT MIN(ts) FROM events").schema.head.dataType.typeName == "timestamp")
+    // all three native functions are live on the SQL surface
+    val shingles = spark.sql(
+      "SELECT size(graft_shingle_hashes(split(text, ' '))) AS n FROM documents LIMIT 1")
+      .collect().head.getInt(0)
+    assert(shingles >= 1)
+    val sigs = spark.sql(
+      "SELECT graft_hyperplane_sigs(embedding, 4, 8) AS s FROM embeddings WHERE vec_id = 0")
+      .collect().head.getSeq[Long](0)
+    assert(sigs.length == 4 && sigs.forall(s => s >= 0 && s < 256))
   }
 
   test("sliding windows: 1-day window sliding by 12h doubles event coverage") {
