@@ -60,6 +60,39 @@ object LandingWriter {
       }
   }
 
+  /** Compact one landed table's small files: each `date=` partition is
+    * rewritten into ceil(bytes / targetBytes) files. The count-batched
+    * landing (50-record flushes mirroring consumer.py:54) writes MANY tiny
+    * parquet files — the classic small-file problem that throttles every
+    * downstream scan at scale (one task + one footer fetch per file).
+    * Compaction is per-partition and atomic-per-partition: rewrite to a
+    * temp dir, then swap. Partitions already at or under one target file
+    * count are left untouched, so repeated compaction is idempotent. */
+  def compact(spark: SparkSession, root: String, table: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tablePath = new Path(s"$root/$table")
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tablePath)) return
+    fs.listStatus(tablePath).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("date=")).foreach { part =>
+      val files = fs.listStatus(part.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+      if (files.length > targetFiles) {
+        val tmp = new Path(part.getPath.getParent,
+          s".compact_tmp_${part.getPath.getName}")
+        fs.delete(tmp, true)
+        spark.read.parquet(part.getPath.toString)
+          .repartition(targetFiles)
+          .write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(part.getPath, true)
+        fs.rename(tmp, part.getPath)
+      }
+    }
+  }
+
   /** The Kafka leg as a configured reader (S4): 3-topic subscribe, earliest
     * offsets — group/commit management is replaced by Spark checkpointing.
     * Returned unloaded so environments without the Kafka connector jar can

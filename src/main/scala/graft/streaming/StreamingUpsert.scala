@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Streaming op-aware materialization — the incremental twin of
+  * `CdcEnvelope.applyOps`: a `mapGroupsWithState` view that keeps the
+  * latest surviving row per primary key current across micro-batches,
+  * applying updates last-writer-wins by lsn and tracking deletes as
+  * tombstoned state (so a later lower-lsn re-delivery cannot resurrect a
+  * deleted row — exactly the at-least-once hazard of the reference's
+  * auto-commit consumer, consumer.py:21).
+  *
+  * Scale: state is one (lsn, row, deleted) triple per LIVE key, sharded by
+  * the grouping shuffle and checkpointed by the streaming engine — no
+  * driver involvement, no unbounded growth beyond the keyspace itself.
+  * Emissions are per-key-per-batch (update mode): a downstream sink sees a
+  * changelog of current states, the streaming analog of the applied lake.
+  */
+object StreamingUpsert {
+
+  /** One change event: `op` ∈ c/r/u/d (shape of `CdcEnvelope.decodeOps`
+    * output), `lsn` the total order, `row` the image. */
+  final case class Change[T](key: Long, op: String, lsn: Long, row: T)
+
+  /** Current state per key after this batch: latest row + tombstone flag. */
+  final case class Current[T](key: Long, row: T, deleted: Boolean, lsn: Long)
+
+  def update[T](key: Long, changes: Iterator[Change[T]],
+                state: GroupState[(Long, T, Boolean)]): Current[T] = {
+    var (lsn, row, deleted) = state.getOption
+      .map { case (l, r, d) => (l, Option(r), d) }
+      .getOrElse((Long.MinValue, Option.empty[T], false))
+    changes.foreach { c =>
+      if (c.lsn >= lsn) { lsn = c.lsn; row = Some(c.row); deleted = c.op == "d" }
+    }
+    state.update((lsn, row.get, deleted))
+    Current(key, row.get, deleted, lsn)
+  }
+
+  /** Wire a change stream into the materialized view. Caller attaches the
+    * sink (`writeStream` + checkpoint + OutputMode.Update). */
+  def materialize[T](changes: Dataset[Change[T]])(
+      implicit et: org.apache.spark.sql.Encoder[T],
+      es: org.apache.spark.sql.Encoder[(Long, T, Boolean)],
+      ec: org.apache.spark.sql.Encoder[Current[T]]): Dataset[Current[T]] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update[T])
+  }
+}

@@ -36,6 +36,50 @@ class LandingWriterSpec extends SparkSpec {
     assert(back.columns.contains("date"))
   }
 
+  test("compaction collapses small-file partitions, preserves rows, idempotent") {
+    val root = tmpDir("compact")
+    // 12 tiny flushes → 12+ files in one partition (the count-batcher's
+    // small-file problem), plus a second partition left as-is
+    (1 to 12).foreach { i =>
+      LandingWriter.landBatch(Seq((i, s"v$i")).toDF("id", "v").repartition(1),
+        root.toString, "customers", Some("2024-03-01"))
+    }
+    LandingWriter.landBatch(Seq((99, "z")).toDF("id", "v").repartition(1),
+      root.toString, "customers", Some("2024-03-02"))
+    def files(date: String): Seq[String] =
+      Files.list(root.resolve(s"customers/date=$date")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(files("2024-03-01").size >= 12)
+    val before = spark.read.parquet(s"$root/customers")
+      .select("id", "v", "date").collect().map(_.toString).sorted
+
+    LandingWriter.compact(spark, root.toString, "customers")
+    assert(files("2024-03-01").size == 1, "small files must collapse to one")
+    assert(files("2024-03-02").size == 1)
+    val after = spark.read.parquet(s"$root/customers")
+      .select("id", "v", "date").collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction must not change data")
+
+    val names = files("2024-03-01")
+    LandingWriter.compact(spark, root.toString, "customers")
+    assert(files("2024-03-01") == names, "already-compact partition untouched")
+  }
+
+  test("schema evolution: later batches with new columns merge on read") {
+    val root = tmpDir("evolve")
+    LandingWriter.landBatch(Seq((1, "a")).toDF("id", "v"),
+      root.toString, "customers", Some("2024-03-01"))
+    // the wire is schema-less JSON — a new OLTP column simply appears
+    LandingWriter.landBatch(Seq((2, "b", "x@y.com")).toDF("id", "v", "email"),
+      root.toString, "customers", Some("2024-03-02"))
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/customers")
+    assert(merged.columns.sorted.toSeq == Seq("date", "email", "id", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).getAs[String]("email") == null, "old rows null-fill new columns")
+    assert(rows(1).getAs[String]("email") == "x@y.com")
+  }
+
   test("demux routes mixed topics to per-table directories") {
     val root = tmpDir("demux")
     val mixed = Seq(

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingUpsert
+import graft.streaming.StreamingUpsert.{Change, Current}
+
+final case class Acct(status: String, balance: Double)
+
+/** Streaming op-aware upsert: last-writer-wins by lsn, tombstoned deletes,
+  * re-delivery of stale events cannot resurrect a deleted row. */
+class StreamingUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("materialized view tracks creates, updates, deletes across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Change[Acct]]
+    val view = StreamingUpsert.materialize(mem.toDS())
+    val q = view.writeStream.format("memory").queryName("upsert_view")
+      .outputMode(OutputMode.Update()).start()
+    def latest(): Map[Long, Current[Acct]] = {
+      q.processAllAvailable()
+      // update-mode sink appends one row per key per batch; the max-lsn row
+      // per key is the current state
+      spark.table("upsert_view").as[Current[Acct]].collect()
+        .groupBy(_.key).map { case (k, rs) => k -> rs.maxBy(_.lsn) }
+    }
+    try {
+      mem.addData(
+        Change(1L, "c", 10L, Acct("ACTIVE", 100.0)),
+        Change(2L, "c", 11L, Acct("ACTIVE", 200.0)))
+      val s1 = latest()
+      assert(!s1(1L).deleted && s1(1L).row == Acct("ACTIVE", 100.0))
+
+      mem.addData(
+        Change(1L, "u", 20L, Acct("FROZEN", 150.0)), // update wins by lsn
+        Change(2L, "d", 21L, Acct("ACTIVE", 200.0))) // delete tombstones
+      val s2 = latest()
+      assert(s2(1L).row == Acct("FROZEN", 150.0) && !s2(1L).deleted)
+      assert(s2(2L).deleted, "delete must tombstone key 2")
+
+      // at-least-once residue: stale re-delivery (lsn 11 < 21) arrives after
+      // the delete — the tombstone must hold
+      mem.addData(Change(2L, "c", 11L, Acct("ACTIVE", 200.0)))
+      val s3 = latest()
+      assert(s3(2L).deleted, "stale re-delivery must not resurrect a deleted row")
+      assert(s3(2L).lsn == 21L)
+    } finally q.stop()
+  }
+}
