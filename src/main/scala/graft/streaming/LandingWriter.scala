@@ -84,8 +84,10 @@ object LandingWriter {
         val tmp = new Path(part.getPath.getParent,
           s".compact_tmp_${part.getPath.getName}")
         fs.delete(tmp, true)
+        // coalesce, not repartition: bin-packing reads into fewer write
+        // tasks is narrow — no shuffle for a pure file-count rewrite
         spark.read.parquet(part.getPath.toString)
-          .repartition(targetFiles)
+          .coalesce(targetFiles)
           .write.mode("overwrite").parquet(tmp.toString)
         fs.delete(part.getPath, true)
         fs.rename(tmp, part.getPath)
