@@ -63,6 +63,28 @@ object CdcQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** SCD Type-2 dimension history through the full CDC wire: the same
+    * synthetic change stream as [[cdcApplyOps]] (creates at lsn 1, updates
+    * at 2, deletes at 3) becomes one row per VERSION with valid_from/
+    * valid_to lsn bounds. The oracle reconstructs the identical history
+    * declaratively with UNION ALL + LEAD. */
+  def cdcScd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val base = t.customer.select(col("c_custkey"), col("c_acctbal"))
+    val creates = CdcEnvelope.wrapOp(base, "customers", op = "c", lsn = lit(1L))
+    val updates = CdcEnvelope.wrapOp(
+      base.where(pmod(col("c_custkey"), lit(100)) === 0)
+        .withColumn("c_acctbal", lit(-1.0)),
+      "customers", op = "u", lsn = lit(2L))
+    val deletes = CdcEnvelope.wrapOp(
+      base.where(pmod(col("c_custkey"), lit(97)) === 0),
+      "customers", op = "d", lsn = lit(3L))
+    val changes = CdcEnvelope.decodeOps(
+      creates.union(updates).union(deletes), base.schema)
+    CdcEnvelope.scd2History(changes, Seq("c_custkey"))
+      .orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   /** FK ON DELETE CASCADE propagation (C3, SCHEMA.sql:13,23) over the
     * customer → orders → lineitem chain: surviving row counts per table
     * after deleting every 50th customer. */
@@ -108,6 +130,21 @@ object CdcQueries {
         |FROM customer
         |WHERE c_custkey % 97 <> 0
         |ORDER BY c_custkey""".stripMargin)),
+    NamedQuery("q_cdc_scd2", cdcScd2, Some(
+      """WITH ch AS (
+        |  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS lsn, 'c' AS op FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, -1.0, CAST(2 AS BIGINT), 'u' FROM customer WHERE c_custkey % 100 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, CAST(3 AS BIGINT), 'd' FROM customer WHERE c_custkey % 97 = 0),
+        |v AS (
+        |  SELECT c_custkey, c_acctbal, op, lsn AS valid_from,
+        |         LEAD(lsn) OVER (PARTITION BY c_custkey ORDER BY lsn) AS valid_to
+        |  FROM ch)
+        |SELECT c_custkey, c_acctbal, valid_from, valid_to,
+        |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM v WHERE op <> 'd'
+        |ORDER BY c_custkey, valid_from""".stripMargin)),
     NamedQuery("q_cascade_delete", cascadeDelete, Some(
       """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
         |     delo AS (SELECT o_orderkey FROM orders

@@ -165,6 +165,26 @@ object CdcEnvelope {
     }
   }
 
+  /** SCD Type-2 history from a decoded change stream ([[decodeOps]]
+    * output): one row per surviving VERSION, with `valid_from`/`valid_to`
+    * lsn bounds and an `is_current` flag. Deletes emit no version but
+    * close the previous one (their lsn becomes its `valid_to` via the lead
+    * window). This is the versioned-dimension transform the reference's
+    * declared-but-empty dbt layer exists for — SCD1 is [[applyOps]], this
+    * is its history-keeping sibling. One shuffle on the PK; the window
+    * partitions on the key, so no global sort. */
+  def scd2History(changes: DataFrame, pk: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(col("_lsn"))
+    changes
+      .withColumn("valid_from", col("_lsn"))
+      .withColumn("valid_to", lead(col("_lsn"), 1).over(w))
+      .where(col("_op") =!= "d")
+      .withColumn("is_current",
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
+      .drop("_op", "_lsn")
+  }
+
   /** Table name from the reference's topic naming: last dotted segment
     * (consumer.py:74). */
   def tableFromTopic(topic: Column): Column = substring_index(topic, ".", -1)

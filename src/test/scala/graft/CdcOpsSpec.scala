@@ -65,6 +65,28 @@ class CdcOpsSpec extends SparkSpec {
     assert(applied.where(col("id") === 1).collect().head.getString(1) == "REBORN")
   }
 
+  test("scd2: updates version rows; a delete closes the last version silently") {
+    val c1 = CdcEnvelope.wrapOp(
+      Seq((1L, "v1", 0.0), (2L, "w1", 0.0)).toDF("id", "status", "balance"),
+      "accounts", op = "c", lsn = lit(10L))
+    val u1 = CdcEnvelope.wrapOp(
+      Seq((1L, "v2", 1.0)).toDF("id", "status", "balance"),
+      "accounts", op = "u", lsn = lit(20L))
+    val d1 = CdcEnvelope.wrapOp(
+      Seq((2L, "w1", 0.0)).toDF("id", "status", "balance"),
+      "accounts", op = "d", lsn = lit(30L))
+    val changes = CdcEnvelope.decodeOps(c1.union(u1).union(d1), baseLake.schema)
+    val hist = CdcEnvelope.scd2History(changes, Seq("id"))
+      .orderBy("id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]), r.getInt(5)))
+    assert(hist.toSeq == Seq(
+      (1L, "v1", 10L, Some(20L), 0), // superseded by the update
+      (1L, "v2", 20L, None, 1),      // current
+      (2L, "w1", 10L, Some(30L), 0)) // closed by the delete, no current row
+    )
+  }
+
   test("cascade: decoded customer deletes propagate to accounts and transactions") {
     val customers = Datagen.customers(spark, 40)
     val accounts = Datagen.accounts(customers)
