@@ -125,9 +125,21 @@ object SimilarityQueries {
       .write.mode("overwrite").parquet(outPath)
   }
 
-  /** Default cache location for one scale factor's centroid index. */
-  def centroidsPath(sfDir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+  /** Default cache location for one scale factor's centroid index. The key
+    * includes the source parquet's (mtime, length) fingerprint so a
+    * regenerated corpus can never silently reuse a stale index — index
+    * freshness is part of the artifact's identity, the same contract a
+    * production index table would carry as a snapshot version. */
+  def centroidsPath(spark: SparkSession, sfDir: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = fs.listStatus(src) match {
+      case arr if arr.nonEmpty => arr.map(s => s.getModificationTime ^ s.getLen).sum
+      case _ => 0L
+    }
+    val dir = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir}_${java.lang.Long.toHexString(fp)}"
+  }
 
   /** IVF probe against a persisted centroid index: route the query vector
     * to its `nProbe` highest-scoring centroids, then search only those
@@ -162,7 +174,7 @@ object SimilarityQueries {
   /** The registered query: build-if-absent the persisted index, then probe
     * it (nProbe=1 — output identical to the pre-index formulation). */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = centroidsPath(sfDir)
+    val path = centroidsPath(spark, sfDir)
     val hadoopPath = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(hadoopPath)) buildCentroids(spark, sfDir, path)

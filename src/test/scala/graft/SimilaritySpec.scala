@@ -86,7 +86,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("probing more IVF clusters is monotone in recall and converges to brute force") {
     val t = Tpch(spark, Sf)
-    val path = SimilarityQueries.centroidsPath(Sf)
+    val path = SimilarityQueries.centroidsPath(spark, Sf)
     SimilarityQueries.buildCentroids(spark, Sf, path)
     val centroids = spark.read.parquet(path)
     val exact = SimilarityQueries.cosineTopK(spark, Sf)
