@@ -74,6 +74,34 @@ class StreamingMartSpec extends SparkSpec {
     assert(emitted == Seq(("2024-03-01", 3L), ("2024-03-02", 1L)))
   }
 
+  test("session windows: gaps beyond the timeout split user sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val stream = mem.toDF().toDF("ts", "user", "amount")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "15 minutes").as("w"), col("user"))
+      .agg(count(lit(1)).as("n"), sum("amount").as("volume"))
+    mem.addData(
+      // user a: two events 10 min apart (one session), then a 40-min gap
+      (Timestamp.valueOf("2024-03-01 10:00:00"), "a", 1.0),
+      (Timestamp.valueOf("2024-03-01 10:10:00"), "a", 2.0),
+      (Timestamp.valueOf("2024-03-01 10:50:00"), "a", 4.0),
+      // user b: one lone event
+      (Timestamp.valueOf("2024-03-01 10:05:00"), "b", 8.0))
+    val q = stream.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sessions")
+      .select(date_format(col("w.start"), "HH:mm").as("s"),
+        date_format(col("w.end"), "HH:mm").as("e"), col("user"), col("n"), col("volume"))
+      .orderBy("user", "s").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      ("10:00", "10:25", "a", 2L, 3.0), // merged session, end = last event + gap
+      ("10:50", "11:05", "a", 1L, 4.0), // split by the 40-min silence
+      ("10:05", "10:20", "b", 1L, 8.0)))
+  }
+
   test("G14 micro-batch loop: monotone ids across iterations, stable totals") {
     var seen = Map.empty[String, Seq[Long]]
     val totals = Datagen.runIterations(spark,
