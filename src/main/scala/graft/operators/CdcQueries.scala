@@ -28,11 +28,14 @@ object CdcQueries {
 
   def cdcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
-    // Stage OLTP-shaped rows: money as NUMERIC(18,2) like SCHEMA.sql:15
+    // Stage OLTP-shaped rows: money as NUMERIC(18,2) like SCHEMA.sql:15.
+    // Single-file source → repartition so the JSON encode/parse (the heavy
+    // per-row work here) uses every core, not one task.
     val oltp = t.orders.select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
       col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
       col("o_orderdate"))
+      .repartition(spark.sparkContext.defaultParallelism)
     val wire = CdcEnvelope.wrap(oltp, "orders")
     val decoded = CdcEnvelope.decode(wire, oltp.schema)
     decoded
