@@ -9,7 +9,8 @@ object SparkEntry {
     MartQueries.all ++ AuditQueries.all ++ FunctionQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       CdcQueries.all ++ MultimodalOps.all ++ AdvancedQueries.all ++
-      OlapQueries.all ++ Sampling.all ++ CorpusPrep.all ++ Components.all
+      OlapQueries.all ++ Sampling.all ++ CorpusPrep.all ++ Components.all ++
+      Profiling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Column profiling — the stats-collection pass a pipeline runs before
+  * planning (null rates, cardinalities, ranges; what `ANALYZE TABLE`
+  * gathers for a CBO, what a data-quality monitor alerts on).
+  *
+  * Scale shape: ONE pass over the table computes every column's aggregates
+  * simultaneously (one partial+final HashAggregate, no per-column rescans);
+  * the per-column rows are unpivoted from that single aggregate row, so
+  * profiling cost is a single scan regardless of how many columns are
+  * profiled. Values cross the oracle boundary as strings (decimal-cast
+  * first, so double formatting can't diverge).
+  */
+object Profiling {
+
+  private def asStr(c: Column): Column = c.cast(DecimalType(18, 2)).cast("string")
+
+  def profileOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val agg = t.orders.agg(
+      count(lit(1)).as("n"),
+      // o_orderstatus
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("status_nulls"),
+      countDistinct(col("o_orderstatus")).as("status_distinct"),
+      min(col("o_orderstatus")).as("status_min"),
+      max(col("o_orderstatus")).as("status_max"),
+      // o_totalprice
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("price_nulls"),
+      countDistinct(col("o_totalprice")).as("price_distinct"),
+      asStr(min(col("o_totalprice"))).as("price_min"),
+      asStr(max(col("o_totalprice"))).as("price_max"),
+      // o_orderdate
+      sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)).as("date_nulls"),
+      countDistinct(col("o_orderdate")).as("date_distinct"),
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("date_min"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("date_max"))
+    def row(name: String, p: String): Column = struct(
+      lit(name).as("col_name"), col("n").as("n"),
+      col(s"${p}_nulls").as("n_null"), col(s"${p}_distinct").as("n_distinct"),
+      col(s"${p}_min").as("min_v"), col(s"${p}_max").as("max_v"))
+    agg
+      .select(explode(array(
+        row("o_orderdate", "date"),
+        row("o_orderstatus", "status"),
+        row("o_totalprice", "price"))).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_profile_orders", profileOrders, Some(
+      """SELECT 'o_orderdate' AS col_name, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       COUNT(DISTINCT o_orderdate) AS n_distinct,
+        |       strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_v,
+        |       strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_v
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*),
+        |       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       COUNT(DISTINCT o_orderstatus), MIN(o_orderstatus), MAX(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*),
+        |       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       COUNT(DISTINCT o_totalprice),
+        |       CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+        |       CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin)),
+  )
+}
