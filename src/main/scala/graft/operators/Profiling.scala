@@ -54,7 +54,54 @@ object Profiling {
       .orderBy(col("col_name"))
   }
 
+  /** Per-customer order-value outliers (> 2σ from the customer's mean) —
+    * the anomaly screen a transaction monitor runs. Mean/variance come
+    * from exact decimal sums (count/sum/sum-of-squares in one partial+final
+    * agg), so the doubles derived from them are bit-identical across
+    * engines and the 2σ boundary can't flip on accumulation order. One agg
+    * shuffle + one join back to the fact — no window over the whole fact
+    * table needed. */
+  def orderOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dec = DecimalType(28, 8)
+    val stats = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(dec)).as("sum_p"),
+        sum((col("o_totalprice") * col("o_totalprice")).cast(dec)).as("sum_sq"))
+      .where(col("n") >= 5)
+    val mean = col("sum_p").cast("double") / col("n")
+    val variance = (col("sum_sq").cast("double") - col("n") * mean * mean) /
+      (col("n") - 1)
+    val m = stats.select(col("o_custkey"), col("n"),
+      mean.as("mean"), variance.as("var"))
+    t.orders
+      .join(m, "o_custkey")
+      .where(col("var") > 0 &&
+        abs(col("o_totalprice") - col("mean")) > lit(2) * sqrt(col("var")))
+      .select(col("o_orderkey"), col("o_custkey"),
+        round((col("o_totalprice") - col("mean")) / sqrt(col("var")), 4)
+          .cast("double").as("sigma_dev"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_txn_outliers", orderOutliers, Some(
+      """WITH s AS (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |         SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS sum_p,
+        |         SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(28,8))) AS sum_sq
+        |  FROM orders GROUP BY 1 HAVING COUNT(*) >= 5),
+        |m AS (
+        |  SELECT o_custkey, n,
+        |         CAST(sum_p AS DOUBLE)/n AS mean,
+        |         (CAST(sum_sq AS DOUBLE) - n*(CAST(sum_p AS DOUBLE)/n)*(CAST(sum_p AS DOUBLE)/n))/(n-1) AS var
+        |  FROM s)
+        |SELECT o.o_orderkey, o.o_custkey,
+        |       CAST(ROUND((o.o_totalprice - m.mean)/SQRT(m.var), 4) AS DOUBLE) AS sigma_dev
+        |FROM orders o JOIN m ON o.o_custkey = m.o_custkey
+        |WHERE m.var > 0 AND ABS(o.o_totalprice - m.mean) > 2*SQRT(m.var)
+        |ORDER BY o.o_orderkey""".stripMargin)),
     NamedQuery("q_profile_orders", profileOrders, Some(
       """SELECT 'o_orderdate' AS col_name, COUNT(*) AS n,
         |       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

@@ -105,6 +105,22 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Exact top-k vocabulary: token frequencies over the whole corpus
+    * (explode → partial+final count → TakeOrderedAndProject). The corpus-
+    * wide vocabulary histogram every tokenizer/filter decision reads.
+    * Scale: the explode is narrow; the count shuffles one row per DISTINCT
+    * token (map-side combine), not per occurrence. */
+  def topTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.documents
+      .select(explode(toks).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(20)
+  }
+
   /** Document fingerprinting: content-hash dedup stats per source. */
   def fingerprintStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
@@ -143,6 +159,11 @@ object TextQueries {
         |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
         |       CAST(SUM(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_top_tokens", topTokens, Some(
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin)),
     NamedQuery("q_text_redact", redactionSweep, Some(
       """WITH r AS (
         |  SELECT lang, text,
