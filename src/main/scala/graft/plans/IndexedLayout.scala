@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Index-equivalent physical layout (SURVEY.md §2-A C5).
@@ -25,6 +25,39 @@ object IndexedLayout {
     df.repartition(numPartitions, col(key))
       .sortWithinPartitions(col(key), col(time))
       .write.mode("overwrite").parquet(path)
+
+  /** Z-order (bit-interleaved) clustering for TWO-dimensional predicate
+    * locality — the multi-dim extension of the composite-index layout: a
+    * linear sort clusters only its leading column (the trailing column
+    * spans its full range in every file); interleaving 16 normalized bits
+    * of each key makes every partition a small rectangle in (c1, c2)
+    * space, so min/max stats prune on BOTH dimensions.
+    *
+    * Scale shape: one tiny min/max agg (broadcast as a 1-row frame), then
+    * a narrow z-value projection and one range repartition — the same
+    * cost as a plain global sort, no window functions, no driver state. */
+  def zorder(df: DataFrame, c1: String, c2: String, numPartitions: Int): DataFrame = {
+    val bounds = df.agg(
+      min(col(c1)).cast("double").as("min1"), max(col(c1)).cast("double").as("max1"),
+      min(col(c2)).cast("double").as("min2"), max(col(c2)).cast("double").as("max2"))
+    def norm16(c: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(0L)).otherwise(
+        ((c.cast("double") - lo) / (hi - lo) * 65535.0).cast("long"))
+    val z = {
+      val a = norm16(col(c1), col("min1"), col("max1"))
+      val b = norm16(col(c2), col("min2"), col("max2"))
+      (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(a.bitwiseAND(lit(1L << i)), i))
+          .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i + 1))
+      }
+    }
+    df.join(broadcast(bounds))
+      .withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "min1", "max1", "min2", "max2")
+  }
 
   /** S5: object-store/path bootstrap — the reference's create-bucket-if-
     * absent (consumer.py:27-38) maps to an idempotent mkdirs on the

@@ -16,6 +16,29 @@ class IndexedLayoutSpec extends SparkSpec {
     assert(IndexedLayout.ensureRoot(spark, root.toString)) // second call: no-op, still true
   }
 
+  test("z-order clusters both dimensions; linear sort only clusters the first") {
+    import spark.implicits._
+    // 64x64 uniform grid: the worst case for linear sort (second dim spans
+    // its full range in every partition)
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y)).toDF("x", "y")
+    def avgRange(df: org.apache.spark.sql.DataFrame, c: String): Double = {
+      val r = df.withColumn("p", spark_partition_id())
+        .groupBy("p").agg((max(col(c)) - min(col(c))).as("r"))
+        .agg(avg("r")).collect().head
+      r.getDouble(0)
+    }
+    val linear = grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+    val zed = IndexedLayout.zorder(grid, "x", "y", 16)
+    assert(zed.count() == 4096)
+    val (linY, zY) = (avgRange(linear, "y"), avgRange(zed, "y"))
+    val zX = avgRange(zed, "x")
+    // linear leaves y unclustered (range ~63 everywhere); z-order confines
+    // every partition to a small rectangle in BOTH dims
+    assert(linY > 60.0, s"fixture broken: linear y-range $linY")
+    assert(zY < 0.6 * linY, s"z-order y-range $zY not < 60% of linear $linY")
+    assert(zX < 32.0, s"z-order x-range $zX must stay rectangular too")
+  }
+
   test("clustered layout co-locates keys and sorts by time within partitions") {
     val out = Files.createTempDirectory("layout").resolve("lineitem")
     val li = Tables.load(spark, Sf, "lineitem")
