@@ -47,7 +47,20 @@ object CorpusPrep {
       .agg(min(struct(col("doc_id"), col("lang"), col("source"))).as("k"))
       .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
         col("k.source").as("source"))
-    keepers
+    // Two-phase quota: lang has ~5 values, so a single window partitioned
+    // by lang would funnel each language through ONE task at scale. Phase 1
+    // ranks within (lang, shard) — high-cardinality partitions — keeping
+    // each shard's candidate top-50 (a superset of the global top-50, since
+    // the quota takes the 50 smallest doc_ids per lang and every one of
+    // them is also among its own shard's 50 smallest). Phase 2 ranks the
+    // ≤ 50×64 survivors per lang — bounded input, safe to single-task.
+    val sharded = keepers
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(64)))
+          .orderBy(col("doc_id"))))
+      .where(col("rn") <= 50)
+      .drop("rn")
+    sharded
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
       .where(col("rn") <= 50)
