@@ -33,6 +33,11 @@ object Components {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Track the PERSISTED frame of each round separately from the `labels`
+    // projection over it: Dataset.unpersist only uncaches a plan that
+    // sameResult()s the cached one, so unpersisting the projection would be
+    // a silent no-op and every round's cache block would leak.
+    var persisted: DataFrame = labels
     var converged = false
     while (!converged) {
       // one join + one agg per round: neighbor label contributions unioned
@@ -48,7 +53,8 @@ object Components {
         .agg(min(col("c")).as("component"), max(col("own")).as("old"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.where(col("component") =!= col("old")).count()
-      labels.unpersist()
+      persisted.unpersist()
+      persisted = next
       labels = next.select(col("id"), col("component"))
       converged = changed == 0
     }

@@ -21,25 +21,13 @@ import graft.sources.Tables.Tpch
   */
 object CorpusPrep {
 
-  private def toks = split(col("text"), " ")
-
-  /** Same scoring/prediction expressions as TextQueries (quality, langid) —
-    * reused here as *filters* instead of aggregates. */
-  private def qualityScore = {
-    val nTok = size(toks).cast("double")
-    least(lit(1.0), nTok / lit(100.0)) * 0.5 +
-      (size(array_distinct(toks)).cast("double") / nTok) * 0.5
-  }
-
-  private def predictedLang = when(col("text").contains(" the "), "en")
-    .when(col("text").contains(" el "), "es")
-    .when(col("text").contains(" le "), "fr")
-    .otherwise("und")
-
   def corpusPrep(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
+    // the SAME scoring/prediction expressions TextQueries aggregates over,
+    // used here as filters — shared definitions, so they cannot diverge
     val filtered = t.documents
-      .where(qualityScore >= 0.55 && predictedLang =!= "und")
+      .where(TextQueries.qualityScoreExpr >= 0.55 &&
+        TextQueries.predictedLangExpr =!= "und")
     // keep-first dedup carrying the keeper's attributes: min over a struct
     // ordered by doc_id picks the keeper row without a join-back
     val keepers = filtered

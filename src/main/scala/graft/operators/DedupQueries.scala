@@ -93,26 +93,40 @@ object DedupQueries {
     * lineage, so a lost executor recomputes the partition instead of
     * killing the job — the fault-tolerance contract a 1000-executor run
     * needs. (localCheckpoint truncates lineage non-fault-tolerantly.) */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  /** Cache keyed by (appId, session identity, sf). Entries carry their
+    * owning session so lookups can purge frames whose session has stopped —
+    * identityHashCode alone could collide with a successor session in the
+    * same JVM and hand out a DataFrame bound to a dead SparkContext, and
+    * without purging every (session, sf) pair's frame would pin its session
+    * for the JVM lifetime. */
+  private val shingleCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String), (SparkSession, DataFrame)]
+
+  private def cached(cache: scala.collection.concurrent.TrieMap[(String, Int, String), (SparkSession, DataFrame)],
+                     spark: SparkSession, sfDir: String)(build: => DataFrame): DataFrame = {
+    cache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    val key = (spark.sparkContext.applicationId, System.identityHashCode(spark), sfDir)
+    cache.getOrElseUpdate(key, (spark, build))._2
+  }
 
   private def sharedShingled(spark: SparkSession, sfDir: String): DataFrame =
-    shingleCache.getOrElseUpdate((System.identityHashCode(spark), sfDir), {
+    cached(shingleCache, spark, sfDir) {
       val t = Tpch(spark, sfDir)
       withShingles(spread(t.documents.select(col("doc_id"), col("text"))))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   /** SimHash signatures likewise cached per (session, sf): one long per
     * doc, derived from the shared shingles — the signatures view of the
     * dedup pack, materialized once. */
-  private val simhashCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  private val simhashCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String), (SparkSession, DataFrame)]
 
   private def sharedSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    simhashCache.getOrElseUpdate((System.identityHashCode(spark), sfDir),
+    cached(simhashCache, spark, sfDir) {
       simhashFromShingled(sharedShingled(spark, sfDir))
-        .persist(StorageLevel.MEMORY_AND_DISK))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** MinHash+LSH near-duplicate pairs: shingle → 16-perm minhash → 4×4 bands
     * → band-hash groupBy buckets → in-bucket candidate pairs → exact Jaccard

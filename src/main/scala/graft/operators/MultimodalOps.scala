@@ -124,15 +124,22 @@ object MultimodalOps {
     * explode sampled exactly the declared stride. */
   def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val frames = mediaFromDocuments(spark, sfDir)
+    val media = mediaFromDocuments(spark, sfDir)
+    val frames = media
       .mapPartitions(_.flatMap { r =>
         StubCodec.frameSample(r.payload, 4).map(f => (r.media_id, r.kind, f.length))
       })
       .toDF("media_id", "kind", "frame_bytes")
-    frames
+    // n_docs counts MEDIA rows, not frame-emitting rows: an empty payload
+    // yields zero frames but is still a document (the oracle's COUNT(*)
+    // counts it, so counting distinct frame emitters would undercount)
+    media.toDF()
       .groupBy(col("kind"))
-      .agg(countDistinct(col("media_id")).as("n_docs"),
-        count(lit(1)).as("total_frames"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(frames.groupBy(col("kind")).agg(count(lit(1)).as("total_frames")),
+        Seq("kind"), "left")
+      .select(col("kind"), col("n_docs"),
+        coalesce(col("total_frames"), lit(0L)).as("total_frames"))
       .orderBy(col("kind"))
   }
 

@@ -172,12 +172,25 @@ object SimilarityQueries {
   }
 
   /** The registered query: build-if-absent the persisted index, then probe
-    * it (nProbe=1 — output identical to the pre-index formulation). */
+    * it (nProbe=1 — output identical to the pre-index formulation). A
+    * directory without the `_SUCCESS` marker is a crashed half-write, not
+    * an index — rebuilt (mode=overwrite clears the debris). Superseded
+    * fingerprints' directories for the same corpus are removed so
+    * regeneration cycles don't accumulate dead indexes in tmp. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
     val path = centroidsPath(spark, sfDir)
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val hadoopPath = new Path(path)
     val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hadoopPath)) buildCentroids(spark, sfDir, path)
+    if (!fs.exists(new Path(hadoopPath, "_SUCCESS"))) {
+      val dir = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val parent = hadoopPath.getParent
+      if (fs.exists(parent)) fs.listStatus(parent)
+        .filter(s => s.getPath.getName.startsWith(s"graft_ivf_${dir}_") &&
+          s.getPath.getName != hadoopPath.getName)
+        .foreach(s => fs.delete(s.getPath, true))
+      buildCentroids(spark, sfDir, path)
+    }
     ivfProbe(spark, sfDir, spark.read.parquet(path), nProbe = 1)
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -20,6 +20,23 @@ object TextQueries {
 
   private def toks = split(col("text"), " ")
 
+  /** Per-doc quality score (length saturation + lexical diversity) — shared
+    * with [[CorpusPrep]] so the filter there and the stats here can never
+    * silently diverge. */
+  private[operators] def qualityScoreExpr: Column = {
+    val nTok = size(toks).cast("double")
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val lengthSat = least(lit(1.0), nTok / lit(100.0))
+    lengthSat * 0.5 + diversity * 0.5
+  }
+
+  /** Stopword-marker language prediction — shared with [[CorpusPrep]]. */
+  private[operators] def predictedLangExpr: Column =
+    when(col("text").contains(" the "), "en")
+      .when(col("text").contains(" el "), "es")
+      .when(col("text").contains(" le "), "fr")
+      .otherwise("und")
+
   /** Token/char statistics per language. */
   def textStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
@@ -37,12 +54,8 @@ object TextQueries {
     * labeled `lang` column. */
   def langId(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
-    val predicted = when(col("text").contains(" the "), "en")
-      .when(col("text").contains(" el "), "es")
-      .when(col("text").contains(" le "), "fr")
-      .otherwise("und")
     t.documents
-      .groupBy(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), predictedLangExpr.as("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("lang"), col("predicted"))
   }
@@ -52,12 +65,8 @@ object TextQueries {
     * decimal-summed average. */
   def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
-    val nTok = size(toks).cast("double")
-    val diversity = size(array_distinct(toks)).cast("double") / nTok
-    val lengthSat = least(lit(1.0), nTok / lit(100.0))
-    val score = (lengthSat * 0.5 + diversity * 0.5)
     t.documents
-      .select(col("source"), score.as("score"))
+      .select(col("source"), qualityScoreExpr.as("score"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         round(sum(col("score").cast(DecimalType(18, 8))) / count(lit(1)), 4)

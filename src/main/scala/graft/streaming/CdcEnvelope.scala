@@ -110,9 +110,19 @@ object CdcEnvelope {
     }
   }
 
+  /** Deterministic precedence among events sharing an lsn (re-deliveries,
+    * multi-op transactions, or a wire without lsn where decodeOps defaults
+    * to 0): delete > update > read > create. A delete inside the same
+    * transaction as an update is terminal in the source database, so
+    * delete-wins mirrors the OLTP end state; without a tiebreaker the
+    * winner would vary run to run. */
+  private[streaming] def opRank(op: Column): Column =
+    when(op === "d", 3).when(op === "u", 2).when(op === "r", 1).otherwise(0)
+
   /** Apply a decoded change stream (from [[decodeOps]]) onto a base
-    * snapshot: per primary key, the event with the highest `_lsn` wins;
-    * a winning delete removes the row, a winning create/update replaces it.
+    * snapshot: per primary key, the event with the highest `(_lsn, op
+    * precedence)` wins; a winning delete removes the row, a winning
+    * create/update replaces it.
     *
     * Scale shape: one shuffle of the (small) change set for the per-key
     * window, one shuffle-or-broadcast anti-join of base against touched
@@ -123,7 +133,8 @@ object CdcEnvelope {
     val keyCols = pk.map(col)
     val latest = changes
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(keyCols: _*).orderBy(col("_lsn").desc)))
+        Window.partitionBy(keyCols: _*)
+          .orderBy(col("_lsn").desc, opRank(col("_op")).desc)))
       .where(col("__rn") === 1)
       .drop("__rn")
     val untouched = base.join(latest.select(keyCols: _*), pk, "left_anti")

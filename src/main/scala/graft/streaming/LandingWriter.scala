@@ -74,6 +74,18 @@ object LandingWriter {
     val tablePath = new Path(s"$root/$table")
     val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(tablePath)) return
+    // Crash recovery first: a `.compact_old_X` left behind means a prior
+    // swap died mid-way. If the live partition is missing, the rename-back
+    // restores it; if it exists, the swap completed and the backup (plus
+    // any stray tmp) is garbage.
+    fs.listStatus(tablePath).filter(_.getPath.getName.startsWith(".compact_old_"))
+      .foreach { old =>
+        val target = new Path(tablePath, old.getPath.getName.stripPrefix(".compact_old_"))
+        if (!fs.exists(target)) fs.rename(old.getPath, target)
+        else fs.delete(old.getPath, true)
+      }
+    fs.listStatus(tablePath).filter(_.getPath.getName.startsWith(".compact_tmp_"))
+      .foreach(t => fs.delete(t.getPath, true))
     fs.listStatus(tablePath).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith("date=")).foreach { part =>
       val files = fs.listStatus(part.getPath)
@@ -81,16 +93,20 @@ object LandingWriter {
       val bytes = files.map(_.getLen).sum
       val targetFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
       if (files.length > targetFiles) {
-        val tmp = new Path(part.getPath.getParent,
-          s".compact_tmp_${part.getPath.getName}")
-        fs.delete(tmp, true)
+        val name = part.getPath.getName
+        val tmp = new Path(tablePath, s".compact_tmp_$name")
+        val old = new Path(tablePath, s".compact_old_$name")
         // coalesce, not repartition: bin-packing reads into fewer write
         // tasks is narrow — no shuffle for a pure file-count rewrite
         spark.read.parquet(part.getPath.toString)
           .coalesce(targetFiles)
           .write.mode("overwrite").parquet(tmp.toString)
-        fs.delete(part.getPath, true)
+        // rename-aside swap: every crash point leaves either the original
+        // (as live or as .compact_old_) or the finished rewrite in place —
+        // the partition is never lost (recovery above handles the rest)
+        fs.rename(part.getPath, old)
         fs.rename(tmp, part.getPath)
+        fs.delete(old, true)
       }
     }
   }

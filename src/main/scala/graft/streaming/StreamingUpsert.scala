@@ -26,13 +26,23 @@ object StreamingUpsert {
   /** Current state per key after this batch: latest row + tombstone flag. */
   final case class Current[T](key: Long, row: T, deleted: Boolean, lsn: Long)
 
+  /** Same-lsn precedence as `CdcEnvelope.applyOps`: delete > update >
+    * read > create — keeps the winner deterministic under the arbitrary
+    * per-batch iterator order of re-delivered / multi-op events. */
+  private def rank(op: String): Int = op match {
+    case "d" => 3; case "u" => 2; case "r" => 1; case _ => 0
+  }
+
   def update[T](key: Long, changes: Iterator[Change[T]],
                 state: GroupState[(Long, T, Boolean)]): Current[T] = {
     var (lsn, row, deleted) = state.getOption
       .map { case (l, r, d) => (l, Option(r), d) }
       .getOrElse((Long.MinValue, Option.empty[T], false))
+    var curRank = if (deleted) 3 else -1
     changes.foreach { c =>
-      if (c.lsn >= lsn) { lsn = c.lsn; row = Some(c.row); deleted = c.op == "d" }
+      if (c.lsn > lsn || (c.lsn == lsn && rank(c.op) >= curRank)) {
+        lsn = c.lsn; row = Some(c.row); deleted = c.op == "d"; curRank = rank(c.op)
+      }
     }
     state.update((lsn, row.get, deleted))
     Current(key, row.get, deleted, lsn)

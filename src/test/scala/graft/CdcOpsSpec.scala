@@ -54,6 +54,21 @@ class CdcOpsSpec extends SparkSpec {
     assert(applied.getString(1) == "CURRENT" && applied.getDouble(2) == 2.0)
   }
 
+  test("equal-lsn events resolve deterministically: delete wins the tie") {
+    val upd = CdcEnvelope.wrapOp(
+      Seq((1L, "UPDATED", 5.0)).toDF("id", "status", "balance"),
+      "accounts", op = "u", lsn = lit(7L))
+    val del = CdcEnvelope.wrapOp(
+      baseLake.where(col("id") === 1), "accounts", op = "d", lsn = lit(7L))
+    // both orders of the same tied pair must agree: row 1 deleted
+    Seq(upd.union(del), del.union(upd)).foreach { wire =>
+      val changes = CdcEnvelope.decodeOps(wire, baseLake.schema)
+      val ids = CdcEnvelope.applyOps(baseLake, changes, Seq("id"))
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(2L, 3L), s"delete must win the lsn tie, got rows $ids")
+    }
+  }
+
   test("a delete that is itself superseded by a later re-insert survives") {
     val del = CdcEnvelope.wrapOp(
       baseLake.where(col("id") === 1), "accounts", op = "d", lsn = lit(7L))

@@ -65,6 +65,21 @@ class LandingWriterSpec extends SparkSpec {
     assert(files("2024-03-01") == names, "already-compact partition untouched")
   }
 
+  test("compaction recovers a partition stranded by a mid-swap crash") {
+    val root = tmpDir("crash")
+    LandingWriter.landBatch(Seq((1, "a"), (2, "b")).toDF("id", "v"),
+      root.toString, "t", Some("2024-03-01"))
+    // simulate dying between rename(part -> old) and rename(tmp -> part)
+    val table = root.resolve("t")
+    Files.move(table.resolve("date=2024-03-01"),
+      table.resolve(".compact_old_date=2024-03-01"))
+    assert(!Files.exists(table.resolve("date=2024-03-01")))
+    LandingWriter.compact(spark, root.toString, "t")
+    val back = spark.read.parquet(s"$root/t")
+    assert(back.count() == 2, "recovery must restore the stranded partition")
+    assert(!Files.exists(table.resolve(".compact_old_date=2024-03-01")))
+  }
+
   test("schema evolution: later batches with new columns merge on read") {
     val root = tmpDir("evolve")
     LandingWriter.landBatch(Seq((1, "a")).toDF("id", "v"),
