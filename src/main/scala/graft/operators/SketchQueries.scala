@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Sketch-based approximation operators — the fixed-memory summaries a
+  * 100 TB profile pass actually ships back to the driver (alongside the
+  * HLL distinct-count already in `q_approx_distinct_customers`):
+  * Count-Min frequency estimation and quantile sketches.
+  *
+  * Scale rationale: the exact token histogram (`q_text_top_tokens`)
+  * shuffles one row per distinct token — fine until the vocabulary itself
+  * is huge; a Count-Min sketch is a few KB regardless of cardinality,
+  * merged associatively executor→driver (one partial+final agg, no
+  * per-token shuffle at all). Same for quantiles: `percentile_approx`'s
+  * sketch is bounded by the accuracy knob, not by n.
+  *
+  * Both are rows-only at the driver gate (ANSI SQL can't express the
+  * sketches); SketchSpec pins the estimates against exact answers with
+  * the sketches' own error bounds.
+  */
+object SketchQueries {
+
+  /** Count-Min estimates for the exact top-20 tokens: (token, exact_n,
+    * cms_n). CMS guarantees cms_n >= exact_n and, with eps=0.001,
+    * overestimates by at most eps * total_tokens with 99% confidence —
+    * asserted in SketchSpec. */
+  def cmsTokenCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tpch(spark, sfDir)
+    val tokens = t.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val sketchBytes = tokens
+      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("s"))
+      .collect().head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.map { case (tok, n) => (tok, n, cms.estimateCount(tok)) }
+      .toSeq.toDF("token", "exact_n", "cms_n")
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
+  /** Approximate order-value quantiles next to their exact counterparts:
+    * one row per probed quantile with both answers. The approx side is a
+    * bounded-memory sketch (accuracy 10000 ≈ 0.01% rank error); the exact
+    * side sorts within the aggregate — viable at test scale, the thing
+    * the sketch replaces at 100 TB. */
+  def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.orders.agg(
+      expr("percentile_approx(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)")
+        .as("approx"),
+      expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("exact"))
+      .select(posexplode(arrays_zip(col("approx"), col("exact"))).as(Seq("i", "q")))
+      .select(
+        element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), col("i") + 1)
+          .as("quantile"),
+        col("q.approx").as("approx_v"),
+        round(col("q.exact"), 4).cast("double").as("exact_v"))
+      .orderBy(col("quantile"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sketch_token_counts", cmsTokenCounts, None),
+    NamedQuery("q_sketch_quantiles", approxQuantiles, None),
+  )
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SketchQueries
+import graft.sources.Tables
+
+/** Sketch estimates against exact answers, within each sketch's own
+  * published error bound. */
+class SketchSpec extends SparkSpec {
+
+  test("count-min estimates dominate exact counts within the eps bound") {
+    val rows = SketchQueries.cmsTokenCounts(spark, Sf).collect()
+    assert(rows.length == 20)
+    val totalTokens = Tables.load(spark, Sf, "documents")
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") =!= "").count()
+    val maxOver = (0.001 * totalTokens).ceil.toLong
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS must never undercount: ${r.getString(0)}")
+      assert(est - exact <= maxOver,
+        s"${r.getString(0)}: overestimate ${est - exact} beyond eps bound $maxOver")
+    }
+  }
+
+  test("approximate quantiles track exact quantiles closely") {
+    val rows = SketchQueries.approxQuantiles(spark, Sf).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.25, 0.5, 0.75, 0.95))
+    val (lo, hi) = (
+      Tables.load(spark, Sf, "orders").agg(min("o_totalprice")).collect().head.getDouble(0),
+      Tables.load(spark, Sf, "orders").agg(max("o_totalprice")).collect().head.getDouble(0))
+    val range = hi - lo
+    rows.foreach { r =>
+      val (a, e) = (r.getDouble(1), r.getDouble(2))
+      assert(math.abs(a - e) <= 0.02 * range,
+        s"q=${r.getDouble(0)}: approx $a vs exact $e drifts beyond 2% of range")
+    }
+  }
+}
