@@ -248,6 +248,60 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Longest shared token span per near-dup candidate pair — the substring
+    * -duplication detector (the "train-on-it-twice" span family, distinct
+    * from whole-doc similarity: two docs can share a 50-token boilerplate
+    * run at Jaccard 0.1). Fully relational formulation:
+    *
+    *  1. positional shingles: (doc, pos, hash) via posexplode — NOT
+    *     deduplicated, positions matter here;
+    *  2. candidate pairs from the rare-shingle inverted index (same
+    *     bounding as n-gram Jaccard — no all-pairs);
+    *  3. matching positions joined per pair; a shared RUN of consecutive
+    *     shingles lies on one diagonal d = pos_a - pos_b, so run length =
+    *     longest consecutive streak within (pair, d) — the classic
+    *     `pos - row_number()` grouping, a window over high-cardinality
+    *     (pair, diagonal) partitions;
+    *  4. span_tokens = max run + n - 1 (a run of k 3-shingles covers
+    *     k + 2 tokens).
+    *
+    * Exactness of every reported span is pinned in DedupSpec against a
+    * driver-side longest-common-substring on raw tokens. */
+  def commonSpanDups(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    graft.functions.ShingleHashes.register(spark)
+    val docs = spread(t.documents.select(col("doc_id"), col("text")))
+    val pos = docs
+      .withColumn("hs", expr("graft_shingle_hashes(split(text, ' '))"))
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+    val rare = pos
+      .groupBy(col("h"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, 5))
+    val candidates = rare
+      .select(explode(expr(pairsFromIds)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val matches = candidates
+      .join(pos.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h")), "doc_a")
+      .join(pos.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h")),
+        Seq("doc_b", "h"))
+      .select(col("doc_a"), col("doc_b"), col("pos_a"), col("pos_b"),
+        (col("pos_a") - col("pos_b")).as("d"))
+    val runs = matches
+      .withColumn("grp", col("pos_a") - row_number().over(
+        Window.partitionBy(col("doc_a"), col("doc_b"), col("d")).orderBy(col("pos_a"))))
+      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+    runs
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg((max(col("run")) + 2).cast("long").as("span_tokens"))
+      .where(col("span_tokens") >= 10)
+      .orderBy(col("span_tokens").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dedup_exact_stats", exactDedupStats, Some(
       """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique
@@ -257,5 +311,6 @@ object DedupQueries {
     NamedQuery("q_dedup_minhash", minhashNearDups, None),
     NamedQuery("q_dedup_simhash", simhashNearDups, None),
     NamedQuery("q_dedup_ngram_jaccard", ngramJaccardDups, None),
+    NamedQuery("q_dedup_common_span", commonSpanDups, None),
   )
 }

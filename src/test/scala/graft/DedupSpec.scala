@@ -39,6 +39,33 @@ class DedupSpec extends SparkSpec {
     assert(truePairs(0.9).nonEmpty)
   }
 
+  test("common-span spans equal exact longest common token substrings") {
+    val t = Tpch(spark, Sf)
+    val tokensById = t.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    // classic O(n*m) longest-common-substring over token sequences
+    def lcs(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var best = 0
+      for (i <- 1 to a.length; j <- 1 to b.length) {
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          best = best max dp(i)(j)
+        }
+      }
+      best
+    }
+    val reported = DedupQueries.commonSpanDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(reported.nonEmpty, "fixture must contain shared spans >= 10 tokens")
+    reported.foreach { case (a, b, span) =>
+      val exact = lcs(tokensById(a), tokensById(b))
+      assert(span == exact,
+        s"pair ($a,$b): reported span $span != exact LCS $exact")
+    }
+    assert(reported.forall(_._3 >= 10))
+  }
+
   test("minhash LSH: reported jaccards are exact; recall on j>=0.9 pairs >= 80%") {
     val got = DedupQueries.minhashNearDups(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
