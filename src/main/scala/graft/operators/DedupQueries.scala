@@ -128,6 +128,22 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** POSITIONAL shingles (doc_id, pos, h) — not deduplicated, for the
+    * span detector. Cached/persisted like the other signature views: the
+    * frame feeds three plan branches per execution. */
+  private val positionalCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, String), (SparkSession, DataFrame)]
+
+  private def sharedPositional(spark: SparkSession, sfDir: String): DataFrame =
+    cached(positionalCache, spark, sfDir) {
+      graft.functions.ShingleHashes.register(spark)
+      val t = Tpch(spark, sfDir)
+      spread(t.documents.select(col("doc_id"), col("text")))
+        .withColumn("hs", expr("graft_shingle_hashes(split(text, ' '))"))
+        .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** MinHash+LSH near-duplicate pairs: shingle → 16-perm minhash → 4×4 bands
     * → band-hash groupBy buckets → in-bucket candidate pairs → exact Jaccard
     * verify ≥ 0.5. Oracle-free (sketching isn't ANSI-SQL-expressible);
@@ -255,8 +271,10 @@ object DedupQueries {
     *
     *  1. positional shingles: (doc, pos, hash) via posexplode — NOT
     *     deduplicated, positions matter here;
-    *  2. candidate pairs from the rare-shingle inverted index (same
-    *     bounding as n-gram Jaccard — no all-pairs);
+    *  2. candidate pairs from a TIERED shingle inverted index (exhaustive
+    *     for df ≤ 64, sampled for df ≤ 4096, stopword-grade skipped — see
+    *     the inline rationale; high-df shingles are signal here, unlike
+    *     Jaccard dedup);
     *  3. matching positions joined per pair; a shared RUN of consecutive
     *     shingles lies on one diagonal d = pos_a - pos_b, so run length =
     *     longest consecutive streak within (pair, d) — the classic
@@ -269,17 +287,29 @@ object DedupQueries {
     * driver-side longest-common-substring on raw tokens. */
   def commonSpanDups(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = Tpch(spark, sfDir)
-    graft.functions.ShingleHashes.register(spark)
-    val docs = spread(t.documents.select(col("doc_id"), col("text")))
-    val pos = docs
-      .withColumn("hs", expr("graft_shingle_hashes(split(text, ' '))"))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
-    val rare = pos
+    val pos = sharedPositional(spark, sfDir)
+    // Candidate tiering: unlike Jaccard dedup (where common shingles carry
+    // no signal), for SPAN detection high-df shingles ARE the signal — a
+    // boilerplate block replicated across 100 docs makes every one of its
+    // shingles df>=100, and a df<=5 bound would silently miss all of it.
+    // So: df in [2, 64] pairs exhaustively (<= 2016 pairs/shingle, bounded);
+    // df in (64, 4096] pairs among the 64 smallest doc_ids (deterministic —
+    // surfaces the replicated span for the top pairs without quadratic
+    // blowup); df > 4096 is stopword-grade and skipped, a documented cap
+    // (a span confined to such shingles alone is ubiquitous text, and any
+    // longer span will also cross a rarer neighboring shingle).
+    // df computed BEFORE any collect_set so no aggregation buffer ever
+    // holds a stopword-grade shingle's full posting list
+    val postings = pos.select(col("h"), col("doc_id")).distinct()
+    val boundedShingles = postings
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, 4096))
+      .select(col("h"))
+    val candidates = postings
+      .join(boundedShingles, "h")
       .groupBy(col("h"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
-      .where(size(col("ids")).between(2, 5))
-    val candidates = rare
+      .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
+      .select(slice(col("all_ids"), 1, 64).as("ids"))
       .select(explode(expr(pairsFromIds)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()

@@ -52,16 +52,19 @@ object SketchQueries {
     * bounded-memory sketch (accuracy 10000 ≈ 0.01% rank error); the exact
     * side sorts within the aggregate — viable at test scale, the thing
     * the sketch replaces at 100 TB. */
+  /** The probed quantiles, defined once — rendered into both aggregate
+    * expressions and the label column so the three uses cannot drift. */
+  val Quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)
+
   def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
+    val qArr = Quantiles.map(q => s"${q}D").mkString("array(", ", ", ")")
     t.orders.agg(
-      expr("percentile_approx(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D), 10000)")
-        .as("approx"),
-      expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))").as("exact"))
+      expr(s"percentile_approx(o_totalprice, $qArr, 10000)").as("approx"),
+      expr(s"percentile(o_totalprice, $qArr)").as("exact"))
       .select(posexplode(arrays_zip(col("approx"), col("exact"))).as(Seq("i", "q")))
       .select(
-        element_at(array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), col("i") + 1)
-          .as("quantile"),
+        element_at(array(Quantiles.map(lit): _*), col("i") + 1).as("quantile"),
         col("q.approx").as("approx_v"),
         round(col("q.exact"), 4).cast("double").as("exact_v"))
       .orderBy(col("quantile"))

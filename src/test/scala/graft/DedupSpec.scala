@@ -41,8 +41,12 @@ class DedupSpec extends SparkSpec {
 
   test("common-span spans equal exact longest common token substrings") {
     val t = Tpch(spark, Sf)
-    val tokensById = t.documents.select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    // tokenize through Spark's split (keeps trailing empties), matching the
+    // operator's own tokenization — Scala String.split would silently drop
+    // trailing empty tokens and diverge on texts ending in a space
+    val tokensById = t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
     // classic O(n*m) longest-common-substring over token sequences
     def lcs(a: Seq[String], b: Seq[String]): Int = {
       val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
@@ -64,6 +68,16 @@ class DedupSpec extends SparkSpec {
         s"pair ($a,$b): reported span $span != exact LCS $exact")
     }
     assert(reported.forall(_._3 >= 10))
+    // recall: every true near-dup pair with a long exact span must be
+    // reported (they carry the largest spans, so the top-50 holds them)
+    val reportedPairs = reported.map(r => (r._1, r._2)).toSet
+    val minReported = reported.map(_._3).min
+    truePairs(0.9).foreach { case (a, b) =>
+      val exact = lcs(tokensById(a), tokensById(b))
+      if (exact >= minReported)
+        assert(reportedPairs.contains((a, b)),
+          s"near-dup pair ($a,$b) with span $exact missing from report")
+    }
   }
 
   test("minhash LSH: reported jaccards are exact; recall on j>=0.9 pairs >= 80%") {

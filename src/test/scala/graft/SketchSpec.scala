@@ -26,7 +26,7 @@ class SketchSpec extends SparkSpec {
 
   test("approximate quantiles track exact quantiles closely") {
     val rows = SketchQueries.approxQuantiles(spark, Sf).collect()
-    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.25, 0.5, 0.75, 0.95))
+    assert(rows.map(_.getDouble(0)).toSeq == SketchQueries.Quantiles)
     val (lo, hi) = (
       Tables.load(spark, Sf, "orders").agg(min("o_totalprice")).collect().head.getDouble(0),
       Tables.load(spark, Sf, "orders").agg(max("o_totalprice")).collect().head.getDouble(0))
