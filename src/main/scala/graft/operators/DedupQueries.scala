@@ -292,12 +292,13 @@ object DedupQueries {
     // no signal), for SPAN detection high-df shingles ARE the signal — a
     // boilerplate block replicated across 100 docs makes every one of its
     // shingles df>=100, and a df<=5 bound would silently miss all of it.
-    // So: df in [2, 64] pairs exhaustively (<= 2016 pairs/shingle, bounded);
-    // df in (64, 4096] pairs among the 64 smallest doc_ids (deterministic —
-    // surfaces the replicated span for the top pairs without quadratic
-    // blowup); df > 4096 is stopword-grade and skipped, a documented cap
-    // (a span confined to such shingles alone is ubiquitous text, and any
-    // longer span will also cross a rarer neighboring shingle).
+    // Tiers: df in [2, 8] pairs exhaustively; df in (8, 4096] pairs among
+    // the 8 smallest doc_ids (deterministic — the replicated span still
+    // surfaces through those pairs, and the downstream positional join
+    // scales with CANDIDATE count, so the per-shingle pair budget is the
+    // cost lever); df > 4096 is stopword-grade and skipped, a documented
+    // cap (a span confined to such shingles alone is ubiquitous text; any
+    // longer span also crosses a rarer neighboring shingle).
     // df computed BEFORE any collect_set so no aggregation buffer ever
     // holds a stopword-grade shingle's full posting list
     val postings = pos.select(col("h"), col("doc_id")).distinct()
@@ -305,14 +306,21 @@ object DedupQueries {
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
       .where(col("df").between(2, 4096))
       .select(col("h"))
+    // a >= 10-token span means >= 8 shared consecutive shingles, so any
+    // qualifying pair co-occurs under MANY generating shingles — requiring
+    // >= 3 prunes the single-shingle-coincidence pairs (the overwhelming
+    // bulk: 610k -> ~20k at sf0.1) before the positional join they could
+    // never survive
     val candidates = postings
       .join(boundedShingles, "h")
       .groupBy(col("h"))
       .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
-      .select(slice(col("all_ids"), 1, 64).as("ids"))
+      .select(slice(col("all_ids"), 1, 8).as("ids"))
       .select(explode(expr(pairsFromIds)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+      .select(col("doc_a"), col("doc_b"))
     val matches = candidates
       .join(pos.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h")), "doc_a")
       .join(pos.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h")),
