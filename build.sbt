@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures a bounded tail of stdout and parses the LAST
+// JSON line, so Bench.scala's one-line report must be the final line on
+// stdout, unprefixed and unwrapped:
+//  - StdoutOutput stops sbt from logging the forked program's stdout
+//    through its own logger (which adds "[info] " to every line);
+//  - showSuccess := false drops the trailing "[success] Total time: ..."
+//    epilogue that would otherwise become the last line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,12 +31,21 @@ object Bench {
       }
       name -> (times.min, times.sorted.apply(times.length / 2))
     }
-    def obj(f: ((Double, Double)) => Double): String = results
-      .map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    def obj(f: ((Double, Double)) => Double, dp: Int): String = results
+      .map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(f(v)) }
+      .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val totalMedian = results.values.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
-      s""""queries":${obj(_._1)},"queries_median":${obj(_._2)},"sf":"$sfDir"}""")
+    // Full-precision detail (min + median per query) goes to stderr for
+    // humans; stdout carries EXACTLY ONE compact JSON line as its last
+    // line — the driver keeps only a bounded tail of stdout and parses
+    // the final JSON line, so the report must be short and last.
+    System.err.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
+        s""""queries":${obj(_._1, 4)},"queries_median":${obj(_._2, 4)},"sf":"$sfDir"}""")
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,""" +
+        s""""queries":${obj(_._1, 2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
