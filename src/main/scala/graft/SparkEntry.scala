@@ -10,7 +10,8 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       CdcQueries.all ++ MultimodalOps.all ++ AdvancedQueries.all ++
       OlapQueries.all ++ Sampling.all ++ CorpusPrep.all ++ Components.all ++
-      Profiling.all ++ SketchQueries.all
+      Profiling.all ++ SketchQueries.all ++ EventAnalytics.all ++
+      IncrementalMart.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

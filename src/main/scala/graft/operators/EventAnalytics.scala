@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Event-stream analytics over the `events` table: interval (band) joins
+  * and gap-based sessionization — the per-account time-windowed query
+  * family the reference's composite index `(account_id, created_at)`
+  * exists for (SCHEMA.sql:31), applied to event time.
+  *
+  * Both queries work on integer epoch seconds (`unix_timestamp` over the
+  * second-truncated `ts` that [[graft.sources.Tables]] exposes), so every
+  * comparison is integer-exact and the DuckDB oracle can state the same
+  * semantics declaratively.
+  *
+  * Scale notes:
+  *  - The band join never plans a nested loop: one side is exploded into
+  *    the (at most 3) time buckets its band can reach, then the join is a
+  *    plain equi-shuffle on `(user_id, bucket)` with the exact band
+  *    predicate as a post-filter. Fan-out is bounded (3×) regardless of
+  *    data volume or band width, and the shuffle keys stay high-cardinality
+  *    (users × hours). A BETWEEN-only formulation would degrade to
+  *    BroadcastNestedLoopJoin — the classic 100 TB cliff.
+  *  - Sessionization windows partition on `user_id` (high cardinality), so
+  *    no global sort; each user's timeline sorts within its partition.
+  */
+object EventAnalytics {
+
+  private def epochSeconds(spark: SparkSession, sfDir: String): DataFrame =
+    Tpch(spark, sfDir).events.select(
+      col("event_id"), col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+
+  /** Band (interval) join: for each purchase, how many errors the same
+    * user hit within ±1 hour — the error-attribution query shape. Bucket
+    * width equals the band half-width, so a probe row in bucket B can only
+    * match build rows in buckets {B-1, B, B+1}: the build side is exploded
+    * into exactly those, making each qualifying pair meet exactly once. */
+  def errorsNearPurchases(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = epochSeconds(spark, sfDir)
+    val bandS = 3600L
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("es"),
+        expr(s"es div $bandS").as("bucket"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("es").as("err_es"),
+        explode(array(expr(s"es div $bandS - 1"), expr(s"es div $bandS"),
+          expr(s"es div $bandS + 1"))).as("bucket"))
+    purchases.join(errors, Seq("user_id", "bucket"))
+      .where(abs(col("err_es") - col("es")) <= bandS)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap): per-user session
+    * stats — the batch twin of a streaming session window. Session ids are
+    * the running sum of new-session flags over each user's timeline. */
+  def sessionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapS = 1800L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
+    val prev = lag(col("es"), 1).over(w)
+    val sessions = epochSeconds(spark, sfDir)
+      .withColumn("is_new",
+        when(prev.isNull || col("es") - prev > gapS, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("is_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"), (max(col("es")) - min(col("es"))).as("span_s"))
+    sessions.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"),
+        max(col("span_s")).as("max_session_span_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_events_band_join", errorsNearPurchases, Some(
+      """SELECT p.event_id, p.user_id, COUNT(*) AS n_errors
+        |FROM events p JOIN events e ON p.user_id = e.user_id
+        |WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        |  AND CAST(floor(epoch(e.ts)) AS BIGINT)
+        |      BETWEEN CAST(floor(epoch(p.ts)) AS BIGINT) - 3600
+        |          AND CAST(floor(epoch(p.ts)) AS BIGINT) + 3600
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_events_sessionize", sessionStats, Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, es,
+        |         CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w > 1800
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+        |g AS (
+        |  SELECT user_id, es,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |s AS (
+        |  SELECT user_id, sid, COUNT(*) AS n, MAX(es) - MIN(es) AS span_s
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |       CAST(SUM(n) AS BIGINT) AS n_events,
+        |       CAST(MAX(n) AS BIGINT) AS max_session_events,
+        |       CAST(MAX(span_s) AS BIGINT) AS max_session_span_s
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+import graft.streaming.CdcEnvelope
+import MartQueries.{moneySum, moneySumSql}
+
+/** Incremental (delta) maintenance of a materialized aggregate from a CDC
+  * change stream — the transform that replaces "full nightly refresh" at
+  * scale: when a change batch arrives, only the groups containing touched
+  * keys are recomputed; every untouched group is carried over from the
+  * previously materialized mart unread.
+  *
+  * This is the dbt-incremental-model semantics the reference's declared
+  * dbt layer exists for (dockerfile-airflow.dockerfile:3 installs dbt;
+  * README.md:62 promises the models), driven by the engine's own Debezium
+  * envelope wire (`CdcEnvelope.wrapOp` → JSON → `decodeOps` → `applyOps`).
+  *
+  * Scale shape: the change batch is small relative to the base table, so
+  *  - the touched-key set is a distinct over the changes (tiny shuffle),
+  *  - the recompute scans only rows of touched groups (semi join — AQE
+  *    broadcasts the key set when it is small),
+  *  - the carry-over is an anti join of the MART (one row per group, not
+  *    per fact row) against the same key set.
+  * Work scales with |changes| + |touched groups|, not with |base table| —
+  * at 100 TB that is the difference between minutes and a full-table
+  * shuffle. The oracle states the equivalent full recompute declaratively;
+  * hash equality proves incremental == full refresh.
+  */
+object IncrementalMart {
+
+  private def martOf(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("volume"))
+
+  /** Per-customer order mart, delta-maintained through the full CDC wire:
+    * every 100th order is repriced to 100.00 (update, lsn 2), every 97th
+    * deleted (lsn 3, winning over a same-key update by lsn order). */
+  def incrementalCustomerMart(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tpch(spark, sfDir).orders
+    val base = martOf(orders)
+    val updates = CdcEnvelope.wrapOp(
+      orders.where(pmod(col("o_orderkey"), lit(100)) === 0)
+        .withColumn("o_totalprice", lit(100.0)),
+      "orders", op = "u", lsn = lit(2L))
+    val deletes = CdcEnvelope.wrapOp(
+      orders.where(pmod(col("o_orderkey"), lit(97)) === 0),
+      "orders", op = "d", lsn = lit(3L))
+    val changes = CdcEnvelope.decodeOps(updates.union(deletes), orders.schema)
+    val touched = changes.select(col("o_custkey")).distinct()
+    val applied = CdcEnvelope.applyOps(orders, changes, Seq("o_orderkey"))
+    val refreshed = martOf(applied.join(touched, Seq("o_custkey"), "left_semi"))
+    base.join(touched, Seq("o_custkey"), "left_anti")
+      .unionByName(refreshed)
+      .orderBy(col("o_custkey"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_incremental_mart", incrementalCustomerMart, Some(
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |       ${moneySumSql("CASE WHEN o_orderkey % 100 = 0 THEN 100.0 ELSE o_totalprice END")} AS volume
+         |FROM orders
+         |WHERE o_orderkey % 97 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

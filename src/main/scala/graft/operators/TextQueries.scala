@@ -130,6 +130,36 @@ object TextQueries {
       .limit(20)
   }
 
+  /** TF-IDF relevance scoring: the single most characteristic term of each
+    * document. Ranking is integer-only (tf desc, df asc, term asc) so the
+    * winner is bit-identical across engines; the tf·ln(N/df) score itself
+    * is reported rounded. N (corpus size) travels as a broadcast one-row
+    * frame — no driver-side action inside the query.
+    *
+    * Scale: tf is a (doc, term) partial+final count; df aggregates the tf
+    * rows (one per distinct doc-term, never per occurrence); the rank
+    * window partitions on doc_id (high cardinality, no global sort). */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val tok = t.documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .where(col("term") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val rn = row_number().over(Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("rn", rn)
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4)
+          .as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprinting: content-hash dedup stats per source. */
   def fingerprintStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
@@ -184,6 +214,22 @@ object TextQueries {
         |       CAST(SUM(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
         |       CAST(SUM(len(text) - len(red)) AS BIGINT) AS chars_removed
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_tfidf", tfidfTopTerms, Some(
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok2),
+        |r AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+        |                            ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn
+        |  FROM tf t JOIN df d USING (term))
+        |SELECT r.doc_id, r.term, CAST(r.tf AS BIGINT) AS tf,
+        |       CAST(r.df AS BIGINT) AS df,
+        |       ROUND(r.tf * ln(CAST(n.n_docs AS DOUBLE) / r.df), 4) AS score
+        |FROM r, n WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin)),
     NamedQuery("q_text_fingerprint", fingerprintStats, Some(
       """SELECT source, COUNT(*) AS n_docs,
         |       COUNT(DISTINCT md5(text)) AS n_unique

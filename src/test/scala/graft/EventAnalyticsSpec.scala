@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventAnalytics
+
+/** Ground-truth checks for the event analytics operators: the bucketed
+  * band join must equal the naive all-pairs formulation, and the windowed
+  * sessionization must equal a driver-side fold over each user's sorted
+  * timeline. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private def events = graft.sources.Tables.Tpch(spark, Sf).events
+    .select(col("event_id"), col("user_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("es"))
+
+  test("band join equals the naive all-pairs range join") {
+    val got = EventAnalytics.errorsNearPurchases(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val rows = events.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val errs = rows.filter(_._3 == "error")
+    val expected = rows.filter(_._3 == "purchase").flatMap { case (id, u, _, es) =>
+      val n = errs.count { case (_, eu, _, ees) => eu == u && math.abs(ees - es) <= 3600 }
+      if (n > 0) Some((id, u) -> n.toLong) else None
+    }.toMap
+
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should produce at least one purchase-error pair")
+  }
+
+  test("band join plans an equi join, not a nested loop") {
+    val plan = EventAnalytics.errorsNearPurchases(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"nested-loop join in plan:\n$plan")
+  }
+
+  test("sessionization equals a driver-side fold") {
+    val got = EventAnalytics.sessionStats(spark, Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val byUser = events.collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(0)))
+      .groupBy(_._1)
+    val expected = byUser.map { case (u, evs) =>
+      val ts = evs.map { case (_, es, id) => (es, id) }.sorted.map(_._1)
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, e) =>
+        if (e - acc.head.head > 1800L) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }.map(_.reverse).reverse
+      u -> ((sessions.size.toLong, ts.size.toLong,
+        sessions.map(_.size).max.toLong,
+        sessions.map(s => s.last - s.head).max))
+    }
+    assert(got == expected)
+  }
+}

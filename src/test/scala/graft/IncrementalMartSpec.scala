@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IncrementalMart, MartQueries}
+import graft.sources.Tables.Tpch
+import graft.streaming.CdcEnvelope
+
+/** The defining invariant of delta maintenance: the incrementally
+  * maintained mart must be row-identical to a full refresh over the
+  * post-change table. */
+class IncrementalMartSpec extends SparkSpec {
+
+  test("incremental mart equals full recompute over the applied table") {
+    val orders = Tpch(spark, Sf).orders
+    val updates = CdcEnvelope.wrapOp(
+      orders.where(pmod(col("o_orderkey"), lit(100)) === 0)
+        .withColumn("o_totalprice", lit(100.0)),
+      "orders", op = "u", lsn = lit(2L))
+    val deletes = CdcEnvelope.wrapOp(
+      orders.where(pmod(col("o_orderkey"), lit(97)) === 0),
+      "orders", op = "d", lsn = lit(3L))
+    val changes = CdcEnvelope.decodeOps(updates.union(deletes), orders.schema)
+    val applied = CdcEnvelope.applyOps(orders, changes, Seq("o_orderkey"))
+    val full = applied.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        MartQueries.moneySum(col("o_totalprice")).as("volume"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    val incr = IncrementalMart.incrementalCustomerMart(spark, Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    assert(incr == full)
+    // the change stream must actually touch something, or the test is vacuous
+    val nTouched = changes.select(col("o_custkey")).distinct().count()
+    assert(nTouched > 0)
+  }
+
+  test("carry-over rows never reread the fact table (groups come from the base mart)") {
+    // Structural check: deleting every 97th key shrinks some groups and
+    // removes none entirely only when a customer's orders all vanish;
+    // verify both paths exist in the output vs the pre-change mart.
+    val orders = Tpch(spark, Sf).orders
+    val before = orders.groupBy(col("o_custkey")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val after = IncrementalMart.incrementalCustomerMart(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.exists { case (k, n) => before(k) == n })   // untouched group carried over
+    assert(after.exists { case (k, n) => before(k) > n })    // touched group recomputed smaller
+  }
+}

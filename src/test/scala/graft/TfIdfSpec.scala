@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.TextQueries
+
+/** Ground truth for TF-IDF top-term selection: recompute tf/df/N and the
+  * integer ranking driver-side from the raw documents. */
+class TfIdfSpec extends SparkSpec {
+
+  test("tfidf top term equals driver-side recomputation") {
+    val got = TextQueries.tfidfTopTerms(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+
+    val docs = graft.sources.Tables.Tpch(spark, Sf).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).filter(_.nonEmpty).toSeq)
+    val withToks = docs.filter(_._2.nonEmpty)
+    val n = withToks.length.toDouble
+    val tf = withToks.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (d, t, o.size.toLong) }
+    }
+    val df = tf.groupBy(_._2).map { case (t, rows) => t -> rows.length.toLong }
+    val expected = tf.groupBy(_._1).map { case (d, rows) =>
+      val (_, term, tfv) = rows.minBy { case (_, t, v) => (-v, df(t), t) }
+      d -> ((term, tfv,
+        df(term),
+        BigDecimal(tfv * math.log(n / df(term)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (d, (term, tfv, dfv, score)) =>
+      val (eTerm, eTf, eDf, eScore) = expected(d)
+      assert(term == eTerm && tfv == eTf && dfv == eDf, s"doc $d term mismatch")
+      assert(math.abs(score - eScore) < 1e-9, s"doc $d score $score vs $eScore")
+    }
+  }
+}
