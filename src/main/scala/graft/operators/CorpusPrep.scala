@@ -56,7 +56,87 @@ object CorpusPrep {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Sliding-window document chunking (size 32 tokens, stride 24): the
+    * transform that turns cleaned documents into training windows. Chunk
+    * starts are generated with `sequence` and exploded — a narrow, codegen'd
+    * row multiplication with bounded fan-out ceil(n/stride), no shuffle
+    * until the final per-language aggregate. All chunk math is integer, so
+    * the oracle is bit-exact. */
+  def chunkStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val (sizeT, strideT) = (32, 24)
+    t.documents
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n"))
+      .withColumn("i", explode(sequence(
+        lit(0), ceil(col("n") / lit(strideT.toDouble)).cast("int") - 1)))
+      .withColumn("chunk_len",
+        least(lit(sizeT), col("n") - col("i") * strideT))
+      .groupBy(col("lang"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).cast("long").as("chunk_tokens"),
+        sum(when(col("chunk_len") === sizeT, 1L).otherwise(0L)).as("full_chunks"))
+      .orderBy(col("lang"))
+  }
+
+  /** Temperature-based corpus mixing (T = 0.7): per-source token shares are
+    * raised to 1/T' (here the standard `share^0.7` up-weighting of small
+    * sources) and renormalized into sampling weights, then a token budget is
+    * allocated proportionally — the data-mixing recipe multi-source
+    * pretraining runs on. One tiny aggregate per source plus a broadcast
+    * one-row total; everything downstream is per-source arithmetic. */
+  def corpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val budget = 1000000L
+    val perSource = t.documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+    // share needs the corpus total before pow, so the normalizer z comes
+    // from a second small aggregate over the per-source frame
+    val shares = perSource
+      .crossJoin(broadcast(perSource.agg(
+        sum(col("tokens")).cast("double").as("total_tokens"))))
+      .withColumn("share", col("tokens") / col("total_tokens"))
+      .withColumn("w", pow(col("share"), lit(0.7)))
+    shares
+      .crossJoin(broadcast(shares.agg(sum(col("w")).as("z"))))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        round(col("share"), 6).as("share"),
+        round(col("w") / col("z"), 6).as("weight"),
+        round(col("w") / col("z") * budget, 0).cast("long").as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_corpus_chunks", chunkStats, Some(
+      """WITH d AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n,
+        |         UNNEST(range(0, CAST(ceil(n / 24.0) AS BIGINT))) AS i
+        |  FROM d)
+        |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+        |       CAST(SUM(LEAST(32, n - i * 24)) AS BIGINT) AS chunk_tokens,
+        |       CAST(SUM(CASE WHEN n - i * 24 >= 32 THEN 1 ELSE 0 END) AS BIGINT) AS full_chunks
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_corpus_mix", corpusMix, Some(
+      """WITH s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS total_tokens FROM s),
+        |w AS (SELECT s.*, s.tokens / t.total_tokens AS share,
+        |             pow(s.tokens / t.total_tokens, 0.7) AS w
+        |      FROM s, t),
+        |z AS (SELECT SUM(w) AS z FROM w)
+        |SELECT w.source, w.n_docs, w.tokens,
+        |       ROUND(w.share, 6) AS share,
+        |       ROUND(w.w / z.z, 6) AS weight,
+        |       CAST(ROUND(w.w / z.z * 1000000, 0) AS BIGINT) AS alloc_tokens
+        |FROM w, z ORDER BY w.source""".stripMargin)),
     NamedQuery("q_corpus_prep", corpusPrep, Some(
       """WITH scored AS (
         |  SELECT doc_id, lang, source, text,

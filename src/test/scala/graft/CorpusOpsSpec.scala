@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusPrep, EventAnalytics}
+
+/** Ground truth for the chunking and mixing corpus ops, plus a parity
+  * check that the hand-rolled gap sessionization agrees with Spark's
+  * native `session_window` aggregation. */
+class CorpusOpsSpec extends SparkSpec {
+
+  test("chunk stats equal driver-side sliding-window arithmetic") {
+    val got = CorpusPrep.chunkStats(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+
+    val docs = graft.sources.Tables.Tpch(spark, Sf).documents
+      .select(col("lang"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val chunks = rows.flatMap { case (_, n) =>
+        (0 until math.ceil(n / 24.0).toInt).map(i => math.min(32, n - i * 24))
+      }
+      lang -> ((rows.length.toLong, chunks.length.toLong,
+        chunks.map(_.toLong).sum, chunks.count(_ == 32).toLong))
+    }
+    assert(got == expected)
+    // sanity: chunking actually multiplies rows (docs longer than one stride)
+    assert(got.values.map(_._2).sum > got.values.map(_._1).sum)
+  }
+
+  test("corpus mix weights normalize and allocate the full budget") {
+    val rows = CorpusPrep.corpusMix(spark, Sf).collect()
+    val weights = rows.map(_.getDouble(4))
+    assert(math.abs(weights.sum - 1.0) < 1e-3, s"weights sum ${weights.sum}")
+    val alloc = rows.map(_.getLong(5)).sum
+    assert(math.abs(alloc - 1000000L) <= rows.length, s"allocated $alloc")
+    // temperature < 1 compresses shares: small sources over-allocated,
+    // large sources under-allocated, relative to proportional sampling
+    val shares = rows.map(_.getDouble(3))
+    val minI = shares.indexOf(shares.min)
+    val maxI = shares.indexOf(shares.max)
+    assert(weights(minI) > shares(minI) && weights(maxI) < shares(maxI))
+  }
+
+  test("gap sessionization agrees with Spark's native session_window") {
+    val events = graft.sources.Tables.Tpch(spark, Sf).events
+    val native = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ours = EventAnalytics.sessionStats(spark, Sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(ours == native)
+  }
+}
