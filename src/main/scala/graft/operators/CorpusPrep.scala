@@ -88,21 +88,24 @@ object CorpusPrep {
     * pretraining runs on. One tiny aggregate per source plus a broadcast
     * one-row total; everything downstream is per-source arithmetic. */
   def corpusMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = Tpch(spark, sfDir)
     val budget = 1000000L
+    // Everything after the per-source aggregate runs on a frame whose
+    // cardinality is the number of SOURCES (bounded — dozens, not rows),
+    // so the empty-partition windows below are safe at any data scale and
+    // the corpus is scanned exactly once.
+    val all = Window.partitionBy()
     val perSource = t.documents
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " "))).cast("long").as("tokens"))
-    // share needs the corpus total before pow, so the normalizer z comes
-    // from a second small aggregate over the per-source frame
     val shares = perSource
-      .crossJoin(broadcast(perSource.agg(
-        sum(col("tokens")).cast("double").as("total_tokens"))))
-      .withColumn("share", col("tokens") / col("total_tokens"))
+      .withColumn("share",
+        col("tokens") / sum(col("tokens")).over(all).cast("double"))
       .withColumn("w", pow(col("share"), lit(0.7)))
+      .withColumn("z", sum(col("w")).over(all))
     shares
-      .crossJoin(broadcast(shares.agg(sum(col("w")).as("z"))))
       .select(col("source"), col("n_docs"), col("tokens"),
         round(col("share"), 6).as("share"),
         round(col("w") / col("z"), 6).as("weight"),

@@ -340,6 +340,43 @@ object DedupQueries {
       .limit(50)
   }
 
+  /** Benchmark-contamination screen: which corpus documents share enough
+    * word-3-gram shingles with a held-out benchmark set that training on
+    * them would leak the eval. The `src0` source stands in for the
+    * benchmark (a real pipeline would read the eval suite here); every
+    * other doc is corpus.
+    *
+    * Plan shape: both sides reduce to (doc, shingle-hash) postings; the
+    * overlap is a plain equi-join ON THE SHINGLE HASH — shuffle keys are
+    * 64-bit hashes, cardinality = shingle vocabulary, no pairwise scan of
+    * corpus × benchmark. The join's fan-out per shingle is bounded by the
+    * benchmark's size, which is tiny by definition (eval suites are KBs
+    * against a 100 TB corpus). Per (corpus doc, bench doc) the shared-
+    * shingle count is a partial+final agg; ≥ 3 shared shingles flags the
+    * doc, and the strongest benchmark match is kept per doc. */
+  def contaminationScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val shingled = withShingles(
+      spread(t.documents.select(col("doc_id"), col("source"), col("text"))))
+      .select(col("doc_id"), col("source"), explode(col("shingles")).as("h"))
+    val bench = shingled.where(col("source") === "src0")
+      .select(col("doc_id").as("bench_id"), col("h"))
+    val corpus = shingled.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("h"))
+    val shared = corpus.join(bench, "h")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= 3)
+    shared
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("n_shared").desc, col("bench_id").asc)))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+      .orderBy(col("n_shared").desc, col("doc_id"))
+      .limit(50)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dedup_exact_stats", exactDedupStats, Some(
       """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique
@@ -350,5 +387,6 @@ object DedupQueries {
     NamedQuery("q_dedup_simhash", simhashNearDups, None),
     NamedQuery("q_dedup_ngram_jaccard", ngramJaccardDups, None),
     NamedQuery("q_dedup_common_span", commonSpanDups, None),
+    NamedQuery("q_contamination", contaminationScreen, None),
   )
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupQueries
+
+/** Ground truth for the benchmark-contamination screen: brute-force the
+  * corpus×benchmark shingle intersections driver-side on the exact same
+  * shingle definition (DedupQueries.withShingles). */
+class ContaminationSpec extends SparkSpec {
+
+  test("contamination screen equals brute-force shingle intersection") {
+    val docs = DedupQueries.withShingles(
+      graft.sources.Tables.Tpch(spark, Sf)
+        .documents.select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), col("shingles")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toSet))
+
+    val bench = docs.filter(_._2 == "src0")
+    val corpus = docs.filter(_._2 != "src0")
+    val expected = corpus.flatMap { case (d, _, sh) =>
+      val matches = bench.map { case (b, _, bsh) => (b, (sh & bsh).size.toLong) }
+        .filter(_._2 >= 3)
+      if (matches.isEmpty) None
+      else {
+        val best = matches.minBy { case (b, n) => (-n, b) }
+        Some((d, best._1, best._2))
+      }
+    }.sortBy { case (d, _, n) => (-n, d) }.take(50).toSet
+
+    val got = DedupQueries.contaminationScreen(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should flag at least one contaminated doc")
+  }
+}
