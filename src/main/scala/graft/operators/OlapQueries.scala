@@ -86,6 +86,26 @@ object OlapQueries {
       .limit(30)
   }
 
+  /** NTILE window family: within-customer spending quartiles — which
+    * quartile of each customer's own order history carries the revenue.
+    * The window partitions on `o_custkey` (high cardinality), so the sort
+    * is per-customer within shuffle partitions — NEVER a global ntile,
+    * which would funnel the table through one task at scale. Ties are
+    * broken by `o_orderkey`, making quartile assignment total-order
+    * deterministic. */
+  def customerSpendQuartiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    t.orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("volume"))
+      .orderBy(col("quartile"))
+  }
+
   /** Explicit GROUPING SETS (the third grouping construct besides rollup/
     * cube) — exercised through the engine's SQL surface (Catalog views),
     * the way a dbt model would express it. */
@@ -161,6 +181,14 @@ object OlapQueries {
          |      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          |      GROUP BY 1)
          |ORDER BY month""".stripMargin)),
+    NamedQuery("q_customer_spend_quartiles", customerSpendQuartiles, Some(
+      s"""SELECT quartile, COUNT(*) AS n_orders,
+         |       ${moneySumSql("o_totalprice")} AS volume
+         |FROM (SELECT o_totalprice,
+         |             NTILE(4) OVER (PARTITION BY o_custkey
+         |                            ORDER BY o_totalprice, o_orderkey) AS quartile
+         |      FROM orders)
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_order_value_percentiles", orderValuePercentiles, Some(
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
