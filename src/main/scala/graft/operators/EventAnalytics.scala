@@ -61,15 +61,18 @@ object EventAnalytics {
     * stats — the batch twin of a streaming session window. Session ids are
     * the running sum of new-session flags over each user's timeline. Gap
     * semantics match Spark's native `session_window` (asserted in
-    * CorpusOpsSpec): a gap of exactly the duration STARTS a new session,
-    * because the session window [start, last + gap) is half-open. */
+    * CorpusOpsSpec on real data and at the exact boundary, and in
+    * StreamingSessionSpec across micro-batches): an event at exactly
+    * `prev + gap` still MERGES — candidate windows [ts, ts+gap) merge when
+    * they touch, so only a gap STRICTLY greater than the duration starts a
+    * new session. */
   def sessionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val gapS = 1800L
     val w = Window.partitionBy(col("user_id")).orderBy(col("es"), col("event_id"))
     val prev = lag(col("es"), 1).over(w)
     val sessions = epochSeconds(spark, sfDir)
       .withColumn("is_new",
-        when(prev.isNull || col("es") - prev >= gapS, 1L).otherwise(0L))
+        when(prev.isNull || col("es") - prev > gapS, 1L).otherwise(0L))
       .withColumn("sid", sum(col("is_new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("sid"))
@@ -98,7 +101,7 @@ object EventAnalytics {
         |  FROM events),
         |f AS (
         |  SELECT user_id, event_id, es,
-        |         CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w >= 1800
+        |         CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w > 1800
         |              THEN 1 ELSE 0 END AS is_new
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
         |g AS (

@@ -59,4 +59,24 @@ class CorpusOpsSpec extends SparkSpec {
       .toMap
     assert(ours == native)
   }
+
+  test("session boundary: an event at exactly prev + gap merges (native semantics)") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // 10:00 and 10:30 are exactly one gap apart — candidate windows
+    // [10:00, 10:30) and [10:30, 11:00) touch, so native session_window
+    // merges them; 11:00:01 is one second past 10:30's window end + gap.
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-03-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-03-01 10:30:00")),
+      (1L, Timestamp.valueOf("2024-03-01 11:00:01"))).toDF("user_id", "ts")
+    val native = df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n")).select(col("n")).collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(native == Seq(1L, 2L))
+    // the batch fold agrees: 1800s gap merges, 1801s splits
+    val gaps = Seq(0L, 1800L, 3601L) // absolute seconds from first event
+    val folded = gaps.sliding(2).count { case Seq(a, b) => b - a > 1800L case _ => false } + 1
+    assert(folded == 2)
+  }
 }

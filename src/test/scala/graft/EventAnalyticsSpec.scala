@@ -47,7 +47,7 @@ class EventAnalyticsSpec extends SparkSpec {
     val expected = byUser.map { case (u, evs) =>
       val ts = evs.map { case (_, es, id) => (es, id) }.sorted.map(_._1)
       val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, e) =>
-        if (e - acc.head.head >= 1800L) List(e) :: acc
+        if (e - acc.head.head > 1800L) List(e) :: acc
         else (e :: acc.head) :: acc.tail
       }.map(_.reverse).reverse
       u -> ((sessions.size.toLong, ts.size.toLong,

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming session windows: the incremental twin of the batch gap
+  * sessionization (`EventAnalytics.sessionStats`). Sessions merge across
+  * micro-batches while events keep arriving inside the gap, and the
+  * watermark bounds session state. */
+class StreamingSessionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session_window merges within the gap and splits across it, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val stream = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      // batch 1: user 1, three events 10 min apart — one open session
+      mem.addData(
+        (Timestamp.valueOf("2024-03-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-03-01 10:10:00"), 1L),
+        (Timestamp.valueOf("2024-03-01 10:20:00"), 1L))
+      q.processAllAvailable()
+      // batch 2: an event at EXACTLY prev + gap still merges (candidate
+      // windows touch) even across the micro-batch boundary; an event one
+      // second past the gap starts a new session; user 2 is independent
+      mem.addData(
+        (Timestamp.valueOf("2024-03-01 10:50:00"), 1L),
+        (Timestamp.valueOf("2024-03-01 11:50:01"), 1L),
+        (Timestamp.valueOf("2024-03-01 12:00:00"), 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sessions")
+      .select(col("user_id"), date_format(col("w.start"), "HH:mm").as("start"),
+        date_format(col("w.end"), "HH:mm").as("end"), col("n"))
+      .orderBy(col("user_id"), col("start")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // session end = last event + gap; the exactly-at-gap event merged
+    assert(out == Seq(
+      (1L, "10:00", "11:20", 4L),
+      (1L, "11:50", "12:20", 1L),
+      (2L, "12:00", "12:30", 1L)))
+  }
+
+  test("streaming session counts match the batch gap fold on the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    // deterministic synthetic timeline: 40 events across 3 users with gaps
+    // straddling the 30-min boundary
+    val events = (0 until 40).map { i =>
+      val user = (i % 3).toLong
+      val minutes = (i / 3) * ((i % 5) + 7) // gaps 7..11 min, some >= 30
+      (Timestamp.valueOf(s"2024-03-01 00:00:00").toInstant
+        .plusSeconds(minutes * 60L), user)
+    }.map { case (inst, u) => (Timestamp.from(inst), u) }
+    val stream = mem.toDF().toDF("ts", "user_id")
+      .withWatermark("ts", "10 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("sessions_par")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    try {
+      mem.addData(events: _*)
+      q.awaitTermination(60000)
+    } finally q.stop()
+    val streamed = spark.table("sessions_par")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // batch ground truth: the same gap fold EventAnalytics uses
+    val expected = events.groupBy(_._2).map { case (u, evs) =>
+      val ts = evs.map(_._1.getTime / 1000).sorted
+      val nSessions = 1 + ts.sliding(2).count {
+        case Seq(a, b) => b - a > 1800L
+        case _ => false
+      }
+      u -> ((nSessions.toLong, ts.size.toLong))
+    }
+    assert(streamed == expected)
+  }
+}
