@@ -106,6 +106,27 @@ object OlapQueries {
       .orderBy(col("quartile"))
   }
 
+  /** Relative-position window family (percent_rank / cume_dist), computed
+    * inside per-customer windows (high cardinality — never a global rank)
+    * and aggregated by status: how many orders are their customer's
+    * priciest, and how many sit in the customer's bottom half. Both
+    * measures are integer-ratio doubles ((rank-1)/(n-1), rank/n), so the
+    * comparisons are bit-exact across engines. */
+  def orderPositionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t.orders
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pr") === 1.0, 1L).otherwise(0L)).as("n_customer_max"),
+        sum(when(col("cd") <= 0.5, 1L).otherwise(0L)).as("n_bottom_half"))
+      .orderBy(col("status"))
+  }
+
   /** Explicit GROUPING SETS (the third grouping construct besides rollup/
     * cube) — exercised through the engine's SQL surface (Catalog views),
     * the way a dbt model would express it. */
@@ -189,6 +210,16 @@ object OlapQueries {
          |                            ORDER BY o_totalprice, o_orderkey) AS quartile
          |      FROM orders)
          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_order_position_stats", orderPositionStats, Some(
+      """SELECT o_orderstatus AS status, COUNT(*) AS n,
+        |       CAST(SUM(CASE WHEN pr = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_max,
+        |       CAST(SUM(CASE WHEN cd <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bottom_half
+        |FROM (SELECT o_orderstatus,
+        |             PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd
+        |      FROM orders
+        |      WINDOW w AS (PARTITION BY o_custkey
+        |                   ORDER BY o_totalprice, o_orderkey))
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_order_value_percentiles", orderValuePercentiles, Some(
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,

@@ -53,10 +53,36 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Stratified sample: exactly min(k, |stratum|) docs per language, picked
+    * by a pseudorandom-but-engine-portable order (md5 of the doc id — both
+    * engines produce the identical digest string, so the oracle can state
+    * the same sample). The rank window partitions on the stratum; at scale
+    * with few strata this would use the two-phase shard trick of
+    * [[CorpusPrep.corpusPrep]], which q_corpus_prep already exercises. */
+  def stratifiedSampleDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    t.documents
+      .withColumn("rk", md5(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))))
+      .where(col("rn") <= 10)
+      .select(col("lang"), col("doc_id"), col("source"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     // No oracle: the priority depends on Spark's xxhash64, which DuckDB
     // cannot reproduce; SamplingSpec recomputes the exact expected sample
     // driver-side instead.
     NamedQuery("q_sample_documents", sampleDocuments, None),
+    NamedQuery("q_stratified_sample", stratifiedSampleDocuments, Some(
+      """SELECT lang, doc_id, source
+        |FROM (SELECT lang, doc_id, source,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 10
+        |ORDER BY lang, doc_id""".stripMargin)),
   )
 }

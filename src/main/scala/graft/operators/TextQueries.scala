@@ -160,6 +160,56 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition screen (Gopher-style quality rules, Rae et al. 2021 §A1.1):
+    * a document whose single most frequent token or bigram accounts for an
+    * outsized share of the text is boilerplate/spam-shaped and gets flagged
+    * before pretraining. Per doc: top-token share and top-bigram share
+    * (both exact integer ratios → bit-identical doubles across engines);
+    * per source: docs flagged and decimal-summed average shares.
+    *
+    * Scale: tokens shuffle once keyed (doc_id, token) with map-side
+    * combine — one row per DISTINCT doc-term, never per occurrence; bigrams
+    * pair through a lead() window partitioned on doc_id (high cardinality,
+    * codegen'd, no interpreted lambdas); everything downstream is
+    * doc_id-keyed aggregation. The DuckDB oracle builds bigrams by list
+    * indexing instead — two independent formulations must agree. */
+  def repetitionScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val tok = t.documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    val topTok = tok.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_tok"), sum(col("n")).as("n_tok"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val topBig = tok
+      .withColumn("next", lead(col("token"), 1).over(byPos))
+      .where(col("next").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("token"), col("next")).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("top_big"), sum(col("n")).as("n_big"))
+    val perDoc = t.documents.select(col("doc_id"), col("source"))
+      .join(topTok, "doc_id")
+      .join(topBig, "doc_id")
+      .select(col("source"),
+        (col("top_tok").cast("double") / col("n_tok")).as("tok_share"),
+        (col("top_big").cast("double") / col("n_big")).as("big_share"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tok_share") > 0.2 || col("big_share") > 0.18, 1L)
+          .otherwise(0L)).as("n_flagged"),
+        round(sum(col("tok_share").cast(DecimalType(18, 8))) / count(lit(1)), 4)
+          .cast("double").as("avg_tok_share"),
+        round(sum(col("big_share").cast(DecimalType(18, 8))) / count(lit(1)), 4)
+          .cast("double").as("avg_big_share"))
+      .orderBy(col("source"))
+  }
+
   /** Document fingerprinting: content-hash dedup stats per source. */
   def fingerprintStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
@@ -230,6 +280,36 @@ object TextQueries {
         |       CAST(r.df AS BIGINT) AS df,
         |       ROUND(r.tf * ln(CAST(n.n_docs AS DOUBLE) / r.df), 4) AS score
         |FROM r, n WHERE r.rn = 1 ORDER BY r.doc_id""".stripMargin)),
+    NamedQuery("q_text_repetition", repetitionScreen, Some(
+      """WITH a AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(toks) AS token FROM a),
+        |tt AS (SELECT doc_id, MAX(n) AS top_tok, SUM(n) AS n_tok
+        |       FROM (SELECT doc_id, token, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |big AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM a WHERE len(toks) >= 2),
+        |tb AS (SELECT doc_id, MAX(n) AS top_big, SUM(n) AS n_big
+        |       FROM (SELECT doc_id, bigram, COUNT(*) AS n FROM big GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |d AS (
+        |  SELECT a.source,
+        |         CAST(tt.top_tok AS DOUBLE) / tt.n_tok AS tok_share,
+        |         CAST(tb.top_big AS DOUBLE) / tb.n_big AS big_share
+        |  FROM a JOIN tt USING (doc_id) JOIN tb USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN tok_share > 0.2 OR big_share > 0.18
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(ROUND(SUM(CAST(tok_share AS DECIMAL(18,8))) / COUNT(*), 4)
+        |            AS DOUBLE) AS avg_tok_share,
+        |       CAST(ROUND(SUM(CAST(big_share AS DECIMAL(18,8))) / COUNT(*), 4)
+        |            AS DOUBLE) AS avg_big_share
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_fingerprint", fingerprintStats, Some(
       """SELECT source, COUNT(*) AS n_docs,
         |       COUNT(DISTINCT md5(text)) AS n_unique

