@@ -113,6 +113,61 @@ object CorpusPrep {
       .orderBy(col("source"))
   }
 
+  /** Training-sequence packing (concatenate-then-chunk at maxLen = 2048):
+    * the corpus is laid out in doc_id order and cut into fixed-length
+    * training sequences; a document whose token span crosses a cut gets
+    * split across sequences. Reports, per source, how many documents
+    * straddle a boundary and how many boundaries they cross — the stats a
+    * pipeline reads to pick maxLen vs document-length distribution.
+    *
+    * The global running offset is the scale-critical part: a naive
+    * `Window.orderBy(doc_id)` funnels the corpus through ONE task. Instead
+    * the two-pass prefix-sum of [[graft.sources.JdbcIO.withSequentialId]]:
+    * range-partition by doc_id, per-partition token totals (a
+    * numPartitions-sized vector on the driver), then each partition's
+    * running sum starts from its precomputed offset — identical to the
+    * global-window answer because doc_id is a total order. All math is
+    * integer (`div`), so the oracle — which USES the naive global window,
+    * DuckDB being single-node — is bit-exact: two independent
+    * formulations, one of them the distributed one. */
+  def packingStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxLen = 2048
+    val t = Tpch(spark, sfDir)
+    val docs = t.documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val parted = docs
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partTotals = parted.groupBy(col("__pid"))
+      .agg(sum(col("n_tok")).as("toks"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = partTotals.keys.toSeq.sorted
+    val partOffsets = pids.zip(
+      pids.scanLeft(0L)((acc, p) => acc + partTotals(p)).init).toMap
+    val offsetCol =
+      if (partOffsets.isEmpty) lit(0L)
+      else element_at(
+        map(partOffsets.toSeq.sortBy(_._1).flatMap { case (p, o) =>
+          Seq(lit(p), lit(o)) }: _*),
+        col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+    parted
+      .withColumn("cum_before",
+        sum(col("n_tok")).over(w) - col("n_tok") + offsetCol)
+      .withColumn("seq_first", expr(s"cum_before div $maxLen"))
+      .withColumn("seq_last", expr(s"(cum_before + n_tok - 1) div $maxLen"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("seq_last") =!= col("seq_first"), 1L).otherwise(0L))
+          .as("docs_straddling"),
+        sum(col("seq_last") - col("seq_first")).as("boundaries_crossed"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_corpus_chunks", chunkStats, Some(
       """WITH d AS (
@@ -140,6 +195,28 @@ object CorpusPrep {
         |       ROUND(w.w / z.z, 6) AS weight,
         |       CAST(ROUND(w.w / z.z * 1000000, 0) AS BIGINT) AS alloc_tokens
         |FROM w, z ORDER BY w.source""".stripMargin)),
+    NamedQuery("q_corpus_pack", packingStats, Some(
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, n_tok,
+        |         SUM(n_tok) OVER (ORDER BY doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND CURRENT ROW) - n_tok AS cum_before
+        |  FROM d),
+        |s AS (
+        |  SELECT source, n_tok,
+        |         cum_before // 2048 AS seq_first,
+        |         (cum_before + n_tok - 1) // 2048 AS seq_last
+        |  FROM c)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(CASE WHEN seq_last <> seq_first THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS docs_straddling,
+        |       CAST(SUM(seq_last - seq_first) AS BIGINT) AS boundaries_crossed
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_corpus_prep", corpusPrep, Some(
       """WITH scored AS (
         |  SELECT doc_id, lang, source, text,

@@ -194,6 +194,45 @@ object SimilarityQueries {
     ivfProbe(spark, sfDir, spark.read.parquet(path), nProbe = 1)
   }
 
+  /** Int8 symmetric quantization error audit — the storage-scale path for
+    * an embedding corpus: per vector, scale = max |component|, each
+    * component maps to round(v/scale·127), and the audit measures the worst
+    * and average reconstruction error per label. At 100 TB this is the
+    * decision input for shipping the ANN index at 4 bytes→1 byte per
+    * dimension (a 4× scan-bandwidth cut for [[ivfProbe]]).
+    *
+    * Formulated as posexplode + a max window keyed on vec_id (high
+    * cardinality) + keyed aggregation — all codegen'd, no interpreted
+    * array lambdas (the anti-pattern this engine already paid for twice).
+    * Per-element math is double with a fixed evaluation order, so the
+    * oracle agrees bit-for-bit; cross-element reduction is max (order
+    * independent) and a decimal sum. */
+  def quantizationStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val comps = t.embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val byVec = Window.partitionBy(col("vec_id"))
+    val err = comps
+      .withColumn("s", max(abs(col("v"))).over(byVec))
+      .withColumn("err",
+        when(col("s") === 0.0, 0.0)
+          .otherwise(abs(round(col("v") / col("s") * 127) / 127.0 * col("s")
+            - col("v"))))
+    err
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("err")).as("max_err"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(max(col("max_err")), 8).as("worst_err"),
+        round(sum(col("max_err")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 12))) /
+          count(lit(1)), 8).cast("double").as("avg_max_err"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sim_ivf_topk", ivfTopK, None),
     // Double-precision cosine spelled out via aligned UNNEST — DuckDB's
@@ -212,6 +251,23 @@ object SimilarityQueries {
         |FROM pairs GROUP BY 1, 2
         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)),
     NamedQuery("q_sim_embedding_near_dups", embeddingNearDups, None),
+    NamedQuery("q_embed_quantize", quantizationStats, Some(
+      """WITH c AS (
+        |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, MAX(ABS(v)) AS s FROM c GROUP BY 1),
+        |e AS (
+        |  SELECT c.vec_id, c.label,
+        |         CASE WHEN s.s = 0 THEN 0
+        |              ELSE ABS(ROUND(c.v / s.s * 127) / 127 * s.s - c.v)
+        |         END AS err
+        |  FROM c JOIN s USING (vec_id)),
+        |p AS (SELECT vec_id, label, MAX(err) AS max_err FROM e GROUP BY 1, 2)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |       ROUND(MAX(max_err), 8) AS worst_err,
+        |       CAST(ROUND(SUM(CAST(max_err AS DECIMAL(18,12))) / COUNT(*), 8)
+        |            AS DOUBLE) AS avg_max_err
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_sim_label_centroids", labelCentroids, Some(
       """SELECT label, COUNT(*) AS n_dims,
         |       CAST(ROUND(SUM(CAST(m*m AS DECIMAL(28,10))), 6) AS DOUBLE) AS centroid_sq_norm

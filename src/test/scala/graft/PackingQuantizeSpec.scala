@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusPrep, SimilarityQueries}
+
+/** Ground truth for sequence packing and int8 quantization.
+  *
+  * Packing: the distributed two-pass prefix sum must equal the naive
+  * single-task global-window formulation (which is fine at test scale and
+  * IS the DuckDB oracle's shape) — this is the load-bearing claim that the
+  * per-partition offset arithmetic reproduces the total order.
+  *
+  * Quantization: per-label stats must equal a driver-side float64
+  * recomputation of the round(v/s*127) codec.
+  */
+class PackingQuantizeSpec extends SparkSpec {
+
+  test("two-phase packing stats equal the naive global-window formulation") {
+    val got = CorpusPrep.packingStats(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val docs = graft.sources.Tables.Tpch(spark, Sf).documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val naive = docs
+      .withColumn("cum_before",
+        sum(col("n_tok")).over(Window.orderBy(col("doc_id"))) - col("n_tok"))
+      .withColumn("seq_first", expr("cum_before div 2048"))
+      .withColumn("seq_last", expr("(cum_before + n_tok - 1) div 2048"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("seq_last") =!= col("seq_first"), 1L).otherwise(0L))
+          .as("docs_straddling"),
+        sum(col("seq_last") - col("seq_first")).as("boundaries_crossed"))
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == naive)
+    // packing at maxLen=2048 must actually cut the corpus somewhere
+    assert(got.values.map(_._4).sum > 0, "no sequence boundaries crossed")
+  }
+
+  test("quantization stats equal a driver-side recomputation") {
+    val got = SimilarityQueries.quantizationStats(spark, Sf).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+
+    val vecs = graft.sources.Tables.Tpch(spark, Sf).embeddings
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getInt(1), r.getSeq[Float](2).map(_.toDouble)))
+    val perVec = vecs.map { case (label, v) =>
+      val s = v.map(math.abs).max
+      val maxErr =
+        if (s == 0.0) 0.0
+        else v.map(x => math.abs(
+          BigDecimal(x / s * 127).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble / 127.0 * s - x)).max
+      (label, maxErr)
+    }
+    val expected = perVec.groupBy(_._1).map { case (label, rows) =>
+      val errs = rows.map(_._2)
+      val sum = errs
+        .map(e => BigDecimal(e).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+      label -> ((rows.length.toLong,
+        BigDecimal(errs.max).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        (sum / rows.length).setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(got == expected)
+    // int8 at symmetric scale: worst error is bounded by s/254 with s <= 1-ish
+    // corpus; sanity-bound it loosely rather than assuming the data range
+    assert(got.values.forall(v => v._2 >= 0 && v._2 < 0.05), got.values.take(3))
+  }
+}
