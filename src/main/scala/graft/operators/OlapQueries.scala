@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.NamedQuery
 import graft.sources.Tables.Tpch
@@ -104,6 +105,40 @@ object OlapQueries {
       .agg(count(lit(1)).as("n_orders"),
         moneySum(col("o_totalprice")).as("volume"))
       .orderBy(col("quartile"))
+  }
+
+  /** Pricing summary (TPC-H Q1 shape): the canonical full-scan multi-
+    * aggregate — 8 measures over 2 grouping columns, the query whose plan
+    * IS the partial+final HashAggregate story (map-side combine reduces
+    * the shuffle to num_groups × num_partitions rows no matter the corpus
+    * size). Per-row products are deterministic doubles; every sum and
+    * average runs through decimal casts so results are partition-order
+    * independent and hash-exact vs the oracle. */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val charge = disc * (lit(1.0) + col("l_tax"))
+    // price(2dp) × (1±rate)(2dp) × (1+rate)(2dp) carries EXACTLY 6 decimals,
+    // so scale-6 casts are lossless — a scale-4 cast would round at exact
+    // .xxxx50 ties, where Spark (shortest-repr HALF_UP) and the oracle
+    // (binary-value nearest) legitimately disagree by one ulp of money.
+    def money6(c: Column) =
+      round(sum(c.cast(DecimalType(24, 6))), 2).cast("double")
+    def avg4(c: Column) =
+      round(sum(c.cast(DecimalType(18, 8))) / count(lit(1)), 4).cast("double")
+    t.lineitem
+      .where(col("l_shipdate") <= lit("2000-12-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        money6(disc).as("sum_disc_price"),
+        money6(charge).as("sum_charge"),
+        avg4(col("l_quantity")).as("avg_qty"),
+        avg4(col("l_extendedprice")).as("avg_price"),
+        avg4(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** Relative-position window family (percent_rank / cume_dist), computed
@@ -210,6 +245,19 @@ object OlapQueries {
          |                            ORDER BY o_totalprice, o_orderkey) AS quartile
          |      FROM orders)
          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_pricing_summary", pricingSummary, Some(
+      s"""SELECT l_returnflag, l_linestatus,
+         |       ${moneySumSql("l_quantity")} AS sum_qty,
+         |       ${moneySumSql("l_extendedprice")} AS sum_base_price,
+         |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_disc_price,
+         |       CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))), 2) AS DOUBLE) AS sum_charge,
+         |       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,8))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+         |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,8))) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+         |       CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,8))) / COUNT(*), 4) AS DOUBLE) AS avg_disc,
+         |       COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_order_position_stats", orderPositionStats, Some(
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
         |       CAST(SUM(CASE WHEN pr = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_max,
