@@ -75,7 +75,38 @@ object Components {
       .orderBy(col("n_docs").desc, col("component"))
   }
 
+  /** Canonical-keeper selection — the resolution stage after clustering:
+    * inside every near-dup component keep the highest-quality document
+    * (doc_id ascending as the deterministic tie-break), drop the rest.
+    * Returns one row per clustered doc with its verdict, keepers first.
+    *
+    * Scale: the component labels are one row per clustered doc (a small
+    * fraction of the corpus); quality joins in from the corpus scan by
+    * doc_id; the keeper rank is a window partitioned on `component` —
+    * cardinality grows with the corpus (components are small cliques), so
+    * no funnel. Rows-only (components come from the LSH sketch);
+    * exactness pinned in ComponentsSpec against a driver-side
+    * recomputation. */
+  def canonicalKeepers(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.sources.Tables.Tpch(spark, sfDir)
+    val pairs = DedupQueries.minhashNearDups(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val labeled = connectedComponents(pairs)
+    val quality = t.documents
+      .select(col("doc_id").as("id"),
+        round(TextQueries.qualityScoreExpr, 8).as("quality"))
+    val rank = Window.partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("id").asc)
+    labeled.join(quality, "id")
+      .withColumn("keep", row_number().over(rank) === 1)
+      .select(col("component"), col("id").as("doc_id"), col("quality"),
+        col("keep"))
+      .orderBy(col("keep").desc, col("component"), col("doc_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dedup_components", nearDupComponents, None),
+    NamedQuery("q_dedup_canonical", canonicalKeepers, None),
   )
 }

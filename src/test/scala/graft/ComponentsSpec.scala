@@ -42,4 +42,23 @@ class ComponentsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == truth, s"got $got expected $truth")
   }
+
+  test("canonical keeper is each component's max-quality (then min-id) doc") {
+    val rows = Components.canonicalKeepers(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // membership must equal the component labeling
+    val pairs = DedupQueries.minhashNearDups(spark, Sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val truth = unionFind(pairs)
+    assert(rows.map(r => r._2 -> r._1).toMap == truth)
+    // exactly one keeper per component, and it dominates on (quality, -id)
+    rows.groupBy(_._1).foreach { case (c, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"component $c keepers: $keepers")
+      val best = members.minBy(m => (-m._3, m._2))
+      assert(keepers.head._2 == best._2,
+        s"component $c kept ${keepers.head._2}, expected ${best._2}")
+    }
+  }
 }
