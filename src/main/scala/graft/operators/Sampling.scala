@@ -56,14 +56,26 @@ object Sampling {
   /** Stratified sample: exactly min(k, |stratum|) docs per language, picked
     * by a pseudorandom-but-engine-portable order (md5 of the doc id — both
     * engines produce the identical digest string, so the oracle can state
-    * the same sample). The rank window partitions on the stratum; at scale
-    * with few strata this would use the two-phase shard trick of
-    * [[CorpusPrep.corpusPrep]], which q_corpus_prep already exercises. */
+    * the same sample). Languages are FEW, so a single rank window
+    * partitioned on `lang` would funnel each stratum through one task at
+    * scale — instead the two-phase shard trick of [[CorpusPrep.corpusPrep]]:
+    * phase 1 ranks within (lang, hash-shard) — high-cardinality partitions —
+    * keeping each shard's top-k (a superset of the global top-k, since every
+    * globally-smallest key is also among its own shard's smallest); phase 2
+    * re-ranks the ≤ k×64 survivors per lang, a bounded frame. Identical to
+    * the naive answer — the DuckDB oracle IS the naive formulation. */
   def stratifiedSampleDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tpch(spark, sfDir)
-    t.documents
+    val keyed = t.documents
       .withColumn("rk", md5(col("doc_id").cast("string")))
+    val sharded = keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(64)))
+          .orderBy(col("rk"), col("doc_id"))))
+      .where(col("rn") <= 10)
+      .drop("rn")
+    sharded
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))))
       .where(col("rn") <= 10)
