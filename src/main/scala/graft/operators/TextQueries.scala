@@ -210,6 +210,44 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Cross-source overlap matrix: how many distinct 5-gram shingles each
+    * pair of sources shares — the provenance diagnostic that tells a
+    * pipeline which sources are re-crawls/mirrors of each other before
+    * any pairwise doc comparison is attempted.
+    *
+    * Scale: DISTINCT (source, shingle-fingerprint) is one keyed shuffle;
+    * the self-join is keyed on the fingerprint with fan-out bounded by the
+    * number of SOURCES carrying that shingle (≤ #sources, a constant) —
+    * never by document count. Shingles assemble via lead() windows
+    * (doc_id-partitioned, codegen'd); the fingerprint is md5 so the oracle
+    * reproduces it exactly — the production variant would key on
+    * `graft_shingle_hashes` 8-byte hashes (DedupQueries) to narrow the
+    * shuffle 4×. */
+  def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val tok = t.documents
+      .select(col("doc_id"), col("source"), posexplode(toks).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val shingled = tok
+      .withColumn("t1", lead(col("token"), 1).over(byPos))
+      .withColumn("t2", lead(col("token"), 2).over(byPos))
+      .withColumn("t3", lead(col("token"), 3).over(byPos))
+      .withColumn("t4", lead(col("token"), 4).over(byPos))
+      .where(col("t4").isNotNull)
+      .select(col("source"),
+        md5(concat_ws(" ", col("token"), col("t1"), col("t2"), col("t3"),
+          col("t4"))).as("fp"))
+      .distinct()
+    shingled.select(col("fp"), col("source").as("source_a"))
+      .join(shingled.select(col("fp"), col("source").as("source_b")), "fp")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Document fingerprinting: content-hash dedup stats per source. */
   def fingerprintStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
@@ -310,6 +348,21 @@ object TextQueries {
         |       CAST(ROUND(SUM(CAST(big_share AS DECIMAL(18,8))) / COUNT(*), 4)
         |            AS DOUBLE) AS avg_big_share
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_source_overlap", sourceOverlap, Some(
+      """WITH a0 AS (
+        |  SELECT source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |         md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |             toks[i+3] || ' ' || toks[i+4]) AS fp
+        |  FROM (SELECT source, toks, UNNEST(range(1, len(toks) - 3)) AS i
+        |        FROM a0))
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       COUNT(*) AS shared_shingles
+        |FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_text_fingerprint", fingerprintStats, Some(
       """SELECT source, COUNT(*) AS n_docs,
         |       COUNT(DISTINCT md5(text)) AS n_unique
