@@ -86,7 +86,51 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** Ordered funnel (view → click → purchase): users who completed each
+    * step strictly AFTER their previous step's first completion — the
+    * conversion query every event mart serves. Step k is a min-aggregate
+    * over step k-1 completers only, so the frames SHRINK down the funnel.
+    *
+    * Scale: every join and aggregate keys on user_id (high cardinality);
+    * each step is one keyed shuffle over an already-filtered event slice —
+    * no window over the full timeline, no self-join on time. Integer epoch
+    * seconds keep the strict-after comparison oracle-exact. */
+  def funnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = epochSeconds(spark, sfDir)
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("es")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click").join(s1, "user_id")
+      .where(col("es") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase").join(s2, "user_id")
+      .where(col("es") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("es")).as("t3"))
+    s1.select(lit("1_view").as("step"))
+      .unionByName(s2.select(lit("2_click").as("step")))
+      .unionByName(s3.select(lit("3_purchase").as("step")))
+      .groupBy(col("step"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("step"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_events_funnel", funnel, Some(
+      """WITH e AS (
+        |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |s1 AS (SELECT user_id, MIN(es) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.es) AS t2
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.es > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.es) AS t3
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.es > s2.t2 GROUP BY 1)
+        |SELECT step, users FROM (
+        |  SELECT '1_view' AS step, COUNT(*) AS users FROM s1
+        |  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+        |  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
+        |ORDER BY step""".stripMargin)),
     NamedQuery("q_events_band_join", errorsNearPurchases, Some(
       """SELECT p.event_id, p.user_id, COUNT(*) AS n_errors
         |FROM events p JOIN events e ON p.user_id = e.user_id
