@@ -233,8 +233,47 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
+  /** Top-k cosine search over the int8-QUANTIZED corpus (float query
+    * vector) — the end-to-end check that the 4×-smaller representation
+    * [[quantizationStats]] audits still finds the right neighbors
+    * (recall vs the float top-k asserted in PackingQuantizeSpec).
+    *
+    * Dot products accumulate through DECIMAL sums of per-element products,
+    * so the score is partition-order independent — a plain double group-sum
+    * would flip tie-adjacent ranks run to run. Per-element math is the
+    * same codegen'd posexplode/window shape as the audit. */
+  def quantizedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val t = Tpch(spark, sfDir)
+    val comps = t.embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val deq = comps
+      .withColumn("s", max(abs(col("v"))).over(Window.partitionBy(col("vec_id"))))
+      .withColumn("qv",
+        when(col("s") === 0.0, 0.0)
+          .otherwise(round(col("v") / col("s") * 127) / 127.0 * col("s")))
+    val qComps = t.embeddings.where(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "qy")))
+      .withColumn("qy", col("qy").cast("double"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(28, 14)))
+    deq.join(broadcast(qComps), "pos")
+      .groupBy(col("vec_id"), col("label"))
+      .agg((dsum(col("qv") * col("qy")) /
+        (sqrt(dsum(col("qv") * col("qv")).cast("double")) *
+          sqrt(dsum(col("qy") * col("qy")).cast("double"))))
+        .cast("double").as("cos_raw"))
+      .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sim_ivf_topk", ivfTopK, None),
+    NamedQuery("q_sim_quantized_topk", quantizedTopK, None),
     // Double-precision cosine spelled out via aligned UNNEST — DuckDB's
     // list_cosine_similarity returns FLOAT (float32), which would diverge
     // from the engine's double math in the 8th decimal and break the exact

@@ -74,4 +74,18 @@ class PackingQuantizeSpec extends SparkSpec {
     // corpus; sanity-bound it loosely rather than assuming the data range
     assert(got.values.forall(v => v._2 >= 0 && v._2 < 0.05), got.values.take(3))
   }
+
+  test("quantized top-k keeps high recall vs the float top-k and is stable") {
+    val floatTop = SimilarityQueries.cosineTopK(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    val qTop1 = SimilarityQueries.quantizedTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val qTop2 = SimilarityQueries.quantizedTopK(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // decimal-summed scores: identical output run to run (a double group-sum
+    // would be partition-order dependent here)
+    assert(qTop1.toSeq == qTop2.toSeq)
+    val overlap = qTop1.map(_._1).toSet.intersect(floatTop).size
+    assert(overlap >= 8, s"recall@10 too low: $overlap/10 (quantized ${qTop1.toSeq})")
+  }
 }
