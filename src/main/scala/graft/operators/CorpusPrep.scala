@@ -168,7 +168,78 @@ object CorpusPrep {
       .orderBy(col("source"))
   }
 
+  /** Dataset card: the per-source release-stats summary a corpus ships
+    * with — documents, tokens, exact-duplicate count, average quality,
+    * repetition-flagged count. Every measure reuses the SAME expression
+    * its dedicated query uses ([[TextQueries.qualityScoreExpr]],
+    * [[TextQueries.repetitionPerDoc]]/flag rule, md5 fingerprints), so the
+    * card can never drift from the screens it summarizes.
+    *
+    * Scale: one corpus scan feeds the base aggregate (count/sum/distinct
+    * per source with map-side combine); the repetition frame joins in at
+    * per-SOURCE granularity (bounded). Counts are integers and the average
+    * is the decimal-summed pattern — hash-exact vs the oracle. */
+  def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = Tpch(spark, sfDir)
+    val base = t.documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("total_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs"),
+        round(sum(TextQueries.qualityScoreExpr.cast(DecimalType(18, 8))) /
+          count(lit(1)), 4).cast("double").as("avg_quality"))
+    val rep = TextQueries.repetitionPerDoc(t)
+      .groupBy(col("source"))
+      .agg(TextQueries.repetitionFlagCount.as("n_flagged"))
+    base.join(rep, "source")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("n_dup_docs"), col("n_flagged"), col("avg_quality"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_dataset_card", datasetCard, Some(
+      """WITH a AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(toks) AS token FROM a),
+        |tt AS (SELECT doc_id, MAX(n) AS top_tok, SUM(n) AS n_tok
+        |       FROM (SELECT doc_id, token, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |big AS (
+        |  SELECT doc_id,
+        |         UNNEST(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM a WHERE len(toks) >= 2),
+        |tb AS (SELECT doc_id, MAX(n) AS top_big, SUM(n) AS n_big
+        |       FROM (SELECT doc_id, bigram, COUNT(*) AS n FROM big GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |rep AS (
+        |  SELECT a.source,
+        |         CAST(tt.top_tok AS DOUBLE) / tt.n_tok AS tok_share,
+        |         CAST(tb.top_big AS DOUBLE) / tb.n_big AS big_share
+        |  FROM a JOIN tt USING (doc_id) JOIN tb USING (doc_id)),
+        |flags AS (
+        |  SELECT source,
+        |         CAST(SUM(CASE WHEN tok_share > 0.2 OR big_share > 0.18
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |  FROM rep GROUP BY 1),
+        |base AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |         CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+        |         CAST(ROUND(SUM(CAST(
+        |                LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+        |              + (len(list_distinct(string_split(text, ' ')))
+        |                 / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+        |              AS DECIMAL(18,8))) / COUNT(*), 4) AS DOUBLE) AS avg_quality
+        |  FROM documents GROUP BY 1)
+        |SELECT b.source, b.n_docs, b.total_tokens, b.n_dup_docs,
+        |       f.n_flagged, b.avg_quality
+        |FROM base b JOIN flags f USING (source)
+        |ORDER BY b.source""".stripMargin)),
     NamedQuery("q_corpus_chunks", chunkStats, Some(
       """WITH d AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n FROM documents),

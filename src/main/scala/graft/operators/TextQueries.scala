@@ -173,9 +173,22 @@ object TextQueries {
     * codegen'd, no interpreted lambdas); everything downstream is
     * doc_id-keyed aggregation. The DuckDB oracle builds bigrams by list
     * indexing instead — two independent formulations must agree. */
-  def repetitionScreen(spark: SparkSession, sfDir: String): DataFrame = {
+  def repetitionScreen(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionPerDoc(Tpch(spark, sfDir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        repetitionFlagCount.as("n_flagged"),
+        round(sum(col("tok_share").cast(DecimalType(18, 8))) / count(lit(1)), 4)
+          .cast("double").as("avg_tok_share"),
+        round(sum(col("big_share").cast(DecimalType(18, 8))) / count(lit(1)), 4)
+          .cast("double").as("avg_big_share"))
+      .orderBy(col("source"))
+
+  /** Per-doc (source, tok_share, big_share) frame — shared by the
+    * repetition screen and the dataset card so their flag semantics can
+    * never diverge. */
+  private[operators] def repetitionPerDoc(t: Tpch): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = Tpch(spark, sfDir)
     val tok = t.documents
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
       .where(col("token") =!= "")
@@ -192,23 +205,18 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("top_big"), sum(col("n")).as("n_big"))
-    val perDoc = t.documents.select(col("doc_id"), col("source"))
+    t.documents.select(col("doc_id"), col("source"))
       .join(topTok, "doc_id")
       .join(topBig, "doc_id")
       .select(col("source"),
         (col("top_tok").cast("double") / col("n_tok")).as("tok_share"),
         (col("top_big").cast("double") / col("n_big")).as("big_share"))
-    perDoc
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("tok_share") > 0.2 || col("big_share") > 0.18, 1L)
-          .otherwise(0L)).as("n_flagged"),
-        round(sum(col("tok_share").cast(DecimalType(18, 8))) / count(lit(1)), 4)
-          .cast("double").as("avg_tok_share"),
-        round(sum(col("big_share").cast(DecimalType(18, 8))) / count(lit(1)), 4)
-          .cast("double").as("avg_big_share"))
-      .orderBy(col("source"))
   }
+
+  /** The screen's flag rule as an aggregate — one definition, two users. */
+  private[operators] def repetitionFlagCount: Column =
+    sum(when(col("tok_share") > 0.2 || col("big_share") > 0.18, 1L)
+      .otherwise(0L))
 
   /** Cross-source overlap matrix: how many distinct 5-gram shingles each
     * pair of sources shares — the provenance diagnostic that tells a
