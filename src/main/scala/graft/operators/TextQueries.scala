@@ -256,6 +256,46 @@ object TextQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Token-length histogram (power-of-two buckets): the document-length
+    * distribution that sizes maxLen for sequence packing and chunking.
+    * Buckets are integer range CASEs — no floating log2, whose exactness
+    * at powers of two differs across engines. One scan, bounded output. */
+  def lengthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val n = size(split(col("text"), " "))
+    val bucket = when(n < 16, "a_under_16")
+      .when(n < 32, "b_16_31")
+      .when(n < 64, "c_32_63")
+      .when(n < 128, "d_64_127")
+      .otherwise("e_128_plus")
+    t.documents
+      .select(col("lang"), bucket.as("bucket"), n.cast("long").as("n_tok"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tokens"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** Exact top-k bigram vocabulary — the corpus statistic one BPE merge
+    * round maximizes (most frequent adjacent pair). Same lead()-window
+    * pairing as the repetition screen; the count shuffles one row per
+    * DISTINCT bigram (map-side combine), then TakeOrderedAndProject. */
+  def topBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val tok = t.documents
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tok
+      .withColumn("next", lead(col("token"), 1).over(byPos))
+      .where(col("next").isNotNull)
+      .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Document fingerprinting: content-hash dedup stats per source. */
   def fingerprintStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
@@ -356,6 +396,26 @@ object TextQueries {
         |       CAST(ROUND(SUM(CAST(big_share AS DECIMAL(18,8))) / COUNT(*), 4)
         |            AS DOUBLE) AS avg_big_share
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_length_histogram", lengthHistogram, Some(
+      """SELECT lang,
+        |       CASE WHEN n < 16 THEN 'a_under_16'
+        |            WHEN n < 32 THEN 'b_16_31'
+        |            WHEN n < 64 THEN 'c_32_63'
+        |            WHEN n < 128 THEN 'd_64_127'
+        |            ELSE 'e_128_plus' END AS bucket,
+        |       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS tokens
+        |FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_text_top_bigrams", topBigrams, Some(
+      """WITH a AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT UNNEST(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM a WHERE len(toks) >= 2)
+        |SELECT bigram, COUNT(*) AS n
+        |FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
     NamedQuery("q_text_source_overlap", sourceOverlap, Some(
       """WITH a0 AS (
         |  SELECT source,
