@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable as-of join API — the generalized form of the carry-forward
+  * formulation `q_asof_event_order` proves against DuckDB's native
+  * ASOF JOIN (AdvancedQueries.asofEventOrder is the inlined special case).
+  *
+  * For each left row, attaches the MOST RECENT right row with the same key
+  * whose time is <= (inclusive, the standard ASOF backward semantics) the
+  * left row's time; left rows with no prior right row keep nulls.
+  *
+  * Scale: Spark has no native ASOF JOIN, and the naive formulations are
+  * cliffs at 100 TB — a range join plans a BroadcastNestedLoopJoin, a
+  * per-row "max time <= t" subquery re-scans the right side per left row.
+  * This operator is ONE shuffle: union both sides tagged, then a
+  * key-partitioned `last(_, ignoreNulls)` carry-forward window orders each
+  * key's merged timeline once. Keys are the join keys (high cardinality by
+  * assumption — the same contract every window in this engine documents).
+  *
+  * Ties: a right row at exactly the left row's time wins (kind 0 sorts
+  * before kind 1); multiple right rows at the same (key, time) resolve by
+  * the LAST in `tieBreak` order — pre-dedupe the right side (as
+  * asofEventOrder does) when a unique target matters.
+  */
+object AsOf {
+
+  /** @param left       probe side (each row gets right-side context)
+    * @param right      build side (state timeline to carry forward)
+    * @param keyCols    equi-join keys present on both sides
+    * @param leftTime   event-time column on `left`
+    * @param rightTime  event-time column on `right`
+    * @param rightCols  right-side columns to attach (must not collide with
+    *                   left column names)
+    * @param tieBreak   extra right-side ordering under equal (key, time) */
+  def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           leftTime: String, rightTime: String, rightCols: Seq[String],
+           tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    val leftCols = left.columns.toSeq
+    val payload = struct(rightCols.map(col): _*)
+    val r = right.select(
+      keyCols.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__kind"),
+        payload.as("__r")): _*)
+    val l = left.select(
+      keyCols.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__kind"),
+        lit(null).cast(r.schema("__r").dataType).as("__r"),
+        struct(leftCols.map(col): _*).as("__l")): _*)
+    // right rows need no left payload; align schemas for the union
+    val rAligned = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc +: col("__kind").asc +: tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rAligned.unionByName(l)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__kind") === 1)
+      .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
+        rightCols.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AdvancedQueries, AsOf}
+
+/** The reusable as-of API: hand-computed semantics on a synthetic timeline
+  * (inclusive match, carry-forward, no-prior-row nulls, key isolation),
+  * and equality with the inlined `asofEventOrder` formulation that the
+  * DuckDB native ASOF JOIN oracle already checks. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of semantics: inclusive, carry-forward, null before first, per-key") {
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x"))
+      .toDF("k", "t", "v")
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 19L), (1L, 25L), (2L, 14L),
+      (2L, 99L), (3L, 50L)).toDF("k", "et")
+    val got = AsOf.join(left, right, Seq("k"), "et", "t", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(got == Map(
+      (1L, 5L) -> None,          // before first right row
+      (1L, 10L) -> Some("a"),    // inclusive: right at exactly et matches
+      (1L, 19L) -> Some("a"),    // carry-forward between right rows
+      (1L, 25L) -> Some("b"),    // latest prior wins
+      (2L, 14L) -> None,         // other key's rows invisible
+      (2L, 99L) -> Some("x"),
+      (3L, 50L) -> None))        // key with no right rows at all
+  }
+
+  test("API reproduces the inlined asofEventOrder formulation") {
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    val ordersByDay = t.orders
+      .groupBy(col("o_custkey").as("k"), to_date(col("o_orderdate")).as("d"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+      .select(col("k"), unix_timestamp(col("d").cast("timestamp")).as("ot"),
+        col("asof_orderkey"))
+    val events = t.events
+      .select(col("event_id"), col("user_id").as("k"),
+        unix_timestamp(col("ts")).as("et"))
+    val viaApi = AsOf.join(events, ordersByDay, Seq("k"), "et", "ot",
+      Seq("asof_orderkey"))
+      .where(col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("k").as("custkey"), col("asof_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inlined = AdvancedQueries.asofEventOrder(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaApi == inlined)
+    assert(viaApi.nonEmpty)
+  }
+}
