@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,8 +22,14 @@ import org.apache.spark.sql.functions._
   *
   * Ties: a right row at exactly the left row's time wins (kind 0 sorts
   * before kind 1); multiple right rows at the same (key, time) resolve by
-  * the LAST in `tieBreak` order — pre-dedupe the right side (as
-  * asofEventOrder does) when a unique target matters.
+  * the LAST in `tieBreak` order (names of right-side columns) —
+  * pre-dedupe the right side (as asofEventOrder does) when a unique
+  * target matters.
+  *
+  * NULL semantics match SQL joins / DuckDB ASOF: a NULL key or NULL time
+  * never matches — right rows with a null key or time are dropped, and
+  * left rows with a null key or time get null payload (they still appear;
+  * an as-of join is left-outer by nature).
   */
 object AsOf {
 
@@ -34,16 +40,26 @@ object AsOf {
     * @param rightTime  event-time column on `right`
     * @param rightCols  right-side columns to attach (must not collide with
     *                   left column names)
-    * @param tieBreak   extra right-side ordering under equal (key, time) */
+    * @param tieBreak   names of right-side columns that order rows sharing
+    *                   the same (key, time) — the LAST one wins */
   def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTime: String, rightTime: String, rightCols: Seq[String],
-           tieBreak: Seq[Column] = Nil): DataFrame = {
+           tieBreak: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
     val leftCols = left.columns.toSeq
-    val payload = struct(rightCols.map(col): _*)
-    val r = right.select(
-      keyCols.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__kind"),
-        payload.as("__r")): _*)
+    // right-side tie-break columns live inside the payload struct after the
+    // projection below — resolve them there, or the orderBy can't see them
+    val tieCols = tieBreak.map(c => col(s"__r.$c").asc)
+    // tie-break columns ride inside the payload struct (deduped) so the
+    // window can order by them; only rightCols surface in the output
+    val payload = struct(
+      (rightCols ++ tieBreak.filterNot(rightCols.contains)).map(col): _*)
+    val r = right
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTime).isNotNull)
+      .select(
+        keyCols.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__kind"),
+          payload.as("__r")): _*)
     val l = left.select(
       keyCols.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__kind"),
         lit(null).cast(r.schema("__r").dataType).as("__r"),
@@ -51,7 +67,7 @@ object AsOf {
     // right rows need no left payload; align schemas for the union
     val rAligned = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc +: col("__kind").asc +: tieBreak: _*)
+      .orderBy(col("__t").asc +: col("__kind").asc +: tieCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rAligned.unionByName(l)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

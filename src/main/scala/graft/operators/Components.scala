@@ -67,19 +67,14 @@ object Components {
     * loop runs once per corpus and every consumer (group stats, keeper
     * selection) reads the same persisted labeling — the lifecycle a real
     * pipeline gives this artifact, not a per-query recompute. */
-  private val labelCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, String), (SparkSession, DataFrame)]
+  private val labelCache = FrameCache.empty
 
-  private def sharedLabels(spark: SparkSession, sfDir: String): DataFrame = {
-    labelCache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-    val key = (spark.sparkContext.applicationId,
-      System.identityHashCode(spark), sfDir)
-    labelCache.getOrElseUpdate(key, (spark, {
+  private def sharedLabels(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(labelCache, spark, sfDir) {
       val pairs = DedupQueries.minhashNearDups(spark, sfDir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       connectedComponents(pairs)
-    }))._2
-  }
+    }
 
   /** Near-duplicate groups over the MinHash pair graph: component id (the
     * canonical keeper = min doc_id) and group size, largest groups first.

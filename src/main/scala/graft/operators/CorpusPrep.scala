@@ -130,29 +130,24 @@ object CorpusPrep {
     * integer (`div`), so the oracle — which USES the naive global window,
     * DuckDB being single-node — is bit-exact: two independent
     * formulations, one of them the distributed one. */
+  private val packCache = FrameCache.empty
+
   def packingStats(spark: SparkSession, sfDir: String): DataFrame = {
     val maxLen = 2048
     val t = Tpch(spark, sfDir)
-    val docs = t.documents
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-    val parted = docs
-      .repartitionByRange(col("doc_id"))
-      .sortWithinPartitions(col("doc_id"))
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val partTotals = parted.groupBy(col("__pid"))
-      .agg(sum(col("n_tok")).as("toks"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = partTotals.keys.toSeq.sorted
-    val partOffsets = pids.zip(
-      pids.scanLeft(0L)((acc, p) => acc + partTotals(p)).init).toMap
+    // cached per (session, sf) so repeated executions reuse ONE pinned
+    // frame instead of leaking a new persisted copy per call
+    val parted = FrameCache.cached(packCache, spark, sfDir) {
+      t.documents
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val offsetCol =
-      if (partOffsets.isEmpty) lit(0L)
-      else element_at(
-        map(partOffsets.toSeq.sortBy(_._1).flatMap { case (p, o) =>
-          Seq(lit(p), lit(o)) }: _*),
-        col("__pid"))
+      graft.plans.PrefixOffsets.offsetColumn(parted, col("n_tok"))
     val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
     parted
       .withColumn("cum_before",
@@ -192,9 +187,12 @@ object CorpusPrep {
     val rep = TextQueries.repetitionPerDoc(t)
       .groupBy(col("source"))
       .agg(TextQueries.repetitionFlagCount.as("n_flagged"))
-    base.join(rep, "source")
+    // LEFT join: a source whose docs are all too short to have a bigram
+    // has no repetition row, but a release card must still list it
+    base.join(rep, Seq("source"), "left")
       .select(col("source"), col("n_docs"), col("total_tokens"),
-        col("n_dup_docs"), col("n_flagged"), col("avg_quality"))
+        col("n_dup_docs"), coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        col("avg_quality"))
       .orderBy(col("source"))
   }
 
@@ -237,8 +235,9 @@ object CorpusPrep {
         |              AS DECIMAL(18,8))) / COUNT(*), 4) AS DOUBLE) AS avg_quality
         |  FROM documents GROUP BY 1)
         |SELECT b.source, b.n_docs, b.total_tokens, b.n_dup_docs,
-        |       f.n_flagged, b.avg_quality
-        |FROM base b JOIN flags f USING (source)
+        |       CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+        |       b.avg_quality
+        |FROM base b LEFT JOIN flags f USING (source)
         |ORDER BY b.source""".stripMargin)),
     NamedQuery("q_corpus_chunks", chunkStats, Some(
       """WITH d AS (

@@ -93,21 +93,12 @@ object DedupQueries {
     * lineage, so a lost executor recomputes the partition instead of
     * killing the job — the fault-tolerance contract a 1000-executor run
     * needs. (localCheckpoint truncates lineage non-fault-tolerantly.) */
-  /** Cache keyed by (appId, session identity, sf). Entries carry their
-    * owning session so lookups can purge frames whose session has stopped —
-    * identityHashCode alone could collide with a successor session in the
-    * same JVM and hand out a DataFrame bound to a dead SparkContext, and
-    * without purging every (session, sf) pair's frame would pin its session
-    * for the JVM lifetime. */
-  private val shingleCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, String), (SparkSession, DataFrame)]
-
-  private def cached(cache: scala.collection.concurrent.TrieMap[(String, Int, String), (SparkSession, DataFrame)],
-                     spark: SparkSession, sfDir: String)(build: => DataFrame): DataFrame = {
-    cache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-    val key = (spark.sparkContext.applicationId, System.identityHashCode(spark), sfDir)
-    cache.getOrElseUpdate(key, (spark, build))._2
-  }
+  // Session-lifecycle caching (key scheme, dead-session purge) lives in
+  // [[FrameCache]] — shared with Components and CorpusPrep.
+  private val shingleCache = FrameCache.empty
+  private def cached(cache: FrameCache.Cache, spark: SparkSession,
+                     sfDir: String)(build: => DataFrame): DataFrame =
+    FrameCache.cached(cache, spark, sfDir)(build)
 
   private def sharedShingled(spark: SparkSession, sfDir: String): DataFrame =
     cached(shingleCache, spark, sfDir) {
@@ -119,8 +110,7 @@ object DedupQueries {
   /** SimHash signatures likewise cached per (session, sf): one long per
     * doc, derived from the shared shingles — the signatures view of the
     * dedup pack, materialized once. */
-  private val simhashCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, String), (SparkSession, DataFrame)]
+  private val simhashCache = FrameCache.empty
 
   private def sharedSimhash(spark: SparkSession, sfDir: String): DataFrame =
     cached(simhashCache, spark, sfDir) {
@@ -131,8 +121,7 @@ object DedupQueries {
   /** POSITIONAL shingles (doc_id, pos, h) — not deduplicated, for the
     * span detector. Cached/persisted like the other signature views: the
     * frame feeds three plan branches per execution. */
-  private val positionalCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Int, String), (SparkSession, DataFrame)]
+  private val positionalCache = FrameCache.empty
 
   private def sharedPositional(spark: SparkSession, sfDir: String): DataFrame =
     cached(positionalCache, spark, sfDir) {

@@ -1,0 +1,31 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared per-(session, sf) DataFrame cache — the ONE home of the tricky
+  * lifecycle logic the signature views and component labels rely on.
+  *
+  * Cache keys are (appId, session identity, sf). Entries carry their
+  * owning session so lookups can purge frames whose session has stopped —
+  * identityHashCode alone could collide with a successor session in the
+  * same JVM and hand out a DataFrame bound to a dead SparkContext, and
+  * without purging, every (session, sf) pair's frame would pin its session
+  * for the JVM lifetime. Persisted entries are bounded: one per cache per
+  * live (session, sf), not one per call.
+  */
+private[operators] object FrameCache {
+
+  type Cache = TrieMap[(String, Int, String), (SparkSession, DataFrame)]
+
+  def empty: Cache = TrieMap.empty
+
+  def cached(cache: Cache, spark: SparkSession, sfDir: String)
+            (build: => DataFrame): DataFrame = {
+    cache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    val key = (spark.sparkContext.applicationId,
+      System.identityHashCode(spark), sfDir)
+    cache.getOrElseUpdate(key, (spark, build))._2
+  }
+}

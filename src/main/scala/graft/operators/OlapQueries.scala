@@ -144,9 +144,12 @@ object OlapQueries {
   /** Relative-position window family (percent_rank / cume_dist), computed
     * inside per-customer windows (high cardinality — never a global rank)
     * and aggregated by status: how many orders are their customer's
-    * priciest, and how many sit in the customer's bottom half. Both
-    * measures are integer-ratio doubles ((rank-1)/(n-1), rank/n), so the
-    * comparisons are bit-exact across engines. */
+    * priciest (cume_dist = 1.0 — true for every customer, including
+    * single-order ones, where percent_rank degenerates to 0), how many are
+    * the cheapest (percent_rank = 0.0, same degenerate case on purpose),
+    * and how many sit in the customer's bottom half. All measures are
+    * integer-ratio doubles ((rank-1)/(n-1), rank/n), so the comparisons
+    * are bit-exact across engines. */
   def orderPositionStats(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tpch(spark, sfDir)
@@ -157,7 +160,8 @@ object OlapQueries {
       .withColumn("cd", cume_dist().over(w))
       .groupBy(col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("pr") === 1.0, 1L).otherwise(0L)).as("n_customer_max"),
+        sum(when(col("cd") === 1.0, 1L).otherwise(0L)).as("n_customer_max"),
+        sum(when(col("pr") === 0.0, 1L).otherwise(0L)).as("n_customer_min"),
         sum(when(col("cd") <= 0.5, 1L).otherwise(0L)).as("n_bottom_half"))
       .orderBy(col("status"))
   }
@@ -260,7 +264,8 @@ object OlapQueries {
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_order_position_stats", orderPositionStats, Some(
       """SELECT o_orderstatus AS status, COUNT(*) AS n,
-        |       CAST(SUM(CASE WHEN pr = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_max,
+        |       CAST(SUM(CASE WHEN cd = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_max,
+        |       CAST(SUM(CASE WHEN pr = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customer_min,
         |       CAST(SUM(CASE WHEN cd <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bottom_half
         |FROM (SELECT o_orderstatus,
         |             PERCENT_RANK() OVER w AS pr, CUME_DIST() OVER w AS cd

@@ -207,20 +207,28 @@ object SimilarityQueries {
     * Per-element math is double with a fixed evaluation order, so the
     * oracle agrees bit-for-bit; cross-element reduction is max (order
     * independent) and a decimal sum. */
-  def quantizationStats(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-component dequantized view (vec_id, label, pos, v, qv): qv is the
+    * int8 round-trip round(v/s·127)/127·s with s = max |component| of the
+    * vector. THE codec definition — the error audit and the quantized
+    * search both build on this one frame, so they can never measure two
+    * different codecs. A zero vector (s = 0) round-trips to 0 exactly. */
+  private def dequantizedComps(t: Tpch): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = Tpch(spark, sfDir)
-    val comps = t.embeddings
+    t.embeddings
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast("double"))
-    val byVec = Window.partitionBy(col("vec_id"))
-    val err = comps
-      .withColumn("s", max(abs(col("v"))).over(byVec))
-      .withColumn("err",
+      .withColumn("s",
+        max(abs(col("v"))).over(Window.partitionBy(col("vec_id"))))
+      .withColumn("qv",
         when(col("s") === 0.0, 0.0)
-          .otherwise(abs(round(col("v") / col("s") * 127) / 127.0 * col("s")
-            - col("v"))))
+          .otherwise(round(col("v") / col("s") * 127) / 127.0 * col("s")))
+  }
+
+  def quantizationStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val err = dequantizedComps(t)
+      .withColumn("err", abs(col("qv") - col("v")))
     err
       .groupBy(col("vec_id"), col("label"))
       .agg(max(col("err")).as("max_err"))
@@ -243,18 +251,9 @@ object SimilarityQueries {
     * would flip tie-adjacent ranks run to run. Per-element math is the
     * same codegen'd posexplode/window shape as the audit. */
   def quantizedTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val t = Tpch(spark, sfDir)
-    val comps = t.embeddings
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("v", col("v").cast("double"))
-    val deq = comps
-      .withColumn("s", max(abs(col("v"))).over(Window.partitionBy(col("vec_id"))))
-      .withColumn("qv",
-        when(col("s") === 0.0, 0.0)
-          .otherwise(round(col("v") / col("s") * 127) / 127.0 * col("s")))
+    val deq = dequantizedComps(t)
     val qComps = t.embeddings.where(col("vec_id") === 0)
       .select(posexplode(col("embedding")).as(Seq("pos", "qy")))
       .withColumn("qy", col("qy").cast("double"))

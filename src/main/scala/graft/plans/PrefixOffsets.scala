@@ -1,0 +1,33 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The two-pass prefix-sum offset trick, factored to one audited place —
+  * used by sequential-id assignment (weight 1 per row) and sequence
+  * packing (weight = tokens per row).
+  *
+  * `offsetColumn(parted, w)` returns, for each row, the total weight of
+  * all LOWER-numbered partitions — so a per-partition running sum plus
+  * this offset equals the global running sum, without the single-task
+  * global window that dies at 100 TB. `parted` must carry
+  * `__pid = spark_partition_id()` and be pinned (persisted/checkpointed)
+  * so the totals pass and the consumer see identical partitions. Driver
+  * state is one long per partition (the tiny collect that AVOIDS the
+  * global-window funnel); empty inputs yield a constant 0 offset.
+  */
+object PrefixOffsets {
+
+  def offsetColumn(parted: DataFrame, weight: Column): Column = {
+    val totals = parted.groupBy(col("__pid")).agg(sum(weight).as("__w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets = pids.zip(
+      pids.scanLeft(0L)((acc, p) => acc + totals(p)).init).toMap
+    if (offsets.isEmpty) lit(0L)
+    else element_at(
+      map(offsets.toSeq.sortBy(_._1).flatMap { case (p, o) =>
+        Seq(lit(p), lit(o)) }: _*),
+      col("__pid"))
+  }
+}

@@ -82,16 +82,7 @@ object JdbcIO {
       .sortWithinPartitions(cols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val counts = parted.groupBy(col("__pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = counts.keys.toSeq.sorted
-    val partOffsets = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)).init).toMap
-    val offsetCol =
-      if (partOffsets.isEmpty) lit(0L)
-      else element_at(
-        map(partOffsets.toSeq.sortBy(_._1).flatMap { case (p, o) =>
-          Seq(lit(p), lit(o)) }: _*),
-        col("__pid"))
+    val offsetCol = graft.plans.PrefixOffsets.offsetColumn(parted, lit(1L))
     val w = Window.partitionBy(col("__pid")).orderBy(cols: _*)
     parted
       .withColumn(idCol, (row_number().over(w) + offsetCol + offset).cast("long"))

@@ -29,6 +29,24 @@ class AsOfSpec extends SparkSpec {
       (3L, 50L) -> None))        // key with no right rows at all
   }
 
+  test("null keys/times never match; ties resolve by the LAST tieBreak value") {
+    val right = Seq(
+      (Some(1L), Some(10L), "a1", 1L), (Some(1L), Some(10L), "a2", 2L),
+      (None, Some(5L), "nullkey", 0L), (Some(1L), None, "nulltime", 0L))
+      .toDF("k", "t", "v", "seq")
+    val left = Seq((Some(1L), Some(12L)), (None, Some(12L)),
+      (Some(1L), Option.empty[Long])).toDF("k", "et")
+    val got = AsOf.join(left, right, Seq("k"), "et", "t", Seq("v"),
+      tieBreak = Seq("seq"))
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))) -> Option(r.getString(2)))
+      .toMap
+    assert(got == Map(
+      (Some(1L), Some(12L)) -> Some("a2"), // tie at t=10: highest seq wins
+      (None, Some(12L)) -> None,           // null key matches nothing
+      (Some(1L), None) -> None))           // null time matches nothing
+  }
+
   test("API reproduces the inlined asofEventOrder formulation") {
     val t = graft.sources.Tables.Tpch(spark, Sf)
     val ordersByDay = t.orders

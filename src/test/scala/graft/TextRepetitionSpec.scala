@@ -18,12 +18,19 @@ class TextRepetitionSpec extends SparkSpec {
     val docs = graft.sources.Tables.Tpch(spark, Sf).documents
       .select(col("source"), col("text")).collect()
       .map(r => (r.getString(0), r.getString(1)))
-    val perDoc = docs.map { case (source, text) =>
+    // mirror the engine: docs with < 2 non-empty tokens have no bigram and
+    // are excluded by the inner join in repetitionPerDoc
+    val perDoc = docs.flatMap { case (source, text) =>
       val toks = text.split(" ").filter(_.nonEmpty).toSeq
-      val tokShare = toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size
-      val bigrams = toks.sliding(2).map(_.mkString(" ")).toSeq
-      val bigShare = bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size
-      (source, tokShare, bigShare)
+      if (toks.size < 2) None
+      else {
+        val tokShare =
+          toks.groupBy(identity).values.map(_.size).max.toDouble / toks.size
+        val bigrams = toks.sliding(2).map(_.mkString(" ")).toVector
+        val bigShare =
+          bigrams.groupBy(identity).values.map(_.size).max.toDouble / bigrams.size
+        Some((source, tokShare, bigShare))
+      }
     }
     val expected = perDoc.groupBy(_._1).map { case (source, rows) =>
       def avg4(xs: Seq[Double]) = {
