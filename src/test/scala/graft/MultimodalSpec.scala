@@ -57,4 +57,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out.take(payload.length).toSeq == payload.toSeq, "cycled prefix preserved")
     assert(StubCodec.resize(Array.emptyByteArray, 8, 8).length == 64)
   }
+
+  test("metadata-only queries over a landed media table never read payload") {
+    // land the media table as parquet (payload is the dominant column),
+    // then answer a metadata aggregate from it — the scan's ReadSchema
+    // must exclude the binary column, or every metadata query at 100 TB
+    // pays the full payload scan bandwidth
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    MultimodalOps.mediaFromDocuments(spark, Sf).write
+      .mode("overwrite").parquet(dir)
+    val metaQuery = spark.read.parquet(dir)
+      .where(col("width") === 64)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("sample_rate")).as("sr"))
+    val planText = metaQuery.queryExecution.executedPlan.toString
+    val readSchemas = planText.linesIterator
+      .filter(_.contains("ReadSchema:")).toSeq
+    assert(readSchemas.nonEmpty, planText)
+    readSchemas.foreach { line =>
+      assert(!line.contains("payload"),
+        s"payload column read by a metadata-only query: $line")
+    }
+    assert(planText.contains("PushedFilters: [IsNotNull(width), EqualTo(width,64)]"),
+      planText.linesIterator.filter(_.contains("PushedFilters")).mkString("; "))
+    assert(metaQuery.collect().map(_.getLong(1)).sum > 0)
+  }
 }
