@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: classic polynomial rolling hash
+  * (Rabin–Karp: h = fold(h·31 + codepoint) mod 1e9+7) of a string, in one
+  * codegen'd loop — the document-fingerprint primitive whose incremental
+  * "roll" update makes substring fingerprinting O(1) per slide.
+  *
+  * Defined over Unicode CODE POINTS (not bytes), which is what an engine-
+  * portable oracle can state: DuckDB reproduces it exactly as
+  * `list_reduce(list_transform(range(1, len(t)+1),
+  *              i -> CAST(ascii(t[i]) AS BIGINT)),
+  *              (a, x) -> (a * 31 + x) % 1000000007)`
+  * — two independent formulations of the same fold. The empty string
+  * hashes to 0 (DuckDB's list_reduce cannot fold an empty list, so the
+  * oracle guards it with a CASE; the expression makes the same choice).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_poly_hash expects string, got ${dt.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"""
+         |String js = $s.toString();
+         |long h = 0L;
+         |for (int i = 0; i < js.length(); ) {
+         |  int cp = js.codePointAt(i);
+         |  h = (h * 31L + cp) % 1000000007L;
+         |  i += Character.charCount(cp);
+         |}
+         |${ev.value} = h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  val Name = "graft_poly_hash"
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Name,
+      { children =>
+        require(children.length == 1, s"$Name takes exactly 1 argument")
+        PolyHash(children.head)
+      },
+      "built-in")
+}

@@ -296,6 +296,24 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Rolling-hash document fingerprints (Rabin–Karp polynomial fold) via
+    * the native codegen'd [[graft.functions.PolyHash]] expression — the
+    * fingerprint family whose O(1) slide update underlies substring
+    * fingerprinting. Exact BIGINT outputs; the oracle re-states the fold
+    * with DuckDB's list_reduce — two independent formulations. */
+  def rollingFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.PolyHash.register(spark)
+    val t = Tpch(spark, sfDir)
+    t.documents
+      .select(col("source"), expr("graft_poly_hash(text)").as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        min(col("fp")).as("min_fp"),
+        max(col("fp")).as("max_fp"))
+      .orderBy(col("source"))
+  }
+
   /** Document fingerprinting: content-hash dedup stats per source. */
   def fingerprintStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
@@ -431,6 +449,20 @@ object TextQueries {
         |       COUNT(*) AS shared_shingles
         |FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_text_rolling_fp", rollingFingerprints, Some(
+      """WITH f AS (
+        |  SELECT source,
+        |         CASE WHEN len(text) = 0 THEN 0
+        |              ELSE list_reduce(
+        |                     list_transform(range(1, len(text) + 1),
+        |                                    i -> CAST(ascii(text[i]) AS BIGINT)),
+        |                     (a, x) -> (a * 31 + x) % 1000000007)
+        |         END AS fp
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique,
+        |       CAST(MIN(fp) AS BIGINT) AS min_fp,
+        |       CAST(MAX(fp) AS BIGINT) AS max_fp
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_fingerprint", fingerprintStats, Some(
       """SELECT source, COUNT(*) AS n_docs,
         |       COUNT(DISTINCT md5(text)) AS n_unique

@@ -20,5 +20,6 @@ object Catalog {
     GraftFunctions.register(spark)
     graft.functions.ShingleHashes.register(spark)
     graft.functions.HyperplaneSigs.register(spark)
+    graft.functions.PolyHash.register(spark)
   }
 }

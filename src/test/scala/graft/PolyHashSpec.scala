@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The rolling polynomial-hash expression: driver-side fold equality,
+  * rolling-update property, codegen/interpreted parity, edge cases. */
+class PolyHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def driverHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  private def viaEngine(strs: Seq[String]): Seq[Long] = {
+    graft.functions.PolyHash.register(spark)
+    strs.toDF("s").withColumn("h", expr("graft_poly_hash(s)"))
+      .collect().map(_.getLong(1)).toSeq
+  }
+
+  test("matches a driver-side fold, including empty and non-ASCII input") {
+    val cases = Seq("", "a", "abc", "hello world", "café ☃",
+      "😀 surrogate pair", "x" * 5000)
+    assert(viaEngine(cases) == cases.map(driverHash))
+    assert(driverHash("") == 0L)
+  }
+
+  test("rolling property: appending a char is one multiply-add step") {
+    val s = "rolling hash"
+    assert(driverHash(s + "!") == (driverHash(s) * 31 + '!'.toInt) % 1000000007L)
+  }
+
+  test("codegen and interpreted paths agree") {
+    val cases = Seq("", "abc", "café", "spark engine", "😀")
+    val codegen = viaEngine(cases)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(viaEngine(cases) == codegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("documents-table fingerprints are distinct where texts are distinct") {
+    graft.functions.PolyHash.register(spark)
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    val n = t.documents.select(countDistinct(col("text"))).head().getLong(0)
+    val fps = t.documents.select(expr("graft_poly_hash(text)"))
+      .distinct().count()
+    assert(fps == n, s"fingerprint collisions: $fps fps for $n distinct texts")
+  }
+}
