@@ -1,0 +1,33 @@
+package graft
+
+/** The anti-pattern sweep as CI: every registered query's physical plan
+  * must be free of CartesianProduct always, and of BroadcastNestedLoopJoin
+  * unless the query is on the explicit one-row-broadcast allowlist (a
+  * no-condition join against a single-row frame — query vectors, corpus
+  * totals — plans as BNLJ but moves one row; that is the ONLY sanctioned
+  * use). A new query that accidentally plans a nested loop fails here
+  * instead of surfacing as a 100 TB cliff.
+  */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries whose only BNLJ is a broadcast one-row frame. */
+  private val oneRowBroadcast = Set(
+    "q_sim_cosine_topk",   // broadcast query vector
+    "q_sim_ivf_topk",      // broadcast query vector + routed labels
+    "q_sim_quantized_topk",// broadcast query-vector components
+    "q_text_tfidf"         // broadcast corpus-size frame
+  )
+
+  test("no cartesian product or unsanctioned nested-loop join in any query") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, Sf).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val nlj = plan.contains("BroadcastNestedLoopJoin") &&
+        !oneRowBroadcast(q.name)
+      if (cartesian || nlj)
+        Some(s"${q.name}: cartesian=$cartesian unsanctionedNLJ=$nlj")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
