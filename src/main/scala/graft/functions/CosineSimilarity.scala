@@ -59,7 +59,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Own braced block: two calls in one projection over non-nullable
+      // children would otherwise emit duplicate fixed-name locals.
       s"""
+         |{
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double dot = 0.0, nx = 0.0, ny = 0.0;
          |for (int i = 0; i < n; i++) {
@@ -72,6 +75,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = dot / denom;
+         |}
          |}
        """.stripMargin
     })

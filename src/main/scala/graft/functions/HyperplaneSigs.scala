@@ -82,7 +82,10 @@ case class HyperplaneSigs(child: Expression, nBands: Int = 4, nBits: Int = 8)
     nullSafeCodeGen(ctx, ev, a => {
       val mm = classOf[Murmur3_x86_32].getName
       val uad = classOf[UnsafeArrayData].getName
+      // Own braced block: two calls in one projection over a non-nullable
+      // child would otherwise emit duplicate fixed-name locals.
       s"""
+         |{
          |int len = $a.numElements();
          |boolean anyNull = false;
          |for (int d = 0; d < len && !anyNull; d++) anyNull = $a.isNullAt(d);
@@ -103,6 +106,7 @@ case class HyperplaneSigs(child: Expression, nBands: Int = 4, nBits: Int = 8)
          |  }
          |}
          |${ev.value} = $uad.fromPrimitiveArray(out);
+         |}
        """.stripMargin
     })
 

@@ -45,15 +45,21 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
+      // freshName: two calls in one projection over a non-nullable child
+      // would otherwise emit duplicate `js`/`h` locals and break codegen.
+      val js = ctx.freshName("js")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       s"""
-         |String js = $s.toString();
-         |long h = 0L;
-         |for (int i = 0; i < js.length(); ) {
-         |  int cp = js.codePointAt(i);
-         |  h = (h * 31L + cp) % 1000000007L;
-         |  i += Character.charCount(cp);
+         |String $js = $s.toString();
+         |long $h = 0L;
+         |for (int $i = 0; $i < $js.length(); ) {
+         |  int $cp = $js.codePointAt($i);
+         |  $h = ($h * 31L + $cp) % 1000000007L;
+         |  $i += Character.charCount($cp);
          |}
-         |${ev.value} = h;
+         |${ev.value} = $h;
        """.stripMargin
     })
 

@@ -68,7 +68,10 @@ case class ShingleHashes(child: Expression, n: Int = 3)
       val xxh = classOf[XXH64].getName
       val utf8 = classOf[UTF8String].getName
       val uad = classOf[UnsafeArrayData].getName
+      // Own braced block: two calls in one projection over a non-nullable
+      // child would otherwise emit duplicate fixed-name locals.
       s"""
+         |{
          |int len = $a.numElements();
          |int m = len >= $n ? len - ${n - 1} : 1;
          |long[] out = new long[m];
@@ -92,6 +95,7 @@ case class ShingleHashes(child: Expression, n: Int = 3)
          |  out[0] = h;
          |}
          |${ev.value} = $uad.fromPrimitiveArray(out);
+         |}
        """.stripMargin
     })
 

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
 object PrefixOffsets {
 
   def offsetColumn(parted: DataFrame, weight: Column): Column = {
-    val totals = parted.groupBy(col("__pid")).agg(sum(weight).as("__w"))
+    // coalesce + cast: an all-NULL or non-long weight column must not NPE /
+    // ClassCastException the driver-side read — this is the shared home of
+    // the trick, so the contract is "any numeric weight, NULLs count 0".
+    val totals = parted.groupBy(col("__pid"))
+      .agg(coalesce(sum(weight), lit(0L)).cast("long").as("__w"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = totals.keys.toSeq.sorted
     val offsets = pids.zip(

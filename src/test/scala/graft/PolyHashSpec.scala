@@ -49,6 +49,33 @@ class PolyHashSpec extends SparkSpec {
     }
   }
 
+  test("two calls in one projection over non-nullable input compile codegen") {
+    // Literal children are non-nullable, so nullSafeCodeGen emits no guard
+    // block — duplicate fixed-name locals would fail Janino compilation.
+    // fallback=false turns the silent interpreted fallback into a failure.
+    graft.functions.PolyHash.register(spark)
+    graft.functions.ShingleHashes.register(spark)
+    graft.functions.HyperplaneSigs.register(spark)
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.range(1).selectExpr(
+        "graft_poly_hash('abc') AS h1",
+        "graft_poly_hash('xyz') AS h2",
+        "graft_shingle_hashes(array('a','b','c','d')) AS s1",
+        "graft_shingle_hashes(array('p','q','r','s')) AS s2",
+        "graft_hyperplane_sigs(array(1.0F, 2.0F)) AS g1",
+        "graft_hyperplane_sigs(array(3.0F, 4.0F)) AS g2",
+        "graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c1",
+        "graft_cosine(array(0.0F, 1.0F), array(1.0F, 0.0F)) AS c2"
+      ).head()
+      assert(r.getLong(0) == driverHash("abc"))
+      assert(r.getLong(1) == driverHash("xyz"))
+      assert(math.abs(r.getDouble(6) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(7)) < 1e-9)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("documents-table fingerprints are distinct where texts are distinct") {
     graft.functions.PolyHash.register(spark)
     val t = graft.sources.Tables.Tpch(spark, Sf)
