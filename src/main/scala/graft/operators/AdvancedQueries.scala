@@ -47,6 +47,32 @@ object AdvancedQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Tolerance-bounded as-of through the generalized [[AsOf]] API —
+    * last-click attribution: for each purchase event, the same user's most
+    * recent prior click, kept only when at most 1 hour old (the classic
+    * attribution window; a stale click attributes nothing). Exactness of
+    * the tolerance-as-post-filter: any other prior click is strictly older
+    * than the carried one, so "most recent within Δt" ≡ "most recent, then
+    * Δt" — which is exactly the filtered native-ASOF oracle. Clicks are
+    * deduped to one per (user, second) first (max event_id), because times
+    * go through unix_timestamp (whole seconds, truncating) and DuckDB's
+    * ASOF leaves same-time ties unspecified; the oracle floors epochs the
+    * same way. */
+  def asofAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val purchases = t.events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("k"),
+        unix_timestamp(col("ts")).as("et"))
+    val clicks = t.events.where(col("event_type") === "click")
+      .groupBy(col("user_id").as("k"), unix_timestamp(col("ts")).as("ct"))
+      .agg(max(col("event_id")).as("click_id"))
+    AsOf.join(purchases, clicks, Seq("k"), "et", "ct",
+        Seq("click_id"), tolerance = Some(3600.0))
+      .where(col("click_id").isNotNull)
+      .select(col("event_id"), col("k").as("user_id"), col("click_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** CUBE over part attributes: all 4 grouping combinations, with the
     * grouping nulls rewritten to 'ALL' (same rationale as the rollup). */
   def cubeParts(spark: SparkSession, sfDir: String): DataFrame = {
@@ -78,6 +104,17 @@ object AdvancedQueries {
         |           FROM orders GROUP BY 1, 2) o
         |  ON ev.user_id = o.k AND ev.ts >= CAST(o.d AS TIMESTAMP)
         |ORDER BY ev.event_id""".stripMargin)),
+    NamedQuery("q_asof_attribution", asofAttribution, Some(
+      """WITH p AS (SELECT event_id, user_id, FLOOR(epoch(ts)) AS et
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id, FLOOR(epoch(ts)) AS ct,
+        |                  MAX(event_id) AS click_id
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT event_id, user_id, click_id FROM (
+        |  SELECT p.event_id, p.user_id, c.click_id, p.et - c.ct AS age_s
+        |  FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.et >= c.ct)
+        |WHERE age_s <= 3600
+        |ORDER BY event_id""".stripMargin)),
     NamedQuery("q_cube_parts", cubeParts, Some(
       s"""SELECT COALESCE(p_brand, 'ALL') AS brand,
          |       COALESCE(p_type, 'ALL') AS ptype,

@@ -1,30 +1,41 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reusable as-of join API — the generalized form of the carry-forward
   * formulation `q_asof_event_order` proves against DuckDB's native
-  * ASOF JOIN (AdvancedQueries.asofEventOrder is the inlined special case).
+  * ASOF JOIN (AdvancedQueries.asofEventOrder is the inlined special case;
+  * `q_asof_event_order_tol` oracle-checks the tolerance mode through this
+  * API against a filtered backward formulation).
   *
-  * For each left row, attaches the MOST RECENT right row with the same key
-  * whose time is <= (inclusive, the standard ASOF backward semantics) the
-  * left row's time; left rows with no prior right row keep nulls.
+  * For each left row, attaches the matching right row with the same key:
+  *  - `backward` (default): the most recent right row at-or-before
+  *    (inclusive) the left row's time — the standard ASOF semantics;
+  *  - `forward`: the earliest right row at-or-after the left row's time;
+  *  - `nearest`: whichever of the two is closer in time (backward wins an
+  *    exact-distance tie — the deterministic convention).
+  * `tolerance` (same units as the time columns; seconds for timestamps)
+  * drops a match farther than Δt from the left row — rows keep nulls, as
+  * if no right row existed. Left rows with no match keep nulls.
   *
   * Scale: Spark has no native ASOF JOIN, and the naive formulations are
   * cliffs at 100 TB — a range join plans a BroadcastNestedLoopJoin, a
   * per-row "max time <= t" subquery re-scans the right side per left row.
   * This operator is ONE shuffle: union both sides tagged, then a
   * key-partitioned `last(_, ignoreNulls)` carry-forward window orders each
-  * key's merged timeline once. Keys are the join keys (high cardinality by
-  * assumption — the same contract every window in this engine documents).
+  * key's merged timeline once (per direction — `nearest` pays two window
+  * sorts over the same partitioning, still no join explosion). Keys are
+  * the join keys (high cardinality by assumption — the same contract every
+  * window in this engine documents). Tolerance is a post-filter on the
+  * carried match, which is exact: any other right row on the same side is
+  * strictly farther away, so "nearest within Δt" ≡ "nearest, then Δt".
   *
-  * Ties: a right row at exactly the left row's time wins (kind 0 sorts
-  * before kind 1); multiple right rows at the same (key, time) resolve by
-  * the LAST in `tieBreak` order (names of right-side columns) —
-  * pre-dedupe the right side (as asofEventOrder does) when a unique
-  * target matters.
+  * Ties: a right row at exactly the left row's time wins in every
+  * direction; multiple right rows at the same (key, time) resolve by the
+  * LAST in `tieBreak` order (names of right-side columns) — pre-dedupe the
+  * right side (as asofEventOrder does) when a unique target matters.
   *
   * NULL semantics match SQL joins / DuckDB ASOF: a NULL key or NULL time
   * never matches — right rows with a null key or time are dropped, and
@@ -41,11 +52,17 @@ object AsOf {
     * @param rightCols  right-side columns to attach (must not collide with
     *                   left column names)
     * @param tieBreak   names of right-side columns that order rows sharing
-    *                   the same (key, time) — the LAST one wins */
+    *                   the same (key, time) — the LAST one wins
+    * @param direction  backward | forward | nearest
+    * @param tolerance  max |Δt| for a match, in the time columns' units
+    *                   (seconds when they are timestamps) */
   def join(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            leftTime: String, rightTime: String, rightCols: Seq[String],
-           tieBreak: Seq[String] = Nil): DataFrame = {
+           tieBreak: Seq[String] = Nil, direction: String = "backward",
+           tolerance: Option[Double] = None): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got '$direction'")
     val leftCols = left.columns.toSeq
     // right-side tie-break columns live inside the payload struct after the
     // projection below — resolve them there, or the orderBy can't see them
@@ -66,12 +83,42 @@ object AsOf {
         struct(leftCols.map(col): _*).as("__l")): _*)
     // right rows need no left payload; align schemas for the union
     val rAligned = r.withColumn("__l", lit(null).cast(l.schema("__l").dataType))
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__t").asc +: col("__kind").asc +: tieCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    rAligned.unionByName(l)
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+    // the carried record: matched time (numeric, for Δt math — timestamps
+    // cast to fractional epoch seconds) + payload; null on left rows so
+    // last(ignoreNulls) skips them
+    val rec = when(col("__kind") === 0,
+      struct(col("__t").cast("double").as("__mt"), col("__r").as("__p")))
+    // __kind asc keeps a right row at the left row's exact time BEFORE the
+    // left row in BOTH orderings → inclusive match in both directions;
+    // tieCols asc makes last() pick the highest tieBreak among equal times
+    def carried(timeOrder: Column) = last(rec, ignoreNulls = true).over(
+      Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(timeOrder +: col("__kind").asc +: tieCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    val matched = rAligned.unionByName(l)
+      .withColumn("__b", if (needB) carried(col("__t").asc) else lit(null))
+      .withColumn("__f", if (needF) carried(col("__t").desc) else lit(null))
       .where(col("__kind") === 1)
+    val tl = col("__t").cast("double")
+    def dist(m: Column) = abs(tl - m.getField("__mt"))
+    // tl.isNotNull guard: a null-time left row sorts LAST under the desc
+    // (forward) ordering and would otherwise inherit a carried match — the
+    // asc ordering hides this case only by accident of nulls-first
+    def ok(m: Column) = m.isNotNull && tl.isNotNull &&
+      tolerance.map(tol => dist(m) <= tol).getOrElse(lit(true))
+    val b = col("__b")
+    val f = col("__f")
+    val chosen = direction match {
+      case "backward" => when(ok(b), b.getField("__p"))
+      case "forward" => when(ok(f), f.getField("__p"))
+      case "nearest" =>
+        when(ok(b) && (!ok(f) || dist(b) <= dist(f)), b.getField("__p"))
+          .when(ok(f), f.getField("__p"))
+    }
+    matched
+      .withColumn("__asof", chosen)
       .select(leftCols.map(c => col(s"__l.$c").as(c)) ++
         rightCols.map(c => col(s"__asof.$c").as(c)): _*)
   }

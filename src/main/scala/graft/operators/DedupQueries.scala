@@ -133,6 +133,35 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Exact-Jaccard verification of candidate pairs: fetch both shingle
+    * sets, compute |∩|/|∪|, keep pairs ≥ 0.5. Hot-key safe: a viral
+    * boilerplate doc can appear in THOUSANDS of candidate pairs, making
+    * doc_a/doc_b skewed join keys at corpus scale — both fetches route
+    * through [[graft.plans.ScaleJoins.saltedJoin]], bounding any task's
+    * share of a hot doc at 1/8. The replicated side is first semi-joined
+    * down to docs that actually appear in candidates, so the 8× salt
+    * replication scales with the CANDIDATE working set, never the corpus
+    * signature store. Output identity with the plain join is pinned by
+    * DedupSpec's brute-force exactness cases; the salt-spread property by
+    * ScaleJoinsSpec. */
+  private def verifiedJaccardPairs(candidates: DataFrame,
+                                   shingled: DataFrame): DataFrame = {
+    import graft.plans.ScaleJoins
+    val sets = shingled.select(col("doc_id"), col("shingles"))
+    def fetch(pairs: DataFrame, side: String, shCol: String): DataFrame = {
+      val needed = sets
+        .select(col("doc_id").as(side), col("shingles").as(shCol))
+        .join(pairs.select(col(side)).distinct(), Seq(side), "left_semi")
+      ScaleJoins.saltedJoin(pairs, needed, side, saltFactor = 8)
+    }
+    fetch(fetch(candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
+      .where(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** MinHash+LSH near-duplicate pairs: shingle → 16-perm minhash → 4×4 bands
     * → band-hash groupBy buckets → in-bucket candidate pairs → exact Jaccard
     * verify ≥ 0.5. Oracle-free (sketching isn't ANSI-SQL-expressible);
@@ -147,15 +176,35 @@ object DedupQueries {
       .select(explode(expr(pairsFromIds)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), col("shingles"))
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
-      .where(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifiedJaccardPairs(candidates, docs)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental (batch-vs-corpus) near-dup detection — the daily-ingest
+    * query a production corpus actually runs: band the NEW BATCH only and
+    * probe it against the corpus's cached band index, so per-ingest work
+    * scales with |batch|, not |corpus|. Here `doc_id % 3 == 0` stands in
+    * for today's arrivals; the band index comes from the shared signature
+    * cache (at 100 TB: a persisted signature table, bucketed by band_sig,
+    * maintained by appending each batch's signatures after its screen).
+    * The probe includes the batch itself — new arrivals can duplicate each
+    * other, not just history. DedupSpec pins the contract: output ==
+    * full-corpus minhash pairs restricted to pairs touching the batch. */
+  def incrementalNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = sharedShingled(spark, sfDir)
+    val allBands = withMinhashBands(docs)
+      .select(col("band_id"), col("band_sig"), col("doc_id"))
+    val batchBands = allBands
+      .where(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumnRenamed("doc_id", "batch_doc")
+    val candidates = batchBands
+      .join(allBands.withColumnRenamed("doc_id", "other_doc"),
+        Seq("band_id", "band_sig"))
+      .where(col("batch_doc") =!= col("other_doc"))
+      .select(least(col("batch_doc"), col("other_doc")).as("doc_a"),
+        greatest(col("batch_doc"), col("other_doc")).as("doc_b"))
+      .distinct()
+    verifiedJaccardPairs(candidates, docs)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -241,15 +290,7 @@ object DedupQueries {
       .select(explode(expr(pairsFromIds)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    val sets = docs.select(col("doc_id"), col("shingles"))
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
-      .where(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifiedJaccardPairs(candidates, docs)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -373,6 +414,7 @@ object DedupQueries {
     NamedQuery("q_dedup_keep_first", exactDedupKeepFirst, Some(
       """SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1""".stripMargin)),
     NamedQuery("q_dedup_minhash", minhashNearDups, None),
+    NamedQuery("q_dedup_incremental", incrementalNearDups, None),
     NamedQuery("q_dedup_simhash", simhashNearDups, None),
     NamedQuery("q_dedup_ngram_jaccard", ngramJaccardDups, None),
     NamedQuery("q_dedup_common_span", commonSpanDups, None),

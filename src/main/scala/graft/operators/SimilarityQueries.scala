@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.NamedQuery
 import graft.functions.GraftFunctions
@@ -29,6 +30,14 @@ object SimilarityQueries {
   private def queryVec(t: Tpch): DataFrame =
     t.embeddings.where(col("vec_id") === 0)
       .select(col("embedding").as("q_vec"))
+
+  /** Query vector exploded to per-dimension rows (pos, <valueCol>) — the
+    * shape both the centroid router and the component-wise quantized
+    * scorer consume (broadcast: 64 rows). */
+  private def queryComps(t: Tpch, valueCol: String): DataFrame =
+    t.embeddings.where(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", valueCol)))
+      .withColumn(valueCol, col(valueCol).cast("double"))
 
   /** Brute-force cosine top-10 vs the vec_id=0 query vector. The scoring
     * runs through the codegen'd [[graft.functions.CosineSimilarity]] native
@@ -115,9 +124,25 @@ object SimilarityQueries {
     * quantizer is an artifact with its own lifecycle — built once over the
     * corpus (or a sample), read by every probe — not recomputed per query.
     * The build is the scale-correct dimension-wise aggregation (posexplode
-    * → partial+final HashAggregate, constant memory per group). */
+    * → partial+final HashAggregate, constant memory per group).
+    *
+    * Index GC lives HERE, on the build path (not in the probe): before
+    * writing, superseded fingerprints of the SAME corpus under the same
+    * parent are removed, so regeneration cycles don't accumulate dead
+    * indexes — and a probe never deletes anything. With the app-scoped
+    * root from [[centroidsPath]] there is no cross-session delete window
+    * at all. */
   def buildCentroids(spark: SparkSession, sfDir: String, outPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val t = Tpch(spark, sfDir)
+    val out = new Path(outPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val corpusPrefix = s"${corpusKey(sfDir)}_"
+    val parent = out.getParent
+    if (parent != null && fs.exists(parent)) fs.listStatus(parent)
+      .filter(s => s.getPath.getName.startsWith(corpusPrefix) &&
+        s.getPath.getName != out.getName)
+      .foreach(s => fs.delete(s.getPath, true))
     t.embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -125,11 +150,19 @@ object SimilarityQueries {
       .write.mode("overwrite").parquet(outPath)
   }
 
+  /** Filesystem-safe corpus key for one scale factor's index artifacts. */
+  private def corpusKey(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
   /** Default cache location for one scale factor's centroid index. The key
     * includes the source parquet's (mtime, length) fingerprint so a
     * regenerated corpus can never silently reuse a stale index — index
     * freshness is part of the artifact's identity, the same contract a
-    * production index table would carry as a snapshot version. */
+    * production index table would carry as a snapshot version. The root is
+    * scoped by APPLICATION id: two concurrent sessions can never touch (or
+    * GC) each other's half-built indexes — in production the index would
+    * live at a governed warehouse path, and tmp-per-app is the honest
+    * sandbox analog. */
   def centroidsPath(spark: SparkSession, sfDir: String): String = {
     val src = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -137,9 +170,35 @@ object SimilarityQueries {
       case arr if arr.nonEmpty => arr.map(s => s.getModificationTime ^ s.getLen).sum
       case _ => 0L
     }
-    val dir = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${dir}_${java.lang.Long.toHexString(fp)}"
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$app/" +
+      s"${corpusKey(sfDir)}_${java.lang.Long.toHexString(fp)}"
   }
+
+  /** Build-if-absent the persisted centroid index and return its path. A
+    * directory without the `_SUCCESS` marker is a crashed half-write, not
+    * an index — rebuilt (mode=overwrite clears the debris). */
+  def ensureCentroids(spark: SparkSession, sfDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val path = centroidsPath(spark, sfDir)
+    val hadoopPath = new Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(hadoopPath, "_SUCCESS")))
+      buildCentroids(spark, sfDir, path)
+    path
+  }
+
+  /** Route the query vector to its `nProbe` highest-scoring centroids (by
+    * dot product — the IVF coarse search). `qComps` must carry (pos, qv). */
+  private def routeLabels(centroids: DataFrame, qComps: DataFrame,
+                          nProbe: Int): DataFrame =
+    centroids
+      .join(broadcast(qComps), "pos")
+      .groupBy(col("label"))
+      .agg(sum(col("m") * col("qv")).as("score"))
+      .orderBy(col("score").desc, col("label").asc)
+      .limit(nProbe)
+      .select(col("label"))
 
   /** IVF probe against a persisted centroid index: route the query vector
     * to its `nProbe` highest-scoring centroids, then search only those
@@ -153,17 +212,9 @@ object SimilarityQueries {
                nProbe: Int = 1, k: Int = 10): DataFrame = {
     GraftFunctions.register(spark)
     val t = Tpch(spark, sfDir)
-    val qComps = t.embeddings.where(col("vec_id") === 0)
-      .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
-    val routedLabels = centroids
-      .join(broadcast(qComps), "pos")
-      .groupBy(col("label"))
-      .agg(sum(col("m") * col("qv").cast("double")).as("score"))
-      .orderBy(col("score").desc, col("label").asc)
-      .limit(nProbe)
-      .select(col("label"))
+    val routed = routeLabels(centroids, queryComps(t, "qv"), nProbe)
     t.embeddings
-      .join(broadcast(routedLabels), "label")
+      .join(broadcast(routed), "label")
       .join(broadcast(queryVec(t)))
       .withColumn("cos", expr("round(graft_cosine(embedding, q_vec), 6)"))
       .select(col("vec_id"), col("label"), col("cos"))
@@ -171,27 +222,22 @@ object SimilarityQueries {
       .limit(k)
   }
 
-  /** The registered query: build-if-absent the persisted index, then probe
-    * it (nProbe=1 — output identical to the pre-index formulation). A
-    * directory without the `_SUCCESS` marker is a crashed half-write, not
-    * an index — rebuilt (mode=overwrite clears the debris). Superseded
-    * fingerprints' directories for the same corpus are removed so
-    * regeneration cycles don't accumulate dead indexes in tmp. */
+  /** The registered query: ensure the persisted index, probe it (nProbe=1),
+    * and attach `recall_at_k` — the fraction of the float brute-force top-k
+    * the probe recovered. The recall audit makes the driver's rows-only
+    * check carry semantic weight (SimilaritySpec pins nProbe=all ⇒ 1.0);
+    * it is a TEST-SCALE diagnostic — a production probe would sample it,
+    * not compute the brute-force side per query. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.hadoop.fs.Path
-    val path = centroidsPath(spark, sfDir)
-    val hadoopPath = new Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(hadoopPath, "_SUCCESS"))) {
-      val dir = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val parent = hadoopPath.getParent
-      if (fs.exists(parent)) fs.listStatus(parent)
-        .filter(s => s.getPath.getName.startsWith(s"graft_ivf_${dir}_") &&
-          s.getPath.getName != hadoopPath.getName)
-        .foreach(s => fs.delete(s.getPath, true))
-      buildCentroids(spark, sfDir, path)
-    }
-    ivfProbe(spark, sfDir, spark.read.parquet(path), nProbe = 1)
+    val path = ensureCentroids(spark, sfDir)
+    val probe = ivfProbe(spark, sfDir, spark.read.parquet(path), nProbe = 1)
+    val brute = cosineTopK(spark, sfDir).select(col("vec_id"))
+    // one-row recall frame; the no-condition join against it is the
+    // sanctioned single-row broadcast BNLJ (PlanGuardSpec allowlist)
+    val recall = probe.join(brute, "vec_id")
+      .agg(round(count(lit(1)) / 10.0, 2).as("recall_at_k"))
+    probe.join(broadcast(recall))
+      .orderBy(col("cos").desc, col("vec_id").asc)
   }
 
   /** Int8 symmetric quantization error audit — the storage-scale path for
@@ -209,12 +255,16 @@ object SimilarityQueries {
     * independent) and a decimal sum. */
   /** Per-component dequantized view (vec_id, label, pos, v, qv): qv is the
     * int8 round-trip round(v/s·127)/127·s with s = max |component| of the
-    * vector. THE codec definition — the error audit and the quantized
-    * search both build on this one frame, so they can never measure two
-    * different codecs. A zero vector (s = 0) round-trips to 0 exactly. */
-  private def dequantizedComps(t: Tpch): DataFrame = {
+    * vector. THE codec definition — the error audit and both quantized
+    * searches build on this one frame, so they can never measure two
+    * different codecs. The scale s is PER VECTOR, so quantizing a subset
+    * of the corpus (e.g. the IVF-routed clusters) yields codes identical
+    * to quantizing everything — restriction and quantization commute,
+    * which is what lets [[ivfQuantizedTopK]] compose the two artifacts.
+    * A zero vector (s = 0) round-trips to 0 exactly. */
+  private def dequantizedComps(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    t.embeddings
+    embeddings
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("pos", "v")))
       .withColumn("v", col("v").cast("double"))
@@ -227,7 +277,7 @@ object SimilarityQueries {
 
   def quantizationStats(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
-    val err = dequantizedComps(t)
+    val err = dequantizedComps(t.embeddings)
       .withColumn("err", abs(col("qv") - col("v")))
     err
       .groupBy(col("vec_id"), col("label"))
@@ -241,24 +291,14 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
-  /** Top-k cosine search over the int8-QUANTIZED corpus (float query
-    * vector) — the end-to-end check that the 4×-smaller representation
-    * [[quantizationStats]] audits still finds the right neighbors
-    * (recall vs the float top-k asserted in PackingQuantizeSpec).
-    *
-    * Dot products accumulate through DECIMAL sums of per-element products,
-    * so the score is partition-order independent — a plain double group-sum
-    * would flip tie-adjacent ranks run to run. Per-element math is the
-    * same codegen'd posexplode/window shape as the audit. */
-  def quantizedTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val t = Tpch(spark, sfDir)
-    val deq = dequantizedComps(t)
-    val qComps = t.embeddings.where(col("vec_id") === 0)
-      .select(posexplode(col("embedding")).as(Seq("pos", "qy")))
-      .withColumn("qy", col("qy").cast("double"))
-    def dsum(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(28, 14)))
+  /** Decimal-summed cosine of dequantized corpus components against float
+    * query components — shared by the full quantized scan and the IVF-
+    * routed quantized probe so the score definition cannot drift. Decimal
+    * accumulation keeps the score partition-order independent (a plain
+    * double group-sum would flip tie-adjacent ranks run to run). */
+  private def quantizedScores(deq: DataFrame, qComps: DataFrame,
+                              k: Int): DataFrame = {
+    def dsum(c: Column) = sum(c.cast(DecimalType(28, 14)))
     deq.join(broadcast(qComps), "pos")
       .groupBy(col("vec_id"), col("label"))
       .agg((dsum(col("qv") * col("qy")) /
@@ -267,12 +307,49 @@ object SimilarityQueries {
         .cast("double").as("cos_raw"))
       .select(col("vec_id"), col("label"), round(col("cos_raw"), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-      .limit(10)
+      .limit(k)
+  }
+
+  /** Top-k cosine search over the int8-QUANTIZED corpus (float query
+    * vector) — the end-to-end check that the 4×-smaller representation
+    * [[quantizationStats]] audits still finds the right neighbors
+    * (recall vs the float top-k asserted in PackingQuantizeSpec). */
+  def quantizedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    quantizedScores(dequantizedComps(t.embeddings), queryComps(t, "qy"), 10)
+  }
+
+  /** IVF-PQ-shaped probe: route via the PERSISTED centroid index, then
+    * score the int8-QUANTIZED codes of the probed clusters only — the
+    * composition of the two artifacts a 100 TB ANN deployment actually
+    * ships (coarse quantizer for pruning + compressed codes for scan
+    * bandwidth). Work per query ≈ corpus·nProbe/n_clusters at 1 byte per
+    * dimension; recall is the product of the two knobs, each pinned
+    * separately in specs (routing recall monotone in nProbe; int8 recall
+    * ≥ 8/10 vs float) and jointly (nProbe=all equals the full quantized
+    * scan exactly, because restriction and quantization commute — see
+    * [[dequantizedComps]]). */
+  def ivfQuantizedProbe(spark: SparkSession, sfDir: String,
+                        centroids: DataFrame, nProbe: Int = 1,
+                        k: Int = 10): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val routed = routeLabels(centroids, queryComps(t, "qv"), nProbe)
+    val candidates = t.embeddings.join(broadcast(routed), "label")
+    quantizedScores(dequantizedComps(candidates), queryComps(t, "qy"), k)
+  }
+
+  /** The registered IVF-PQ query: persisted index + int8 scoring, nProbe=2
+    * (a genuine multi-cluster route — nProbe=1 would make the routing leg
+    * indistinguishable from `q_sim_ivf_topk`'s). */
+  def ivfQuantizedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ensureCentroids(spark, sfDir)
+    ivfQuantizedProbe(spark, sfDir, spark.read.parquet(path), nProbe = 2)
   }
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sim_ivf_topk", ivfTopK, None),
     NamedQuery("q_sim_quantized_topk", quantizedTopK, None),
+    NamedQuery("q_sim_ivf_quantized_topk", ivfQuantizedTopK, None),
     // Double-precision cosine spelled out via aligned UNNEST — DuckDB's
     // list_cosine_similarity returns FLOAT (float32), which would diverge
     // from the engine's double math in the 8th decimal and break the exact

@@ -59,14 +59,29 @@ object SketchQueries {
   def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val qArr = Quantiles.map(q => s"${q}D").mkString("array(", ", ", ")")
+    // In-query invariant: percentile_approx(accuracy=10000) guarantees the
+    // returned value's RANK is within eps = 1/10000 of the target, so it
+    // must lie between the exact quantiles at q ∓ eps (padded ×2 for the
+    // exact side's interpolation between neighbors). `within_bound` makes
+    // the driver's rows-only check carry the sketch's own contract —
+    // SketchSpec asserts the column is all-true.
+    val eps = 2.0 / 10000
+    def qExpr(f: Double => Double): String =
+      Quantiles.map(q => s"${f(q)}D").mkString("array(", ", ", ")")
     t.orders.agg(
       expr(s"percentile_approx(o_totalprice, $qArr, 10000)").as("approx"),
-      expr(s"percentile(o_totalprice, $qArr)").as("exact"))
-      .select(posexplode(arrays_zip(col("approx"), col("exact"))).as(Seq("i", "q")))
+      expr(s"percentile(o_totalprice, $qArr)").as("exact"),
+      expr(s"percentile(o_totalprice, ${qExpr(q => math.max(0.0, q - eps))})").as("lo"),
+      expr(s"percentile(o_totalprice, ${qExpr(q => math.min(1.0, q + eps))})").as("hi"))
+      .select(posexplode(
+        arrays_zip(col("approx"), col("exact"), col("lo"), col("hi")))
+        .as(Seq("i", "q")))
       .select(
         element_at(array(Quantiles.map(lit): _*), col("i") + 1).as("quantile"),
         col("q.approx").as("approx_v"),
-        round(col("q.exact"), 4).cast("double").as("exact_v"))
+        round(col("q.exact"), 4).cast("double").as("exact_v"),
+        (col("q.approx") >= col("q.lo") && col("q.approx") <= col("q.hi"))
+          .as("within_bound"))
       .orderBy(col("quantile"))
   }
 

@@ -47,6 +47,105 @@ class AsOfSpec extends SparkSpec {
       (Some(1L), None) -> None))           // null time matches nothing
   }
 
+  test("forward direction: earliest right at-or-after, inclusive, per-key") {
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 15L, "x"))
+      .toDF("k", "t", "v")
+    val left = Seq((1L, 5L), (1L, 10L), (1L, 19L), (1L, 25L), (2L, 14L),
+      (2L, 99L), (3L, 50L)).toDF("k", "et")
+    val got = AsOf.join(left, right, Seq("k"), "et", "t", Seq("v"),
+      direction = "forward")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(got == Map(
+      (1L, 5L) -> Some("a"),     // earliest right at-or-after
+      (1L, 10L) -> Some("a"),    // inclusive: right at exactly et matches
+      (1L, 19L) -> Some("b"),
+      (1L, 25L) -> None,         // after the last right row
+      (2L, 14L) -> Some("x"),
+      (2L, 99L) -> None,
+      (3L, 50L) -> None))        // key with no right rows at all
+  }
+
+  test("forward: null-time left rows and same-time ties behave like backward") {
+    val right = Seq(
+      (Some(1L), Some(10L), "a1", 1L), (Some(1L), Some(10L), "a2", 2L),
+      (Some(1L), None, "nulltime", 0L)).toDF("k", "t", "v", "seq")
+    val left = Seq((Some(1L), Some(8L)), (Some(1L), Option.empty[Long]))
+      .toDF("k", "et")
+    val got = AsOf.join(left, right, Seq("k"), "et", "t", Seq("v"),
+      tieBreak = Seq("seq"), direction = "forward")
+      .collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1))) -> Option(r.getString(2)))
+      .toMap
+    assert(got == Map(
+      (Some(1L), Some(8L)) -> Some("a2"), // tie at t=10: highest seq wins
+      (Some(1L), None) -> None))          // null time matches nothing
+  }
+
+  test("nearest direction: closer side wins, backward wins exact ties") {
+    val right = Seq((1L, 10L, "a"), (1L, 20L, "b")).toDF("k", "t", "v")
+    val left = Seq((1L, 5L), (1L, 14L), (1L, 15L), (1L, 16L), (1L, 25L))
+      .toDF("k", "et")
+    val got = AsOf.join(left, right, Seq("k"), "et", "t", Seq("v"),
+      direction = "nearest")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(got == Map(
+      (1L, 5L) -> Some("a"),     // only a forward candidate exists
+      (1L, 14L) -> Some("a"),    // backward d=4 beats forward d=6
+      (1L, 15L) -> Some("a"),    // exact tie d=5: backward wins
+      (1L, 16L) -> Some("b"),    // forward d=4 beats backward d=6
+      (1L, 25L) -> Some("b")))   // only a backward candidate exists
+  }
+
+  test("tolerance bounds matches in every direction") {
+    val right = Seq((1L, 10L, "a"), (1L, 30L, "b")).toDF("k", "t", "v")
+    val left = Seq((1L, 14L), (1L, 16L), (1L, 29L)).toDF("k", "et")
+    def run(dir: String): Map[Long, Option[String]] =
+      AsOf.join(left, right, Seq("k"), "et", "t", Seq("v"),
+        direction = dir, tolerance = Some(4.0))
+        .collect().map(r => r.getLong(1) -> Option(r.getString(2))).toMap
+    assert(run("backward") == Map(
+      14L -> Some("a"),  // d=4, exactly at tolerance (inclusive)
+      16L -> None,       // nearest-backward d=6 > 4 — no fallback further back
+      29L -> None))      // d=19
+    assert(run("forward") == Map(
+      14L -> None,       // earliest-forward t=30, d=16
+      16L -> None,       // d=14
+      29L -> Some("b"))) // d=1
+    assert(run("nearest") == Map(
+      14L -> Some("a"),  // backward within tolerance
+      16L -> None,       // both sides out of tolerance
+      29L -> Some("b"))) // forward within tolerance
+  }
+
+  test("attribution query equals a driver-side last-click-within-1h recomputation") {
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    val evs = t.events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("s"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // clicks deduped to one per (user, second): max event_id — the
+    // operator's own tie convention
+    val clicksByUser = evs.filter(_._3 == "click")
+      .groupBy(_._2).map { case (u, rows) =>
+        u -> rows.groupBy(_._4).map { case (s, cs) => (s, cs.map(_._1).max) }
+          .toSeq.sortBy(_._1)
+      }
+    val expected = evs.filter(_._3 == "purchase").flatMap {
+      case (id, u, _, et) =>
+        clicksByUser.getOrElse(u, Seq.empty)
+          .filter { case (ct, _) => ct <= et && et - ct <= 3600 }
+          .sortBy(_._1).lastOption
+          .map { case (_, clickId) => (id, u, clickId) }
+    }.toSet
+    val got = AdvancedQueries.asofAttribution(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty, "fixture must attribute at least one purchase")
+  }
+
   test("API reproduces the inlined asofEventOrder formulation") {
     val t = graft.sources.Tables.Tpch(spark, Sf)
     val ordersByDay = t.orders

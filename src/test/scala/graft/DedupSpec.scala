@@ -122,6 +122,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental batch-vs-corpus dedup equals full dedup restricted to the batch") {
+    val full = DedupQueries.minhashNearDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the operator's batch stand-in: doc_id % 3 == 0 are "today's arrivals"
+    val expected = full.filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+    val got = DedupQueries.incrementalNearDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    assert(got.nonEmpty, "fixture batch must touch at least one near-dup pair")
+    // and no pair entirely outside the batch leaks in
+    assert(got.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
+  }
+
   test("keep-first dedup keeps exactly one doc per distinct text") {
     val t = Tpch(spark, Sf)
     val nDistinct = t.documents.select("text").distinct().count()

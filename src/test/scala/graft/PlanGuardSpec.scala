@@ -15,6 +15,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_cosine_topk",   // broadcast query vector
     "q_sim_ivf_topk",      // broadcast query vector + routed labels
     "q_sim_quantized_topk",// broadcast query-vector components
+    "q_sim_ivf_quantized_topk", // broadcast query components + routed labels
     "q_text_tfidf"         // broadcast corpus-size frame
   )
 

@@ -103,6 +103,54 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(nLabels) == 1.0, "probing every cluster must equal brute force")
   }
 
+  test("IVF top-k recall_at_k column equals the brute-force set overlap") {
+    val rows = SimilarityQueries.ivfTopK(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val recall = rows.map(_.getDouble(3)).distinct
+    assert(recall.length == 1, s"recall_at_k must be constant, got ${recall.toSeq}")
+    val brute = SimilarityQueries.cosineTopK(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    val expected = rows.map(_.getLong(0)).count(brute.contains) / 10.0
+    assert(math.abs(recall.head - expected) < 1e-9,
+      s"recall_at_k ${recall.head} != recomputed $expected")
+  }
+
+  test("quantized IVF probe at nProbe=all equals the full quantized scan") {
+    val t = Tpch(spark, Sf)
+    val centroids = spark.read.parquet(
+      SimilarityQueries.ensureCentroids(spark, Sf))
+    val nLabels = t.embeddings.select("label").distinct().count().toInt
+    val routedAll = SimilarityQueries
+      .ivfQuantizedProbe(spark, Sf, centroids, nProbe = nLabels)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val full = SimilarityQueries.quantizedTopK(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // restriction and quantization commute (per-vector scale), so probing
+    // every cluster must reproduce the unrouted quantized scan EXACTLY
+    assert(routedAll == full, s"got $routedAll expected $full")
+  }
+
+  test("quantized IVF recall is monotone in nProbe and >= 8/10 vs float at nProbe=all") {
+    val t = Tpch(spark, Sf)
+    val centroids = spark.read.parquet(
+      SimilarityQueries.ensureCentroids(spark, Sf))
+    val nLabels = t.embeddings.select("label").distinct().count().toInt
+    val floatTop = SimilarityQueries.cosineTopK(spark, Sf).collect()
+      .map(_.getLong(0)).toSet
+    def recall(nProbe: Int): Int = {
+      val got = SimilarityQueries
+        .ivfQuantizedProbe(spark, Sf, centroids, nProbe)
+        .collect().map(_.getLong(0)).toSet
+      (got & floatTop).size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    val rAll = recall(nLabels)
+    assert(r2 >= r1, s"nProbe=2 recall $r2 < nProbe=1 recall $r1")
+    assert(rAll >= r2, s"nProbe=all recall $rAll < nProbe=2 recall $r2")
+    assert(rAll >= 8, s"int8 recall@10 too low at nProbe=all: $rAll/10")
+  }
+
   test("label centroids cover every label with full dimensionality") {
     val t = Tpch(spark, Sf)
     val nLabels = t.embeddings.select("label").distinct().count()

@@ -35,6 +35,9 @@ class SketchSpec extends SparkSpec {
       val (a, e) = (r.getDouble(1), r.getDouble(2))
       assert(math.abs(a - e) <= 0.02 * range,
         s"q=${r.getDouble(0)}: approx $a vs exact $e drifts beyond 2% of range")
+      // the in-query rank-bound invariant must self-report true
+      assert(r.getBoolean(3),
+        s"q=${r.getDouble(0)}: within_bound=false (approx $a outside rank bound)")
     }
   }
 }

@@ -102,6 +102,53 @@ class StreamingMartSpec extends SparkSpec {
       ("10:05", "10:20", "b", 1L, 8.0)))
   }
 
+  test("foreachBatch incremental mart equals a full refresh after update+delete+group-move batches") {
+    import org.apache.spark.sql.DataFrame
+    import graft.streaming.StreamingIncrementalMart
+    implicit val sqlCtx = spark.sqlContext
+    val initFacts = Seq((1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 2L, 30.0),
+      (4L, 3L, 40.0)).toDF("id", "grp", "amount")
+    def martOf(f: DataFrame): DataFrame = f.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum("amount").as("volume"))
+    val m = new StreamingIncrementalMart.Maintainer(
+      initFacts, Seq("id"), "grp", martOf)
+    // driver-side mirror of the applied fact state: id -> (grp, amount)
+    var mirror = Map(1L -> (1L, 10.0), 2L -> (1L, 20.0), 3L -> (2L, 30.0),
+      4L -> (3L, 40.0))
+    def check(): Unit = {
+      val got = m.currentMart.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val expected = mirror.values.groupBy(_._1).map { case (g, vs) =>
+        g -> ((vs.size.toLong, vs.map(_._2).sum))
+      }
+      assert(got == expected, s"mart $got != full refresh $expected")
+    }
+    val mem = MemoryStream[(Long, Long, Double, String, Long)]
+    val q = mem.toDF().toDF("id", "grp", "amount", "_op", "_lsn")
+      .writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => m.processBatch(batch))
+      .start()
+    try {
+      // batch 1: insert into a NEW group; reprice a row in group 1
+      mem.addData((5L, 4L, 50.0, "c", 1L), (1L, 1L, 15.0, "u", 2L))
+      q.processAllAvailable()
+      mirror += (5L -> ((4L, 50.0)), 1L -> ((1L, 15.0)))
+      check()
+      // batch 2: delete group 2's only fact; MOVE id=4 from group 3 into
+      // group 2 — group 3 must vanish from the mart, group 2 must refresh
+      mem.addData((3L, 2L, 30.0, "d", 3L), (4L, 2L, 45.0, "u", 4L))
+      q.processAllAvailable()
+      mirror = mirror - 3L + (4L -> ((2L, 45.0)))
+      check()
+      // batch 3: repopulate the emptied group, empty another, touch group 1
+      mem.addData((6L, 3L, 60.0, "c", 5L), (5L, 4L, 50.0, "d", 6L),
+        (2L, 1L, 25.0, "u", 7L))
+      q.processAllAvailable()
+      mirror = mirror - 5L + (6L -> ((3L, 60.0))) + (2L -> ((1L, 25.0)))
+      check()
+    } finally q.stop()
+  }
+
   test("G14 micro-batch loop: monotone ids across iterations, stable totals") {
     var seen = Map.empty[String, Seq[Long]]
     val totals = Datagen.runIterations(spark,
