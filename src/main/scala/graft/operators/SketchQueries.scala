@@ -49,7 +49,8 @@ object SketchQueries {
 
   /** Approximate order-value quantiles next to their exact counterparts:
     * one row per probed quantile with both answers. The approx side is a
-    * bounded-memory sketch (accuracy 10000 ≈ 0.01% rank error); the exact
+    * bounded-memory sketch (accuracy 50000; see the merge-error note in
+    * the body for the real post-merge rank bound); the exact
     * side sorts within the aggregate — viable at test scale, the thing
     * the sketch replaces at 100 TB. */
   /** The probed quantiles, defined once — rendered into both aggregate
@@ -58,18 +59,25 @@ object SketchQueries {
 
   def approxQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
+    val accuracy = 50000
     val qArr = Quantiles.map(q => s"${q}D").mkString("array(", ", ", ")")
-    // In-query invariant: percentile_approx(accuracy=10000) guarantees the
-    // returned value's RANK is within eps = 1/10000 of the target, so it
-    // must lie between the exact quantiles at q ∓ eps (padded ×2 for the
-    // exact side's interpolation between neighbors). `within_bound` makes
-    // the driver's rows-only check carry the sketch's own contract —
-    // SketchSpec asserts the column is all-true.
-    val eps = 2.0 / 10000
+    // In-query invariant: a SINGLE Greenwald-Khanna summary at this
+    // accuracy bounds the returned value's rank error by 1/accuracy — but
+    // Spark builds one partial summary per input partition and merges, and
+    // GK merge error is additive in the partials (plus a compression step
+    // each merge), so the honest post-merge contract is ~P/accuracy, not
+    // 1/accuracy. Measured here: 32 partials at accuracy=10000 produced a
+    // 4.1e-3 rank error — 27x the single-summary bound, 1.3x the additive
+    // one. Bound at 4P/accuracy (headroom 2x over additive-plus-
+    // compression), and require the approx value to lie between the exact
+    // quantiles at q ∓ eps. `within_bound` makes the driver's rows-only
+    // check carry the sketch's contract — SketchSpec asserts all-true.
+    val partials = math.max(spark.sparkContext.defaultParallelism, 32)
+    val eps = 4.0 * partials / accuracy
     def qExpr(f: Double => Double): String =
       Quantiles.map(q => s"${f(q)}D").mkString("array(", ", ", ")")
     t.orders.agg(
-      expr(s"percentile_approx(o_totalprice, $qArr, 10000)").as("approx"),
+      expr(s"percentile_approx(o_totalprice, $qArr, $accuracy)").as("approx"),
       expr(s"percentile(o_totalprice, $qArr)").as("exact"),
       expr(s"percentile(o_totalprice, ${qExpr(q => math.max(0.0, q - eps))})").as("lo"),
       expr(s"percentile(o_totalprice, ${qExpr(q => math.min(1.0, q + eps))})").as("hi"))
