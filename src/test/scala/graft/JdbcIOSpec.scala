@@ -92,4 +92,62 @@ class JdbcIOSpec extends SparkSpec {
       partitionColumn = Some("id"), bounds = Some((1L, 1000000L)), numPartitions = 16)
     JdbcIO.writer(Seq((1, "x")).toDF("id", "v"), conn, "customers")
   }
+
+  /** Postgres dialect matrix: the Derby round trip above proves the
+    * write+read legs execute; this pins what the SAME writer/reader code
+    * does differently against Postgres. Spark picks the dialect from the
+    * URL, and `JdbcUtils.getJdbcType(dt, dialect)` is the exact lookup
+    * `save()` uses to emit CREATE TABLE column types — so these rows ARE
+    * the DDL a Postgres run would issue for the reference schema
+    * (SCHEMA.sql: NUMERIC(18,2) money, TIMESTAMPTZ created_at, TEXT
+    * names). Remaining wire-only residue, untestable without a live
+    * server: server-side sequence behavior (covered semantically by
+    * withSequentialId), transaction/batch semantics of the pg driver, and
+    * server-enforced constraint errors. */
+  test("Postgres dialect maps the reference schema's column types") {
+    import java.sql.Types
+    import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+    import org.apache.spark.sql.jdbc.JdbcDialects
+    import org.apache.spark.sql.types._
+
+    val pg = JdbcDialects.get("jdbc:postgresql://localhost:5432/banking")
+    assert(pg.getClass.getName.contains("PostgresDialect"),
+      "URL must route to the Postgres dialect, not the generic one")
+
+    // Write leg: Catalyst type -> DDL column type the writer would CREATE.
+    val writeDdl = Map[DataType, String](
+      DecimalType(18, 2) -> "NUMERIC(18,2)", // SCHEMA.sql money columns
+      TimestampType -> "TIMESTAMP WITH TIME ZONE", // created_at TIMESTAMPTZ
+      StringType -> "TEXT",
+      LongType -> "BIGINT", // dialect defers to the common JDBC mapping
+      IntegerType -> "INTEGER",
+      DoubleType -> "FLOAT8",
+      BooleanType -> "BOOLEAN",
+      DateType -> "DATE",
+      BinaryType -> "BYTEA") // multimodal payload columns
+    writeDdl.foreach { case (dt, ddl) =>
+      assert(JdbcUtils.getJdbcType(dt, pg).databaseTypeDefinition == ddl,
+        s"write mapping for ${dt.simpleString}")
+    }
+
+    // Read leg: Postgres column metadata -> Catalyst type the reader infers.
+    val mb = () => new MetadataBuilder()
+    assert(pg.getCatalystType(Types.TIMESTAMP, "timestamptz", 0, mb())
+      .contains(TimestampType), "TIMESTAMPTZ must read as TimestampType")
+    assert(pg.getCatalystType(Types.VARCHAR, "text", 0, mb())
+      .contains(StringType))
+    // NUMERIC/int8 return None -> JDBCRDD falls back to the standard
+    // java.sql.Types mapping (DecimalType(18,2) / LongType) — the dialect
+    // only overrides where Postgres diverges from the standard.
+    assert(pg.getCatalystType(Types.NUMERIC, "numeric", 18, mb()).isEmpty)
+    assert(pg.getCatalystType(Types.BIGINT, "int8", 0, mb()).isEmpty)
+
+    // The dialect indirection is what made the Derby round trip valid
+    // evidence: same writer code, different DDL per URL.
+    val derby = JdbcDialects.get("jdbc:derby:/tmp/x")
+    assert(JdbcUtils.getJdbcType(DecimalType(18, 2), derby)
+      .databaseTypeDefinition == "DECIMAL(18,2)")
+    assert(JdbcUtils.getJdbcType(StringType, derby)
+      .databaseTypeDefinition == "CLOB")
+  }
 }
