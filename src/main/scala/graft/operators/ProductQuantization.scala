@@ -1,0 +1,307 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
+
+import graft.NamedQuery
+import graft.plans.ArtifactPaths
+import graft.sources.Tables.Tpch
+
+/** Product quantization (PQ) over the embedding corpus — TRAINED codebooks,
+  * vs the data-free int8 scalar codec in [[SimilarityQueries]]. This is the
+  * compressed-codes half of the index a 100 TB ANN deployment actually
+  * ships (IVF-PQ): each vector is split into [[M]] subvectors, each
+  * subvector is replaced by the id of its nearest codeword from a
+  * per-subspace k-means codebook, and search scores codes with a per-query
+  * lookup table (ADC) — no float math against the corpus at all.
+  *
+  * Sizes here: 64-dim float → M=8 codes of K=16 (a nibble per subspace,
+  * 4 bytes per vector vs 256 — 64×; production would use K=256, the same
+  * code paths with one constant changed).
+  *
+  * Scale design, stage by stage:
+  *  - TRAIN is distributed Lloyd's: assignment is a broadcast join of the
+  *    (tiny) codebook against the subvector table with a codegen'd
+  *    higher-order distance, argmin via `min(struct(dist, code))` (one
+  *    partial+final agg, deterministic tie-break toward the lower code);
+  *    the update step is a dimension-wise decimal-mean aggregate (same
+  *    partition-order-independence argument as the IVF centroid build).
+  *    Per-iteration driver traffic is one KB-scale codebook + one scalar
+  *    (the distortion), nothing corpus-sized. At 100 TB the train input
+  *    would be a bounded deterministic sample (hash-mod on vec_id — the
+  *    plumbing below takes any DataFrame of subvectors); iteration count
+  *    is fixed, not convergence-polled.
+  *  - ENCODE is one assignment pass over the corpus; codes persist as a
+  *    fingerprint-keyed artifact next to the codebooks (lifecycle shared
+  *    with the IVF index — [[graft.plans.ArtifactPaths]]).
+  *  - SEARCH (ADC) builds one m·k lookup-table ROW per query (codeword
+  *    dot-products against the query's subvectors, plus the
+  *    query-independent codeword norms), broadcasts it, and scans the
+  *    codes table with per-row table lookups — a narrow, shuffle-free
+  *    scan of 4-byte codes ending in TakeOrderedAndProject. The cosine
+  *    against the RECONSTRUCTION is exact: concatenated subspaces share
+  *    no cross terms, so |x̂|² = Σⱼ|c_{j,code_j}|² decomposes per subspace
+  *    exactly like the dot product (PqSpec pins score == driver-side
+  *    cosine of the reconstruction).
+  *
+  * PqSpec also pins the k-means contract (distortion monotone
+  * non-increasing across Lloyd's iterations; encoding is argmin) and
+  * recall vs the float brute force.
+  */
+object ProductQuantization {
+
+  /** Subspaces per vector. */
+  val M = 8
+  /** Dimensions per subspace (embeddings are 64-dim). */
+  val DSub = 8
+  /** Codewords per subspace codebook. */
+  val K = 16
+  /** Lloyd's iterations for the codebook train. */
+  val Iters = 4
+
+  /** Corpus exploded to one row per (vec_id, label, subspace j, subvector):
+    * `slice` + cast inside `transform` — all codegen'd builtins, the
+    * embedding is never duplicated per subspace before the explode. */
+  private def subvecs(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      posexplode(expr(
+        s"transform(sequence(0, ${M - 1}), " +
+          s"j -> transform(slice(embedding, j * $DSub + 1, $DSub), " +
+          "x -> CAST(x AS DOUBLE)))"))
+        .as(Seq("j", "sub")))
+
+  /** Nearest codeword per (vec_id, j): broadcast the m·k codebook, squared
+    * L2 via zip_with/aggregate (fixed fold order — deterministic), argmin
+    * via min(struct(dist, code)) with the subvector riding along for the
+    * update step. (dist, code) is unique per candidate so the struct min
+    * is total; ties break toward the lower code. */
+  private def assign(sub: DataFrame, centroids: DataFrame): DataFrame =
+    sub.join(broadcast(centroids), "j")
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sub, cvec, (a, b) -> (a - b) * (a - b)), " +
+          "0D, (acc, x) -> acc + x)"))
+      .groupBy(col("vec_id"), col("label"), col("j"))
+      .agg(min(struct(col("dist"), col("code"), col("sub"))).as("best"))
+      .select(col("vec_id"), col("label"), col("j"),
+        col("best.code").as("code"), col("best.dist").as("dist"),
+        col("best.sub").as("sub"))
+
+  /** Lloyd's update: dimension-wise decimal mean of each code's assigned
+    * subvectors; codes that attracted nothing keep their previous
+    * codeword (the standard empty-cluster rule, and what keeps the ADC
+    * lookup table total at m·k entries). */
+  private def updateCentroids(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("d", "v")))
+      .groupBy(col("j"), col("code"), col("d"))
+      .agg((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
+        .cast("double").as("cv"))
+      .groupBy(col("j"), col("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, cv))), s -> s.cv)")
+        .as("cvec_new"))
+    prev.select(col("j"), col("code"), col("cvec"))
+      .join(means, Seq("j", "code"), "left")
+      .select(col("j"), col("code"),
+        coalesce(col("cvec_new"), col("cvec")).as("cvec"))
+  }
+
+  /** Collect the (m·k)-row codebook to the driver and re-create it — KB
+    * scale, build path only. This is what bounds the lineage: each Lloyd's
+    * iteration starts from a literal codebook, not from a plan that
+    * re-derives every previous iteration. */
+  private def materialize(spark: SparkSession, cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rows = cents.select(col("j"), col("code"), col("cvec"))
+      .as[(Int, Int, Seq[Double])].collect().sortBy(r => (r._1, r._2)).toSeq
+    spark.createDataset(rows).toDF("j", "code", "cvec")
+  }
+
+  /** Train the codebooks over the given subvector table. Returns the final
+    * codebook and the per-iteration assignment distortions (Σ min-dist² —
+    * Lloyd's objective; PqSpec asserts it never increases). Init is the
+    * first K vectors' subvectors: deterministic and join-free — kmeans++
+    * would serialize k passes; fixed init + fixed iterations is the
+    * distributed-friendly choice, and the monotone-distortion spec pins
+    * that the iterations do the converging. */
+  private[operators] def trainOn(spark: SparkSession, sub: DataFrame,
+                                 iters: Int): (DataFrame, Seq[Double]) = {
+    var centroids = materialize(spark, sub.where(col("vec_id") < K)
+      .select(col("j"), col("vec_id").cast("int").as("code"),
+        col("sub").as("cvec")))
+    val distortions = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val assigned = assign(sub, centroids).persist(StorageLevel.MEMORY_AND_DISK)
+      distortions += assigned.agg(
+        sum(col("dist").cast(DecimalType(28, 12))).cast("double"))
+        .collect().head.getDouble(0)
+      centroids = materialize(spark, updateCentroids(assigned, centroids))
+      assigned.unpersist()
+    }
+    (centroids, distortions.result())
+  }
+
+  /** Spec/API entry: train over one scale factor's corpus. */
+  def train(spark: SparkSession, sfDir: String,
+            iters: Int = Iters): (DataFrame, Seq[Double]) = {
+    val sub = subvecs(Tpch(spark, sfDir).embeddings)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try trainOn(spark, sub, iters) finally { sub.unpersist(); () }
+  }
+
+  /** PQ artifact location (codebooks + codes), fingerprint-keyed and
+    * app-scoped — [[graft.plans.ArtifactPaths]]. */
+  def pqPath(spark: SparkSession, sfDir: String): String =
+    ArtifactPaths.indexPath(spark, sfDir, "pq", "embeddings.parquet")
+
+  /** Build and persist the PQ artifact: `codebooks/` (j, code, cvec) and
+    * `codes/` (vec_id, label, codes array — the 4-bytes-per-vector corpus
+    * representation). `codes/` is written LAST and carries the `_SUCCESS`
+    * marker [[ensurePq]] keys on, so a crash between the two writes reads
+    * as absent, not as a half-artifact. */
+  def buildPq(spark: SparkSession, sfDir: String, outPath: String): Unit = {
+    ArtifactPaths.gcSiblings(spark, outPath, sfDir)
+    val sub = subvecs(Tpch(spark, sfDir).embeddings)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (centroids, _) = trainOn(spark, sub, Iters)
+      centroids.write.mode("overwrite").parquet(s"$outPath/codebooks")
+      assign(sub, centroids)
+        .groupBy(col("vec_id"), col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, code))), s -> s.code)")
+          .as("codes"))
+        .write.mode("overwrite").parquet(s"$outPath/codes")
+    } finally { sub.unpersist(); () }
+  }
+
+  /** Build-if-absent the PQ artifact; returns its path. */
+  def ensurePq(spark: SparkSession, sfDir: String): String =
+    ArtifactPaths.ensure(spark, pqPath(spark, sfDir), markerSubdir = "codes")(
+      buildPq(spark, sfDir, _))
+
+  /** The per-query ADC lookup-table ROW: for every (j, code), the codeword's
+    * dot product against the query's j-th subvector (`lut_dot`) and the
+    * query-independent codeword norm² (`lut_sq`), both decimal-summed, laid
+    * out as flat arrays indexed j·K+code; plus the query norm. One row,
+    * broadcast — the only query-dependent state the scan touches. */
+  private[graft] def lutRow(codebooks: DataFrame, qsub: DataFrame): DataFrame = {
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(28, 14))).cast("double")
+    val per = codebooks
+      .select(col("j"), col("code"), posexplode(col("cvec")).as(Seq("d", "cv")))
+      .join(broadcast(qsub), Seq("j", "d"))
+      .groupBy(col("j"), col("code"))
+      .agg(dsum(col("cv") * col("qv")).as("dot"), dsum(col("cv") * col("cv")).as("sq"))
+    val luts = per.agg(
+      expr(s"transform(array_sort(collect_list(struct(j * $K + code AS idx, dot))), s -> s.dot)")
+        .as("lut_dot"),
+      expr(s"transform(array_sort(collect_list(struct(j * $K + code AS idx, sq))), s -> s.sq)")
+        .as("lut_sq"))
+    val qn = qsub.agg(sqrt(dsum(col("qv") * col("qv"))).as("q_norm"))
+    luts.join(broadcast(qn))
+  }
+
+  /** Query vector (vec_id = 0) as (j, d, qv) subcomponent rows. */
+  private[graft] def querySub(t: Tpch): DataFrame =
+    t.embeddings.where(col("vec_id") === 0)
+      .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
+      .select((col("pos") / DSub).cast("int").as("j"),
+        (col("pos") % DSub).cast("int").as("d"),
+        col("qv").cast("double").as("qv"))
+
+  /** ADC shortlist size ahead of the exact re-rank. A CONSTANT, not a
+    * corpus fraction: at 10^9 vectors the compressed scan still returns
+    * 50 ids, and the float re-rank touches 50 embeddings. */
+  val Shortlist = 50
+
+  /** ADC scan: per code row, m lookups into the broadcast tables — dot and
+    * reconstruction-norm² decompose exactly over subspaces — then cosine of
+    * the reconstruction, top-s. No shuffle anywhere: scan →
+    * TakeOrderedAndProject. */
+  private[graft] def adcShortlist(codes: DataFrame, lut: DataFrame,
+                                  s: Int): DataFrame = {
+    def lookupSum(table: String) = expr(
+      s"aggregate(sequence(0, ${M - 1}), 0D, (acc, j) -> " +
+        s"acc + element_at($table, j * $K + element_at(codes, j + 1) + 1))")
+    codes.join(broadcast(lut))
+      .withColumn("dot", lookupSum("lut_dot"))
+      .withColumn("rsq", lookupSum("lut_sq"))
+      .withColumn("adc_cos",
+        when(col("rsq") === 0.0 || col("q_norm") === 0.0, 0.0)
+          .otherwise(round(col("dot") / (sqrt(col("rsq")) * col("q_norm")), 6)))
+      .select(col("vec_id"), col("label"), col("adc_cos"))
+      .orderBy(col("adc_cos").desc, col("vec_id").asc)
+      .limit(s)
+  }
+
+  /** Exact float re-rank of an ADC shortlist — the stage that turns a
+    * compressed-domain candidate set into final neighbors (quantization
+    * error decides WHO is in the shortlist, never the final order). The
+    * shortlist is a bounded broadcast; the corpus is touched only for
+    * those ids, via an equi-join the optimizer turns into a broadcast
+    * hash join. */
+  private def rerank(spark: SparkSession, t: Tpch, shortlist: DataFrame,
+                     k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    t.embeddings
+      .join(broadcast(shortlist.select(col("vec_id"))), "vec_id")
+      .join(broadcast(t.embeddings.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))))
+      .withColumn("cos", expr("round(graft_cosine(embedding, q_vec), 6)"))
+      .select(col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** PQ search core: ADC shortlist over the given codes table, exact
+    * re-rank, `recall_at_k` audit vs the float brute force (the same
+    * test-scale audit pattern as `q_sim_ivf_topk` — a production probe
+    * samples this, it doesn't compute the exact side per query). */
+  private def pqSearch(spark: SparkSession, sfDir: String, codes: DataFrame,
+                       k: Int = 10): DataFrame = {
+    val path = ensurePq(spark, sfDir)
+    val t = Tpch(spark, sfDir)
+    val shortlist = adcShortlist(codes,
+      lutRow(spark.read.parquet(s"$path/codebooks"), querySub(t)), Shortlist)
+    val probe = rerank(spark, t, shortlist, k)
+    val brute = SimilarityQueries.cosineTopK(spark, sfDir).select(col("vec_id"))
+    val recall = probe.join(brute, "vec_id")
+      .agg(round(count(lit(1)) / k.toDouble, 2).as("recall_at_k"))
+    probe.join(broadcast(recall))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+  }
+
+  /** Registered PQ search: compressed scan of the WHOLE codes table →
+    * shortlist → exact re-rank. */
+  def pqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    pqSearch(spark, sfDir,
+      spark.read.parquet(s"${ensurePq(spark, sfDir)}/codes"))
+
+  /** Registered IVF-PQ search — the full production composition: route the
+    * query through the PERSISTED coarse quantizer to nProbe clusters,
+    * ADC-scan only those clusters' codes, re-rank the shortlist exactly.
+    * Per-query work ≈ corpus·nProbe/n_clusters at 4 bytes per vector,
+    * plus [[Shortlist]] float vectors. Because codes are per-vector
+    * (restriction and encoding commute), nProbe=all equals the full PQ
+    * scan exactly — pinned in PqSpec. */
+  def ivfPqProbe(spark: SparkSession, sfDir: String, nProbe: Int,
+                 k: Int = 10): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val centroids = spark.read.parquet(
+      SimilarityQueries.ensureCentroids(spark, sfDir))
+    val routed = SimilarityQueries.routeLabels(
+      centroids, SimilarityQueries.queryComps(t, "qv"), nProbe)
+    val codes = spark.read.parquet(s"${ensurePq(spark, sfDir)}/codes")
+      .join(broadcast(routed), "label")
+    pqSearch(spark, sfDir, codes, k)
+  }
+
+  def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqProbe(spark, sfDir, nProbe = 2)
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sim_pq_topk", pqTopK, None),
+    NamedQuery("q_sim_ivfpq_topk", ivfPqTopK, None),
+  )
+}

@@ -34,7 +34,7 @@ object SimilarityQueries {
   /** Query vector exploded to per-dimension rows (pos, <valueCol>) — the
     * shape both the centroid router and the component-wise quantized
     * scorer consume (broadcast: 64 rows). */
-  private def queryComps(t: Tpch, valueCol: String): DataFrame =
+  private[operators] def queryComps(t: Tpch, valueCol: String): DataFrame =
     t.embeddings.where(col("vec_id") === 0)
       .select(posexplode(col("embedding")).as(Seq("pos", valueCol)))
       .withColumn(valueCol, col(valueCol).cast("double"))
@@ -133,16 +133,8 @@ object SimilarityQueries {
     * root from [[centroidsPath]] there is no cross-session delete window
     * at all. */
   def buildCentroids(spark: SparkSession, sfDir: String, outPath: String): Unit = {
-    import org.apache.hadoop.fs.Path
     val t = Tpch(spark, sfDir)
-    val out = new Path(outPath)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val corpusPrefix = s"${corpusKey(sfDir)}_"
-    val parent = out.getParent
-    if (parent != null && fs.exists(parent)) fs.listStatus(parent)
-      .filter(s => s.getPath.getName.startsWith(corpusPrefix) &&
-        s.getPath.getName != out.getName)
-      .foreach(s => fs.delete(s.getPath, true))
+    graft.plans.ArtifactPaths.gcSiblings(spark, outPath, sfDir)
     t.embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -150,48 +142,22 @@ object SimilarityQueries {
       .write.mode("overwrite").parquet(outPath)
   }
 
-  /** Filesystem-safe corpus key for one scale factor's index artifacts. */
-  private def corpusKey(sfDir: String): String =
-    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+  /** Default cache location for one scale factor's centroid index —
+    * fingerprint-keyed and app-scoped; lifecycle contract documented at
+    * the shared home, [[graft.plans.ArtifactPaths]]. */
+  def centroidsPath(spark: SparkSession, sfDir: String): String =
+    graft.plans.ArtifactPaths.indexPath(spark, sfDir, "ivf", "embeddings.parquet")
 
-  /** Default cache location for one scale factor's centroid index. The key
-    * includes the source parquet's (mtime, length) fingerprint so a
-    * regenerated corpus can never silently reuse a stale index — index
-    * freshness is part of the artifact's identity, the same contract a
-    * production index table would carry as a snapshot version. The root is
-    * scoped by APPLICATION id: two concurrent sessions can never touch (or
-    * GC) each other's half-built indexes — in production the index would
-    * live at a governed warehouse path, and tmp-per-app is the honest
-    * sandbox analog. */
-  def centroidsPath(spark: SparkSession, sfDir: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fp = fs.listStatus(src) match {
-      case arr if arr.nonEmpty => arr.map(s => s.getModificationTime ^ s.getLen).sum
-      case _ => 0L
-    }
-    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_-]", "_")
-    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$app/" +
-      s"${corpusKey(sfDir)}_${java.lang.Long.toHexString(fp)}"
-  }
-
-  /** Build-if-absent the persisted centroid index and return its path. A
-    * directory without the `_SUCCESS` marker is a crashed half-write, not
-    * an index — rebuilt (mode=overwrite clears the debris). */
-  def ensureCentroids(spark: SparkSession, sfDir: String): String = {
-    import org.apache.hadoop.fs.Path
-    val path = centroidsPath(spark, sfDir)
-    val hadoopPath = new Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(hadoopPath, "_SUCCESS")))
-      buildCentroids(spark, sfDir, path)
-    path
-  }
+  /** Build-if-absent the persisted centroid index and return its path
+    * (`_SUCCESS`-guarded — see [[graft.plans.ArtifactPaths.ensure]]). */
+  def ensureCentroids(spark: SparkSession, sfDir: String): String =
+    graft.plans.ArtifactPaths.ensure(spark, centroidsPath(spark, sfDir)) (
+      buildCentroids(spark, sfDir, _))
 
   /** Route the query vector to its `nProbe` highest-scoring centroids (by
     * dot product — the IVF coarse search). `qComps` must carry (pos, qv). */
-  private def routeLabels(centroids: DataFrame, qComps: DataFrame,
-                          nProbe: Int): DataFrame =
+  private[operators] def routeLabels(centroids: DataFrame, qComps: DataFrame,
+                                     nProbe: Int): DataFrame =
     centroids
       .join(broadcast(qComps), "pos")
       .groupBy(col("label"))

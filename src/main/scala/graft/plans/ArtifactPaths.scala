@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Shared lifecycle home for persisted index artifacts (the IVF coarse
+  * quantizer, the PQ codebooks+codes). One contract, used by every family:
+  *
+  *  - the path key includes the SOURCE parquet's (mtime, length)
+  *    fingerprint, so a regenerated corpus can never silently reuse a
+  *    stale index — freshness is part of the artifact's identity, the
+  *    same contract a production index table carries as a snapshot
+  *    version;
+  *  - the root is scoped by APPLICATION id, so two concurrent sessions
+  *    can never touch (or GC) each other's half-built indexes; in
+  *    production the index lives at a governed warehouse path and
+  *    tmp-per-app is the honest sandbox analog;
+  *  - sibling GC runs on the BUILD path only (never in a probe): before a
+  *    build writes, superseded fingerprints of the same corpus under the
+  *    same parent are removed, so regeneration cycles don't accumulate
+  *    dead indexes.
+  */
+object ArtifactPaths {
+
+  /** Filesystem-safe corpus key for one scale factor's artifacts. */
+  def corpusKey(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** (mtime ^ length) fingerprint summed over the source's files. */
+  def sourceFingerprint(spark: SparkSession, srcPath: String): Long = {
+    val src = new Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(src) match {
+      case arr if arr.nonEmpty => arr.map(s => s.getModificationTime ^ s.getLen).sum
+      case _ => 0L
+    }
+  }
+
+  /** Artifact directory for `family` (e.g. "ivf", "pq") over one source
+    * table of one scale factor: tmp/graft_<family>_<app>/<corpus>_<fp>. */
+  def indexPath(spark: SparkSession, sfDir: String, family: String,
+                srcFile: String): String = {
+    val fp = sourceFingerprint(spark, s"$sfDir/$srcFile")
+    val app = spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9_-]", "_")
+    s"${System.getProperty("java.io.tmpdir")}/graft_${family}_$app/" +
+      s"${corpusKey(sfDir)}_${java.lang.Long.toHexString(fp)}"
+  }
+
+  /** Delete superseded fingerprints of the same corpus next to `outPath`
+    * (build-path GC — a probe never deletes anything). */
+  def gcSiblings(spark: SparkSession, outPath: String, sfDir: String): Unit = {
+    val out = new Path(outPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"${corpusKey(sfDir)}_"
+    val parent = out.getParent
+    if (parent != null && fs.exists(parent)) fs.listStatus(parent)
+      .filter(s => s.getPath.getName.startsWith(prefix) &&
+        s.getPath.getName != out.getName)
+      .foreach(s => fs.delete(s.getPath, true))
+  }
+
+  /** Build-if-absent keyed on a `_SUCCESS` marker under `markerSubdir`
+    * (the LAST subdirectory the build writes): a directory without it is
+    * a crashed half-write, not an artifact — rebuilt, mode=overwrite
+    * clears the debris. Returns the artifact path. */
+  def ensure(spark: SparkSession, path: String, markerSubdir: String = "")
+            (build: String => Unit): String = {
+    val marker = if (markerSubdir.isEmpty) new Path(path, "_SUCCESS")
+      else new Path(new Path(path, markerSubdir), "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) build(path)
+    path
+  }
+}

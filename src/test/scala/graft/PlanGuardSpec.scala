@@ -16,6 +16,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_ivf_topk",      // broadcast query vector + routed labels
     "q_sim_quantized_topk",// broadcast query-vector components
     "q_sim_ivf_quantized_topk", // broadcast query components + routed labels
+    "q_sim_pq_topk",       // broadcast ADC lookup-table row + recall frame
+    "q_sim_ivfpq_topk",    // broadcast ADC lookup-table row + routed labels
     "q_text_tfidf"         // broadcast corpus-size frame
   )
 
