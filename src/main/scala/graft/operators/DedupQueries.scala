@@ -63,8 +63,11 @@ object DedupQueries {
       .withColumn("shingles", expr("array_distinct(graft_shingle_hashes(toks))"))
   }
 
-  /** MinHash signature (16 hash fns via seeded murmur3) + 4 bands of 4. */
-  private def withMinhashBands(df: DataFrame): DataFrame =
+  /** MinHash signature (16 hash fns via seeded murmur3) + 4 bands of 4.
+    * Package-visible: the streaming ingest filter bands each micro-batch
+    * with the SAME signature definition, so its store stays join-compatible
+    * with the batch operators'. */
+  private[graft] def withMinhashBands(df: DataFrame): DataFrame =
     df.withColumn("minhash", expr(
         "transform(sequence(0, 15), p -> array_min(transform(shingles, s -> hash(s, p))))"))
       .withColumn("band", explode(expr(
@@ -144,8 +147,8 @@ object DedupQueries {
     * signature store. Output identity with the plain join is pinned by
     * DedupSpec's brute-force exactness cases; the salt-spread property by
     * ScaleJoinsSpec. */
-  private def verifiedJaccardPairs(candidates: DataFrame,
-                                   shingled: DataFrame): DataFrame = {
+  private[graft] def verifiedJaccardPairs(candidates: DataFrame,
+                                          shingled: DataFrame): DataFrame = {
     import graft.plans.ScaleJoins
     val sets = shingled.select(col("doc_id"), col("shingles"))
     def fetch(pairs: DataFrame, side: String, shCol: String): DataFrame = {

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Components, DedupQueries}
+
+/** Streaming corpus ingestion with an inline near-duplicate filter — the
+  * ingest-time composition of the batch dedup pack: each arriving
+  * micro-batch is minhash-banded and probed against the SIGNATURE STORE of
+  * everything kept so far, plus itself; only novel documents land.
+  *
+  * Semantics (the index-membership rule a crawl-ingest pipeline runs):
+  *  - a batch doc that near-dups (verified Jaccard ≥ 0.5) any STORED doc
+  *    is dropped — dropped docs never enter the store, so a later copy of
+  *    a dropped doc still matches the ORIGINAL keeper, not the ghost;
+  *  - batch docs that near-dup each other (both sides surviving the store
+  *    screen) form components; the lowest doc_id per component is kept —
+  *    the same canonical-keeper rule as the batch `q_dedup_canonical`.
+  *
+  * Scale contract: per-batch work scales with |batch| · band fan-in, never
+  * |corpus|. The store holds band signatures (equi-join probe target; at
+  * 100 TB a table bucketed by (band_id, band_sig), so the probe is a
+  * bucket-local join) and shingle sets (verify-side fetch, semi-joined
+  * down to candidate ids before the join — the same hot-key-salted fetch
+  * as the batch verify). Appends are per-batch parquet writes; a
+  * transactional table format would make them exactly-once — with plain
+  * parquet a replayed batch can re-append, the documented at-least-once
+  * residue (the store's own dedup absorbs re-delivered SIGNATURES
+  * semantically: a re-appended keeper only ever matches itself).
+  *
+  * StreamingIngestSpec drives the exact rule set over MemoryStream
+  * micro-batches.
+  */
+object StreamingIngestDedup {
+
+  /** Store layout under one root. */
+  def sigsPath(root: String) = s"$root/sigs"
+  def shinglesPath(root: String) = s"$root/shingles"
+  def keptPath(root: String) = s"$root/kept"
+
+  /** Kept (landed) documents so far. */
+  def keptDocs(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.parquet(keptPath(root))
+
+  /** Wire a streaming (doc_id, text, ...) source through the filter. */
+  def start(docs: DataFrame, root: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => processBatch(batch, root))
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch through the filter: band → probe store → verify →
+    * in-batch components → append keepers to the store. Static-DataFrame
+    * logic, so the same code is directly testable and could back a batch
+    * backfill run unchanged.
+    *
+    * Lineage note: the stage outputs are `localCheckpoint`ed, NOT merely
+    * persisted. Each stage references its inputs several times (the salted
+    * verify fetches both pair sides; the component loop unions its edge
+    * list per round), so plan TREES — not data — grow exponentially
+    * across stages, and un-truncated they blow up analysis and plan
+    * stringification within a few batches. The batch operators deliberately
+    * keep lineage (persist) for executor-loss recompute; here the
+    * STREAMING CHECKPOINT is the recovery contract — a failed micro-batch
+    * replays wholesale — so truncating lineage inside one batch gives up
+    * nothing. */
+  def processBatch(batch: DataFrame, root: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readOr(path: String, template: DataFrame): DataFrame =
+      if (fs.exists(new Path(path, "_SUCCESS")) || fs.exists(new Path(path)))
+        spark.read.parquet(path)
+      else template.limit(0)
+
+    val shingled = DedupQueries.withShingles(batch.select(col("doc_id"), col("text")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bands = DedupQueries.withMinhashBands(shingled)
+        .select(col("doc_id"), col("band_id"), col("band_sig"))
+      val batchShingles = shingled.select(col("doc_id"), col("shingles"))
+      val storeSigs = readOr(sigsPath(root), bands)
+      val storeShingles = readOr(shinglesPath(root), batchShingles)
+      // verify-side universe: batch shingle sets plus the store's (the
+      // verify join semi-joins this down to candidate ids before fetching)
+      val universe = batchShingles.union(storeShingles)
+
+      // 1. store screen: batch docs near-dupping anything already kept
+      val vsStore = bands.withColumnRenamed("doc_id", "doc_a")
+        .join(storeSigs.withColumnRenamed("doc_id", "doc_b"),
+          Seq("band_id", "band_sig"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val storeDropped = DedupQueries.verifiedJaccardPairs(vsStore, universe)
+        .select(col("doc_a").as("doc_id")).distinct()
+      val survivors = shingled.select(col("doc_id"))
+        .join(storeDropped, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+
+      // 2. in-batch screen: components over verified pairs BETWEEN
+      // survivors (edges through store-dropped docs don't bridge — those
+      // docs aren't in anyone's index), lowest id per component kept
+      val inBatch = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_sig") === col("y.band_sig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .join(survivors.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .join(survivors.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+      val edges = DedupQueries.verifiedJaccardPairs(inBatch, universe)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint(true)
+      val nonCanonical = Components.connectedComponents(edges)
+        .where(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      val kept = survivors.join(nonCanonical, Seq("doc_id"), "left_anti")
+
+      // 3. land keepers + append their signatures to the store
+      batch.join(kept, Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(keptPath(root))
+      bands.join(kept, Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(sigsPath(root))
+      batchShingles.join(kept, Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(shinglesPath(root))
+    } finally { shingled.unpersist(); () }
+  }
+}

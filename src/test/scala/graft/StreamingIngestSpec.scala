@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingIngestDedup
+
+/** The streaming ingest near-dup filter's rule set, driven over real
+  * micro-batches: exact re-deliveries and near-dups of STORED docs drop;
+  * in-batch near-dup groups keep the lowest id; dropped docs never enter
+  * the store (a copy of a dropped doc still matches the original keeper);
+  * store growth tracks keepers only. */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ~30-word texts: a one-word edit at the tail changes 1 of 28 word-3-gram
+  // shingles (Jaccard ≈ 0.96, far above the 0.5 verify threshold) and
+  // leaves the minhash bands colliding
+  private val textA = (0 until 30).map(i => s"alpha$i").mkString(" ")
+  private val textAEdit = textA.replaceAll("alpha29", "omega")
+  private val textB = (0 until 30).map(i => s"beta$i").mkString(" ")
+  private val textC = (0 until 30).map(i => s"gamma$i").mkString(" ")
+  private val textCEdit = textC.replaceAll("gamma29", "omega")
+  private val textD = (0 until 30).map(i => s"delta$i").mkString(" ")
+
+  test("micro-batches land only novel documents; the store remembers keepers only") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("ingest_dedup").toString
+    val ckpt = Files.createTempDirectory("ingest_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+
+    def runBatch(rows: (Long, String)*): Unit = {
+      mem.addData(rows: _*)
+      val q = StreamingIngestDedup.start(docs, root, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    def keptIds: Set[Long] = StreamingIngestDedup.keptDocs(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+
+    // batch 1: two novel docs
+    runBatch(1L -> textA, 2L -> textB)
+    assert(keptIds == Set(1L, 2L))
+
+    // batch 2: 3 = exact copy of stored textA (drop), 4 = near-dup of
+    // stored textA (drop), 5 = novel (keep), 6 = in-batch near-dup of 5
+    // (drop, 5 is the lower id)
+    runBatch(3L -> textA, 4L -> textAEdit, 5L -> textC, 6L -> textCEdit)
+    assert(keptIds == Set(1L, 2L, 5L))
+
+    // batch 3: 7 = copy of DROPPED 4's text — must still drop, by matching
+    // the original keeper 1 through the store (4 never entered); 8 novel
+    runBatch(7L -> textAEdit, 8L -> textD)
+    assert(keptIds == Set(1L, 2L, 5L, 8L))
+
+    // the store holds signatures for keepers only, 4 bands per doc
+    val sigDocs = spark.read.parquet(StreamingIngestDedup.sigsPath(root))
+    assert(sigDocs.select("doc_id").as[Long].collect().toSet == keptIds)
+    assert(sigDocs.count() == 4L * keptIds.size)
+    val shDocs = spark.read.parquet(StreamingIngestDedup.shinglesPath(root))
+      .select("doc_id").as[Long].collect().toSet
+    assert(shDocs == keptIds)
+  }
+}
