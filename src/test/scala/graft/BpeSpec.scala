@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeTrainer
+import graft.sources.Tables
+
+/** Ground truth for the distributed BPE trainer: an independent
+  * driver-side reimplementation (mutable maps over the same word counts,
+  * textbook Sennrich loop) must produce the exact ranked merge list, and
+  * the merge fold must handle the overlapping-run edge the standard way. */
+class BpeSpec extends SparkSpec {
+
+  /** Textbook driver-side BPE over (word, cnt). */
+  private def driverBpe(words: Map[String, Long],
+                        n: Int): Seq[(Int, String, String, Long)] = {
+    var symtab: Map[Vector[String], Long] = words.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ BpeTrainer.EndOfWord) -> c
+    }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to n) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      symtab.foreach { case (s, c) =>
+        s.zip(s.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), w) = counts.toSeq.minBy { case ((a, b), w) => (-w, a, b) }
+        out += ((rank, a, b, w))
+        symtab = symtab.map { case (s, c) =>
+          val merged = Vector.newBuilder[String]
+          var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+              merged += a + b; i += 2
+            } else { merged += s(i); i += 1 }
+          }
+          merged.result() -> c
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("learned merge list equals the textbook driver-side BPE loop") {
+    val wordTable = BpeTrainer
+      .wordCounts(Tables.load(spark, Sf, "documents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wordTable.nonEmpty)
+    val expected = driverBpe(wordTable, BpeTrainer.Merges)
+    val got = BpeTrainer.bpeMerges(spark, Sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("a"),
+        r.getAs[String]("b"), r.getAs[Long]("weight"))).toSeq
+    assert(got == expected,
+      s"distributed: ${got.mkString("; ")}\ndriver: ${expected.mkString("; ")}")
+    // merges must actually compound: later merges build on earlier tokens
+    val merged = BpeTrainer.bpeMerges(spark, Sf).collect()
+      .map(_.getAs[String]("merged"))
+    assert(merged.exists(_.length > 2),
+      "ten rounds over english-like text must produce multi-char tokens")
+  }
+
+  test("merge fold is left-to-right non-overlapping on runs") {
+    import spark.implicits._
+    // 'aaa</w>' under (a,a): standard BPE yields [aa, a, </w>]
+    val words = Seq(("aaa", 1L)).toDF("w", "cnt")
+    val first = BpeTrainer.train(spark, words, n = 1)
+    assert(first.head._2 == "a" && first.head._3 == "a")
+    val two = BpeTrainer.train(spark, words, n = 2)
+    // second round: pairs of [aa, a, </w>] are (aa,a) and (a,</w>), each
+    // weight 1 -> lexicographic tie-break picks (a,</w>)
+    assert(two(1)._2 == "a" && two(1)._3 == BpeTrainer.EndOfWord,
+      s"got ${two(1)}")
+  }
+}
