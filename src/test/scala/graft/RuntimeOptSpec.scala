@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** CI proof for the two runtime optimizations SCALE.md leans on instead of
+  * hand-scheduling: AQE's skew-join split (the "hot key at 100 TB" answer
+  * wherever an explicit salt isn't already in the plan) and the runtime
+  * Bloom-filter join prune (a selective dim filter becomes a pushed
+  * probe-side filter, cutting the fact scan before the join). Both fire
+  * only past size thresholds tuned for real clusters, so these tests dial
+  * the thresholds down to test scale — asserting the MECHANISM is wired,
+  * the thresholds stay production defaults everywhere else. */
+class RuntimeOptSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      // keep the join sort-merge: skew split only applies there
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      // one hot key carrying ~90% of rows; the aggregate CONSUMES the
+      // payload so column pruning can't shrink the shuffled bytes
+      val left = spark.range(0, 60000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          concat(lit("x"), lpad(col("id").cast("string"), 64, "0")).as("pay"))
+      val right = spark.range(0, 2000)
+        .select(when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val joined = left.join(right, "k").agg(sum(length(col("pay"))))
+      val n = joined.collect().head.getLong(0)
+      assert(n > 0)
+      val plan = joined.queryExecution.executedPlan
+      val finalPlan = plan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      }.getOrElse(plan.toString)
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join split:\n$finalPlan")
+    }
+  }
+
+  test("runtime Bloom filter from a selective dim prunes the fact side") {
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      // keep the join shuffled: a broadcast join already prunes via its
+      // hash table, the bloom filter targets the shuffle case
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+      spark.range(0, 200000)
+        .select(col("id").as("fk"),
+          concat(lit("p"), col("id").cast("string")).as("pay"))
+        .write.mode("overwrite").parquet(s"$dir/fact")
+      spark.range(0, 20000)
+        .select(col("id").as("k"), (col("id") % 97).as("cat"))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").where(col("cat") === 7)
+      val joined = fact.join(dim, fact("fk") === dim("k"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") ||
+        optimized.contains("BloomFilter") || optimized.contains("might_contain"),
+        s"runtime bloom filter must be injected on the fact side:\n$optimized")
+      assert(joined.count() > 0)
+    }
+  }
+}
