@@ -85,7 +85,57 @@ object Profiling {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Join-key skew report — the diagnostic that DECIDES the scale knobs
+    * the engine exposes (`ScaleJoins.saltedJoin` factors, AQE skew
+    * thresholds — the mechanisms RuntimeOptSpec proves): for each
+    * candidate shuffle key, the per-key count distribution summarized as
+    * max / median / p99 / top-key share / skew factor (max over mean).
+    * One groupBy per profiled key (distinct-key shuffle, partial+final),
+    * then a single-row summary per key — output size is O(#profiled
+    * keys), never O(#keys). `user_id` here is near-uniform (skew ≈ 1.3);
+    * `event_type` is the few-hot-values shape (skew ≈ distinct-count) —
+    * the report tells a planner the first salts fine and the second must
+    * never be a shuffle key without salting. */
+  def keySkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    def report(keyCol: String): DataFrame =
+      t.events.groupBy(col(keyCol).cast("string").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          lit(keyCol).as("key_col"),
+          sum(col("n")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_n"),
+          expr("percentile(n, 0.5D)").as("p50_n"),
+          expr("percentile(n, 0.99D)").as("p99_n"))
+        .select(col("key_col"), col("n_rows"), col("n_keys"), col("max_n"),
+          col("p50_n"), col("p99_n"),
+          round(col("max_n") / col("n_rows"), 6).as("top_share"),
+          round(col("max_n") * col("n_keys") / col("n_rows"), 4)
+            .as("skew_factor"))
+    report("user_id").unionAll(report("event_type"))
+      .orderBy(col("key_col"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_profile_key_skew", keySkewReport, Some(
+      """WITH u AS (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1),
+        |     e AS (SELECT event_type AS k, COUNT(*) AS n FROM events GROUP BY 1),
+        |     su AS (
+        |  SELECT 'user_id' AS key_col, SUM(n) AS n_rows, COUNT(*) AS n_keys,
+        |         MAX(n) AS max_n,
+        |         quantile_cont(n, 0.5) AS p50_n, quantile_cont(n, 0.99) AS p99_n,
+        |         ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_share,
+        |         ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4) AS skew_factor
+        |  FROM u),
+        |     se AS (
+        |  SELECT 'event_type' AS key_col, SUM(n) AS n_rows, COUNT(*) AS n_keys,
+        |         MAX(n) AS max_n,
+        |         quantile_cont(n, 0.5) AS p50_n, quantile_cont(n, 0.99) AS p99_n,
+        |         ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_share,
+        |         ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4) AS skew_factor
+        |  FROM e)
+        |SELECT * FROM su UNION ALL SELECT * FROM se ORDER BY key_col""".stripMargin)),
     NamedQuery("q_txn_outliers", orderOutliers, Some(
       """WITH s AS (
         |  SELECT o_custkey, COUNT(*) AS n,
