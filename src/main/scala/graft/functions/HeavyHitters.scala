@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra–Gries heavy-hitters summary as a typed `Aggregator` — the one
+  * custom UDAF in the engine, used where builtins genuinely cannot help:
+  * finding every token with frequency > n/k WITHOUT materializing the
+  * full token→count table first.
+  *
+  * The sketch keeps at most k-1 counters. Classic guarantees (Misra &
+  * Gries 1982; merge form from Agarwal et al., "Mergeable Summaries",
+  * PODS 2012):
+  *  - every item with true frequency > n/k IS in the summary (candidates
+  *    are a superset of the true heavy hitters);
+  *  - each kept counter undercounts its item's true frequency by at most
+  *    n/k.
+  * Both are pinned in `HeavyHittersSpec` across adversarial partition
+  * splits, because `merge` order in Spark is nondeterministic and the
+  * bound must hold for EVERY order.
+  *
+  * Scale shape: the input never shuffles — partial summaries of ≤ k-1
+  * entries combine on the driver side of a single-row aggregate, so the
+  * reduce traffic is O(partitions · k), independent of corpus size. The
+  * exact-recount second pass (see `SketchQueries.heavyHitters`) touches
+  * only the ≤ k-1 candidates via a broadcast semi-join.
+  */
+class MisraGries(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(k >= 2, "Misra-Gries needs k >= 2")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+    b.get(x) match {
+      case Some(c) => b.updated(x, c + 1L)
+      case None if b.size < k - 1 => b.updated(x, 1L)
+      // Counter set full and x unseen: decrement ALL counters (x's +1 and
+      // k-1 others each give one of their count away — the step that
+      // bounds total undercount by n/k).
+      case None =>
+        b.collect { case (t, c) if c > 1L => t -> (c - 1L) }
+    }
+
+  /** Mergeable-summaries combine: sum counts, then if more than k-1
+    * survive, subtract the k-th largest count from every counter and drop
+    * the non-positive — the smallest subtraction that restores the size
+    * bound, preserving the n/k error budget. */
+  override def merge(b1: Map[String, Long],
+                     b2: Map[String, Long]): Map[String, Long] = {
+    val combined = b2.foldLeft(b1) { case (acc, (t, c)) =>
+      acc.updated(t, acc.getOrElse(t, 0L) + c)
+    }
+    if (combined.size <= k - 1) combined
+    else {
+      val kth = combined.values.toSeq.sorted(Ordering[Long].reverse)(k - 1)
+      combined.collect { case (t, c) if c > kth => t -> (c - kth) }
+    }
+  }
+
+  override def finish(b: Map[String, Long]): Map[String, Long] = b
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+}

@@ -58,6 +58,8 @@ object ProductQuantization {
   val DSub = 8
   /** Codewords per subspace codebook. */
   val K = 16
+  /** Coarse-quantizer clusters (the IVF inverted lists). */
+  val CoarseK = 16
   /** Lloyd's iterations for the codebook train. */
   val Iters = 4
 
@@ -125,9 +127,9 @@ object ProductQuantization {
     * would serialize k passes; fixed init + fixed iterations is the
     * distributed-friendly choice, and the monotone-distortion spec pins
     * that the iterations do the converging. */
-  private[operators] def trainOn(spark: SparkSession, sub: DataFrame,
-                                 iters: Int): (DataFrame, Seq[Double]) = {
-    var centroids = materialize(spark, sub.where(col("vec_id") < K)
+  private[operators] def trainOn(spark: SparkSession, sub: DataFrame, iters: Int,
+                                 k: Int = K): (DataFrame, Seq[Double]) = {
+    var centroids = materialize(spark, sub.where(col("vec_id") < k)
       .select(col("j"), col("vec_id").cast("int").as("code"),
         col("sub").as("cvec")))
     val distortions = Seq.newBuilder[Double]
@@ -155,24 +157,40 @@ object ProductQuantization {
   def pqPath(spark: SparkSession, sfDir: String): String =
     ArtifactPaths.indexPath(spark, sfDir, "pq", "embeddings.parquet")
 
-  /** Build and persist the PQ artifact: `codebooks/` (j, code, cvec) and
-    * `codes/` (vec_id, label, codes array — the 4-bytes-per-vector corpus
-    * representation). `codes/` is written LAST and carries the `_SUCCESS`
-    * marker [[ensurePq]] keys on, so a crash between the two writes reads
-    * as absent, not as a half-artifact. */
+  /** The full vector as one "subspace" — the frame the COARSE quantizer
+    * trains and assigns on, through the same Lloyd's machinery as the
+    * per-subspace codebooks. */
+  private def fullVec(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"), lit(0).as("j"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("sub"))
+
+  /** Build and persist the PQ artifact: `coarse/` (the trained CoarseK-
+    * cluster quantizer — the IVF inverted-list structure), `codebooks/`
+    * (j, code, cvec), and `codes/` (vec_id, label, cluster, codes array —
+    * the 4-bytes-per-vector corpus representation, routed to its coarse
+    * cell at ENCODE time, the way a real IVF-PQ index stores codes inside
+    * inverted lists). `codes/` is written LAST and carries the `_SUCCESS`
+    * marker [[ensurePq]] keys on, so a crash between writes reads as
+    * absent, not as a half-artifact. */
   def buildPq(spark: SparkSession, sfDir: String, outPath: String): Unit = {
     ArtifactPaths.gcSiblings(spark, outPath, sfDir)
-    val sub = subvecs(Tpch(spark, sfDir).embeddings)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val emb = Tpch(spark, sfDir).embeddings
+    val sub = subvecs(emb).persist(StorageLevel.MEMORY_AND_DISK)
+    val full = fullVec(emb).persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      val (coarse, _) = trainOn(spark, full, Iters, CoarseK)
+      coarse.write.mode("overwrite").parquet(s"$outPath/coarse")
+      val clusterOf = assign(full, coarse)
+        .select(col("vec_id"), col("code").as("cluster"))
       val (centroids, _) = trainOn(spark, sub, Iters)
       centroids.write.mode("overwrite").parquet(s"$outPath/codebooks")
       assign(sub, centroids)
         .groupBy(col("vec_id"), col("label"))
         .agg(expr("transform(array_sort(collect_list(struct(j, code))), s -> s.code)")
           .as("codes"))
+        .join(clusterOf, "vec_id")
         .write.mode("overwrite").parquet(s"$outPath/codes")
-    } finally { sub.unpersist(); () }
+    } finally { sub.unpersist(); full.unpersist(); () }
   }
 
   /** Build-if-absent the PQ artifact; returns its path. */
@@ -278,27 +296,43 @@ object ProductQuantization {
     pqSearch(spark, sfDir,
       spark.read.parquet(s"${ensurePq(spark, sfDir)}/codes"))
 
-  /** Registered IVF-PQ search — the full production composition: route the
-    * query through the PERSISTED coarse quantizer to nProbe clusters,
-    * ADC-scan only those clusters' codes, re-rank the shortlist exactly.
-    * Per-query work ≈ corpus·nProbe/n_clusters at 4 bytes per vector,
-    * plus [[Shortlist]] float vectors. Because codes are per-vector
-    * (restriction and encoding commute), nProbe=all equals the full PQ
-    * scan exactly — pinned in PqSpec. */
+  /** Route the query vector to its nProbe nearest coarse cells by dot
+    * product against the TRAINED coarse centroids — CoarseK rows, so the
+    * interpreted lambda here is constant work, and the routed cell ids
+    * broadcast into the codes join. */
+  private def routeCells(coarse: DataFrame, t: Tpch, nProbe: Int): DataFrame =
+    coarse
+      .join(broadcast(t.embeddings.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_vec"))))
+      .withColumn("score", expr(
+        "aggregate(zip_with(cvec, q_vec, (a, b) -> a * CAST(b AS DOUBLE)), " +
+          "0D, (acc, x) -> acc + x)"))
+      .orderBy(col("score").desc, col("code").asc)
+      .limit(nProbe)
+      .select(col("code").as("cluster"))
+
+  /** Registered IVF-PQ search — the full production composition, both
+    * halves TRAINED: route the query through the persisted coarse
+    * quantizer to its nProbe nearest cells (k-means clusters of the
+    * vector space, not a data attribute — unlike the label-routed
+    * `q_sim_ivf_topk` family, which demonstrates attribute-partition
+    * pruning), ADC-scan only those cells' codes, re-rank the shortlist
+    * exactly. Per-query work ≈ corpus·nProbe/CoarseK at 4 bytes per
+    * vector, plus [[Shortlist]] float vectors. Because every vector's
+    * codes are cell-resident (the cells partition the corpus), nProbe=all
+    * equals the full PQ scan exactly — pinned in PqSpec. */
   def ivfPqProbe(spark: SparkSession, sfDir: String, nProbe: Int,
                  k: Int = 10): DataFrame = {
     val t = Tpch(spark, sfDir)
-    val centroids = spark.read.parquet(
-      SimilarityQueries.ensureCentroids(spark, sfDir))
-    val routed = SimilarityQueries.routeLabels(
-      centroids, SimilarityQueries.queryComps(t, "qv"), nProbe)
-    val codes = spark.read.parquet(s"${ensurePq(spark, sfDir)}/codes")
-      .join(broadcast(routed), "label")
+    val path = ensurePq(spark, sfDir)
+    val routed = routeCells(spark.read.parquet(s"$path/coarse"), t, nProbe)
+    val codes = spark.read.parquet(s"$path/codes")
+      .join(broadcast(routed), "cluster")
     pqSearch(spark, sfDir, codes, k)
   }
 
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
-    ivfPqProbe(spark, sfDir, nProbe = 2)
+    ivfPqProbe(spark, sfDir, nProbe = 4)
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sim_pq_topk", pqTopK, None),

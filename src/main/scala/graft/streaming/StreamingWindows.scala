@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregation over streams — the semantics the
+  * reference's consumer lacks entirely: it stamps rows with ARRIVAL time
+  * (`consumer/consumer.py:45` uses `datetime.now()`), so a late event lands
+  * in the wrong daily partition and the daily mart silently miscounts.
+  * Here the window is computed from the EVENT timestamp, the watermark
+  * bounds how long a window stays open for stragglers, and a row later
+  * than the watermark is dropped — a documented, bounded-state answer
+  * instead of a silent misfile.
+  *
+  * Scale notes (100 TB/day):
+  * - State per key·window, evicted once the watermark passes the window
+  *   end — memory tracks the lateness horizon, not the stream's lifetime.
+  * - Aggregation is partial+final (map-side combine) exactly like the
+  *   batch path; the shuffle key is (key, window), so skew tooling
+  *   (AQE, salting) applies unchanged.
+  * - Append mode emits each window ONCE, when it finalizes — the output
+  *   is an idempotent, immutable fact table a downstream mart can
+  *   incrementally consume (no rewrites of already-published windows).
+  */
+object StreamingWindows {
+
+  /** Tumbling event-time counts/sums per window and key. Append-mode
+    * output: one immutable row per (window, key) once the watermark
+    * passes the window end. */
+  def tumblingAgg(df: DataFrame, eventTimeCol: String, delay: String,
+                  windowDur: String, key: Column, aggs: Seq[Column]): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowDur), key)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("*"))
+      .drop("window")
+
+  /** Sliding event-time aggregate: each event contributes to every
+    * window whose span covers it (windowDur / slideDur overlapping
+    * copies). Same watermark/finalization contract as tumbling. */
+  def slidingAgg(df: DataFrame, eventTimeCol: String, delay: String,
+                 windowDur: String, slideDur: String, key: Column,
+                 aggs: Seq[Column]): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowDur, slideDur), key)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("*"))
+      .drop("window")
+
+  /** Session windows: per-key activity bursts closed by a `gap` of
+    * silence. Unlike tumbling/sliding, the window extent is DATA-DRIVEN —
+    * state merges adjacent sessions as events arrive and finalizes when
+    * the watermark passes `last_event + gap`. */
+  def sessionAgg(df: DataFrame, eventTimeCol: String, delay: String,
+                 gap: String, key: Column, aggs: Seq[Column]): DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .groupBy(session_window(col(eventTimeCol), gap), key)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("*"))
+      .drop("session_window")
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.ProductQuantization
-import graft.operators.ProductQuantization.{DSub, K, M, Shortlist}
+import graft.operators.ProductQuantization.{CoarseK, DSub, K, M, Shortlist}
 import graft.sources.Tables
 
 /** Ground truth for the product-quantization family: the k-means contract
@@ -97,12 +97,42 @@ class PqSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("recall_at_k") >= 0.6)
   }
 
-  test("IVF-PQ at nProbe=all equals the full PQ scan (restriction commutes)") {
+  test("IVF-PQ at nProbe=all equals the full PQ scan (cells partition the corpus)") {
     val full = ProductQuantization.pqTopK(spark, Sf)
       .collect().map(_.toString).toSeq
-    val routedAll = ProductQuantization.ivfPqProbe(spark, Sf, nProbe = 10)
+    val routedAll = ProductQuantization.ivfPqProbe(spark, Sf, nProbe = CoarseK)
       .collect().map(_.toString).toSeq
     assert(routedAll == full)
+  }
+
+  test("coarse quantizer is total and cell assignment is full-vector argmin") {
+    val coarse = spark.read.parquet(s"$path/coarse").collect()
+      .map(r => r.getAs[Int]("code") ->
+        r.getAs[Seq[Double]]("cvec").toArray).toMap
+    assert(coarse.size == CoarseK)
+    coarse.values.foreach(cv => assert(cv.length == M * DSub))
+    val clusters = spark.read.parquet(s"$path/codes").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(clusters.size == vectors.size)
+    // every cell is populated — balanced enough that no inverted list is
+    // dead (the property that makes nProbe a real work/recall dial)
+    assert(clusters.values.toSet == (0 until CoarseK).toSet)
+    vectors.keys.filter(_ % 25 == 0).foreach { id =>
+      val v = vectors(id)
+      val best = (0 until CoarseK).minBy { c =>
+        val cv = coarse(c)
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }
+      assert(clusters(id) == best, s"vec $id cell")
+    }
+  }
+
+  test("probing the query's own cell already finds it; recall holds at nProbe=1") {
+    val one = ProductQuantization.ivfPqProbe(spark, Sf, nProbe = 1).collect()
+    assert(one.length == 10)
+    assert(one.head.getAs[Long]("vec_id") == 0L, "self-match must route home")
+    // measured 0.7 at this sf, deterministic; floor with margin
+    assert(one.head.getAs[Double]("recall_at_k") >= 0.5)
   }
 
   test("shortlist constant bounds the re-rank side") {

@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingWindows
+
+/** Event-time windowed aggregation semantics, pinned against hand-computed
+  * windows over real micro-batches:
+  *  - tumbling windows finalize once the watermark passes, and emit ONCE
+  *  - a late row within the watermark is counted; later than the
+  *    watermark it is dropped (not misfiled into a fresh window)
+  *  - a sliding event lands in every overlapping window
+  *  - session windows close after the gap and merge bridged bursts
+  */
+class StreamingWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling windows: late-within-watermark counted, beyond-watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val out = StreamingWindows.tumblingAgg(
+      mem.toDF().toDF("ts", "user_id", "value"),
+      eventTimeCol = "ts", delay = "10 minutes", windowDur = "10 minutes",
+      key = col("user_id"),
+      aggs = Seq(count(lit(1)).as("n"), sum("value").as("total")))
+    val q = out.writeStream.format("memory").queryName("win_tumble")
+      .outputMode("append").start()
+    try {
+      // Window [10:00,10:10) gets two rows; max event time 10:21 puts the
+      // watermark at 10:11 -> that window finalizes and emits.
+      mem.addData(
+        (ts("2024-03-01 10:01:00"), 1L, 2.0),
+        (ts("2024-03-01 10:21:00"), 1L, 7.0))
+      q.processAllAvailable()
+      // Late row at 10:05: watermark is 10:11, its window already CLOSED
+      // and emitted -> dropped, not re-emitted, not misfiled. In-horizon
+      // row at 10:25 joins the open [10:20,10:30) window.
+      mem.addData(
+        (ts("2024-03-01 10:05:00"), 1L, 100.0),
+        (ts("2024-03-01 10:25:00"), 1L, 3.0))
+      q.processAllAvailable()
+      // Advance event time far enough to finalize [10:20,10:30).
+      mem.addData((ts("2024-03-01 11:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("win_tumble")
+      .orderBy("window_start")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("user_id"), col("n"), col("total"))
+      .collect().map { case Row(w: String, u: Long, n: Long, t: Double) =>
+        (w, u, n, t) }.toSeq
+    // The dropped 100.0 row must appear NOWHERE; [10:00) emitted exactly
+    // once with only the on-time rows.
+    assert(rows == Seq(("10:00", 1L, 1L, 2.0), ("10:20", 1L, 2L, 10.0)),
+      s"got $rows")
+  }
+
+  test("sliding windows: one event lands in each overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val out = StreamingWindows.slidingAgg(
+      mem.toDF().toDF("ts", "user_id", "value"),
+      eventTimeCol = "ts", delay = "0 seconds",
+      windowDur = "10 minutes", slideDur = "5 minutes",
+      key = col("user_id"), aggs = Seq(count(lit(1)).as("n")))
+    val q = out.writeStream.format("memory").queryName("win_slide")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-03-01 10:07:00"), 1L, 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-03-01 11:00:00"), 2L, 1.0)) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val wins = spark.table("win_slide").where(col("user_id") === 1L)
+      .orderBy("window_start")
+      .select(date_format(col("window_start"), "HH:mm").as("s"),
+        date_format(col("window_end"), "HH:mm").as("e"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // 10:07 is covered by [10:00,10:10) and [10:05,10:15) — exactly two.
+    assert(wins == Seq(("10:00", "10:10"), ("10:05", "10:15")), s"got $wins")
+  }
+
+  test("session windows: gap closes a session; bridged bursts merge") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val out = StreamingWindows.sessionAgg(
+      mem.toDF().toDF("ts", "user_id", "value"),
+      eventTimeCol = "ts", delay = "0 seconds", gap = "5 minutes",
+      key = col("user_id"), aggs = Seq(count(lit(1)).as("n")))
+    val q = out.writeStream.format("memory").queryName("win_session")
+      .outputMode("append").start()
+    try {
+      // User 1: events at 10:00, 10:03, 10:06 chain (gaps < 5m) into ONE
+      // session [10:00, 10:11); the 10:30 event starts a second session.
+      // User 2: single event -> session of extent exactly `gap`.
+      mem.addData(
+        (ts("2024-03-01 10:00:00"), 1L, 1.0),
+        (ts("2024-03-01 10:03:00"), 1L, 1.0),
+        (ts("2024-03-01 10:06:00"), 1L, 1.0),
+        (ts("2024-03-01 10:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-03-01 10:30:00"), 1L, 1.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-03-01 12:00:00"), 3L, 1.0)) // finalize all
+      q.processAllAvailable()
+    } finally q.stop()
+    val sessions = spark.table("win_session")
+      .where(col("user_id") =!= 3L)
+      .orderBy("user_id", "session_start")
+      .select(col("user_id"),
+        date_format(col("session_start"), "HH:mm").as("s"),
+        date_format(col("session_end"), "HH:mm").as("e"), col("n"))
+      .collect().map { case Row(u: Long, s: String, e: String, n: Long) =>
+        (u, s, e, n) }.toSeq
+    assert(sessions == Seq(
+      (1L, "10:00", "10:11", 3L),   // merged burst: last event + gap
+      (1L, "10:30", "10:35", 1L),
+      (2L, "10:00", "10:05", 1L)), s"got $sessions")
+  }
+}
