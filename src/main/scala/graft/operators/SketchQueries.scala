@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.NamedQuery
+import graft.functions.MisraGries
 import graft.sources.Tables.Tpch
 
 /** Sketch-based approximation operators — the fixed-memory summaries a
@@ -93,8 +94,53 @@ object SketchQueries {
       .orderBy(col("quantile"))
   }
 
+  /** Counter budget for the Misra-Gries pass (k-1 = 39 counters). */
+  val MgK = 40
+
+  /** Exact heavy hitters (tokens with frequency > total/k) via the classic
+    * two-pass sketch-then-verify shape:
+    *
+    * Pass 1 — the [[MisraGries]] typed Aggregator summarizes the token
+    * stream into <= k-1 candidate counters with NO per-token shuffle: each
+    * partition builds a k-counter partial, partials merge associatively
+    * into one row. MG guarantees the candidates are a SUPERSET of every
+    * true heavy hitter, whatever the (nondeterministic) merge order.
+    *
+    * Pass 2 — exact recount restricted to the candidates (broadcast
+    * semi-join, <= k-1 keys), thresholded at total/k. The sketch's
+    * nondeterministic counts never reach the output — only its candidate
+    * SET, then exact arithmetic — so the result is deterministic and
+    * oracle-checkable even though the operator is a sketch.
+    *
+    * At 100 TB this is the difference between shuffling the full
+    * vocabulary histogram and shipping O(partitions * k) counters. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val tokens = t.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val mg = udaf(new MisraGries(MgK), org.apache.spark.sql.Encoders.STRING)
+    val candidates = tokens.agg(mg(col("token")).as("summary"))
+      .select(explode(map_keys(col("summary"))).as("token"))
+    val totals = tokens.agg(count(lit(1)).as("total"))
+    tokens.join(broadcast(candidates), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totals))
+      .where(col("n") * MgK > col("total"))
+      .select(col("token"), col("n"))
+      .orderBy(col("n").desc, col("token"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sketch_token_counts", cmsTokenCounts, None),
     NamedQuery("q_sketch_quantiles", approxQuantiles, None),
+    NamedQuery("q_heavy_hitters", heavyHitters, Some(
+      s"""WITH tok AS (
+         |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+         |c AS (SELECT token, COUNT(*) AS n FROM tok WHERE token <> ''
+         |      GROUP BY token),
+         |t AS (SELECT SUM(n) AS total FROM c)
+         |SELECT token, n FROM c, t WHERE n * $MgK > total
+         |ORDER BY n DESC, token""".stripMargin)),
   )
 }

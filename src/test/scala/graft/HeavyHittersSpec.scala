@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+import graft.operators.SketchQueries
+import graft.sources.Tables.Tpch
+
+/** The Misra-Gries contract, pinned where it is actually dangerous: Spark
+  * merges partition partials in nondeterministic order, and the classic
+  * guarantees must hold for EVERY order:
+  *  - candidates are a superset of all items with true frequency > n/k
+  *  - each kept counter undercounts its item by at most n/k
+  *  - the summary never exceeds k-1 counters
+  * Plus the end-to-end query: sketch-then-verify equals the exact
+  * histogram threshold, bit for bit.
+  */
+class HeavyHittersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 10
+
+  /** Run the aggregator over `items` split into `parts` partitions and
+    * return (summary, exact counts, n). */
+  private def run(items: Seq[String], parts: Int) = {
+    val mg = udaf(new MisraGries(K), org.apache.spark.sql.Encoders.STRING)
+    val df = items.toDF("token").repartition(parts)
+    val summary = df.agg(mg(col("token")).as("s"))
+      .collect().head.getMap[String, Long](0).toMap
+    val exact = items.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    (summary, exact, items.size.toLong)
+  }
+
+  test("superset + undercount bound hold across adversarial partition splits") {
+    // Zipfian-ish stream: two true heavy hitters over a long diverse tail.
+    val items = Seq.fill(400)("alpha") ++ Seq.fill(250)("beta") ++
+      (0 until 600).map(i => s"tail_${i % 300}") ++ Seq.fill(80)("gamma")
+    for (parts <- Seq(1, 3, 7, 16)) {
+      val (summary, exact, n) = run(items, parts)
+      assert(summary.size <= K - 1, s"parts=$parts size")
+      val bound = n.toDouble / K
+      exact.collect { case (t, c) if c > bound => t }.foreach { hh =>
+        assert(summary.contains(hh), s"parts=$parts lost heavy hitter $hh")
+      }
+      summary.foreach { case (t, est) =>
+        val c = exact(t)
+        assert(est <= c, s"parts=$parts $t overcounts: $est > $c")
+        assert(c - est <= bound, s"parts=$parts $t undercount ${c - est} > $bound")
+      }
+    }
+  }
+
+  test("degenerate streams: uniform (no hitter survives need not crash) and single-key") {
+    val (uni, _, _) = run((0 until 500).map(i => s"u_${i % 100}"), 8)
+    assert(uni.size <= K - 1)
+    val (single, _, _) = run(Seq.fill(100)("only"), 4)
+    assert(single == Map("only" -> 100L))
+  }
+
+  test("q_heavy_hitters equals the exact histogram threshold") {
+    val t = Tpch(spark, Sf)
+    val exact = t.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = exact.agg(sum("n")).collect().head.getLong(0)
+    val expected = exact.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (_, n) => n * SketchQueries.MgK > total }
+      .sortBy { case (tok, n) => (-n, tok) }.toSeq
+    val got = SketchQueries.heavyHitters(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected, s"got ${got.take(5)}... expected ${expected.take(5)}...")
+    assert(got.nonEmpty, "sf0.001 corpus should have at least one heavy hitter")
+  }
+}
