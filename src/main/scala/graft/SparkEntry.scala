@@ -11,7 +11,8 @@ object SparkEntry {
       CdcQueries.all ++ MultimodalOps.all ++ AdvancedQueries.all ++
       OlapQueries.all ++ Sampling.all ++ CorpusPrep.all ++ Components.all ++
       Profiling.all ++ SketchQueries.all ++ EventAnalytics.all ++
-      IncrementalMart.all ++ ProductQuantization.all ++ BpeTrainer.all
+      IncrementalMart.all ++ ProductQuantization.all ++ BpeTrainer.all ++
+      TimeSeriesQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

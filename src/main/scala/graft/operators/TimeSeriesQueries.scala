@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Time-bucketed batch analytics and relational reshaping over the events
+  * table — the batch twins of [[graft.streaming.StreamingWindows]] (same
+  * `window()` bucketing Catalyst expression, so the streaming mart and its
+  * batch backfill CANNOT disagree on bucket boundaries), plus the
+  * gap-fill/carry-forward repair a downstream forecasting job needs, and
+  * the unpivot/full-outer reshape-reconcile pair.
+  *
+  * All bucket math happens on integer epoch seconds (`window()` aligns to
+  * the 1970 epoch, so a 1-hour bucket start IS `es div 3600 * 3600`) and
+  * every money/value aggregate goes through the decimal-cast-round idiom —
+  * both so the DuckDB oracle can state identical semantics.
+  *
+  * Scale notes:
+  *  - Tumbling/sliding aggs shuffle on (bucket, type): high-cardinality
+  *    composite keys, partial+final combine, no window function at all.
+  *  - Sliding fan-out is exactly windowDur/slideDur (2 here) copies per
+  *    row — bounded, like the band-join explode.
+  *  - Gap-fill generates the dense calendar per GROUP (sequence() on the
+  *    group's own bounds — ~720 rows each), so the explode scales with
+  *    groups × buckets, never with input rows; the carry-forward window
+  *    partitions on event_type, ordered within partition only.
+  */
+object TimeSeriesQueries {
+
+  private def hourly(spark: SparkSession, sfDir: String): DataFrame =
+    Tpch(spark, sfDir).events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).as("dtotal"))
+      .select(unix_timestamp(col("w.start")).as("hour_es"), col("event_type"),
+        col("n"), round(col("dtotal"), 2).cast("double").as("total"))
+
+  /** Tumbling 1-hour counts and value totals per event type, via the
+    * native `window()` bucketing expression. */
+  def tumblingHourly(spark: SparkSession, sfDir: String): DataFrame =
+    hourly(spark, sfDir)
+      .orderBy(col("hour_es"), col("event_type"))
+
+  /** Sliding 1-hour window every 30 minutes: each event lands in exactly
+    * two windows (windowDur/slideDur copies — the bounded fan-out). */
+  def slidingHalfHour(spark: SparkSession, sfDir: String): DataFrame =
+    Tpch(spark, sfDir).events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("w.start")).as("win_es"), col("event_type"),
+        col("n"))
+      .orderBy(col("win_es"), col("event_type"))
+
+  /** Dense hourly series per event type: missing hours materialized with
+    * n=0 and the last observed total carried forward (the repair step
+    * between raw event feeds and anything autoregressive). `filled`
+    * flags synthesized rows so downstream can distinguish repair from
+    * observation. */
+  def gapFillCarryForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = hourly(spark, sfDir)
+    // Per-type dense calendar from the GLOBAL hour bounds, so every type
+    // covers the same span (a type's leading silence is part of the
+    // signal). Bounds travel as a broadcast one-row frame — no driver
+    // action inside the query.
+    val bounds = base.agg(min("hour_es").as("lo"), max("hour_es").as("hi"))
+    val calendar = base.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, 3600)")).as("hour_es"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_es"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(base, Seq("event_type", "hour_es"), "left")
+      .select(col("hour_es"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("total"), ignoreNulls = true).over(w).as("carried"),
+        col("n").isNull.as("filled"))
+      .orderBy(col("hour_es"), col("event_type"))
+  }
+
+  /** Unpivot (wide → long): per-nation customer balance stats computed
+    * wide, melted to (nation, stat, value) rows via the native unpivot
+    * operator — the inverse of `q_pivot_segment_status`. */
+  def unpivotNationBalance(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val wide = t.customer.join(t.nation,
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        min(col("c_acctbal").cast("decimal(18,4)")).as("min_bal"),
+        max(col("c_acctbal").cast("decimal(18,4)")).as("max_bal"),
+        avg(col("c_acctbal").cast("decimal(18,4)")).as("avg_bal"))
+      .select(col("n_name"),
+        round(col("min_bal"), 2).cast("double").as("min_bal"),
+        round(col("max_bal"), 2).cast("double").as("max_bal"),
+        round(col("avg_bal"), 2).cast("double").as("avg_bal"))
+    wide.unpivot(
+        Array(col("n_name")),
+        Array(col("min_bal"), col("max_bal"), col("avg_bal")),
+        "stat", "value")
+      .orderBy(col("n_name"), col("stat"))
+  }
+
+  /** Full-outer reconciliation: the customer key universes seen by orders
+    * vs by events, classified both/left_only/right_only — the
+    * cross-system audit shape where BOTH sides can have strays, which
+    * semi/anti joins (one-sided by construction) cannot express in one
+    * pass. */
+  def reconcileOrdersEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val o = t.orders.select(col("o_custkey").as("key")).distinct()
+      .withColumn("in_orders", lit(1))
+    val e = t.events.select(col("user_id").as("key")).distinct()
+      .withColumn("in_events", lit(1))
+    o.join(e, Seq("key"), "full_outer")
+      .select(when(col("in_orders").isNotNull && col("in_events").isNotNull, "both")
+        .when(col("in_orders").isNotNull, "orders_only")
+        .otherwise("events_only").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("status"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_events_tumbling_hourly", tumblingHourly, Some(
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_es,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_events_sliding", slidingHalfHour, Some(
+      """WITH b AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 1800 AS hb
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, UNNEST([ (hb - 1) * 1800, hb * 1800 ]) AS win_es
+        |  FROM b)
+        |SELECT win_es, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_events_gapfill", gapFillCarryForward, Some(
+      """WITH h AS (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_es,
+        |         event_type, COUNT(*) AS n,
+        |         CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT t.event_type, g.hour_es
+        |  FROM (SELECT DISTINCT event_type FROM h) t,
+        |       (SELECT UNNEST(generate_series((SELECT MIN(hour_es) FROM h),
+        |                                      (SELECT MAX(hour_es) FROM h),
+        |                                      3600)) AS hour_es) g)
+        |SELECT cal.hour_es, cal.event_type,
+        |       COALESCE(h.n, 0) AS n,
+        |       LAST_VALUE(h.total IGNORE NULLS) OVER (
+        |         PARTITION BY cal.event_type ORDER BY cal.hour_es
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried,
+        |       h.n IS NULL AS filled
+        |FROM cal LEFT JOIN h
+        |  ON cal.event_type = h.event_type AND cal.hour_es = h.hour_es
+        |ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_unpivot_nation_balance", unpivotNationBalance, Some(
+      """WITH wide AS (
+        |  SELECT n_name,
+        |    CAST(ROUND(MIN(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_bal,
+        |    CAST(ROUND(MAX(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_bal,
+        |    CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_bal
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY n_name)
+        |SELECT n_name, stat, value FROM (
+        |  SELECT n_name, 'min_bal' AS stat, min_bal AS value FROM wide
+        |  UNION ALL SELECT n_name, 'max_bal', max_bal FROM wide
+        |  UNION ALL SELECT n_name, 'avg_bal', avg_bal FROM wide)
+        |ORDER BY n_name, stat""".stripMargin)),
+    NamedQuery("q_reconcile_orders_events", reconcileOrdersEvents, Some(
+      """WITH o AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        |e AS (SELECT DISTINCT user_id AS key FROM events)
+        |SELECT CASE WHEN o.key IS NOT NULL AND e.key IS NOT NULL THEN 'both'
+        |            WHEN o.key IS NOT NULL THEN 'orders_only'
+        |            ELSE 'events_only' END AS status,
+        |       COUNT(*) AS n_keys
+        |FROM o FULL OUTER JOIN e ON o.key = e.key
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesQueries
+import graft.sources.Tables.Tpch
+
+/** Structural/semantic pins for the time-series pack beyond the DuckDB
+  * oracle (which already checks values): bucket alignment between the
+  * batch `window()` twin and raw epoch math, the bounded sliding fan-out,
+  * and the gap-fill repair contract (dense calendar, zero-filled gaps,
+  * carry-forward only from the past).
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("tumbling buckets align to epoch-hour boundaries (streaming twin contract)") {
+    val rows = TimeSeriesQueries.tumblingHourly(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hour_es") % 3600 == 0, s"misaligned bucket $r")
+    }
+  }
+
+  test("sliding fan-out is exactly windowDur/slideDur copies per event") {
+    val nEvents = Tpch(spark, Sf).events.count()
+    val total = TimeSeriesQueries.slidingHalfHour(spark, Sf)
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(total == 2 * nEvents, s"expected 2x$nEvents, got $total")
+  }
+
+  test("gap-fill yields one row per (type, hour) over the global span; " +
+    "filled rows are zero-count and carry only past totals") {
+    val df = TimeSeriesQueries.gapFillCarryForward(spark, Sf)
+    val rows = df.collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct.length
+    val hours = rows.map(_.getAs[Long]("hour_es")).distinct.sorted
+    // dense: consecutive hours, complete cross of types x hours
+    assert(hours.sliding(2).forall { case Array(a, b) => b - a == 3600 })
+    assert(rows.length == types * hours.length)
+    rows.filter(_.getAs[Boolean]("filled")).foreach { r =>
+      assert(r.getAs[Long]("n") == 0L, s"filled row with events: $r")
+    }
+    // carry-forward: for each type, carried equals the most recent
+    // observed total at or before the row (null before first observation)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      var lastTotal: Option[Double] = None
+      rs.sortBy(_.getAs[Long]("hour_es")).foreach { r =>
+        if (!r.getAs[Boolean]("filled"))
+          lastTotal = Some(r.getAs[Double]("carried"))
+        val carried = Option(r.getAs[java.lang.Double]("carried"))
+          .map(_.doubleValue())
+        assert(carried == lastTotal, s"carry mismatch at $r")
+      }
+    }
+  }
+
+  test("unpivot emits 3 stat rows per nation, inverse of the wide frame") {
+    val rows = TimeSeriesQueries.unpivotNationBalance(spark, Sf).collect()
+    val byNation = rows.groupBy(_.getAs[String]("n_name"))
+    byNation.values.foreach { rs =>
+      assert(rs.map(_.getAs[String]("stat")).sorted.toSeq ==
+        Seq("avg_bal", "max_bal", "min_bal"))
+      val m = rs.map(r => r.getAs[String]("stat") -> r.getAs[Double]("value")).toMap
+      assert(m("min_bal") <= m("avg_bal") && m("avg_bal") <= m("max_bal"))
+    }
+  }
+
+  test("full-outer reconciliation key classes partition the key universe") {
+    val t = Tpch(spark, Sf)
+    val m = TimeSeriesQueries.reconcileOrdersEvents(spark, Sf).collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_keys")).toMap
+    val oKeys = t.orders.select("o_custkey").distinct().count()
+    val eKeys = t.events.select("user_id").distinct().count()
+    assert(m.getOrElse("both", 0L) + m.getOrElse("orders_only", 0L) == oKeys)
+    assert(m.getOrElse("both", 0L) + m.getOrElse("events_only", 0L) == eKeys)
+  }
+}
