@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream joins with watermark-bounded state — the two-feed twin
+  * of the batch band join (`EventAnalytics.errorsNearPurchases`): match
+  * rows from two live streams on a key within an event-time band, with
+  * BOTH sides' buffered state evicted once the watermarks pass the band.
+  *
+  * Why the time-range predicate is load-bearing at scale: without it a
+  * stream-stream join must buffer EVERY past row of both streams forever
+  * (any future row might still match). The band condition plus the two
+  * watermarks give Spark a proof that rows older than
+  * `watermark - band` can never match again, so state size tracks
+  * `rate x (delay + band)`, not stream lifetime — the difference between
+  * a join that runs for years and one that OOMs in an afternoon.
+  *
+  * The left-outer variant additionally emits unmatched left rows (with
+  * null right columns) exactly when the watermark proves no match can
+  * arrive — the streaming form of "purchase with no nearby error".
+  */
+object StreamingJoins {
+
+  /** Inner band join: rows with equal `key` whose event times lie within
+    * `bandSeconds` of each other. Column names of `left` and `right` must
+    * be disjoint apart from `key` (rename upstream), so the join output
+    * carries both timelines unambiguously. */
+  def bandJoin(left: DataFrame, leftTime: String,
+               right: DataFrame, rightTime: String,
+               key: String, delay: String, bandSeconds: Long,
+               joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTime, delay)
+    val r = right.withWatermark(rightTime, delay)
+      .withColumnRenamed(key, s"__r_$key")
+    l.join(r,
+      col(key) === col(s"__r_$key") &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $bandSeconds SECONDS") &&
+        col(rightTime) <= col(leftTime) + expr(s"INTERVAL $bandSeconds SECONDS"),
+      joinType)
+      .drop(s"__r_$key")
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingJoins
+
+/** Stream-stream band-join semantics over real micro-batches: in-band
+  * pairs match, out-of-band and wrong-key pairs don't, and the left-outer
+  * variant emits an unmatched left row (null right side) only once the
+  * watermark proves no match can still arrive.
+  */
+class StreamingJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("inner band join matches within the band only; both sides keyed") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val errors = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingJoins.bandJoin(
+      purchases.toDF().toDF("user_id", "p_ts"), "p_ts",
+      errors.toDF().toDF("user_id", "e_ts"), "e_ts",
+      key = "user_id", delay = "10 minutes", bandSeconds = 600L)
+    val q = joined.writeStream.format("memory").queryName("ss_band")
+      .outputMode("append").start()
+    try {
+      purchases.addData((1L, ts("2024-03-01 10:00:00")))
+      errors.addData(
+        (1L, ts("2024-03-01 10:05:00")),  // in band
+        (1L, ts("2024-03-01 10:30:00")),  // out of band (30 min)
+        (2L, ts("2024-03-01 10:01:00")))  // wrong key
+      q.processAllAvailable()
+      // advance both watermarks so all join state finalizes
+      purchases.addData((9L, ts("2024-03-01 12:00:00")))
+      errors.addData((9L, ts("2024-03-01 13:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ss_band")
+      .where(col("user_id") === 1L)
+      .select(date_format(col("p_ts"), "HH:mm").as("p"),
+        date_format(col("e_ts"), "HH:mm").as("e"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("10:00", "10:05")), s"got $rows")
+  }
+
+  test("left-outer band join emits unmatched purchases with null error side " +
+    "once the watermark passes the band") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val errors = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingJoins.bandJoin(
+      purchases.toDF().toDF("user_id", "p_ts"), "p_ts",
+      errors.toDF().toDF("user_id", "e_ts"), "e_ts",
+      key = "user_id", delay = "10 minutes", bandSeconds = 600L,
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ss_band_outer")
+      .outputMode("append").start()
+    try {
+      purchases.addData(
+        (1L, ts("2024-03-01 10:00:00")),   // will match
+        (3L, ts("2024-03-01 10:02:00")))   // never matches
+      errors.addData((1L, ts("2024-03-01 10:05:00")))
+      q.processAllAvailable()
+      // The unmatched row for user 3 must NOT have been emitted yet —
+      // a match could still arrive inside its band + delay horizon.
+      val early = spark.table("ss_band_outer")
+        .where(col("user_id") === 3L).count()
+      assert(early == 0L, "unmatched left row emitted before watermark proof")
+      purchases.addData((9L, ts("2024-03-01 12:00:00")))
+      errors.addData((9L, ts("2024-03-01 13:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val u3 = spark.table("ss_band_outer").where(col("user_id") === 3L)
+      .select(col("e_ts")).collect()
+    assert(u3.length == 1 && u3.head.isNullAt(0),
+      s"expected one null-right row for user 3, got ${u3.toSeq}")
+    val u1 = spark.table("ss_band_outer").where(col("user_id") === 1L)
+      .select(col("e_ts")).collect()
+    assert(u1.length == 1 && !u1.head.isNullAt(0), "matched row intact")
+  }
+}
