@@ -120,12 +120,14 @@ object SketchQueries {
       .select(explode(split(col("text"), " ")).as("token"))
       .where(col("token") =!= "")
     val mg = udaf(new MisraGries(MgK), org.apache.spark.sql.Encoders.STRING)
-    val candidates = tokens.agg(mg(col("token")).as("summary"))
-      .select(explode(map_keys(col("summary"))).as("token"))
-    val totals = tokens.agg(count(lit(1)).as("total"))
+    // One pass yields BOTH the candidate summary and the stream length n —
+    // the threshold rides along on each exploded candidate row, so the
+    // query scans the token stream exactly twice (sketch + recount).
+    val candidates = tokens
+      .agg(mg(col("token")).as("summary"), count(lit(1)).as("total"))
+      .select(explode(map_keys(col("summary"))).as("token"), col("total"))
     tokens.join(broadcast(candidates), "token")
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .crossJoin(broadcast(totals))
+      .groupBy(col("token"), col("total")).agg(count(lit(1)).as("n"))
       .where(col("n") * MgK > col("total"))
       .select(col("token"), col("n"))
       .orderBy(col("n").desc, col("token"))
