@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** File-source → file-sink streaming ingest with end-to-end exactly-once:
+  * the landing shape for a drop-directory feed (files appear, rows land
+  * in the lake once, restarts lose nothing and duplicate nothing).
+  *
+  * Exactly-once here is STRUCTURAL, not best-effort: the file source
+  * records which input files each batch consumed in the checkpoint WAL,
+  * and the file sink commits each batch's output files to its own
+  * transaction log — a replayed batch after a crash rewrites the same
+  * batch id, which readers (who go through the log) see once. That is
+  * the delivery upgrade over the reference consumer's at-least-once
+  * auto-commit landing (consumer.py:20-21), where a crash between write
+  * and offset commit duplicates rows in the lake.
+  *
+  * Scale notes: `maxFilesPerTrigger` bounds batch size (ingest paces by
+  * file count, not by whatever burst landed); the pipeline is narrow —
+  * no shuffle between source and sink — so throughput scales with
+  * executors reading/writing in parallel.
+  */
+object FileIngest {
+
+  /** Start the ingest stream; returns the running query. Restartable:
+    * calling again with the same checkpoint resumes from the WAL. */
+  def start(spark: SparkSession, schema: StructType, inDir: String,
+            outDir: String, checkpointDir: String,
+            maxFilesPerTrigger: Int = 10): StreamingQuery =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inDir)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+}

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.FileIngest
+
+/** Exactly-once across a stop/restart of the checkpointed file-to-file
+  * ingest: files landed before the stop are not re-emitted after it,
+  * files landed while the stream was DOWN are picked up, and every input
+  * row appears in the sink exactly once — through the real parquet file
+  * source and file sink (no MemoryStream), reading the sink the way a
+  * consumer would (via its transaction log).
+  */
+class FileIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkpoint restart: no duplicates, no losses, down-time files picked up") {
+    val root = Files.createTempDirectory("file_ingest").toString
+    val (in, out, cp) = (s"$root/in", s"$root/out", s"$root/cp")
+    val schema = Seq((0L, "x")).toDF("id", "payload").schema
+
+    def land(ids: Range): Unit =
+      ids.map(i => (i.toLong, s"row_$i")).toDF("id", "payload")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    land(0 until 5)
+    val q1 = FileIngest.start(spark, schema, in, out, cp)
+    try q1.processAllAvailable() finally q1.stop()
+
+    // Files that arrive while the stream is down...
+    land(5 until 9)
+    // ...and a restart from the SAME checkpoint: the WAL knows batch 0's
+    // files are consumed, so only the new ones flow.
+    val q2 = FileIngest.start(spark, schema, in, out, cp)
+    try {
+      q2.processAllAvailable()
+      land(9 until 12) // arrive while running
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0L until 12L).toSeq,
+      s"each row exactly once across restart, got $got")
+  }
+}
