@@ -61,6 +61,41 @@ class StreamingWindowsSpec extends SparkSpec {
       s"got $rows")
   }
 
+  test("streaming tumbling output equals the batch window() twin on the real table") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables.Tpch
+    // Push the whole sf0.001 events table through the stream, then close
+    // every window with a far-future row: the finalized streaming windows
+    // must equal the batch q_events_tumbling_hourly aggregation restricted
+    // to the same columns — the backfill-vs-live consistency contract.
+    val events = Tpch(spark, Sf).events
+      .select(col("ts"), col("user_id"), col("value")).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSeq
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val out = StreamingWindows.tumblingAgg(
+      mem.toDF().toDF("ts", "user_id", "value"),
+      eventTimeCol = "ts", delay = "0 seconds", windowDur = "1 hour",
+      key = lit(1).as("g"), aggs = Seq(count(lit(1)).as("n")))
+    val q = out.writeStream.format("memory").queryName("win_vs_batch")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      mem.addData((ts("2030-01-01 00:00:00"), 0L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("win_vs_batch")
+      .where(col("window_start") < ts("2030-01-01 00:00:00"))
+      .select(unix_timestamp(col("window_start")).as("hour_es"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = Tpch(spark, Sf).events
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("hour_es"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(streamed == batch,
+      s"streaming/batch bucket divergence: ${streamed.take(3)} vs ${batch.take(3)}")
+  }
+
   test("sliding windows: one event lands in each overlapping window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Double)]
