@@ -113,7 +113,43 @@ object EventAnalytics {
       .orderBy(col("step"))
   }
 
+  /** Gap-based sessionization through Spark's NATIVE `session_window`
+    * operator in batch mode — the same Catalyst construct the streaming
+    * session agg uses, here proven against the declarative ANSI
+    * formulation (lag/flag/running-sum) in the DuckDB oracle: native
+    * session extents ARE the relational gap semantics, cross-engine.
+    * Session end is `last event + gap` by definition on both sides. */
+  def sessionNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val gapS = 1800L
+    val ev = Tpch(spark, sfDir).events
+      .select(col("user_id"), col("ts"))
+    ev.groupBy(session_window(col("ts"), s"$gapS seconds"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start_es"),
+        unix_timestamp(col("session_window.end")).as("session_end_es"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_es"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_events_session_native", sessionNative, Some(
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |f AS (
+        |  SELECT user_id, es,
+        |         CASE WHEN LAG(es) OVER w IS NULL OR es - LAG(es) OVER w > 1800
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es)),
+        |s AS (
+        |  SELECT user_id, es,
+        |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY es
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f)
+        |SELECT user_id, MIN(es) AS session_start_es,
+        |       MAX(es) + 1800 AS session_end_es, COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_es""".stripMargin)),
     NamedQuery("q_events_funnel", funnel, Some(
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es

@@ -19,7 +19,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_pq_topk",       // broadcast ADC lookup-table row + recall frame
     "q_sim_ivfpq_topk",    // broadcast ADC lookup-table row + routed labels
     "q_text_tfidf",        // broadcast corpus-size frame
-    "q_events_gapfill"     // broadcast calendar-bounds frame
+    "q_events_gapfill",    // broadcast calendar-bounds frame
+    "q_sketch_hll_union"   // broadcast one-row unioned-sketch frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {

@@ -9,6 +9,21 @@ import graft.sources.Tables
   * published error bound. */
 class SketchSpec extends SparkSpec {
 
+  test("per-day HLL sketches union to the whole-range answer within bound") {
+    val r = SketchQueries.hllDailyUnion(spark, Sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Boolean]("within_bound"),
+      s"estimates out of the 5% contract: $row")
+    // Unioning per-day sketches must agree with sketching the whole range
+    // directly — registers are order-insensitive maxima, so the two paths
+    // see the same register state (tiny slack for representation
+    // promotion in the union path).
+    val u = row.getAs[Double]("union_est")
+    val d = row.getAs[Double]("direct_est")
+    assert(math.abs(u - d) / d < 0.01, s"union $u vs direct $d diverge")
+  }
+
   test("count-min estimates dominate exact counts within the eps bound") {
     val rows = SketchQueries.cmsTokenCounts(spark, Sf).collect()
     assert(rows.length == 20)
