@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.FuzzyJoin
+
+/** Blocking exactness: the length-banded fuzzy join must find EXACTLY the
+  * pairs a brute-force all-pairs levenshtein finds — including boundary
+  * pairs whose lengths differ by exactly maxDist — because the length
+  * invariant |len(a)-len(b)| <= d is sound, not a heuristic. */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("blocked fuzzy self-match equals brute force, incl. length-boundary pairs") {
+    val names = Seq("widget", "widgets", "widgett", "gadget", "gizmo",
+      "gizmos", "sprocket", "sprocketXY", // len diff exactly 2, dist 2
+      "bolt", "bolt", "jolt", "volt", "a", "ab", "abc")
+    val got = FuzzyJoin.selfMatch(names.toDF("n"), col("n"), maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+      .sorted.toSeq
+    val distinct = names.distinct
+    val expected = (for {
+      a <- distinct; b <- distinct if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d)).sorted
+    assert(got == expected, s"got $got\nexpected $expected")
+    assert(expected.exists { case (a, b, _) =>
+      math.abs(a.length - b.length) == 2 }, "boundary pair present in fixture")
+  }
+}
