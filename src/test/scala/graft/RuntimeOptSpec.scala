@@ -54,6 +54,29 @@ class RuntimeOptSpec extends SparkSpec {
     }
   }
 
+  test("AQE coalesces small post-shuffle partitions at runtime") {
+    withConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8MB",
+      "spark.sql.shuffle.partitions" -> "64") {
+      // a tiny aggregate shuffled over 64 declared partitions: AQE must
+      // shrink the read to far fewer actual partitions — the mechanism
+      // that makes one global shuffle.partitions knob livable when query
+      // outputs span six orders of magnitude at 100 TB
+      val agg = spark.range(0, 10000)
+        .select((col("id") % 50).as("k"))
+        .groupBy("k").count()
+      agg.collect()
+      val finalPlan = agg.queryExecution.executedPlan.collectFirst {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      }.getOrElse(agg.queryExecution.executedPlan.toString)
+      assert(finalPlan.contains("coalesced"),
+        s"AQE must coalesce the post-shuffle read:\n$finalPlan")
+    }
+  }
+
   test("runtime Bloom filter from a selective dim prunes the fact side") {
     withConf(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
