@@ -91,9 +91,16 @@ object CdcEnvelope {
     * every DELETE — the envelope schema even declares `before`/`op`
     * (consumer.py:66-67 wire shape) and never reads them. Decimals are
     * demoted to double exactly as in [[decode]]. */
-  def decodeOps(df: DataFrame, rowSchema: StructType, valueCol: String = "value"): DataFrame = {
-    val parsed = df
-      .withColumn("__env", from_json(col(valueCol).cast("string"), envelopeSchema(rowSchema)))
+  def decodeOps(df: DataFrame, rowSchema: StructType, valueCol: String = "value"): DataFrame =
+    decodeParsedOps(
+      df.withColumn("__env",
+        from_json(col(valueCol).cast("string"), envelopeSchema(rowSchema))),
+      rowSchema)
+
+  /** The post-parse stage of [[decodeOps]], shared with
+    * [[decodeOrQuarantine]] so the split never parses twice. */
+  private def decodeParsedOps(withEnv: DataFrame, rowSchema: StructType): DataFrame = {
+    val parsed = withEnv
       .where(col("__env.payload").isNotNull &&
         (col("__env.payload.after").isNotNull || col("__env.payload.before").isNotNull))
       .select(
@@ -108,6 +115,39 @@ object CdcEnvelope {
         case _ => acc
       }
     }
+  }
+
+  /** Decode with a quarantine lane instead of silent drops: every input
+    * row lands in exactly ONE of the two returned frames. `good` is
+    * [[decodeOps]]'s output; `quarantine` carries rows whose envelope is
+    * unparseable JSON or parseable-but-imageless (no `after`, no
+    * `before`), with the RAW wire value and a `reason` — the replay/audit
+    * lane a production CDC landing needs, because a malformed burst that
+    * vanishes is indistinguishable from data loss. (True Kafka tombstones
+    * — null values — are expected stream hygiene and classify as their
+    * own reason so operators can separate them from corruption.)
+    *
+    * Scale shape: one `from_json` pass, then two narrow filters over the
+    * same parsed frame — no second parse, no shuffle; the split is
+    * codegen'd projection work. */
+  def decodeOrQuarantine(df: DataFrame, rowSchema: StructType,
+                         valueCol: String = "value"): (DataFrame, DataFrame) = {
+    val parsed = df.withColumn("__env",
+      from_json(col(valueCol).cast("string"), envelopeSchema(rowSchema)))
+    val ok = col("__env.payload").isNotNull &&
+      (col("__env.payload.after").isNotNull ||
+        col("__env.payload.before").isNotNull)
+    val good = decodeParsedOps(parsed, rowSchema)
+    // PERMISSIVE from_json yields a struct with null FIELDS (not a null
+    // struct) on corrupt input, so "payload is null" is the malformed
+    // signal: either unparseable JSON or JSON without the envelope's one
+    // required key — both wire corruption for this protocol.
+    val quarantine = parsed.where(!coalesce(ok, lit(false)))
+      .select(col(valueCol).cast("string").as("raw"),
+        when(col(valueCol).isNull, "tombstone")
+          .when(col("__env.payload").isNull, "malformed_json")
+          .otherwise("imageless_envelope").as("reason"))
+    (good, quarantine)
   }
 
   /** Deterministic precedence among events sharing an lsn (re-deliveries,

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables.Tpch
+import graft.streaming.CdcEnvelope
+
+/** The no-silent-loss contract of the quarantine decode: every wire row
+  * lands in exactly one of (good, quarantine), reasons classify
+  * tombstones vs corruption vs imageless envelopes, and the good lane is
+  * bit-identical to plain decodeOps. */
+class QuarantineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("good + quarantine partition the wire; reasons classify; good == decodeOps") {
+    val nation = Tpch(spark, Sf).nation
+    val wire = CdcEnvelope.wrap(nation, "nation").select("value")
+      .unionByName(Seq(
+        """{"payload":{"before":null,"after":null,"op":"x","source":{"table":"nation","lsn":9}}}""",
+        """not json at all {{{""",
+        """{"payload":"""  // truncated
+      ).toDF("value"))
+      .unionByName(Seq((null: String)).toDF("value")) // tombstone (null value)
+    val (good, quarantine) = CdcEnvelope.decodeOrQuarantine(wire, nation.schema)
+
+    val nGood = good.count()
+    val qRows = quarantine.collect()
+    assert(nGood == nation.count(), "every real envelope decodes")
+    assert(nGood + qRows.length == wire.count(), "no row silently vanishes")
+
+    val reasons = qRows.groupBy(_.getAs[String]("reason"))
+      .view.mapValues(_.length).toMap
+    assert(reasons.getOrElse("tombstone", 0) == 1, s"got $reasons")
+    assert(reasons.getOrElse("imageless_envelope", 0) == 1, s"got $reasons")
+    // both corrupt strings fail from_json -> malformed
+    assert(reasons.getOrElse("malformed_json", 0) == 2, s"got $reasons")
+    // corrupt raws are preserved verbatim for replay
+    assert(qRows.exists(r => r.getAs[String]("raw") == "not json at all {{{"))
+
+    val viaPlain = CdcEnvelope.decodeOps(wire, nation.schema)
+      .collect().map(_.toString).sorted.toSeq
+    val viaSplit = good.collect().map(_.toString).sorted.toSeq
+    assert(viaSplit == viaPlain, "good lane must equal plain decodeOps")
+  }
+}
