@@ -117,7 +117,75 @@ object Profiling {
       .orderBy(col("key_col"))
   }
 
+  /** Per-region OLS trend of daily order revenue — distributed linear
+    * regression in closed form, made DETERMINISTIC across engines the same
+    * way the outlier screen's variance is: every moment (n, Σx, Σy, Σxy,
+    * Σx², Σy²) is an EXACT decimal sum (x = integer epoch day, y = exact
+    * decimal daily revenue), and only the final slope/intercept/r²
+    * combination happens in double — the same IEEE expression shape on
+    * both sides of the oracle, so the quotients agree bit-for-bit where
+    * builtin `regr_slope` over doubles (order-dependent partial sums)
+    * could not hash-match.
+    *
+    * Scale: daily revenue is one keyed partial+final agg; the regression
+    * reduces ~thousands of (region, day) points to 6 moments per region —
+    * a second tiny agg. No windows, no sorts beyond the 5-row output. */
+  def regionRevenueTrend(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val custGeo = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+    val daily = t.orders.join(custGeo, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).as("x"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("y"))
+    val m = daily.groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,8)")).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast("long")).cast("double").as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,8)")).cast("double").as("syy"))
+    val cov = col("n") * col("sxy") - col("sx") * col("sy")
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    val slope = cov / varx
+    m.select(col("r_name"), col("n").cast("long").as("n_days"),
+        round(slope, 6).as("slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 2).as("intercept"),
+        round((cov * cov) / (varx * vary), 6).as("r2"))
+      .orderBy(col("r_name"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_trend_region_revenue", regionRevenueTrend, Some(
+      """WITH geo AS (
+        |  SELECT c_custkey, r_name FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |daily AS (
+        |  SELECT r_name, datediff('day', DATE '1970-01-01', o_orderdate) AS x,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS y
+        |  FROM orders JOIN geo ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT r_name,
+        |         CAST(COUNT(*) AS DOUBLE) AS n,
+        |         CAST(SUM(x) AS DOUBLE) AS sx,
+        |         CAST(SUM(y) AS DOUBLE) AS sy,
+        |         CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |         CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+        |         CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        |  FROM daily GROUP BY 1)
+        |SELECT r_name, CAST(n AS BIGINT) AS n_days,
+        |       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 2)
+        |         AS intercept,
+        |       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+        |             ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM m ORDER BY r_name""".stripMargin)),
     NamedQuery("q_profile_key_skew", keySkewReport, Some(
       """WITH u AS (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1),
         |     e AS (SELECT event_type AS k, COUNT(*) AS n FROM events GROUP BY 1),
