@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.Tables
+
+/** Source/sink format breadth beyond the lake's parquet: CSV (with
+  * quoting/escaping), ORC, and JSON-lines each round-trip the documents
+  * table losslessly — same rows, same schema semantics — so a feed
+  * arriving in any of them enters the engine with `spark.read.<fmt>` and
+  * nothing downstream changes. (The reference's stack only ever lands
+  * parquet; these are the other formats a real drop-directory contains.) */
+class SourceFormatsSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.select("doc_id", "lang", "source", "n_chars", "text")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("csv, orc, and json-lines round-trip the documents table losslessly") {
+    val docs = Tables.load(spark, Sf, "documents")
+    val expected = canon(docs)
+    val root = Files.createTempDirectory("formats").toString
+
+    docs.write.option("header", "true").option("escape", "\"")
+      .csv(s"$root/csv")
+    val viaCsv = spark.read.option("header", "true").option("escape", "\"")
+      .schema(docs.schema).csv(s"$root/csv")
+
+    docs.write.orc(s"$root/orc")
+    val viaOrc = spark.read.orc(s"$root/orc")
+
+    docs.write.json(s"$root/json")
+    val viaJson = spark.read.schema(docs.schema).json(s"$root/json")
+
+    assert(canon(viaCsv) == expected, "csv round trip")
+    assert(canon(viaOrc) == expected, "orc round trip")
+    assert(canon(viaJson) == expected, "json-lines round trip")
+    assert(viaOrc.schema == docs.schema, "orc preserves the schema natively")
+  }
+}
