@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.SemanticDedup
+import graft.sources.Tables.Tpch
+
+/** Ground truth for semantic dedup: planted duplicate groups exercise the
+  * pair/group/keeper machinery exactly (the synthetic corpus has no true
+  * near-dups — max pairwise cosine ≈ 0.6), and the real-corpus summary is
+  * pinned against a driver-side brute force of the SemDeDup contract
+  * (within-cell exact recall; cross-cell pairs missed by construction).
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("cluster", IntegerType)))
+
+  private def frame(rows: Seq[(Long, Array[Float], Int)]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map { case (id, e, c) => Row(id, e.toSeq, c) }),
+      schema)
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  // Planted corpus: two duplicate groups inside cluster 0 (ids 1,2,3 exact
+  // copies; ids 4,5 slightly perturbed copies of another base), a lone
+  // vector in cluster 0, and a cross-cluster duplicate (ids 10, 20 are
+  // copies but sit in DIFFERENT cells — must be missed, the SemDeDup trade).
+  private def planted: Seq[(Long, Array[Float], Int)] = {
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val baseA = vec(); val baseB = vec(); val baseX = vec()
+    def jitter(v: Array[Float], eps: Float): Array[Float] =
+      v.zipWithIndex.map { case (x, i) => x + eps * (if (i % 2 == 0) 1 else -1) }
+    Seq(
+      (1L, baseA, 0), (2L, baseA.clone(), 0), (3L, jitter(baseA, 0.01f), 0),
+      (4L, baseB, 0), (5L, jitter(baseB, 0.02f), 0),
+      (6L, vec(), 0),
+      (10L, baseX, 1), (20L, baseX.clone(), 2),
+      (11L, vec(), 1), (21L, vec(), 2))
+  }
+
+  test("planted duplicate groups: pairs equal brute-force within-cell cosine") {
+    val df = frame(planted)
+    val got = SemanticDedup.pairsWithin(df, 0.9)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byId = planted.map(p => p._1 -> p).toMap
+    val expected = (for {
+      a <- planted; b <- planted
+      if a._1 < b._1 && a._3 == b._3 && cos(a._2, b._2) >= 0.9
+    } yield (a._1, b._1)).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // the cross-cell duplicate is REAL but must be missed (different cells)
+    assert(cos(byId(10L)._2, byId(20L)._2) > 0.99)
+    assert(!got.contains((10L, 20L)))
+  }
+
+  test("planted groups: keeper is the min id, dropped is everyone else") {
+    val df = frame(planted)
+    val pairs = SemanticDedup.pairsWithin(df, 0.9)
+    val drops = SemanticDedup.dropped(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // group {1,2,3} keeps 1; group {4,5} keeps 4; nothing else drops
+    assert(drops == Map(2L -> 1L, 3L -> 1L, 5L -> 4L))
+  }
+
+  test("real-corpus summary matches a driver-side SemDeDup brute force") {
+    val summary = SemanticDedup.dedupSummary(spark, Sf).collect()
+    // reconstruct the cell assignment the operator used (same artifact)
+    val path = graft.operators.ProductQuantization.ensurePq(spark, Sf)
+    val cells = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val embs = Tpch(spark, Sf).embeddings.select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val byCell = cells.groupBy(_._2).view.mapValues(_.keys.toSeq.sorted).toMap
+
+    // brute-force within-cell pairs >= Threshold + union-find keepers
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expPairs = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+    for ((cell, ids) <- byCell; i <- ids.indices; j <- (i + 1) until ids.size) {
+      if (cos(embs(ids(i)), embs(ids(j))) >= SemanticDedup.Threshold) {
+        expPairs(cell) += 1; union(ids(i), ids(j))
+      }
+    }
+    val expDropped = cells.keys.toSeq
+      .filter(id => parent.contains(id) && find(id) != id)
+      .groupBy(cells).view.mapValues(_.size.toLong).toMap
+
+    assert(summary.map(_.getLong(1)).sum == embs.size, "cells partition the corpus")
+    summary.foreach { r =>
+      val cell = r.getInt(0)
+      val (nVecs, nCand, nPairs, nDropped, nKept) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nVecs == byCell.getOrElse(cell, Seq.empty).size.toLong)
+      assert(nCand == nVecs * (nVecs - 1) / 2)
+      assert(nPairs == expPairs(cell), s"cell $cell pair count")
+      assert(nDropped == expDropped.getOrElse(cell, 0L), s"cell $cell drop count")
+      assert(nKept == nVecs - nDropped)
+    }
+  }
+}
