@@ -325,7 +325,85 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Bigram-LM familiarity screen (the CCNet/Wenzek et al. 2020 quality
+    * idea — score documents by how "familiar" their n-grams are to a
+    * language model trained on the corpus — distilled to an
+    * integer-deterministic statistic): per doc, the average CORPUS
+    * frequency of its bigram occurrences. Boilerplate and duplicated text
+    * scores high; line noise, wrong-language fragments, and gibberish
+    * score low. A doc is flagged `unfamiliar` when its average is below
+    * 95% of the corpus-wide average — the comparison is done by integer
+    * CROSS-MULTIPLICATION (sum_c·T_nb·100 < T_sc·n_big·95, all exact
+    * decimals), never by a float ratio, so the flag is bit-identical
+    * across engines and scales (the threshold is relative, not an
+    * absolute count that drifts with corpus size).
+    *
+    * Scale: the corpus bigram table aggregates per-doc DISTINCT bigram
+    * counts (two-level agg — shuffle rows are distinct (doc, bigram), not
+    * occurrences); the count join is keyed on the bigram (build side has
+    * one row per key — no fan-out); totals ride a broadcast 1-row frame
+    * (the sanctioned single-row BNLJ, as in tfidf). Products go through
+    * DECIMAL(38,0) so a 100 TB corpus's counts cannot overflow a long.
+    * Docs with fewer than two tokens have no bigrams and are excluded by
+    * both formulations. */
+  def lmFamiliarity(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val tok = t.documents
+      .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val docBig = tok
+      .withColumn("next", lead(col("token"), 1).over(byPos))
+      .where(col("next").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("token"), col("next")).as("bigram"))
+      .groupBy(col("doc_id"), col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val corpus = docBig.groupBy(col("bigram")).agg(sum(col("n")).as("c"))
+    val perDoc = docBig.join(corpus, "bigram")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("n")).as("n_big"),
+        sum((col("n") * col("c")).cast(DecimalType(38, 0))).as("sum_c"))
+    val totals = perDoc.agg(sum(col("n_big")).as("t_nb"), sum(col("sum_c")).as("t_sc"))
+    perDoc.join(broadcast(totals))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sum_c") * col("t_nb") * 100 <
+          col("t_sc") * col("n_big") * 95, 1L).otherwise(0L)).as("n_unfamiliar"),
+        // exact integer statistic, not a rounded float ratio: FLOOR of the
+        // decimal quotient is safe because the true quotient's distance to
+        // any integer is ≥ 1/Σn_big, far above the scale-6 division error —
+        // a ROUND(...,4) here hash-mismatched DuckDB on a half-digit boundary
+        floor(sum(col("sum_c")) * 100 / sum(col("n_big").cast(DecimalType(38, 0))))
+          .cast("long").as("avg_familiarity_x100"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_lm_familiarity", lmFamiliarity, Some(
+      """WITH a AS (
+        |  SELECT doc_id, lang,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang,
+        |         UNNEST(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM a WHERE len(toks) >= 2),
+        |db AS (SELECT doc_id, lang, bigram, COUNT(*) AS n FROM big GROUP BY 1, 2, 3),
+        |c AS (SELECT bigram, SUM(n) AS c FROM db GROUP BY 1),
+        |p AS (SELECT doc_id, lang, SUM(n) AS n_big,
+        |             SUM(CAST(n * c AS DECIMAL(38,0))) AS sum_c
+        |      FROM db JOIN c USING (bigram) GROUP BY 1, 2),
+        |tot AS (SELECT SUM(n_big) AS t_nb, SUM(sum_c) AS t_sc FROM p)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN sum_c * t_nb * 100 < t_sc * n_big * 95
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unfamiliar,
+        |       CAST(CAST(SUM(sum_c) * 100 AS HUGEINT) //
+        |            CAST(SUM(n_big) AS HUGEINT) AS BIGINT)
+        |         AS avg_familiarity_x100
+        |FROM p, tot GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_stats", textStats, Some(
       """SELECT lang, COUNT(*) AS n_docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
