@@ -125,7 +125,52 @@ object BpeTrainer {
         .orderBy(col("rank"))
     }
 
+  /** Apply a trained merge list to a vocabulary table (`w` column): fold
+    * each merge in rank order over the symbol arrays. Returns the input
+    * plus `s` (the final symbol sequence). The folds are interpreted
+    * higher-order aggregates, but they run at VOCABULARY scale — encoding
+    * the distinct-word table once and joining token counts back to corpus
+    * occurrences is exactly how production tokenizers amortize encode cost
+    * (a word cache in front of the merge loop). */
+  def encodeVocab(vocab: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    var tbl = withSymbols(vocab)
+    merges.foreach { case (a, b) => tbl = tbl.withColumn("s", expr(mergeExpr(a, b))) }
+    tbl
+  }
+
+  /** Registered query: encode the corpus with the trained tokenizer and
+    * account tokens per language — the train→encode round trip. Per lang:
+    * distinct words, whitespace-token occurrences, BPE tokens after
+    * encoding, and BPE-tokens-per-100-words as an exact integer statistic
+    * (same floor-division rationale as `q_text_lm_familiarity`).
+    *
+    * Scale: ONE corpus pass builds (lang, word, occurrences) with map-side
+    * combine; the merge folds touch only the DISTINCT word table; the
+    * join back is keyed on the word with a 1-row build side per key. The
+    * merge list itself is the memoized train-once artifact ([[bpeMerges]]),
+    * KB-sized on the driver — the tokenizer file a real pipeline ships. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = bpeMerges(spark, sfDir).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    val occ = Tpch(spark, sfDir).documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("occ"))
+    val encoded = encodeVocab(occ.select(col("w")).distinct(), merges)
+      .select(col("w"), size(col("s")).cast("long").as("n_bpe"))
+    occ.join(encoded, "w")
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("n_words"),
+        sum(col("occ")).as("n_ws_tokens"),
+        sum(col("occ") * col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("bpe_per_100_words",
+        expr("n_bpe_tokens * 100 DIV n_ws_tokens"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_text_bpe_merges", bpeMerges, None),
+    NamedQuery("q_text_bpe_encode", bpeEncode, None),
   )
 }

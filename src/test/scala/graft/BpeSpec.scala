@@ -59,6 +59,62 @@ class BpeSpec extends SparkSpec {
       "ten rounds over english-like text must produce multi-char tokens")
   }
 
+  /** Textbook merge apply: fold merges in rank order, left-to-right
+    * non-overlapping per word. */
+  private def driverEncode(w: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(w.map(_.toString).toVector :+ BpeTrainer.EndOfWord) {
+      case (s, (a, b)) =>
+        val merged = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+            merged += a + b; i += 2
+          } else { merged += s(i); i += 1 }
+        }
+        merged.result()
+    }
+
+  test("distributed encode equals the driver-side merge apply on every word") {
+    import spark.implicits._
+    val merges = BpeTrainer.bpeMerges(spark, Sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    assert(merges.size == BpeTrainer.Merges)
+    val vocab = BpeTrainer.wordCounts(Tables.load(spark, Sf, "documents"))
+      .select("w").distinct()
+    val got = BpeTrainer.encodeVocab(vocab, merges)
+      .select(col("w"), col("s")).as[(String, Seq[String])].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (w, s) =>
+      assert(s == driverEncode(w, merges), s"word '$w'")
+    }
+    // the tokenizer must actually compress: some word uses a merged token
+    assert(got.values.exists(_.exists(_.length > 1)))
+  }
+
+  test("encode summary is consistent with a driver-side recount") {
+    val merges = BpeTrainer.bpeMerges(spark, Sf).collect()
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    val docs = Tables.load(spark, Sf, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).map { case (lang, rows) =>
+      val words = rows.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      val enc = words.map(w => driverEncode(w, merges).size.toLong)
+      (lang, (words.map(_.toLowerCase).distinct.size, words.size.toLong, enc.sum))
+    }
+    val got = BpeTrainer.bpeEncode(spark, Sf).collect()
+    got.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val (_, expWs, expBpe) = expected(lang)
+      assert(r.getAs[Long]("n_ws_tokens") == expWs, s"$lang ws tokens")
+      assert(r.getAs[Long]("n_bpe_tokens") == expBpe, s"$lang bpe tokens")
+      assert(r.getAs[Long]("bpe_per_100_words") == expBpe * 100 / expWs)
+    }
+    assert(got.map(_.getAs[String]("lang")).toSet == expected.keySet)
+  }
+
   test("merge fold is left-to-right non-overlapping on runs") {
     import spark.implicits._
     // 'aaa</w>' under (a,a): standard BPE yields [aa, a, </w>]
