@@ -21,6 +21,43 @@ import graft.sources.Tables.Tpch
   */
 object CorpusPrep {
 
+  /** Adaptive per-source quality filter: each source keeps documents above
+    * its OWN 25th-percentile quality score, instead of one global cutoff —
+    * the normalize-by-source screen a multi-source corpus needs (a global
+    * threshold would gut a low-scoring-but-valuable source and let a
+    * high-scoring source's worst docs through).
+    *
+    * Determinism contract: the cut is RANK-based (the ceil(n/4)-th lowest
+    * score, ties broken by doc_id — pure integer arithmetic `(n+3) DIV 4`),
+    * never an interpolated percentile; Spark's and DuckDB's interpolation
+    * formulas differ in floating-point shape, a rank picks an actual score
+    * both engines computed bit-identically. The cut is emitted as
+    * FLOOR(cut·1e6) — floor of an identical double, no rounding-rule
+    * exposure.
+    *
+    * Scale: the rank window sorts within each source — the honest cost of
+    * an EXACT per-source quantile. At 100 TB the same plumbing takes
+    * `approx_percentile(q, 0.25)` as the cut (one pass, mergeable sketch);
+    * the exact rank variant is what the oracle can check. */
+  def adaptiveQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val scored = t.documents.select(col("source"), col("doc_id"),
+      TextQueries.qualityScoreExpr.as("q"))
+    val counts = scored.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val cuts = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))))
+      .join(broadcast(counts), "source")
+      .where(col("rn") === expr("(n + 3) DIV 4"))
+      .select(col("source"), col("q").as("cut"))
+    scored.join(broadcast(cuts), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("q") > col("cut"), 1L).otherwise(0L)).as("n_kept"),
+        floor(max(col("cut")) * 1000000).cast("long").as("p25_quality_x1e6"))
+      .orderBy(col("source"))
+  }
+
   def corpusPrep(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     // the SAME scoring/prediction expressions TextQueries aggregates over,
@@ -287,6 +324,27 @@ object CorpusPrep {
         |            AS BIGINT) AS docs_straddling,
         |       CAST(SUM(seq_last - seq_first) AS BIGINT) AS boundaries_crossed
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_corpus_adaptive_quality", adaptiveQuality, Some(
+      """WITH scored AS (
+        |  SELECT source, doc_id,
+        |         LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+        |         + (len(list_distinct(string_split(text, ' ')))
+        |            / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5 AS q
+        |  FROM documents),
+        |n AS (SELECT source, COUNT(*) AS n FROM scored GROUP BY 1),
+        |ranked AS (
+        |  SELECT source, q,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn
+        |  FROM scored),
+        |cuts AS (
+        |  SELECT r.source, r.q AS cut
+        |  FROM ranked r JOIN n USING (source) WHERE r.rn = (n.n + 3) // 4)
+        |SELECT s.source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN s.q > c.cut THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       CAST(FLOOR(MAX(c.cut) * 1000000) AS BIGINT) AS p25_quality_x1e6
+        |FROM scored s JOIN cuts c USING (source)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_corpus_prep", corpusPrep, Some(
       """WITH scored AS (
         |  SELECT doc_id, lang, source, text,
