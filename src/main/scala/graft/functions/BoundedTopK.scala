@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One (score, id) candidate held by [[BoundedTopK]]. Ordering is score
+  * descending, id ascending — the same total order as the window
+  * formulation's `ORDER BY o_totalprice DESC, o_orderkey ASC`, so the two
+  * plans are result-identical including ties.
+  */
+final case class ScoredId(score: Double, id: Long)
+
+/** Bounded top-k per group as a typed `Aggregator` — the scalable twin of
+  * `row_number().over(Window.partitionBy(key).orderBy(...)) <= k`.
+  *
+  * Why it exists: the window formulation SORTS every group's full row set
+  * (shuffle all rows on the key, then per-partition sort) just to discard
+  * all but k of them. This aggregator keeps a ≤ k-element sorted buffer and
+  * participates in PARTIAL aggregation: each map task reduces its local rows
+  * to at most k candidates per key before the shuffle, so the exchange moves
+  * ≤ k·|keys| rows instead of every row, and no full sort ever happens. On a
+  * 1000-executor scan of a 100 TB fact table with k=3 that is the difference
+  * between shuffling the table and shuffling a top-3 digest of it.
+  *
+  * The merge is associative and commutative (merge-sort two ≤ k lists, trim
+  * to k under a total order with the id as tie-break), so the result is
+  * independent of partitioning and merge order — the property the driver's
+  * hash compare and the parity spec both pin.
+  *
+  * The typed-aggregator path deserializes rows at the aggregation boundary
+  * (no whole-stage codegen there) — the deliberate trade: shuffle volume at
+  * scale dominates the per-row decode cost, and everything before (scan,
+  * projection) and after (sort of k·|keys| winners) stays codegen'd.
+  */
+final class BoundedTopK(k: Int)
+    extends Aggregator[ScoredId, Seq[ScoredId], Seq[ScoredId]] {
+
+  /** score desc, id asc — total order, no equal elements across distinct ids. */
+  private def lt(x: ScoredId, y: ScoredId): Boolean =
+    x.score > y.score || (x.score == y.score && x.id < y.id)
+
+  override def zero: Seq[ScoredId] = Vector.empty
+
+  override def reduce(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] =
+    if (b.length == k && !lt(a, b.last)) b else insert(b, a)
+
+  override def merge(x: Seq[ScoredId], y: Seq[ScoredId]): Seq[ScoredId] =
+    y.foldLeft(x)(reduce)
+
+  private def insert(b: Seq[ScoredId], a: ScoredId): Seq[ScoredId] = {
+    val i = b.indexWhere(e => lt(a, e)) match {
+      case -1 => b.length
+      case n  => n
+    }
+    (b.take(i) :+ a) ++ b.drop(i) take k
+  }
+
+  override def finish(r: Seq[ScoredId]): Seq[ScoredId] = r
+
+  override def bufferEncoder: Encoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+  override def outputEncoder: Encoder[Seq[ScoredId]] =
+    ExpressionEncoder[Seq[ScoredId]]()
+}

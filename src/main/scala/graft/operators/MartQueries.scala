@@ -133,6 +133,34 @@ object MartQueries {
       .orderBy(col("o_custkey"), col("rank_in_customer"))
   }
 
+  /** Bounded-heap twin of [[topOrdersPerCustomer]]: same result, no window
+    * sort. The typed [[graft.functions.BoundedTopK]] aggregator runs with
+    * PARTIAL aggregation — each map task reduces its slice to ≤ 3 candidate
+    * orders per customer before the exchange, so the shuffle carries a top-3
+    * digest of the fact table instead of the fact table (the window twin
+    * shuffles and sorts every order row). Registered side by side with the
+    * window form against the SAME oracle: one semantics, two physical
+    * strategies, the digest one is what survives a 100 TB orders table. */
+  def topOrdersPerCustomerAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{BoundedTopK, ScoredId}
+    val t = Tpch(spark, sfDir)
+    val top = new BoundedTopK(3).toColumn.name("top")
+    t.orders
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => ScoredId(r._2, r._3))
+      .agg(top)
+      .flatMap { case (cust, winners) =>
+        winners.iterator.zipWithIndex.map { case (s, i) =>
+          (cust, s.id, s.score, i + 1)
+        }
+      }
+      .toDF("o_custkey", "o_orderkey", "o_totalprice", "rank_in_customer")
+      .orderBy(col("o_custkey"), col("rank_in_customer"))
+  }
+
   /** Running balance per order — the banking schema's defining analytic:
     * cumulative signed amount over time per account (here: cumulative line
     * price per order, ordered by line number). ROWS frame, exact decimal.
@@ -262,6 +290,15 @@ object MartQueries {
          |GROUP BY ROLLUP(c.c_mktsegment, o.o_orderstatus)
          |ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_topk_per_customer", topOrdersPerCustomer, Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |                  AS INT) AS rank_in_customer
+        |      FROM orders)
+        |WHERE rank_in_customer <= 3
+        |ORDER BY o_custkey, rank_in_customer""".stripMargin)),
+    NamedQuery("q_topk_per_customer_agg", topOrdersPerCustomerAgg, Some(
       """SELECT o_custkey, o_orderkey, o_totalprice, rank_in_customer
         |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey

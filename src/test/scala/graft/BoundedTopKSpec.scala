@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BoundedTopK, ScoredId}
+import graft.operators.MartQueries
+
+/** The bounded-heap top-k aggregator: algebraic properties of the merge
+  * (the partial-aggregation soundness condition) plus result parity with
+  * the window formulation on the real table.
+  */
+class BoundedTopKSpec extends SparkSpec {
+
+  private val agg = new BoundedTopK(3)
+
+  test("reduce keeps the k best under (score desc, id asc), ties by id") {
+    val in = Seq(ScoredId(5.0, 9), ScoredId(7.0, 2), ScoredId(5.0, 1),
+      ScoredId(7.0, 8), ScoredId(1.0, 3))
+    val out = in.foldLeft(agg.zero)(agg.reduce)
+    assert(out == Vector(ScoredId(7.0, 2), ScoredId(7.0, 8), ScoredId(5.0, 1)))
+  }
+
+  test("merge is order-independent for every split of a random input") {
+    val rnd = new scala.util.Random(7)
+    val xs = Vector.fill(40)(ScoredId((rnd.nextInt(8)).toDouble, rnd.nextInt(1000)))
+      .distinct
+    val whole = xs.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- 0 to xs.length by 7) {
+      val (l, r) = xs.splitAt(cut)
+      val lb = l.foldLeft(agg.zero)(agg.reduce)
+      val rb = r.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.merge(lb, rb) == whole, s"split at $cut")
+      assert(agg.merge(rb, lb) == whole, s"swapped split at $cut")
+    }
+  }
+
+  test("aggregator query == window query on the real orders table") {
+    val win = MartQueries.topOrdersPerCustomer(spark, Sf).collect().toSeq
+    val heap = MartQueries.topOrdersPerCustomerAgg(spark, Sf).collect().toSeq
+    assert(heap == win)
+  }
+
+  test("aggregator plan has no Window and aggregates partially") {
+    val plan = MartQueries.topOrdersPerCustomerAgg(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "bounded top-k must not plan a window")
+    assert(plan.contains("partial_boundedtopk") ||
+      plan.toLowerCase.contains("partial"),
+      "typed aggregator must run map-side partial aggregation:\n" + plan)
+  }
+
+  test("result is stable under adversarial repartitioning") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+    val top = new BoundedTopK(3).toColumn.name("top")
+    def run(parts: Int): Seq[(Long, Seq[ScoredId])] =
+      base.repartition(parts).groupByKey(_._1)
+        .mapValues(r => ScoredId(r._2, r._3))
+        .agg(top).collect().toSeq.sortBy(_._1)
+    assert(run(1) == run(13))
+  }
+}
