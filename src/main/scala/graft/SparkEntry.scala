@@ -12,7 +12,8 @@ object SparkEntry {
       OlapQueries.all ++ Sampling.all ++ CorpusPrep.all ++ Components.all ++
       Profiling.all ++ SketchQueries.all ++ EventAnalytics.all ++
       IncrementalMart.all ++ ProductQuantization.all ++ BpeTrainer.all ++
-      TimeSeriesQueries.all ++ FuzzyJoin.all ++ SemanticDedup.all
+      TimeSeriesQueries.all ++ FuzzyJoin.all ++ SemanticDedup.all ++
+      BloomScreen.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

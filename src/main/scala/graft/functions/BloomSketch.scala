@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+/** SQL-registration shims for Spark's OWN Bloom-filter expressions —
+  * `BloomFilterAggregate` (a mergeable `TypedImperativeAggregate` producing
+  * the filter as a binary blob) and `BloomFilterMightContain` (the probe
+  * predicate). These are the exact expressions Catalyst's
+  * `InjectRuntimeFilter` rule plants when it prunes a join at runtime
+  * (RuntimeOptSpec proves that path fires); Spark just does not expose them
+  * in the public function registry. Registering them under `graft_` names
+  * lets a pipeline build the same artifact EXPLICITLY — a seen-before
+  * membership screen that lives across jobs rather than inside one join.
+  *
+  * Merge of two blooms is bitwise OR: associative and commutative, so the
+  * aggregate is partition-order independent and partially aggregated
+  * (each task ships one fixed-size bitset, never its rows). The blob is
+  * KB–MB scale, governed by the estimated item count — the same bounded
+  * sketch-blob contract as the Count-Min query.
+  */
+object BloomSketch {
+  val AggName = "graft_bloom_agg"
+  val ProbeName = "graft_might_contain"
+
+  /** Register both functions (idempotent). `graft_bloom_agg(hash[, n])`
+    * aggregates LONG hashes into a binary bloom sized for n items;
+    * `graft_might_contain(bloom, hash)` probes it. The probe's bloom arg
+    * must be foldable (a collected literal) or a scalar subquery — the
+    * same contract Spark's own runtime-filter rewrite obeys. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      AggName,
+      { children =>
+        children.length match {
+          case 1 => new BloomFilterAggregate(children.head)
+          case 2 => new BloomFilterAggregate(children.head, children(1))
+          case n => throw new IllegalArgumentException(
+            s"$AggName takes 1 or 2 arguments, got $n")
+        }
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ProbeName,
+      { children =>
+        require(children.length == 2, s"$ProbeName takes 2 arguments")
+        BloomFilterMightContain(children.head, children(1))
+      },
+      "built-in")
+  }
+}

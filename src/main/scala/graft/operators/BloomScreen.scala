@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.functions.BloomSketch
+import graft.sources.Tables.Tpch
+
+/** Seen-before ingest screen via a corpus Bloom filter — the daily-batch
+  * question ("which of these documents has the corpus already seen?")
+  * answered WITHOUT joining the batch against the corpus.
+  *
+  * The corpus aggregates `xxhash64(text)` into one Bloom filter
+  * ([[graft.functions.BloomSketch]] — Spark's own mergeable bloom
+  * aggregate, map-side combined, one fixed-size bitset per task on the
+  * wire). The collected blob is embedded as a binary literal and the batch
+  * is screened by a pure projection — no shuffle, no join, the batch never
+  * touches the corpus. One-sided error: a seen document ALWAYS hits (no
+  * false negatives — the screen never loses a duplicate); a new document
+  * false-positives at the configured rate and only those few rows proceed
+  * to the exact verify join. At 100 TB the corpus side is a once-per-ingest
+  * artifact (persist the blob next to the IVF index); beyond ~10⁸ keys one
+  * blob gets big, so production shards it by fingerprint range — the same
+  * projection probes `shards[h % k]` — without changing this query shape.
+  *
+  * The fixture simulates a re-ingest: the batch is every `doc_id % 10 = 7`
+  * document, where the `% 20 = 7` half is perturbed into genuinely new text
+  * (a re-crawl that changed) and the `% 20 = 17` half re-arrives verbatim.
+  * Ground truth (`seen_exact`) is the exact semi-join the bloom is standing
+  * in for; the output carries both so the driver's rows check pins the
+  * no-false-negative contract (`all_seen_caught`) in-query.
+  */
+object BloomScreen {
+
+  def bloomIngestScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    BloomSketch.register(spark)
+    val t = Tpch(spark, sfDir)
+    val docs = t.documents.select(col("doc_id"), col("lang"), col("text"))
+    val batch = docs
+      .where(pmod(col("doc_id"), lit(10)) === 7)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(20)) === 7,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+
+    // Corpus-side artifact: one bounded binary blob (same driver-traffic
+    // contract as the CMS sketch), overprovisioned to 100k keys so the
+    // false-positive rate stays below ~0.1% at fixture scale.
+    val blob = docs
+      .agg(call_function(BloomSketch.AggName,
+        xxhash64(col("text")), lit(100000L)))
+      .head.getAs[Array[Byte]](0)
+
+    val exact = docs.select(col("text")).distinct()
+      .withColumn("seen_exact", lit(true))
+    batch
+      .withColumn("bloom_hit",
+        call_function(BloomSketch.ProbeName, lit(blob), xxhash64(col("text"))))
+      .join(exact, Seq("text"), "left")
+      .withColumn("seen_exact", coalesce(col("seen_exact"), lit(false)))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(when(col("seen_exact"), 1L).otherwise(0L)).as("n_seen_exact"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hit"),
+        sum(when(col("bloom_hit") && !col("seen_exact"), 1L).otherwise(0L))
+          .as("n_false_pos"),
+        min(when(col("seen_exact"), col("bloom_hit")).otherwise(lit(true)))
+          .as("all_seen_caught"))
+      .orderBy(col("lang"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    // Bloom bits aren't ANSI-SQL-expressible → rows-only; the in-query
+    // `all_seen_caught` column plus BloomScreenSpec carry the contract.
+    NamedQuery("q_dedup_bloom_screen", bloomIngestScreen, None),
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BloomScreen
+
+/** The bloom ingest screen's one-sided-error contract, checked against the
+  * exact semi-join ground truth the query itself carries.
+  */
+class BloomScreenSpec extends SparkSpec {
+
+  test("no false negatives: every exactly-seen batch doc hits the bloom") {
+    val rows = BloomScreen.bloomIngestScreen(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("all_seen_caught"),
+        s"lang ${r.getAs[String]("lang")} lost a seen document")
+      assert(r.getAs[Long]("n_bloom_hit") >= r.getAs[Long]("n_seen_exact"))
+    }
+  }
+
+  test("false-positive rate stays under 2% of the batch") {
+    val tot = BloomScreen.bloomIngestScreen(spark, Sf)
+      .agg(sum("n_false_pos").as("fp"), sum("n_batch").as("n")).head
+    val (fp, n) = (tot.getAs[Long]("fp"), tot.getAs[Long]("n"))
+    assert(fp <= math.max(1L, n / 50),
+      s"$fp false positives out of $n batch docs")
+  }
+
+  test("both batch halves are exercised: some seen, some new") {
+    val tot = BloomScreen.bloomIngestScreen(spark, Sf)
+      .agg(sum("n_seen_exact").as("seen"), sum("n_batch").as("n")).head
+    val (seen, n) = (tot.getAs[Long]("seen"), tot.getAs[Long]("n"))
+    assert(seen > 0, "fixture must contain re-delivered docs")
+    assert(seen < n, "fixture must contain genuinely new docs")
+  }
+
+  test("screen is a projection over the batch: no join for the bloom probe") {
+    // The only join in the plan is the exact ground-truth audit; drop it
+    // and the probe itself must plan join-free (scan → project → agg).
+    import graft.functions.BloomSketch
+    import graft.sources.Tables.Tpch
+    BloomSketch.register(spark)
+    val docs = Tpch(spark, Sf).documents
+    val blob = docs
+      .agg(call_function(BloomSketch.AggName, xxhash64(col("text")), lit(100000L)))
+      .head.getAs[Array[Byte]](0)
+    val probe = docs
+      .withColumn("hit",
+        call_function(BloomSketch.ProbeName, lit(blob), xxhash64(col("text"))))
+      .groupBy(col("lang")).agg(sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "bloom probe must not join:\n" + plan)
+  }
+}
