@@ -85,6 +85,45 @@ object Profiling {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Robust (median/MAD) twin of [[orderOutliers]] — the screen that still
+    * works when the data ALREADY contains the anomalies being hunted:
+    * mean/σ are dragged by the outliers themselves, the median and the
+    * median absolute deviation are not (50% breakdown point).
+    *
+    * Exactness without percentile interpolation: "median" here is the
+    * LOWER median — the ⌈n/2⌉-th smallest value under a total order with
+    * the order key as tie-break — an element OF the data, picked by a
+    * rank window, never an interpolated float. Both engines pick the same
+    * element, deviations are IEEE subtractions of identical operands, and
+    * the 3×MAD boundary is bit-identical — which is what lets a robust
+    * statistic be oracle-checked by hash at all. Two rank windows + two
+    * joins, all partitioned by customer (high-cardinality key), nothing
+    * global. */
+  def orderOutliersMad(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val orders = t.orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    def lowerMedian(df: DataFrame, value: Column, out: String): DataFrame = {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(value.asc, col("o_orderkey").asc)
+      val n = Window.partitionBy(col("o_custkey"))
+      df.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(n))
+        .where(col("__rn") === floor((col("__n") + 1) / 2))
+        .select(col("o_custkey"), value.as(out))
+    }
+    val med = lowerMedian(orders, col("o_totalprice"), "cust_median")
+    val withDev = orders.join(med, "o_custkey")
+      .withColumn("abs_dev", abs(col("o_totalprice") - col("cust_median")))
+    val mad = lowerMedian(withDev, col("abs_dev"), "cust_mad")
+    withDev.join(mad, "o_custkey")
+      .where(col("cust_mad") > 0 && col("abs_dev") > lit(3) * col("cust_mad"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("cust_median"), col("cust_mad"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Join-key skew report — the diagnostic that DECIDES the scale knobs
     * the engine exposes (`ScaleJoins.saltedJoin` factors, AQE skew
     * thresholds — the mechanisms RuntimeOptSpec proves): for each
@@ -220,6 +259,32 @@ object Profiling {
         |FROM orders o JOIN m ON o.o_custkey = m.o_custkey
         |WHERE m.var > 0 AND ABS(o.o_totalprice - m.mean) > 2*SQRT(m.var)
         |ORDER BY o.o_orderkey""".stripMargin)),
+    NamedQuery("q_txn_outliers_mad", orderOutliersMad, Some(
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders),
+        |med AS (SELECT o_custkey, o_totalprice AS cust_median
+        |        FROM r WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT o.o_custkey, o.o_orderkey, o.o_totalprice, m.cust_median,
+        |         ABS(o.o_totalprice - m.cust_median) AS abs_dev
+        |  FROM orders o JOIN med m ON o.o_custkey = m.o_custkey),
+        |r2 AS (
+        |  SELECT d.*,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY abs_dev, o_orderkey) AS rn,
+        |         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+        |  FROM d),
+        |mad AS (SELECT o_custkey, abs_dev AS cust_mad
+        |        FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.o_orderkey, d.o_custkey, d.o_totalprice,
+        |       d.cust_median, mad.cust_mad
+        |FROM d JOIN mad ON d.o_custkey = mad.o_custkey
+        |WHERE mad.cust_mad > 0 AND d.abs_dev > 3 * mad.cust_mad
+        |ORDER BY d.o_orderkey""".stripMargin)),
     NamedQuery("q_profile_orders", profileOrders, Some(
       """SELECT 'o_orderdate' AS col_name, COUNT(*) AS n,
         |       CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
