@@ -71,7 +71,10 @@ object CdcQueries {
     * at 2, deletes at 3) becomes one row per VERSION with valid_from/
     * valid_to lsn bounds. The oracle reconstructs the identical history
     * declaratively with UNION ALL + LEAD. */
-  def cdcScd2(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The synthetic customer change stream the SCD2 family runs on:
+    * create-all at lsn 1, freeze every 100th at lsn 2, delete every 97th
+    * at lsn 3 — wrapped through the real envelope codec both ways. */
+  private def customerScd2History(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val base = t.customer.select(col("c_custkey"), col("c_acctbal"))
     val creates = CdcEnvelope.wrapOp(base, "customers", op = "c", lsn = lit(1L))
@@ -85,7 +88,28 @@ object CdcQueries {
     val changes = CdcEnvelope.decodeOps(
       creates.union(updates).union(deletes), base.schema)
     CdcEnvelope.scd2History(changes, Seq("c_custkey"))
+  }
+
+  def cdcScd2(spark: SparkSession, sfDir: String): DataFrame =
+    customerScd2History(spark, sfDir)
       .orderBy(col("c_custkey"), col("valid_from"))
+
+  /** Point-in-time snapshot from the SCD2 dimension — "the table as it
+    * stood at lsn L" (time travel over versioned history, the query an
+    * audit or a backfill replays). Pure validity-interval filter over the
+    * history — `valid_from ≤ L < valid_to` — no recomputation: at L=2 the
+    * frozen versions are live, the lsn-3 deletes have not happened yet, so
+    * the snapshot shows every customer with its frozen-or-original
+    * balance. The filter prunes on the same columns a 100 TB history
+    * table would partition by (valid_to IS NULL hot partition + range on
+    * valid_from). */
+  def scd2PointInTime(spark: SparkSession, sfDir: String): DataFrame = {
+    val asOf = lit(2L)
+    customerScd2History(spark, sfDir)
+      .where(col("valid_from") <= asOf &&
+        (col("valid_to").isNull || col("valid_to") > asOf))
+      .select(col("c_custkey"), col("c_acctbal"), col("valid_from"))
+      .orderBy(col("c_custkey"))
   }
 
   /** FK ON DELETE CASCADE propagation (C3, SCHEMA.sql:13,23) over the
@@ -148,6 +172,22 @@ object CdcQueries {
         |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM v WHERE op <> 'd'
         |ORDER BY c_custkey, valid_from""".stripMargin)),
+    NamedQuery("q_scd2_point_in_time", scd2PointInTime, Some(
+      """WITH ch AS (
+        |  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS lsn, 'c' AS op FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, -1.0, CAST(2 AS BIGINT), 'u' FROM customer WHERE c_custkey % 100 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, CAST(3 AS BIGINT), 'd' FROM customer WHERE c_custkey % 97 = 0),
+        |v AS (
+        |  SELECT c_custkey, c_acctbal, op, lsn AS valid_from,
+        |         LEAD(lsn) OVER (PARTITION BY c_custkey ORDER BY lsn) AS valid_to
+        |  FROM ch)
+        |SELECT c_custkey, c_acctbal, valid_from
+        |FROM v
+        |WHERE op <> 'd' AND valid_from <= 2
+        |  AND (valid_to IS NULL OR valid_to > 2)
+        |ORDER BY c_custkey""".stripMargin)),
     NamedQuery("q_cascade_delete", cascadeDelete, Some(
       """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
         |     delo AS (SELECT o_orderkey FROM orders
