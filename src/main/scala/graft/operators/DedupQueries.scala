@@ -297,6 +297,47 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** LOSSLESS set-similarity self-join via prefix filtering (the
+    * SSJoin/PPJoin candidate rule) — every pair with true Jaccard ≥ 0.5,
+    * guaranteed, without an all-pairs join. Where the rare-shingle index
+    * above caps posting df at 5 (a documented recall trade) and minhash
+    * is probabilistic, this operator is exact AND complete:
+    *
+    * Rank every shingle by global rarity (df asc, hash as tie-break) and
+    * keep only each doc's `sz − ⌈t·sz⌉ + 1` RAREST shingles as its
+    * prefix. Prefix-filter theorem: two docs with Jaccard ≥ t must share
+    * at least one prefix shingle — a doc's suffix holds only ⌈t·sz⌉ − 1
+    * shingles, fewer than the ≥ ⌈t·max(sz_a,sz_b)⌉ shingles a qualifying
+    * pair shares, so the overlap cannot hide in the suffixes (per-doc
+    * prefixes are ≥ the lemma's length, which only widens candidates).
+    * Candidates = prefix-posting equi-self-join; the exact Jaccard verify
+    * keeps truth. Scale shape: prefixes are each doc's RAREST tokens, so
+    * posting lists are short by construction (boilerplate stop-shingles
+    * with corpus-scale df almost never rank inside a prefix) — candidate
+    * volume tracks true similarity, and the join is a plain hash shuffle
+    * on the shingle, never a cross product. DedupSpec pins full equality
+    * with the brute-force j ≥ 0.5 pair set. */
+  def prefixJaccardDups(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = sharedShingled(spark, sfDir)
+    val posts = docs
+      .select(col("doc_id"), size(col("shingles")).as("sz"),
+        explode(col("shingles")).as("h"))
+    val dfreq = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixLen = col("sz") - ceil(col("sz") * lit(0.5)) + 1
+    val prefix = posts.join(dfreq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .where(col("rn") <= prefixLen)
+      .select(col("h"), col("doc_id"))
+    val candidates = prefix.as("x").join(prefix.as("y"), "h")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifiedJaccardPairs(candidates, docs)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Longest shared token span per near-dup candidate pair — the substring
     * -duplication detector (the "train-on-it-twice" span family, distinct
     * from whole-doc similarity: two docs can share a 50-token boilerplate
@@ -420,6 +461,7 @@ object DedupQueries {
     NamedQuery("q_dedup_incremental", incrementalNearDups, None),
     NamedQuery("q_dedup_simhash", simhashNearDups, None),
     NamedQuery("q_dedup_ngram_jaccard", ngramJaccardDups, None),
+    NamedQuery("q_dedup_prefix_jaccard", prefixJaccardDups, None),
     NamedQuery("q_dedup_common_span", commonSpanDups, None),
     NamedQuery("q_contamination", contaminationScreen, None),
   )

@@ -122,6 +122,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter join: EXACTLY the brute-force j>=0.5 pair set, exact jaccards") {
+    val got = DedupQueries.prefixJaccardDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // lossless: the reported pair set IS the true pair set, not a subset
+    val expected = truePairs(0.5)
+    assert(got.keySet == expected,
+      s"missing=${expected -- got.keySet} extra=${got.keySet -- expected}")
+    got.foreach { case ((a, b), j) =>
+      val exact = math.rint(jaccard(shingleSets(a), shingleSets(b)) * 1e4) / 1e4
+      assert(j == exact, s"pair ($a,$b): reported $j != brute-force $exact")
+    }
+  }
+
   test("incremental batch-vs-corpus dedup equals full dedup restricted to the batch") {
     val full = DedupQueries.minhashNearDups(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
