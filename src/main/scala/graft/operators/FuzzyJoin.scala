@@ -46,6 +46,42 @@ object FuzzyJoin {
     selfMatch(Tpch(spark, sfDir).part, col("p_name"), maxDist = 2)
       .orderBy(col("name_a"), col("name_b"))
 
+  /** Entity resolution end-to-end — the record-linkage composition every
+    * master-data pipeline runs, built ENTIRELY from this engine's own
+    * operators: blocked fuzzy matching ([[selfMatch]]) generates the
+    * pairwise evidence, [[Components.connectedComponents]] takes its
+    * transitive closure into entity clusters (match is not transitive —
+    * "brush steel" ~ "brushed steel" ~ "brushed stee" chains), and a
+    * group-by elects the canonical record (min surviving key — stable
+    * under re-runs and new members with larger keys). Name strings become
+    * 64-bit node ids via xxhash64 so the propagation loop shuffles longs,
+    * not strings; names with no fuzzy edge stay their own singleton
+    * entity via the left join + coalesce, without ever entering the loop.
+    * Output keeps only multi-name entities — the resolved duplicates a
+    * steward reviews. Every stage is an equi-shuffle; the quadratic
+    * work is confined to length-blocked candidate pairs. */
+  def resolvePartEntities(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val edges = selfMatch(t.part, col("p_name"), maxDist = 2)
+      .select(xxhash64(col("name_a")).as("a"), xxhash64(col("name_b")).as("b"))
+    val names = t.part.select(col("p_name")).where(col("p_name").isNotNull)
+      .distinct()
+      .withColumn("id", xxhash64(col("p_name")))
+    val labels = Components.connectedComponents(edges)
+    val labeled = names.join(labels, Seq("id"), "left")
+      .withColumn("entity", coalesce(col("component"), col("id")))
+      .select(col("p_name"), col("entity"))
+    t.part.select(col("p_partkey"), col("p_name"))
+      .join(labeled, "p_name")
+      .groupBy(col("entity"))
+      .agg(min(col("p_partkey")).as("canon_partkey"),
+        countDistinct(col("p_name")).as("n_names"),
+        count(lit(1)).as("n_parts"))
+      .where(col("n_names") >= 2)
+      .select(col("canon_partkey"), col("n_names"), col("n_parts"))
+      .orderBy(col("canon_partkey"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_fuzzy_part_names", partNameDups, Some(
       """WITH v AS (SELECT DISTINCT p_name AS name FROM part
@@ -57,5 +93,27 @@ object FuzzyJoin {
         | AND length(a.name) BETWEEN length(b.name) - 2 AND length(b.name) + 2
         |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY name_a, name_b""".stripMargin)),
+    // oracle: transitive closure via recursive CTE — min reachable name
+    // partitions names exactly like the engine's min-label propagation
+    NamedQuery("q_entity_resolution", resolvePartEntities, Some(
+      """WITH RECURSIVE
+        |v AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+        |pr AS (SELECT a.name AS na, b.name AS nb FROM v a JOIN v b
+        |       ON a.name < b.name
+        |      AND length(a.name) BETWEEN length(b.name) - 2 AND length(b.name) + 2
+        |       WHERE levenshtein(a.name, b.name) <= 2),
+        |e AS (SELECT na AS a, nb AS b FROM pr UNION ALL SELECT nb, na FROM pr),
+        |reach(id, r) AS (
+        |  SELECT name, name FROM v
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id, MIN(r) AS entity FROM reach GROUP BY id)
+        |SELECT MIN(p.p_partkey) AS canon_partkey,
+        |       COUNT(DISTINCT p.p_name) AS n_names,
+        |       COUNT(*) AS n_parts
+        |FROM part p JOIN comp ON p.p_name = comp.id
+        |GROUP BY comp.entity
+        |HAVING COUNT(DISTINCT p.p_name) >= 2
+        |ORDER BY canon_partkey""".stripMargin)),
   )
 }
