@@ -380,7 +380,69 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Per-source distribution drift vs the corpus mixture — total
+    * variation distance between each source's unigram distribution and
+    * the whole corpus's, the screen that catches an off-distribution
+    * source (wrong language mix, template spam, scraped boilerplate)
+    * before it trains. TV = ½·Σ_t |n_st/N_s − n_ct/N_c| over the CORPUS
+    * vocabulary; terms a source never uses contribute n_ct·N_s, folded in
+    * closed form as N_s·(N_c − Σ_{t∈s} n_ct) so the plan only touches
+    * (source, token) pairs that EXIST — never a vocab × sources expansion.
+    *
+    * Exactness: every per-term contribution is the integer
+    * |n_st·N_c − n_ct·N_s| in DECIMAL(38,0) (no overflow until counts
+    * pass 10¹⁹), and the final ×10⁴ normalization uses integer `div` —
+    * no float division anywhere, so the statistic hash-matches DuckDB's
+    * HUGEINT `//` exactly (a scale-6 decimal divide could flip a floor at
+    * these magnitudes; `div` cannot). Shuffles: (source, token) distinct
+    * pairs, then token, then source — all high-cardinality or tiny. The
+    * corpus-total frame rides the sanctioned one-row broadcast. */
+  def sourceDistributionDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dec = DecimalType(38, 0)
+    val st = t.documents
+      .select(col("source"), explode(toks).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("n_st"))
+    val ct = st.groupBy(col("token")).agg(sum(col("n_st")).cast(dec).as("n_ct"))
+    val ns = st.groupBy(col("source")).agg(sum(col("n_st")).cast(dec).as("n_s"))
+    val totals = ct.agg(sum(col("n_ct")).cast(dec).as("n_c"))
+    st.join(ct, "token")
+      .join(ns, "source") // |sources| rows — AQE broadcasts
+      .join(broadcast(totals))
+      .groupBy(col("source"))
+      .agg(
+        first(col("n_s")).as("n_s"),
+        first(col("n_c")).as("n_c"),
+        sum(abs(col("n_st").cast(dec) * col("n_c") -
+          col("n_ct") * col("n_s"))).as("sum_abs"),
+        sum(col("n_ct")).as("seen_ct"))
+      .select(col("source"),
+        col("n_s").cast("long").as("n_tokens"),
+        expr("""CAST((sum_abs + n_s * (n_c - seen_ct)) * 10000
+                     div (2 * n_s * n_c) AS BIGINT)""").as("tv_x10000"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_source_drift", sourceDistributionDrift, Some(
+      """WITH tok AS (
+        |  SELECT source,
+        |         UNNEST(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents),
+        |st AS (SELECT source, token, COUNT(*) AS n_st FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT token, CAST(SUM(n_st) AS HUGEINT) AS n_ct FROM st GROUP BY 1),
+        |ns AS (SELECT source, CAST(SUM(n_st) AS HUGEINT) AS n_s FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_ct) AS HUGEINT) AS n_c FROM ct)
+        |SELECT st.source,
+        |       CAST(MAX(ns.n_s) AS BIGINT) AS n_tokens,
+        |       CAST((SUM(ABS(CAST(st.n_st AS HUGEINT) * tot.n_c - ct.n_ct * ns.n_s))
+        |             + MAX(ns.n_s) * (MAX(tot.n_c) - SUM(ct.n_ct))) * 10000
+        |            // (2 * MAX(ns.n_s) * MAX(tot.n_c)) AS BIGINT) AS tv_x10000
+        |FROM st JOIN ct USING (token) JOIN ns USING (source), tot
+        |GROUP BY st.source
+        |ORDER BY st.source""".stripMargin)),
     NamedQuery("q_text_lm_familiarity", lmFamiliarity, Some(
       """WITH a AS (
         |  SELECT doc_id, lang,

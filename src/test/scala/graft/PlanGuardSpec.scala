@@ -20,6 +20,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_ivfpq_topk",    // broadcast ADC lookup-table row + routed labels
     "q_text_tfidf",        // broadcast corpus-size frame
     "q_text_lm_familiarity", // broadcast one-row corpus-totals frame
+    "q_text_source_drift",   // broadcast one-row corpus-total frame
+    "q_corpus_split",        // broadcast one-row leakage-invariant frame
     "q_events_gapfill",    // broadcast calendar-bounds frame
     "q_sketch_hll_union"   // broadcast one-row unioned-sketch frame
   )
