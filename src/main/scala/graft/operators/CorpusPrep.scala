@@ -211,6 +211,50 @@ object CorpusPrep {
     * per source with map-side combine); the repetition frame joins in at
     * per-SOURCE granularity (bounded). Counts are integers and the average
     * is the decimal-summed pattern — hash-exact vs the oracle. */
+  /** Leakage-free train/val/test split — the assignment rule every eval
+    * pipeline needs: near-duplicate documents must land in the SAME
+    * split, or the validation set silently overlaps the training set and
+    * eval numbers inflate. Naive `hash(doc_id) % 10` leaks (the two
+    * copies of a near-dup pair hash independently); the fix is to hash
+    * the near-dup COMPONENT label, so the whole duplicate group moves as
+    * one unit. Components come from the shared minhash-pair labeling
+    * ([[Components.sharedLabels]] — already cached per session/sf);
+    * singleton docs (no near-dup) fall back to their own id via the left
+    * join + coalesce, never entering the propagation loop. 8/1/1 split by
+    * `pmod(xxhash64(component), 10)` — deterministic, engine-portable,
+    * reassignment-free as the corpus grows (a new doc joining an existing
+    * group inherits the group's split).
+    *
+    * Output: per (split, lang) doc/token counts, plus the leakage
+    * invariant IN-QUERY: `components_intact` is true iff no component
+    * straddles splits — the driver's rows check then carries the
+    * semantic contract, and CorpusOpsSpec re-proves it against the raw
+    * minhash pairs. */
+  def leakFreeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val labels = Components.sharedLabels(spark, sfDir)
+      .select(col("id").as("doc_id"), col("component"))
+    val assigned = t.documents
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_toks"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        when(pmod(xxhash64(col("component")), lit(10)) < 8, "train")
+          .when(pmod(xxhash64(col("component")), lit(10)) === 8, "val")
+          .otherwise("test"))
+    val intact = assigned.groupBy(col("component"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .agg(max(col("n_splits")).as("max_splits"))
+    assigned
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"))
+      .join(broadcast(intact)) // sanctioned one-row frame
+      .withColumn("components_intact", col("max_splits") === 1)
+      .drop("max_splits")
+      .orderBy(col("split"), col("lang"))
+  }
+
   def datasetCard(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val t = Tpch(spark, sfDir)
@@ -324,6 +368,10 @@ object CorpusPrep {
         |            AS BIGINT) AS docs_straddling,
         |       CAST(SUM(seq_last - seq_first) AS BIGINT) AS boundaries_crossed
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // split hashes ride the minhash component labels (not ANSI-SQL-
+    // expressible) → rows-only; the in-query `components_intact` column
+    // plus CorpusOpsSpec's pair-level leakage check carry the contract.
+    NamedQuery("q_corpus_split", leakFreeSplit, None),
     NamedQuery("q_corpus_adaptive_quality", adaptiveQuality, Some(
       """WITH scored AS (
         |  SELECT source, doc_id,

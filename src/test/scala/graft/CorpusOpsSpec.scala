@@ -29,6 +29,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > got.values.map(_._1).sum)
   }
 
+  test("leak-free split: no minhash near-dup pair straddles splits, ratios sane") {
+    import graft.operators.DedupQueries
+    val out = CorpusPrep.leakFreeSplit(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Boolean]("components_intact"),
+      "a near-dup component straddles splits"))
+    // pair-level re-proof from the raw evidence, independent of the
+    // component labeling: both ends of every near-dup pair share a split
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    val comp = graft.operators.Components.connectedComponents(
+      DedupQueries.minhashNearDups(spark, Sf)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .select(col("id").as("doc_id"), col("component"))
+    val assigned = t.documents.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("split", pmod(xxhash64(col("component")), lit(10)))
+      .select(col("doc_id"), col("split"))
+    val pairs = DedupQueries.minhashNearDups(spark, Sf)
+      .select(col("doc_a"), col("doc_b"))
+      .join(assigned.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(assigned.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+    assert(pairs.where(col("split_a") =!= col("split_b")).count() == 0)
+    // 8/1/1 by component hash: train strictly dominates at any sane corpus
+    val byDocs = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byDocs.getOrElse("train", 0L) > byDocs.getOrElse("val", 0L))
+    assert(byDocs.getOrElse("train", 0L) > byDocs.getOrElse("test", 0L))
+  }
+
   test("corpus mix weights normalize and allocate the full budget") {
     val rows = CorpusPrep.corpusMix(spark, Sf).collect()
     val weights = rows.map(_.getDouble(4))
