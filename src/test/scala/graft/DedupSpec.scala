@@ -122,11 +122,11 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("prefix-filter join: EXACTLY the brute-force j>=0.5 pair set, exact jaccards") {
+  test("prefix-filter join: EXACTLY the brute-force j>=0.8 pair set, exact jaccards") {
     val got = DedupQueries.prefixJaccardDups(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     // lossless: the reported pair set IS the true pair set, not a subset
-    val expected = truePairs(0.5)
+    val expected = truePairs(0.8)
     assert(got.keySet == expected,
       s"missing=${expected -- got.keySet} extra=${got.keySet -- expected}")
     got.foreach { case ((a, b), j) =>
