@@ -112,6 +112,35 @@ object CdcQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Change data feed BETWEEN two versions — "what changed from lsn 1 to
+    * lsn 3", the incremental-consumer question a downstream mart asks so
+    * it can apply a delta instead of re-reading a snapshot. Derived from
+    * the SCD2 history alone (no replay of the raw stream): a key whose
+    * version closed in the window and reopened is an UPDATE, closed
+    * without a successor is a DELETE, first-opened inside the window is
+    * an INSERT. Expressed as a full-outer join of the two point-in-time
+    * states — the formulation that stays one equi-shuffle at any scale
+    * and needs only the two validity filters, both partition-prunable.
+    * Only changed keys are emitted (the delta contract). */
+  def scd2ChangeFeed(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = customerScd2History(spark, sfDir)
+    def stateAt(l: Long): DataFrame = hist
+      .where(col("valid_from") <= l &&
+        (col("valid_to").isNull || col("valid_to") > l))
+      .select(col("c_custkey"), col("c_acctbal"))
+    val before = stateAt(1L).withColumnRenamed("c_acctbal", "bal_before")
+    val after = stateAt(3L).withColumnRenamed("c_acctbal", "bal_after")
+    before.join(after, Seq("c_custkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("bal_before").isNull, "insert")
+          .when(col("bal_after").isNull, "delete")
+          .when(col("bal_before") =!= col("bal_after"), "update"))
+      .where(col("change_type").isNotNull)
+      .select(col("c_custkey"), col("change_type"),
+        col("bal_before"), col("bal_after"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** FK ON DELETE CASCADE propagation (C3, SCHEMA.sql:13,23) over the
     * customer → orders → lineitem chain: surviving row counts per table
     * after deleting every 50th customer. */
@@ -187,6 +216,33 @@ object CdcQueries {
         |FROM v
         |WHERE op <> 'd' AND valid_from <= 2
         |  AND (valid_to IS NULL OR valid_to > 2)
+        |ORDER BY c_custkey""".stripMargin)),
+    NamedQuery("q_scd2_change_feed", scd2ChangeFeed, Some(
+      """WITH ch AS (
+        |  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS lsn, 'c' AS op FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, -1.0, CAST(2 AS BIGINT), 'u' FROM customer WHERE c_custkey % 100 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, CAST(3 AS BIGINT), 'd' FROM customer WHERE c_custkey % 97 = 0),
+        |v AS (
+        |  SELECT c_custkey, c_acctbal, op, lsn AS valid_from,
+        |         LEAD(lsn) OVER (PARTITION BY c_custkey ORDER BY lsn) AS valid_to
+        |  FROM ch),
+        |s1 AS (SELECT c_custkey, c_acctbal FROM v
+        |       WHERE op <> 'd' AND valid_from <= 1
+        |         AND (valid_to IS NULL OR valid_to > 1)),
+        |s3 AS (SELECT c_custkey, c_acctbal FROM v
+        |       WHERE op <> 'd' AND valid_from <= 3
+        |         AND (valid_to IS NULL OR valid_to > 3)),
+        |d AS (
+        |  SELECT COALESCE(s1.c_custkey, s3.c_custkey) AS c_custkey,
+        |         CASE WHEN s1.c_custkey IS NULL THEN 'insert'
+        |              WHEN s3.c_custkey IS NULL THEN 'delete'
+        |              WHEN s1.c_acctbal <> s3.c_acctbal THEN 'update' END AS change_type,
+        |         s1.c_acctbal AS bal_before, s3.c_acctbal AS bal_after
+        |  FROM s1 FULL OUTER JOIN s3 ON s1.c_custkey = s3.c_custkey)
+        |SELECT c_custkey, change_type, bal_before, bal_after
+        |FROM d WHERE change_type IS NOT NULL
         |ORDER BY c_custkey""".stripMargin)),
     NamedQuery("q_cascade_delete", cascadeDelete, Some(
       """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0),
