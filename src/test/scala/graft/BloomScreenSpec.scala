@@ -35,6 +35,17 @@ class BloomScreenSpec extends SparkSpec {
     assert(seen < n, "fixture must contain genuinely new docs")
   }
 
+  test("bloom artifact: built once, _SUCCESS-guarded, stable across reads") {
+    val p = BloomScreen.bloomPath(spark, Sf)
+    val b1 = BloomScreen.corpusBloom(spark, Sf)
+    val marker = new java.io.File(p, "_SUCCESS")
+    assert(marker.exists(), s"no _SUCCESS marker under $p")
+    val mtime = marker.lastModified()
+    val b2 = BloomScreen.corpusBloom(spark, Sf)
+    assert(marker.lastModified() == mtime, "second read must not rebuild")
+    assert(java.util.Arrays.equals(b1, b2))
+  }
+
   test("screen is a projection over the batch: no join for the bloom probe") {
     // The only join in the plan is the exact ground-truth audit; drop it
     // and the probe itself must plan join-free (scan → project → agg).
