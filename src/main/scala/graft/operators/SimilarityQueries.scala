@@ -206,6 +206,38 @@ object SimilarityQueries {
       .orderBy(col("cos").desc, col("vec_id").asc)
   }
 
+  /** Recall-vs-nProbe curve — the IVF tuning table as a QUERY. nProbe is
+    * THE knob a 100 TB ANN deployment turns (probe 1 cell: fastest,
+    * lossiest; probe all: brute force, recall 1), and the decision input
+    * is exactly this curve: recall@10 against the float brute force at
+    * each candidate probe width. Emitting it as a query makes the
+    * trade-off auditable in-band — the same table a production index's
+    * dashboard shows. The curve is computed against the SAME persisted
+    * centroid artifact every probe uses; `monotone_ok` (recall
+    * non-decreasing in nProbe) and the nProbe=all row reaching recall 1.0
+    * are the in-query invariants, spec-pinned too. The ordering window
+    * runs over exactly |curve| = 4 rows — a bounded frame, not a
+    * global-window-over-data anti-pattern. */
+  def ivfRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = ensureCentroids(spark, sfDir)
+    val cents = spark.read.parquet(path)
+    val brute = cosineTopK(spark, sfDir).select(col("vec_id"))
+    val rows = Seq(1, 2, 4, 10).map { np =>
+      ivfProbe(spark, sfDir, cents, nProbe = np)
+        .join(brute, "vec_id")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("n_probe"),
+          round(col("hits") / 10.0, 2).as("recall_at_10"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("n_probe"))
+    rows
+      .withColumn("monotone_ok",
+        coalesce(col("recall_at_10") >=
+          lag(col("recall_at_10"), 1).over(w), lit(true)))
+      .orderBy(col("n_probe"))
+  }
+
   /** Int8 symmetric quantization error audit — the storage-scale path for
     * an embedding corpus: per vector, scale = max |component|, each
     * component maps to round(v/scale·127), and the audit measures the worst
@@ -314,6 +346,7 @@ object SimilarityQueries {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sim_ivf_topk", ivfTopK, None),
+    NamedQuery("q_sim_ivf_recall_curve", ivfRecallCurve, None),
     NamedQuery("q_sim_quantized_topk", quantizedTopK, None),
     NamedQuery("q_sim_ivf_quantized_topk", ivfQuantizedTopK, None),
     // Double-precision cosine spelled out via aligned UNNEST — DuckDB's

@@ -14,6 +14,7 @@ class PlanGuardSpec extends SparkSpec {
   private val oneRowBroadcast = Set(
     "q_sim_cosine_topk",   // broadcast query vector
     "q_sim_ivf_topk",      // broadcast query vector + routed labels
+    "q_sim_ivf_recall_curve", // 4 probes, each with the same one-row broadcasts
     "q_sim_quantized_topk",// broadcast query-vector components
     "q_sim_ivf_quantized_topk", // broadcast query components + routed labels
     "q_sim_pq_topk",       // broadcast ADC lookup-table row + recall frame

@@ -103,6 +103,15 @@ class SimilaritySpec extends SparkSpec {
     assert(recall(nLabels) == 1.0, "probing every cluster must equal brute force")
   }
 
+  test("recall curve: monotone_ok everywhere, nProbe=all row reaches 1.0") {
+    val rows = SimilarityQueries.ivfRecallCurve(spark, Sf).collect()
+    assert(rows.map(_.getAs[Int]("n_probe")).toSeq == Seq(1, 2, 4, 10))
+    rows.foreach(r => assert(r.getAs[Boolean]("monotone_ok"),
+      s"recall dipped at n_probe=${r.getAs[Int]("n_probe")}"))
+    assert(rows.last.getAs[Double]("recall_at_10") == 1.0,
+      "probing every cell must recover the brute-force top-k")
+  }
+
   test("IVF top-k recall_at_k column equals the brute-force set overlap") {
     val rows = SimilarityQueries.ivfTopK(spark, Sf).collect()
     assert(rows.nonEmpty)
