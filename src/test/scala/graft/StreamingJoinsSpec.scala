@@ -82,4 +82,30 @@ class StreamingJoinsSpec extends SparkSpec {
       .select(col("e_ts")).collect()
     assert(u1.length == 1 && !u1.head.isNullAt(0), "matched row intact")
   }
+
+  test("stream-static enrichment joins every micro-batch statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val txns = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "segment")
+    val enriched = StreamingJoins.enrich(
+      txns.toDF().toDF("user_id", "amount"), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("ss_enrich")
+      .outputMode("append").start()
+    try {
+      txns.addData((1L, 10.0), (3L, 5.0))
+      q.processAllAvailable()
+      txns.addData((2L, 7.0))
+      q.processAllAvailable()
+      // stateless: the stream-static join keeps NO state between batches
+      val progress = q.lastProgress
+      assert(progress.stateOperators.isEmpty ||
+        progress.stateOperators.forall(_.numRowsTotal == 0),
+        "stream-static join must not accumulate state")
+    } finally q.stop()
+    val rows = spark.table("ss_enrich").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        Option(r.getString(2)).getOrElse("-"))).toSet
+    assert(rows == Set((1L, 10.0, "GOLD"), (3L, 5.0, "-"), (2L, 7.0, "SILVER")),
+      s"got $rows")
+  }
 }
