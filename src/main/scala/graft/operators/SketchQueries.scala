@@ -43,8 +43,15 @@ object SketchQueries {
     val top = tokens.groupBy(col("token")).agg(count(lit(1)).as("exact_n"))
       .orderBy(col("exact_n").desc, col("token")).limit(20)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // in-query invariants: the driver's rows-only check then carries the
+    // sketch's actual contract (dominance always; eps*n overestimation
+    // bound at the sketch's own confidence), not just "returned rows"
+    val totalTokens = tokens.count()
     top.map { case (tok, n) => (tok, n, cms.estimateCount(tok)) }
       .toSeq.toDF("token", "exact_n", "cms_n")
+      .withColumn("dominates", col("cms_n") >= col("exact_n"))
+      .withColumn("within_bound",
+        col("cms_n") - col("exact_n") <= lit(math.ceil(0.001 * totalTokens).toLong))
       .orderBy(col("exact_n").desc, col("token"))
   }
 

@@ -36,6 +36,8 @@ class SketchSpec extends SparkSpec {
       assert(est >= exact, s"CMS must never undercount: ${r.getString(0)}")
       assert(est - exact <= maxOver,
         s"${r.getString(0)}: overestimate ${est - exact} beyond eps bound $maxOver")
+      // the in-query invariant columns must agree with the re-derivation
+      assert(r.getAs[Boolean]("dominates") && r.getAs[Boolean]("within_bound"))
     }
   }
 
