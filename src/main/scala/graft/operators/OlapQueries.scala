@@ -194,7 +194,91 @@ object OlapQueries {
       .orderBy(col("segment"))
   }
 
+  /** Shipping-priority mart (TPC-H Q3 shape): unshipped revenue of
+    * BUILDING-segment orders placed before the cutoff, top 10. The
+    * canonical filter→3-way-join→agg→top-k OLAP pipeline: both date
+    * predicates and the segment filter push into the scans, the customer
+    * dim broadcasts, orders⋈lineitem shuffles once on the order key, and
+    * the top-10 plans TakeOrderedAndProject (k rows per partition move,
+    * never a global sort). Ties broken by order key so the limit is
+    * deterministic cross-engine. */
+  def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val cutoff = lit("1998-06-15").cast("timestamp")
+    t.customer.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+      .join(t.orders.where(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey").as("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+      .join(t.lineitem.where(col("l_shipdate") > cutoff), "l_orderkey")
+      .groupBy(col("l_orderkey"), col("order_day"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Correlated-aggregate shape: customers whose lifetime spend exceeds
+    * their NATION's average spend — `WHERE spend > (SELECT AVG(...) ...
+    * same nation)` decorrelated into two aggregations and a join. The
+    * comparison is integer-style CROSS-MULTIPLICATION on exact decimals
+    * (spend·n_cust > nation_total), never a float average — the same
+    * discipline as the familiarity screen, and the reason a
+    * division-free correlated predicate can be hash-checked at all.
+    * Customers with no orders count in the denominator at spend 0 (the
+    * left join + coalesce), matching the subquery's semantics. */
+  def aboveNationAvgSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dec = DecimalType(18, 4)
+    val spend = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(coalesce(sum(col("o_totalprice").cast(dec)),
+        lit(0).cast(dec)).as("spend_d"))
+    val byNation = spend.groupBy(col("c_nationkey"))
+      .agg(sum(col("spend_d")).as("nation_total"),
+        count(lit(1)).as("n_cust"))
+    spend.join(byNation, "c_nationkey") // 25 rows — AQE broadcasts
+      .where(col("spend_d") * col("n_cust") > col("nation_total"))
+      .join(broadcast(t.nation),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"),
+        round(col("spend_d"), 2).cast("double").as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_shipping_priority", shippingPriority, Some(
+      s"""SELECT o.o_orderkey AS l_orderkey,
+         |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+         |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1998-06-15'
+         |  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+         |GROUP BY 1, 2
+         |ORDER BY revenue DESC, l_orderkey ASC
+         |LIMIT 10""".stripMargin)),
+    NamedQuery("q_above_nation_avg", aboveNationAvgSpend, Some(
+      """WITH sp AS (
+        |  SELECT c.c_custkey, c.c_nationkey,
+        |         COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))),
+        |                  CAST(0 AS DECIMAL(18,4))) AS spend_d
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |na AS (
+        |  SELECT c_nationkey, SUM(spend_d) AS nation_total,
+        |         COUNT(*) AS n_cust
+        |  FROM sp GROUP BY 1)
+        |SELECT sp.c_custkey, n.n_name,
+        |       CAST(ROUND(sp.spend_d, 2) AS DOUBLE) AS spend
+        |FROM sp JOIN na USING (c_nationkey)
+        |JOIN nation n ON sp.c_nationkey = n.n_nationkey
+        |WHERE sp.spend_d * na.n_cust > na.nation_total
+        |ORDER BY sp.c_custkey""".stripMargin)),
     NamedQuery("q_nation_trade_volume", nationTradeVolume, Some(
       s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
          |       COUNT(*) AS n_lines,
