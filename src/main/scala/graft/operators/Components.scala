@@ -127,8 +127,55 @@ object Components {
       .orderBy(col("keep").desc, col("component"), col("doc_id"))
   }
 
+  /** The corpus dedup pipeline END TO END — the composed deliverable the
+    * individual operators exist for: exact keep-first (fingerprint
+    * group), then near-dup clustering (minhash → components), then
+    * canonical-keeper selection, emitting per-language attrition stats.
+    * The two stages CANNOT disagree on identical texts: exact dups have
+    * identical quality (quality is a function of the text), so the
+    * canonical rank's (quality desc, id asc) tie-break picks the same
+    * min-id keeper exact keep-first does.
+    *
+    * The pipeline carries its own proof: `no_dup_pairs_left` is true iff
+    * NO minhash near-dup pair survives among the kept docs — guaranteed
+    * structurally (every pair lies inside one component; one keeper per
+    * component) and verified in-query by re-joining the survivor set
+    * against the pair list. One boolean row rides the sanctioned one-row
+    * broadcast. All heavy inputs (signatures, labels) come from the
+    * session-cached artifacts — the pipeline adds joins, not recompute. */
+  def dedupPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = graft.sources.Tables.Tpch(spark, sfDir)
+    val docs = t.documents.select(col("doc_id"), col("lang"), col("text"))
+    val exactKeep = docs
+      .groupBy(sha2(col("text"), 256)).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val afterExact = docs.join(exactKeep, Seq("doc_id"), "left_semi")
+    val nearDropped = canonicalKeepers(spark, sfDir)
+      .where(!col("keep")).select(col("doc_id"))
+    val survivors = afterExact.join(nearDropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+    val pairs = DedupQueries.minhashNearDups(spark, sfDir)
+    val leftover = pairs
+      .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .agg((count(lit(1)) === 0).as("no_dup_pairs_left"))
+    docs.select(col("doc_id"), col("lang"))
+      .withColumn("kept", lit(false))
+      .unionByName(survivors.withColumn("kept", lit(true)))
+      .groupBy(col("lang"))
+      .agg((count(lit(1)) - sum(when(col("kept"), 1L).otherwise(0L)))
+          .as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .join(broadcast(leftover))
+      .select(col("lang"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_removed"),
+        col("no_dup_pairs_left"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dedup_components", nearDupComponents, None),
     NamedQuery("q_dedup_canonical", canonicalKeepers, None),
+    NamedQuery("q_dedup_pipeline", dedupPipeline, None),
   )
 }

@@ -61,4 +61,21 @@ class ComponentsSpec extends SparkSpec {
         s"component $c kept ${keepers.head._2}, expected ${best._2}")
     }
   }
+
+  test("dedup pipeline: attrition arithmetic, real attrition, no pair survives") {
+    val rows = Components.dedupPipeline(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("no_dup_pairs_left"),
+        "a near-dup pair survived the pipeline")
+      assert(r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("n_kept") + r.getAs[Long]("n_removed"))
+      assert(r.getAs[Long]("n_kept") > 0)
+    }
+    // the fixture corpus HAS duplicates, so attrition must be real
+    assert(rows.map(_.getAs[Long]("n_removed")).sum > 0)
+    // totals reconcile with the raw corpus
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+  }
 }

@@ -23,6 +23,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_lm_familiarity", // broadcast one-row corpus-totals frame
     "q_text_source_drift",   // broadcast one-row corpus-total frame
     "q_corpus_split",        // broadcast one-row leakage-invariant frame
+    "q_dedup_pipeline",      // broadcast one-row no-pairs-left frame
     "q_events_gapfill",    // broadcast calendar-bounds frame
     "q_sketch_hll_union"   // broadcast one-row unioned-sketch frame
   )
