@@ -124,7 +124,54 @@ object TimeSeriesQueries {
       .orderBy(col("status"))
   }
 
+  /** Robust event-rate anomaly screen — "did this event type spike
+    * today?" judged against its own trailing window: a day is anomalous
+    * when its count exceeds 1.25× the LOWER MEDIAN of the previous ≤ 7
+    * days (≥ 4 required). Median, not mean, so one prior spike cannot
+    * mask the next one (the same robustness argument as the MAD screen),
+    * and the threshold is the integer cross-multiplication `4·n > 5·med`
+    * — counts and the picked median are integers, so the flag is exact
+    * and cross-engine hash-stable. The trailing window is a bounded
+    * 7-row ROWS frame per (event_type) ordered by day — collect_list
+    * over it holds ≤ 7 longs, and the partition key is the event type:
+    * at 100 TB this runs per (type, day) aggregate rows (thousands),
+    * never per raw event. */
+  def rateAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val daily = t.events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("prior", sort_array(collect_list(col("n")).over(w)))
+      .withColumn("trailing_med",
+        element_at(col("prior"), floor((size(col("prior")) + 1) / 2).cast("int")))
+      .where(size(col("prior")) >= 4 &&
+        col("n") * 4 > col("trailing_med") * 5)
+      .select(col("event_type"), col("day"), col("n"), col("trailing_med"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_events_rate_anomaly", rateAnomalies, Some(
+      """WITH daily AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, n,
+        |         list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+        |                                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |           AS prior
+        |  FROM daily)
+        |SELECT event_type, day, n,
+        |       prior[(len(prior) + 1) // 2] AS trailing_med
+        |FROM w
+        |WHERE len(prior) >= 4 AND n * 4 > prior[(len(prior) + 1) // 2] * 5
+        |ORDER BY event_type, day""".stripMargin)),
     NamedQuery("q_events_tumbling_hourly", tumblingHourly, Some(
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS hour_es,
         |       event_type, COUNT(*) AS n,
