@@ -170,7 +170,47 @@ object SketchQueries {
           .as("within_bound"))
   }
 
+  /** Theta-sketch audience overlap — the SET-ALGEBRA sketch: HLL can only
+    * union, a theta sketch (k smallest hashes — an order-independent
+    * sample of the set) also intersects and differences, which is how a
+    * 100 TB pipeline answers "how many users did BOTH X and Y" without an
+    * exact distinct over either side. One sketch per event type (all
+    * Spark-native `theta_sketch_agg`, mergeable, partial-aggregated);
+    * pair enumeration rides the EXACT intersection frame (computed
+    * anyway as ground truth), so every join is an equi-join — never a
+    * non-equi pair cross. `within_bound` carries |est − exact| ≤ 5% of
+    * the union in-query: intersection error scales with the UNION size
+    * (the sketches sample the union), so that is the honest bound, not
+    * 5% of the intersection. */
+  def thetaAudienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tpch(spark, sfDir).events
+      .select(col("event_type"), col("user_id")).distinct()
+    val sketches = ev.groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id"), 12).as("sk"))
+    val exact = ev.as("x")
+      .join(ev.withColumnRenamed("event_type", "type_b").as("y"), "user_id")
+      .where(col("event_type") < col("type_b"))
+      .groupBy(col("event_type"), col("type_b"))
+      .agg(countDistinct(col("user_id")).as("exact_inter"))
+    exact
+      .join(sketches, "event_type")
+      .join(sketches
+          .withColumnRenamed("event_type", "type_b")
+          .withColumnRenamed("sk", "sk_b"),
+        "type_b")
+      .select(col("event_type").as("type_a"), col("type_b"),
+        col("exact_inter"),
+        theta_sketch_estimate(
+          theta_intersection(col("sk"), col("sk_b"))).as("est_inter"),
+        theta_sketch_estimate(
+          theta_union(col("sk"), col("sk_b"))).as("est_union"))
+      .withColumn("within_bound",
+        abs(col("est_inter") - col("exact_inter")) <= col("est_union") * 0.05)
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sketch_theta_overlap", thetaAudienceOverlap, None),
     NamedQuery("q_sketch_hll_union", hllDailyUnion, None),
     NamedQuery("q_sketch_token_counts", cmsTokenCounts, None),
     NamedQuery("q_sketch_quantiles", approxQuantiles, None),

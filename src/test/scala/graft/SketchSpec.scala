@@ -24,6 +24,18 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(u - d) / d < 0.01, s"union $u vs direct $d diverge")
   }
 
+  test("theta overlap: all pairs, union >= intersection, within bound") {
+    val rows = SketchQueries.thetaAudienceOverlap(spark, Sf).collect()
+    assert(rows.length == 10, s"5 event types -> 10 pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_bound"),
+        s"${r.getAs[String]("type_a")}-${r.getAs[String]("type_b")}: " +
+          s"est ${r.getAs[Long]("est_inter")} vs exact ${r.getAs[Long]("exact_inter")}")
+      assert(r.getAs[Long]("est_union") >= r.getAs[Long]("est_inter"))
+      assert(r.getAs[Long]("exact_inter") > 0)
+    }
+  }
+
   test("count-min estimates dominate exact counts within the eps bound") {
     val rows = SketchQueries.cmsTokenCounts(spark, Sf).collect()
     assert(rows.length == 20)
