@@ -48,17 +48,34 @@ object OlapQueries {
       .orderBy(col("month"))
   }
 
-  /** Ordered-set aggregates: exact interpolated percentiles of order value
-    * per status (median + p95) — the percentile family the mart layer
-    * needs for SLO-style reporting. */
+  /** Ordered-set aggregates: exact order-value percentiles per status
+    * (median + p95) — the percentile family the mart layer needs for
+    * SLO-style reporting. LOWER quantiles, rank-picked from a per-status
+    * value histogram: group by (status, value) → frequency, cumulative sum
+    * over the ordered distinct VALUES, pick the first value whose
+    * cumulative rank crosses ⌈q·N⌉. The picked statistic is an element of
+    * the data — no interpolation arithmetic at all, so it is bit-identical
+    * across engines (interpolated `percentile()` doubles are
+    * engine/version-shaped and flip oracle hashes — CorpusPrep.scala rule).
+    * Scale: the cumsum window runs over distinct cent-quantized prices per
+    * status — bounded by the price DOMAIN, not the corpus, so the
+    * low-cardinality status partition never funnels raw rows. */
   def orderValuePercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = Tpch(spark, sfDir)
-    t.orders
-      .groupBy(col("o_orderstatus").as("status"))
+    val hist = t.orders
+      .groupBy(col("o_orderstatus").as("status"), col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("freq"))
+    val ord = Window.partitionBy(col("status")).orderBy(col("v").asc)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("cum", sum(col("freq")).over(ord))
+      .withColumn("nk", sum(col("freq")).over(full))
+      .groupBy(col("status"))
       .agg(
-        count(lit(1)).as("n"),
-        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"))
+        max(col("nk")).as("n"),
+        min(when(col("cum") * 2 >= col("nk"), col("v"))).as("p50"),
+        min(when(col("cum") * 100 >= col("nk") * 95, col("v"))).as("p95"))
       .orderBy(col("status"))
   }
 
@@ -358,9 +375,17 @@ object OlapQueries {
         |                   ORDER BY o_totalprice, o_orderkey))
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_order_value_percentiles", orderValuePercentiles, Some(
-      """SELECT o_orderstatus AS status, COUNT(*) AS n,
-        |       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-        |       ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+      """WITH h AS (
+        |  SELECT o_orderstatus AS status, o_totalprice AS v, COUNT(*) AS freq
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT status, v, freq,
+        |         SUM(freq) OVER (PARTITION BY status ORDER BY v) AS cum,
+        |         SUM(freq) OVER (PARTITION BY status) AS nk
+        |  FROM h)
+        |SELECT status, CAST(MAX(nk) AS BIGINT) AS n,
+        |       MIN(CASE WHEN cum * 2 >= nk THEN v END) AS p50,
+        |       MIN(CASE WHEN cum * 100 >= nk * 95 THEN v END) AS p95
+        |FROM c GROUP BY status ORDER BY status""".stripMargin)),
   )
 }

@@ -134,24 +134,45 @@ object Profiling {
     * keys), never O(#keys). `user_id` here is near-uniform (skew ≈ 1.3);
     * `event_type` is the few-hot-values shape (skew ≈ distinct-count) —
     * the report tells a planner the first salts fine and the second must
-    * never be a shuffle key without salting. */
+    * never be a shuffle key without salting.
+    *
+    * The p50/p99 are LOWER quantiles rank-picked from a histogram of the
+    * per-key counts (count-value → frequency, cumulative sum over distinct
+    * count VALUES, first value whose cumulative rank crosses ⌈q·N⌉) — every
+    * emitted statistic is an exact integer, an element of the data, never an
+    * interpolated float (the CorpusPrep.scala rule: interpolation shape is
+    * engine/version-dependent and flips oracle hashes). The histogram is
+    * also the scale-correct shape: `percentile()` buffers ALL per-key counts
+    * on one reducer, while distinct count-values stay tiny no matter how
+    * many keys exist. */
   def keySkewReport(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = Tpch(spark, sfDir)
-    def report(keyCol: String): DataFrame =
-      t.events.groupBy(col(keyCol).cast("string").as("k"))
+    def report(keyCol: String): DataFrame = {
+      val counts = t.events.groupBy(col(keyCol).cast("string").as("k"))
         .agg(count(lit(1)).as("n"))
+      // Histogram over count VALUES: cardinality is #distinct counts, not
+      // #keys, so the single-partition cumsum window below stays O(small).
+      val hist = counts.groupBy(col("n")).agg(count(lit(1)).as("freq"))
+      val ord = Window.orderBy(col("n").asc)
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("cum", sum(col("freq")).over(ord))
+        .withColumn("nk", sum(col("freq")).over(full))
         .agg(
           lit(keyCol).as("key_col"),
-          sum(col("n")).as("n_rows"),
-          count(lit(1)).as("n_keys"),
+          sum(col("n") * col("freq")).as("n_rows"),
+          max(col("nk")).as("n_keys"),
           max(col("n")).as("max_n"),
-          expr("percentile(n, 0.5D)").as("p50_n"),
-          expr("percentile(n, 0.99D)").as("p99_n"))
+          // cum >= ceil(q*N)  <=>  cum*den >= num*N  (all integers, exact)
+          min(when(col("cum") * 2 >= col("nk"), col("n"))).as("p50_n"),
+          min(when(col("cum") * 100 >= col("nk") * 99, col("n"))).as("p99_n"))
         .select(col("key_col"), col("n_rows"), col("n_keys"), col("max_n"),
           col("p50_n"), col("p99_n"),
           round(col("max_n") / col("n_rows"), 6).as("top_share"),
           round(col("max_n") * col("n_keys") / col("n_rows"), 4)
             .as("skew_factor"))
+    }
     report("user_id").unionAll(report("event_type"))
       .orderBy(col("key_col"))
   }
@@ -228,20 +249,34 @@ object Profiling {
     NamedQuery("q_profile_key_skew", keySkewReport, Some(
       """WITH u AS (SELECT user_id AS k, COUNT(*) AS n FROM events GROUP BY 1),
         |     e AS (SELECT event_type AS k, COUNT(*) AS n FROM events GROUP BY 1),
+        |     uh AS (SELECT n, COUNT(*) AS freq FROM u GROUP BY 1),
+        |     eh AS (SELECT n, COUNT(*) AS freq FROM e GROUP BY 1),
+        |     uc AS (SELECT n, freq, SUM(freq) OVER (ORDER BY n) AS cum,
+        |                    SUM(freq) OVER () AS nk FROM uh),
+        |     ec AS (SELECT n, freq, SUM(freq) OVER (ORDER BY n) AS cum,
+        |                    SUM(freq) OVER () AS nk FROM eh),
         |     su AS (
-        |  SELECT 'user_id' AS key_col, SUM(n) AS n_rows, COUNT(*) AS n_keys,
+        |  SELECT 'user_id' AS key_col,
+        |         CAST(SUM(n * freq) AS BIGINT) AS n_rows,
+        |         CAST(MAX(nk) AS BIGINT) AS n_keys,
         |         MAX(n) AS max_n,
-        |         quantile_cont(n, 0.5) AS p50_n, quantile_cont(n, 0.99) AS p99_n,
-        |         ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_share,
-        |         ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4) AS skew_factor
-        |  FROM u),
+        |         MIN(CASE WHEN cum * 2 >= nk THEN n END) AS p50_n,
+        |         MIN(CASE WHEN cum * 100 >= nk * 99 THEN n END) AS p99_n,
+        |         ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n * freq), 6) AS top_share,
+        |         ROUND(CAST(MAX(n) AS DOUBLE) * MAX(nk) / SUM(n * freq), 4)
+        |           AS skew_factor
+        |  FROM uc),
         |     se AS (
-        |  SELECT 'event_type' AS key_col, SUM(n) AS n_rows, COUNT(*) AS n_keys,
+        |  SELECT 'event_type' AS key_col,
+        |         CAST(SUM(n * freq) AS BIGINT) AS n_rows,
+        |         CAST(MAX(nk) AS BIGINT) AS n_keys,
         |         MAX(n) AS max_n,
-        |         quantile_cont(n, 0.5) AS p50_n, quantile_cont(n, 0.99) AS p99_n,
-        |         ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 6) AS top_share,
-        |         ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4) AS skew_factor
-        |  FROM e)
+        |         MIN(CASE WHEN cum * 2 >= nk THEN n END) AS p50_n,
+        |         MIN(CASE WHEN cum * 100 >= nk * 99 THEN n END) AS p99_n,
+        |         ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n * freq), 6) AS top_share,
+        |         ROUND(CAST(MAX(n) AS DOUBLE) * MAX(nk) / SUM(n * freq), 4)
+        |           AS skew_factor
+        |  FROM ec)
         |SELECT * FROM su UNION ALL SELECT * FROM se ORDER BY key_col""".stripMargin)),
     NamedQuery("q_txn_outliers", orderOutliers, Some(
       """WITH s AS (

@@ -1,0 +1,41 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import graft.SparkEntry
+/** Dev tool: Verify for a SUBSET of queries — dump results + oracle_sql.json
+  * for the named queries only, so `tools/check_oracle.py` can gate a single
+  * change without the full 121-query round trip.
+  * Usage: runMain graft.tools.VerifyOne <sfDir> <outDir> <q1> [q2 ...]
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0); val outDir = args(1); val names = args.drop(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spark.stop()
+  }
+}
