@@ -74,24 +74,30 @@ object Components {
     labels
   }
 
-  /** Component labels over the minhash pair graph, cached per
-    * (appId, session, sf) like the dedup signature views: the propagation
-    * loop runs once per corpus and every consumer (group stats, keeper
-    * selection) reads the same persisted labeling — the lifecycle a real
-    * pipeline gives this artifact, not a per-query recompute. */
+  /** Component labels over the ENGINE-PORTABLE minhash pair graph
+    * ([[DedupQueries.portableNearDups]] — md5-keyed signatures, exact
+    * integer Jaccard threshold), cached per (appId, session, sf) like the
+    * dedup signature views: the propagation loop runs once per corpus and
+    * every consumer (group stats, keeper selection, leak-free split) reads
+    * the same persisted labeling — the lifecycle a real pipeline gives
+    * this artifact, not a per-query recompute. Portable keys are what let
+    * the whole clustering stack be DuckDB-oracle-checked: the oracle
+    * recomputes the identical pair graph and closes it with a recursive
+    * CTE. */
   private val labelCache = FrameCache.empty
 
   private[operators] def sharedLabels(spark: SparkSession, sfDir: String): DataFrame =
     FrameCache.cached(labelCache, spark, sfDir) {
-      val pairs = DedupQueries.minhashNearDups(spark, sfDir)
+      val pairs = DedupQueries.portableNearDups(spark, sfDir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))
       connectedComponents(pairs)
     }
 
   /** Near-duplicate groups over the MinHash pair graph: component id (the
     * canonical keeper = min doc_id) and group size, largest groups first.
-    * Rows-only (the edge set comes from the LSH sketch); exactness is
-    * pinned in ComponentsSpec against driver-side union-find. */
+    * Oracle-checked (rows+schema+hash): DuckDB rebuilds the md5-keyed pair
+    * graph and takes the recursive-CTE transitive closure; ComponentsSpec
+    * additionally pins equality with driver-side union-find. */
   def nearDupComponents(spark: SparkSession, sfDir: String): DataFrame = {
     sharedLabels(spark, sfDir)
       .groupBy(col("component"))
@@ -108,22 +114,25 @@ object Components {
     * fraction of the corpus); quality joins in from the corpus scan by
     * doc_id; the keeper rank is a window partitioned on `component` —
     * cardinality grows with the corpus (components are small cliques), so
-    * no funnel. Rows-only (components come from the LSH sketch);
-    * exactness pinned in ComponentsSpec against a driver-side
-    * recomputation. */
+    * no funnel. Oracle-checked: the rank runs on the DECIMAL(18,8)-cast
+    * quality (the proven q_text_quality boundary pattern — double→decimal
+    * casts agree across engines, raw double ordering could tie-break
+    * differently), emitted as double. ComponentsSpec additionally pins
+    * keeper choice against a driver-side recomputation. */
   def canonicalKeepers(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
     val t = graft.sources.Tables.Tpch(spark, sfDir)
     val labeled = sharedLabels(spark, sfDir)
     val quality = t.documents
       .select(col("doc_id").as("id"),
-        round(TextQueries.qualityScoreExpr, 8).as("quality"))
+        TextQueries.qualityScoreExpr.cast(DecimalType(18, 8)).as("q"))
     val rank = Window.partitionBy(col("component"))
-      .orderBy(col("quality").desc, col("id").asc)
+      .orderBy(col("q").desc, col("id").asc)
     labeled.join(quality, "id")
       .withColumn("keep", row_number().over(rank) === 1)
-      .select(col("component"), col("id").as("doc_id"), col("quality"),
-        col("keep"))
+      .select(col("component"), col("id").as("doc_id"),
+        col("q").cast("double").as("quality"), col("keep"))
       .orderBy(col("keep").desc, col("component"), col("doc_id"))
   }
 
@@ -154,7 +163,7 @@ object Components {
       .where(!col("keep")).select(col("doc_id"))
     val survivors = afterExact.join(nearDropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"))
-    val pairs = DedupQueries.minhashNearDups(spark, sfDir)
+    val pairs = DedupQueries.portableNearDups(spark, sfDir)
     val leftover = pairs
       .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
@@ -173,9 +182,92 @@ object Components {
       .orderBy(col("lang"))
   }
 
+  /** DuckDB rebuild of the portable pair graph + its transitive closure —
+    * the shared WITH-prefix of the three clustering oracles. Mirrors
+    * [[DedupQueries.portableNearDups]] term for term: md5 3-gram shingles
+    * (1-based t[i] here = 0-based toks[i] there), lexicographic-min md5
+    * permutation minhash, md5 band signature over the 4 concatenated
+    * minhashes, exact-integer Jaccard ≥ 1/2, then min-label closure via
+    * recursive CTE (the q_entity_resolution pattern). */
+  private[operators] val portableClosureSql =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+      |       FROM toks, UNNEST(range(1, len(t) - 1)) AS pp(i)),
+      |mh AS (SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || h)) AS m
+      |       FROM sh, UNNEST(range(0, 16)) AS qq(p)
+      |       GROUP BY doc_id, p),
+      |bands AS (SELECT doc_id, p // 4 AS band_id,
+      |                 md5(string_agg(m, '' ORDER BY p)) AS band_sig
+      |          FROM mh GROUP BY doc_id, p // 4),
+      |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |         FROM bands x JOIN bands y
+      |           ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+      |          AND x.doc_id < y.doc_id),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |ins AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+      |        FROM cand c
+      |        JOIN sh a ON a.doc_id = c.doc_a
+      |        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+      |        GROUP BY 1, 2),
+      |prs AS (SELECT i.doc_a, i.doc_b
+      |        FROM ins i JOIN sz sa ON sa.doc_id = i.doc_a
+      |                   JOIN sz sb ON sb.doc_id = i.doc_b
+      |        WHERE 2 * i.ni >= sa.n + sb.n - i.ni),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+      |      UNION ALL SELECT doc_b, doc_a FROM prs),
+      |nodes AS (SELECT DISTINCT a AS id FROM e),
+      |reach(id, r) AS (SELECT id, id FROM nodes
+      |                 UNION
+      |                 SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  /** Per-doc quality + per-component keeper rank — shared by the canonical
+    * and pipeline oracles; same expression as the q_text_quality oracle. */
+  private val keeperRankSql =
+    """,
+      |q2 AS (SELECT doc_id,
+      |        CAST(LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+      |           + (len(list_distinct(string_split(text, ' ')))
+      |              / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+      |          AS DECIMAL(18,8)) AS quality
+      |      FROM documents),
+      |rk AS (SELECT comp.component, comp.id AS doc_id, q2.quality,
+      |              ROW_NUMBER() OVER (PARTITION BY comp.component
+      |                                 ORDER BY q2.quality DESC, comp.id) AS rn
+      |       FROM comp JOIN q2 ON q2.doc_id = comp.id)""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_dedup_components", nearDupComponents, None),
-    NamedQuery("q_dedup_canonical", canonicalKeepers, None),
-    NamedQuery("q_dedup_pipeline", dedupPipeline, None),
+    NamedQuery("q_dedup_components", nearDupComponents, Some(
+      portableClosureSql +
+        """
+          |SELECT component, COUNT(*) AS n_docs FROM comp GROUP BY 1
+          |ORDER BY n_docs DESC, component""".stripMargin)),
+    NamedQuery("q_dedup_canonical", canonicalKeepers, Some(
+      portableClosureSql + keeperRankSql +
+        """
+          |SELECT component, doc_id, CAST(quality AS DOUBLE) AS quality,
+          |       rn = 1 AS keep
+          |FROM rk ORDER BY keep DESC, component, doc_id""".stripMargin)),
+    NamedQuery("q_dedup_pipeline", dedupPipeline, Some(
+      portableClosureSql + keeperRankSql +
+        """,
+          |kf AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+          |nd AS (SELECT doc_id FROM rk WHERE rn <> 1),
+          |surv AS (SELECT d.doc_id, d.lang
+          |         FROM documents d JOIN kf ON d.doc_id = kf.doc_id
+          |         WHERE d.doc_id NOT IN (SELECT doc_id FROM nd)),
+          |lft AS (SELECT COUNT(*) = 0 AS no_dup_pairs_left
+          |        FROM prs p
+          |        WHERE p.doc_a IN (SELECT doc_id FROM surv)
+          |          AND p.doc_b IN (SELECT doc_id FROM surv)),
+          |base AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+          |kept AS (SELECT lang, COUNT(*) AS n_kept FROM surv GROUP BY 1)
+          |SELECT b.lang, b.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+          |       b.n_docs - COALESCE(k.n_kept, 0) AS n_removed,
+          |       l.no_dup_pairs_left
+          |FROM base b LEFT JOIN kept k USING (lang) CROSS JOIN lft l
+          |ORDER BY b.lang""".stripMargin)),
   )
 }

@@ -221,15 +221,23 @@ object CorpusPrep {
     * ([[Components.sharedLabels]] — already cached per session/sf);
     * singleton docs (no near-dup) fall back to their own id via the left
     * join + coalesce, never entering the propagation loop. 8/1/1 split by
-    * `pmod(xxhash64(component), 10)` — deterministic, engine-portable,
-    * reassignment-free as the corpus grows (a new doc joining an existing
-    * group inherits the group's split).
+    * the first two hex chars of md5(component) taken mod 10 — md5 is the
+    * one hash both Spark and DuckDB compute, which makes the WHOLE split
+    * assignment oracle-checkable (xxhash64 was Spark-only and forced this
+    * query to rows-only). 256 values mod 10 carries a 26-vs-25 per-bucket
+    * bias (&lt; 0.2%), documented and irrelevant at any corpus size; the
+    * rule stays deterministic and reassignment-free as the corpus grows
+    * (a new doc joining an existing group inherits the group's split).
     *
     * Output: per (split, lang) doc/token counts, plus the leakage
-    * invariant IN-QUERY: `components_intact` is true iff no component
-    * straddles splits — the driver's rows check then carries the
-    * semantic contract, and CorpusOpsSpec re-proves it against the raw
-    * minhash pairs. */
+    * invariant IN-QUERY: `no_pair_straddles` is true iff both ends of
+    * every RAW near-dup pair land in the same split. The old
+    * `components_intact` check (countDistinct(split) per component) was
+    * tautological — split is a pure function of component, so it could
+    * never fail; joining the pair list against the assignment is a real
+    * proof that would catch a broken propagation or a label/cache drift.
+    * The pair frame is session-cached; the check adds two semi-join-sized
+    * probes, not a recompute. */
   def leakFreeSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val labels = Components.sharedLabels(spark, sfDir)
@@ -238,20 +246,26 @@ object CorpusPrep {
       .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_toks"))
       .join(labels, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
+      // engine-portable bucket: value of md5(component)'s first two hex
+      // chars, mod 10 (both engines: md5 of the decimal string form)
+      .withColumn("bucket", expr(
+        """pmod((instr('0123456789abcdef', substring(md5(cast(component AS string)), 1, 1)) - 1) * 16
+          |    + instr('0123456789abcdef', substring(md5(cast(component AS string)), 2, 1)) - 1, 10)""".stripMargin))
       .withColumn("split",
-        when(pmod(xxhash64(col("component")), lit(10)) < 8, "train")
-          .when(pmod(xxhash64(col("component")), lit(10)) === 8, "val")
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
           .otherwise("test"))
-    val intact = assigned.groupBy(col("component"))
-      .agg(countDistinct(col("split")).as("n_splits"))
-      .agg(max(col("n_splits")).as("max_splits"))
+    val splits = assigned.select(col("doc_id"), col("split"))
+    val intact = DedupQueries.portableNearDups(spark, sfDir)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .agg((coalesce(sum(when(col("split_a") =!= col("split_b"), 1L)
+        .otherwise(0L)), lit(0L)) === 0).as("no_pair_straddles"))
     assigned
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_toks")).as("n_tokens"))
       .join(broadcast(intact)) // sanctioned one-row frame
-      .withColumn("components_intact", col("max_splits") === 1)
-      .drop("max_splits")
       .orderBy(col("split"), col("lang"))
   }
 
@@ -368,10 +382,37 @@ object CorpusPrep {
         |            AS BIGINT) AS docs_straddling,
         |       CAST(SUM(seq_last - seq_first) AS BIGINT) AS boundaries_crossed
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
-    // split hashes ride the minhash component labels (not ANSI-SQL-
-    // expressible) → rows-only; the in-query `components_intact` column
-    // plus CorpusOpsSpec's pair-level leakage check carry the contract.
-    NamedQuery("q_corpus_split", leakFreeSplit, None),
+    // Fully oracle-checked since the split moved to md5-keyed everything:
+    // DuckDB rebuilds the portable pair graph, closes it recursively,
+    // re-derives the md5-bucket assignment, and re-proves the straddle-free
+    // invariant — the strongest check in the corpus-prep family.
+    NamedQuery("q_corpus_split", leakFreeSplit, Some(
+      Components.portableClosureSql +
+        """,
+          |d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+          |      FROM documents),
+          |asg AS (SELECT d.doc_id, d.lang, d.n_toks,
+          |               COALESCE(comp.component, d.doc_id) AS component
+          |        FROM d LEFT JOIN comp ON comp.id = d.doc_id),
+          |spl AS (SELECT doc_id, lang, n_toks,
+          |          CASE WHEN b < 8 THEN 'train'
+          |               WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+          |        FROM (SELECT *,
+          |                ((strpos('0123456789abcdef',
+          |                         substr(md5(CAST(component AS VARCHAR)), 1, 1)) - 1) * 16
+          |               + strpos('0123456789abcdef',
+          |                        substr(md5(CAST(component AS VARCHAR)), 2, 1)) - 1) % 10 AS b
+          |              FROM asg)),
+          |std AS (SELECT COUNT(*) = 0 AS no_pair_straddles
+          |        FROM prs p
+          |        JOIN spl a ON a.doc_id = p.doc_a
+          |        JOIN spl b ON b.doc_id = p.doc_b
+          |        WHERE a.split <> b.split)
+          |SELECT split, lang, COUNT(*) AS n_docs,
+          |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens, s.no_pair_straddles
+          |FROM spl CROSS JOIN std s
+          |GROUP BY split, lang, s.no_pair_straddles
+          |ORDER BY split, lang""".stripMargin)),
     NamedQuery("q_corpus_adaptive_quality", adaptiveQuality, Some(
       """WITH scored AS (
         |  SELECT source, doc_id,

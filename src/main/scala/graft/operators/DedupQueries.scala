@@ -358,6 +358,77 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** ENGINE-PORTABLE minhash near-dup pairs — the same shingle → minhash →
+    * band → verify pipeline as [[minhashNearDups]] (16 perms, 4×4 bands,
+    * Jaccard ≥ 0.5), keyed entirely on md5, the one hash Spark and DuckDB
+    * compute identically: md5 word-3-gram shingles, per-permutation minhash
+    * = lexicographic MIN of md5(p:shingle), band signature = md5 of the 4
+    * concatenated minhashes, and the Jaccard threshold as an exact integer
+    * cross-multiplication (2·|∩| ≥ |A|+|B|−|∩| — no rounded doubles).
+    * Everything built on this pair graph — connected components, canonical
+    * keepers, the composed dedup pipeline, the leak-free split proof —
+    * becomes DuckDB-oracle-checkable END TO END: the clustering stack is
+    * certified by an independent engine's recursive-CTE transitive closure,
+    * not only by driver-side union-find in a spec.
+    *
+    * The xxhash64/murmur3 path ([[minhashNearDups]]) remains the throughput
+    * variant (native codegen'd shingle hashes, 8-byte shuffle keys vs
+    * 32-char strings); this is the AUDITABLE variant — same algorithm, same
+    * band geometry, portable keys. At 100 TB the fast path screens the
+    * corpus and this path certifies samples of it cross-engine. */
+  private val portableShingleCache = FrameCache.empty
+  private val portablePairCache = FrameCache.empty
+
+  private def sharedPortableShingled(spark: SparkSession, sfDir: String): DataFrame =
+    cached(portableShingleCache, spark, sfDir) {
+      val t = Tpch(spark, sfDir)
+      spread(t.documents.select(col("doc_id"), col("text")))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shingles", expr(
+          """array_distinct(CASE WHEN size(toks) >= 3
+            |  THEN transform(sequence(0, size(toks) - 3),
+            |       i -> md5(concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin))
+        .select(col("doc_id"), col("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private[graft] def portableNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    cached(portablePairCache, spark, sfDir) {
+      import graft.plans.ScaleJoins
+      val docs = sharedPortableShingled(spark, sfDir)
+      val banded = docs
+        .where(size(col("shingles")) > 0)
+        .withColumn("minh", expr(
+          "transform(sequence(0, 15), p -> array_min(transform(shingles, s -> md5(concat(cast(p AS string), ':', s)))))"))
+        .withColumn("band", explode(expr(
+          "transform(sequence(0, 3), b -> struct(b AS band_id, md5(concat(minh[b*4], minh[b*4+1], minh[b*4+2], minh[b*4+3])) AS band_sig))")))
+        .select(col("doc_id"), col("band.band_id").as("band_id"),
+          col("band.band_sig").as("band_sig"))
+      val candidates = banded
+        .groupBy(col("band_id"), col("band_sig"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(expr(pairsFromIds)).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+      // Same salted shingle-set fetch as verifiedJaccardPairs (hot docs are
+      // skewed join keys); the threshold is exact integers, not a rounded
+      // double, so the pair set is bit-reproducible in any engine.
+      val sets = docs.select(col("doc_id"), col("shingles"))
+      def fetch(pairs: DataFrame, side: String, shCol: String): DataFrame = {
+        val needed = sets
+          .select(col("doc_id").as(side), col("shingles").as(shCol))
+          .join(pairs.select(col(side)).distinct(), Seq(side), "left_semi")
+        ScaleJoins.saltedJoin(pairs, needed, side, saltFactor = 8)
+      }
+      fetch(fetch(candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
+        .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .where(col("ni") * 2 >= size(col("sh_a")) + size(col("sh_b")) - col("ni"))
+        .select(col("doc_a"), col("doc_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Longest shared token span per near-dup candidate pair — the substring
     * -duplication detector (the "train-on-it-twice" span family, distinct
     * from whole-doc similarity: two docs can share a 50-token boilerplate

@@ -34,7 +34,7 @@ class ComponentsSpec extends SparkSpec {
   }
 
   test("near-dup groups equal union-find over the real minhash pair graph") {
-    val pairs = DedupQueries.minhashNearDups(spark, Sf)
+    val pairs = DedupQueries.portableNearDups(spark, Sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
     assert(pairs.nonEmpty)
     val truth = unionFind(pairs).groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
@@ -48,7 +48,7 @@ class ComponentsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     assert(rows.nonEmpty)
     // membership must equal the component labeling
-    val pairs = DedupQueries.minhashNearDups(spark, Sf)
+    val pairs = DedupQueries.portableNearDups(spark, Sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
     val truth = unionFind(pairs)
     assert(rows.map(r => r._2 -> r._1).toMap == truth)

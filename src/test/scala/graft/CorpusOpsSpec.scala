@@ -29,31 +29,48 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.values.map(_._2).sum > got.values.map(_._1).sum)
   }
 
-  test("leak-free split: no minhash near-dup pair straddles splits, ratios sane") {
+  test("leak-free split: no near-dup pair straddles splits, ratios sane") {
     import graft.operators.DedupQueries
     val out = CorpusPrep.leakFreeSplit(spark, Sf).collect()
     assert(out.nonEmpty)
-    out.foreach(r => assert(r.getAs[Boolean]("components_intact"),
-      "a near-dup component straddles splits"))
-    // pair-level re-proof from the raw evidence, independent of the
-    // component labeling: both ends of every near-dup pair share a split
-    val t = graft.sources.Tables.Tpch(spark, Sf)
-    val comp = graft.operators.Components.connectedComponents(
-      DedupQueries.minhashNearDups(spark, Sf)
-        .select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .select(col("id").as("doc_id"), col("component"))
-    val assigned = t.documents.select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
-      .withColumn("component", coalesce(col("component"), col("doc_id")))
-      .withColumn("split", pmod(xxhash64(col("component")), lit(10)))
-      .select(col("doc_id"), col("split"))
-    val pairs = DedupQueries.minhashNearDups(spark, Sf)
-      .select(col("doc_a"), col("doc_b"))
-      .join(assigned.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("split", "split_a"), "doc_a")
-      .join(assigned.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("split", "split_b"), "doc_b")
-    assert(pairs.where(col("split_a") =!= col("split_b")).count() == 0)
+    out.foreach(r => assert(r.getAs[Boolean]("no_pair_straddles"),
+      "a near-dup pair straddles splits"))
+    // fully independent re-proof, ENTIRELY driver-side: union-find over the
+    // raw pair list + JVM MessageDigest md5 bucketing — no Spark expression
+    // from the operator under test is reused, so a broken propagation or a
+    // broken bucket expression cannot hide
+    val pairs = DedupQueries.portableNearDups(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra max rb) = ra min rb
+    }
+    def bucket(component: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(component.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val tbl = "0123456789abcdef"
+      ((tbl.indexOf(hex(0)) * 16 + tbl.indexOf(hex(1))) % 10).toLong
+    }
+    def splitOf(b: Long): String =
+      if (b < 8) "train" else if (b == 8) "val" else "test"
+    // expected per-(split, lang) doc/token counts, re-derived from scratch
+    val docs = graft.sources.Tables.Tpch(spark, Sf).documents
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    val expected = docs.groupBy { case (id, lang, _) =>
+      (splitOf(bucket(if (parent.contains(id)) find(id) else id)), lang)
+    }.view.mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+    val got = out.map(r => (r.getAs[String]("split"), r.getAs[String]("lang")) ->
+      ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(got == expected, s"split counts diverge from driver re-derivation")
     // 8/1/1 by component hash: train strictly dominates at any sane corpus
     val byDocs = out.groupBy(_.getAs[String]("split"))
       .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
