@@ -55,7 +55,12 @@ object FuzzyJoin {
     * group-by elects the canonical record (min surviving key — stable
     * under re-runs and new members with larger keys). Name strings become
     * 64-bit node ids via xxhash64 so the propagation loop shuffles longs,
-    * not strings; names with no fuzzy edge stay their own singleton
+    * not strings — an ACCEPTED COLLISION ASSUMPTION: a 64-bit collision
+    * between two unrelated names would silently merge their entity
+    * clusters (birthday bound ~ n²/2⁶⁵: at 10⁹ distinct names, P ≈ 3%;
+    * a registry above that scale should mint dense ids over distinct
+    * names — row_number over a sorted distinct scan — instead of
+    * hashing). Names with no fuzzy edge stay their own singleton
     * entity via the left join + coalesce, without ever entering the loop.
     * Output keeps only multi-name entities — the resolved duplicates a
     * steward reviews. Every stage is an equi-shuffle; the quadratic

@@ -257,7 +257,14 @@ object OlapQueries {
       .agg(sum(col("spend_d")).as("nation_total"),
         count(lit(1)).as("n_cust"))
     spend.join(byNation, "c_nationkey") // 25 rows — AQE broadcasts
-      .where(col("spend_d") * col("n_cust") > col("nation_total"))
+      // Bounded cross-multiplication: spend_d re-cast to DECIMAL(18,4)
+      // (per-customer lifetime spend < 10^14 — any realistic money) and
+      // n_cust to DECIMAL(15,0) (< 10^15 customers per nation) keeps the
+      // product at DECIMAL(34,4). The unbounded product of sum-widened
+      // decimals (28,4)x(20,0) would pass precision 38 and, with ANSI off,
+      // overflow to NULL — silently DROPPING qualifying customers at scale.
+      .where(col("spend_d").cast(DecimalType(18, 4)) *
+        col("n_cust").cast(DecimalType(15, 0)) > col("nation_total"))
       .join(broadcast(t.nation),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"),
@@ -294,7 +301,8 @@ object OlapQueries {
         |       CAST(ROUND(sp.spend_d, 2) AS DOUBLE) AS spend
         |FROM sp JOIN na USING (c_nationkey)
         |JOIN nation n ON sp.c_nationkey = n.n_nationkey
-        |WHERE sp.spend_d * na.n_cust > na.nation_total
+        |WHERE CAST(sp.spend_d AS DECIMAL(18,4)) * CAST(na.n_cust AS DECIMAL(15,0))
+        |      > na.nation_total
         |ORDER BY sp.c_custkey""".stripMargin)),
     NamedQuery("q_nation_trade_volume", nationTradeVolume, Some(
       s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,

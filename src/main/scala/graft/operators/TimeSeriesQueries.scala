@@ -147,9 +147,16 @@ object TimeSeriesQueries {
       .rowsBetween(-7, -1)
     daily
       .withColumn("prior", sort_array(collect_list(col("n")).over(w)))
+      // trailing_med must be null-guarded HERE, not by the filter below:
+      // each partition's first row has an EMPTY prior, making the median
+      // index 0, and element_at(_, 0) throws. Today's plan survives only
+      // because Catalyst pushes the filter's size(prior) >= 4 conjunct
+      // below this projection — correctness must not hang on an optimizer
+      // rewrite (a cache/checkpoint boundary between the two would crash).
       .withColumn("trailing_med",
-        element_at(col("prior"), floor((size(col("prior")) + 1) / 2).cast("int")))
-      .where(size(col("prior")) >= 4 &&
+        when(size(col("prior")) >= 4, element_at(col("prior"),
+          floor((size(col("prior")) + 1) / 2).cast("int"))))
+      .where(col("trailing_med").isNotNull &&
         col("n") * 4 > col("trailing_med") * 5)
       .select(col("event_type"), col("day"), col("n"), col("trailing_med"))
       .orderBy(col("event_type"), col("day"))

@@ -26,14 +26,19 @@ object StreamingJoins {
     * family: every micro-batch of the live stream joins a STATIC
     * dimension (geo, account, product). No watermark and NO state store:
     * nothing is buffered between batches, because the static side is
-    * complete by definition. The dimension is broadcast into each batch;
-    * since the static plan re-executes per micro-batch, a dimension
-    * backed by a lake path picks up compaction/refresh at the next
-    * trigger without restarting the query — the cheap half of a slowly
-    * changing dimension story (the versioned half is `q_cdc_scd2`). */
+    * complete by definition. `broadcastDim` defaults to true (dimension
+    * fits executor memory — geo/product-sized); pass false for a
+    * dimension too large to broadcast and Spark plans a shuffled
+    * stream-static join per micro-batch instead of forcing a driver OOM
+    * — the join stays stateless either way. Since the static plan
+    * re-executes per micro-batch, a dimension backed by a lake path
+    * picks up compaction/refresh at the next trigger without restarting
+    * the query — the cheap half of a slowly changing dimension story
+    * (the versioned half is `q_cdc_scd2`). */
   def enrich(stream: DataFrame, dim: DataFrame, key: String,
-             joinType: String = "left"): DataFrame =
-    stream.join(broadcast(dim), Seq(key), joinType)
+             joinType: String = "left",
+             broadcastDim: Boolean = true): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim, Seq(key), joinType)
 
   /** Inner band join: rows with equal `key` whose event times lie within
     * `bandSeconds` of each other. Column names of `left` and `right` must
