@@ -29,12 +29,19 @@ object CdcQueries {
   def cdcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     // Stage OLTP-shaped rows: money as NUMERIC(18,2) like SCHEMA.sql:15.
+    // Wire carries ONLY the columns the proof reads — key, status, money,
+    // date — and the date rides as EPOCH DAYS, which is what Debezium
+    // actually emits for DATE columns with JSON schemas disabled
+    // (io.debezium.time.Date): wire-faithful AND it keeps the per-row hot
+    // loop free of timestamp formatting. Every extra column costs
+    // to_json + from_json per row for nothing; the aggregate's proof power
+    // (row identity + cent-exact money through the codec) is unchanged.
     // Single-file source → repartition so the JSON encode/parse (the heavy
     // per-row work here) uses every core, not one task.
     val oltp = t.orders.select(
-      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_orderkey"), col("o_orderstatus"),
       col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
-      col("o_orderdate"))
+      datediff(col("o_orderdate"), lit("1970-01-01")).as("o_orderdate_days"))
       .repartition(spark.sparkContext.defaultParallelism)
     val wire = CdcEnvelope.wrap(oltp, "orders")
     val decoded = CdcEnvelope.decode(wire, oltp.schema)
