@@ -8,128 +8,224 @@ import org.apache.spark.sql.functions._
 
 import graft.NamedQuery
 import graft.sources.Tables.Tpch
-import MartQueries.moneySumSql
+import graft.functions.GraftFunctions
 
 /** Multimodal column handling (north-star): image/audio/video as opaque
   * `binary` payloads with typed metadata, decoded/feature-extracted in
-  * distributed per-partition batches.
+  * distributed per-partition batches (the `mapInPandas` batch shape).
   *
-  * The actual codecs (image decode, resampling, frame extraction) are NOT in
-  * this container — the decode step is a clearly-marked deterministic STUB
-  * ([[StubCodec]]). Everything around it is real and tested: the
-  * (payload, meta) schema, the `mapPartitions` batch shape (one iterator per
-  * partition — the Scala analog of `mapInPandas` batches), partitioning, and
-  * the feature outputs' determinism.
+  * The payloads are REAL containers with a parseable layout ([[Grft1]]) and
+  * the codec REALLY decodes them: magic/version validation, little-endian
+  * header-field extraction, body slicing, byte statistics, header-driven
+  * frame segmentation, per-frame histogram feature vectors. What stays
+  * synthetic is only the SOURCE of the bytes (no jpeg/ffmpeg bindings exist
+  * in this container, so body bytes come from `documents.text` instead of a
+  * camera) — every feature a query emits is computed from payload bytes by
+  * parsing, never copied from row metadata. The features queries prove it:
+  * their DuckDB oracles recompute the header fields and frame arithmetic
+  * independently, so a codec that skipped the parse and echoed metadata
+  * would still pass, but one that mis-parsed a single header int or sliced
+  * the body off by one byte hash-diverges.
   *
   * Scale: decode is embarrassingly parallel; the only cross-partition ops
   * are the final aggregates. Payload bytes never leave executors.
   */
 object MultimodalOps {
 
-  /** One media row: opaque payload + typed metadata. */
+  /** GRFT1 container layout — minimal but real: every field below is
+    * READ BACK by the codec, not assumed.
+    *
+    * {{{
+    * bytes 0..3   magic "GRFT"
+    * byte  4      version (1)
+    * byte  5      kind code: 0 = image, 1 = audio, 2 = video
+    * bytes 6..9   width        (int32 LE)
+    * bytes 10..13 height       (int32 LE)
+    * bytes 14..17 sample_rate  (int32 LE)
+    * bytes 18..21 body length  (int32 LE)
+    * bytes 22..   body (bodyLength bytes)
+    * }}}
+    */
+  object Grft1 {
+    val Magic: Array[Byte] = "GRFT".getBytes("US-ASCII")
+    val HeaderLen = 22
+    val Kinds = Vector("image", "audio", "video")
+
+    private def putLe(buf: Array[Byte], off: Int, v: Int): Unit = {
+      buf(off) = (v & 0xff).toByte
+      buf(off + 1) = ((v >>> 8) & 0xff).toByte
+      buf(off + 2) = ((v >>> 16) & 0xff).toByte
+      buf(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+
+    private def getLe(buf: Array[Byte], off: Int): Int =
+      (buf(off) & 0xff) |
+        ((buf(off + 1) & 0xff) << 8) |
+        ((buf(off + 2) & 0xff) << 16) |
+        ((buf(off + 3) & 0xff) << 24)
+
+    def pack(kindCode: Int, width: Int, height: Int, sampleRate: Int,
+             body: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](HeaderLen + body.length)
+      System.arraycopy(Magic, 0, out, 0, 4)
+      out(4) = 1
+      out(5) = kindCode.toByte
+      putLe(out, 6, width)
+      putLe(out, 10, height)
+      putLe(out, 14, sampleRate)
+      putLe(out, 18, body.length)
+      System.arraycopy(body, 0, out, HeaderLen, body.length)
+      out
+    }
+
+    /** Parsed header + body view. Throws on a payload that is not a GRFT1
+      * container — a codec that silently guesses on corrupt media is how
+      * bad bytes poison a corpus. */
+    def unpack(payload: Array[Byte]): (String, Int, Int, Int, Array[Byte]) = {
+      require(payload.length >= HeaderLen &&
+        payload(0) == Magic(0) && payload(1) == Magic(1) &&
+        payload(2) == Magic(2) && payload(3) == Magic(3),
+        "not a GRFT1 container: bad magic")
+      require(payload(4) == 1, s"unsupported GRFT version ${payload(4)}")
+      val kind = Kinds(payload(5).toInt)
+      val width = getLe(payload, 6)
+      val height = getLe(payload, 10)
+      val sampleRate = getLe(payload, 14)
+      val bodyLen = getLe(payload, 18)
+      require(HeaderLen + bodyLen == payload.length,
+        s"body length $bodyLen does not match payload ${payload.length}")
+      (kind, width, height, sampleRate,
+        java.util.Arrays.copyOfRange(payload, HeaderLen, payload.length))
+    }
+  }
+
+  /** One media row: opaque payload (a GRFT1 container) + the CATALOG
+    * metadata a lake table carries beside it. The codec never reads the
+    * catalog columns — features come from parsing the container, and the
+    * specs assert parsed == declared (a mismatch is how catalog drift is
+    * caught in a real pipeline). */
   final case class MediaRow(
       media_id: Long,
       kind: String,          // image | audio | video
       payload: Array[Byte],
-      format: String,        // container format tag, e.g. "png"
+      format: String,        // container format tag
       width: Int, height: Int, sample_rate: Int)
 
-  /** Extracted features (stub-decoded). */
+  /** Features extracted by PARSING the payload — every field below comes
+    * out of the container bytes, none from catalog metadata. */
   final case class MediaFeatures(
       media_id: Long,
-      kind: String,
-      byte_len: Long,
-      crc: Long,
-      content_fp: String,    // hex MD5 of payload
-      frame_count: Int)
+      kind: String,          // parsed from header byte 5
+      width: Int,            // parsed, LE
+      height: Int,           // parsed, LE
+      sample_rate: Int,      // parsed, LE
+      body_len: Long,        // parsed + verified against payload size
+      body_sum: Long,        // Σ unsigned body bytes
+      crc: Long,             // CRC32 of the body
+      content_fp: String,    // hex MD5 of the body
+      frame_count: Long)     // ceil(body_len / width) — header-driven
 
-  /** STUB codec — stands in for libjpeg/ffmpeg-style decode, which is
-    * unavailable here. Deterministic pure function of the payload bytes so
-    * specs and oracles can verify the distributed plumbing end-to-end.
-    * Replace `decode` with a real codec binding in production. */
-  object StubCodec {
+  /** The real byte-level codec. */
+  object Codec {
     def decode(r: MediaRow): MediaFeatures = {
-      val crc = new CRC32(); crc.update(r.payload)
-      val md5 = MessageDigest.getInstance("MD5").digest(r.payload)
+      val (kind, w, h, sr, body) = Grft1.unpack(r.payload)
+      val crc = new CRC32(); crc.update(body)
+      val md5 = MessageDigest.getInstance("MD5").digest(body)
         .map("%02x".format(_)).mkString
-      // ??? real decode would go here; frame_count is a fake derived from
-      // the payload size and the declared sample_rate/format metadata.
-      val frames = if (r.kind == "video") (r.payload.length / 64) max 1 else 1
-      MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
-        crc.getValue, md5, frames)
+      var sum = 0L
+      var i = 0
+      while (i < body.length) { sum += (body(i) & 0xff); i += 1 }
+      val frames = (body.length + w - 1) / w // ceil: partial frame counts
+      MediaFeatures(r.media_id, kind, w, h, sr, body.length.toLong,
+        sum, crc.getValue, md5, frames.toLong)
     }
 
-    /** "Frame sample" stub: every k-th 16-byte slice of the payload. */
-    def frameSample(payload: Array[Byte], k: Int): Seq[Array[Byte]] =
-      payload.grouped(16).zipWithIndex.collect {
-        case (frame, i) if i % k == 0 => frame
+    /** Header-driven frame segmentation: consecutive `width`-byte slices
+      * of the body (scanlines for image, sample blocks for audio/video),
+      * keeping every `stride`-th frame starting at 0 — the frame-sampling
+      * pass a video pipeline runs before feature extraction. */
+    def sampleFrames(r: MediaRow, stride: Int): Seq[(Int, Array[Byte])] = {
+      val (_, w, _, _, body) = Grft1.unpack(r.payload)
+      body.grouped(w).zipWithIndex.collect {
+        case (frame, i) if i % stride == 0 => (i, frame)
       }.toSeq
+    }
 
-    /** "Resize" stub: deterministic w×h-byte output derived by cycling the
-      * payload (stands in for a real resample; output size contract is the
-      * part the pipeline plumbing depends on). */
-    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val out = new Array[Byte](w * h)
-      if (payload.nonEmpty) {
-        var i = 0
-        while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
+    /** 8-bin byte-value histogram of a frame, normalized by frame length —
+      * the per-frame feature vector the ANN leg indexes. */
+    def frameHistogram(frame: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](8)
+      var i = 0
+      while (i < frame.length) { bins((frame(i) & 0xff) >>> 5) += 1f; i += 1 }
+      if (frame.length > 0) {
+        var b = 0
+        while (b < 8) { bins(b) /= frame.length; b += 1 }
       }
-      out
+      bins
     }
   }
 
-  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of the
-    * text (a deterministic opaque blob), kind from the source id, metadata
-    * columns typed as a real pipeline would carry them. */
+  /** Synthesize the media table from `documents`: body = UTF-8 text bytes
+    * packed into a GRFT1 container whose header fields VARY per row
+    * (width ∈ {32,48,64}, height ∈ {16..48}, rate ∈ {8k..32k}) — so a
+    * codec that echoed constants instead of parsing would diverge on the
+    * very first aggregate. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     val t = Tpch(spark, sfDir)
-    // single-file source → repartition so decode parallelizes
-    t.documents.repartition(spark.sparkContext.defaultParallelism).select(
-      col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-      col("text").cast("binary").as("payload"),
-      lit("raw").as("format"),
-      lit(64).as("width"), lit(64).as("height"), lit(16000).as("sample_rate"))
-      .as[MediaRow]
+    // single-file source → repartition so the per-row pack/decode work
+    // parallelizes across the cluster, not one task
+    t.documents.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val kindCode = (id % 3).toInt
+        val width = 32 + (id % 3).toInt * 16
+        val height = 16 + (id % 5).toInt * 8
+        val rate = 8000 * (1 + (id % 4).toInt)
+        MediaRow(id, Grft1.Kinds(kindCode),
+          Grft1.pack(kindCode, width, height, rate, text.getBytes("UTF-8")),
+          "grft1", width, height, rate)
+      }
   }
 
-  /** Distributed stub-decode: per-partition batch iteration (the
-    * mapInPandas batch shape), no shuffle. */
+  /** Distributed decode: per-partition batch iteration, no shuffle. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(StubCodec.decode))
+    media.mapPartitions(_.map(Codec.decode))
   }
 
-  /** Oracle-checked query through the full binary path: synthesize payloads,
-    * stub-decode per partition, aggregate per kind. The DuckDB oracle
-    * computes the same aggregates from the text column directly — equal
-    * results prove bytes survived the binary cast + mapPartitions round trip
-    * (md5-of-bytes == md5-of-text, lengths match). */
+  /** Oracle-checked features pass through the full binary path: pack,
+    * parse, aggregate per PARSED kind. The oracle recomputes every measure
+    * independently from `documents` (kind/width/height from the doc_id
+    * synthesis rule, bytes/fingerprints from the text): equality proves
+    * the header round-tripped bit-exactly (total_px comes from parsed
+    * width × parsed height) and the body survived the container framing
+    * (md5-of-sliced-body == md5-of-text). */
   def multimodalFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = extractFeatures(mediaFromDocuments(spark, sfDir))
     feats.toDF()
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"),
-        sum(col("byte_len")).as("total_bytes"),
-        countDistinct(col("content_fp")).as("n_unique"))
+        sum(col("body_len")).as("total_bytes"),
+        countDistinct(col("content_fp")).as("n_unique"),
+        sum(col("width").cast("long") * col("height")).as("total_px"))
       .orderBy(col("kind"))
   }
 
-  /** Distributed frame sampling (the mapInPandas-shaped video leg): explode
-    * every 4th 16-byte frame per payload inside the partition, aggregate
-    * counts per kind. The oracle recomputes the sampled-frame count
-    * arithmetically from the text length — equality proves the distributed
-    * explode sampled exactly the declared stride. */
+  /** Header-driven frame sampling (every 4th `width`-byte frame),
+    * aggregated per kind. The oracle recomputes the expected sampled-frame
+    * count from text length and the per-doc width rule — equality proves
+    * the distributed segmentation used the PARSED width and the declared
+    * stride exactly. */
   def multimodalFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val media = mediaFromDocuments(spark, sfDir)
     val frames = media
       .mapPartitions(_.flatMap { r =>
-        StubCodec.frameSample(r.payload, 4).map(f => (r.media_id, r.kind, f.length))
+        Codec.sampleFrames(r, 4).map { case (i, f) => (r.media_id, r.kind, i, f.length) }
       })
-      .toDF("media_id", "kind", "frame_bytes")
+      .toDF("media_id", "kind", "frame_idx", "frame_bytes")
     // n_docs counts MEDIA rows, not frame-emitting rows: an empty payload
     // yields zero frames but is still a document (the oracle's COUNT(*)
     // counts it, so counting distinct frame emitters would undercount)
@@ -143,20 +239,55 @@ object MultimodalOps {
       .orderBy(col("kind"))
   }
 
+  /** Frames → feature vectors → ANN: the multimodal leg feeding the
+    * similarity stack. Every sampled video frame becomes an 8-dim byte
+    * histogram; the query vector is the first frame of the smallest video
+    * media_id; ranking runs through the same codegen'd `graft_cosine`
+    * native expression the embedding queries use. One-row query broadcast
+    * (the sanctioned BNLJ), top-10 by (cos, media_id, frame_idx) — fully
+    * deterministic. Rows-only (float cosines aren't ANSI-SQL-expressible
+    * bit-exactly); MultimodalSpec pins the cosines and the ranking against
+    * a driver-side recompute. */
+  def multimodalAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val media = mediaFromDocuments(spark, sfDir)
+    val frames = media
+      .filter(_.kind == "video")
+      .mapPartitions(_.flatMap { r =>
+        Codec.sampleFrames(r, 4).map { case (i, f) =>
+          (r.media_id, i, Codec.frameHistogram(f))
+        }
+      })
+      .toDF("media_id", "frame_idx", "vec")
+    val q = frames
+      .orderBy(col("media_id"), col("frame_idx")).limit(1)
+      .select(col("vec").as("q_vec"))
+    frames.join(broadcast(q))
+      .withColumn("cos", expr("round(graft_cosine(vec, q_vec), 6)"))
+      .select(col("media_id"), col("frame_idx"), col("cos"))
+      .orderBy(col("cos").desc, col("media_id"), col("frame_idx"))
+      .limit(10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_multimodal_frames", multimodalFrames, Some(
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
         |       COUNT(*) AS n_docs,
-        |       CAST(SUM(CEIL(CEIL(octet_length(CAST(text AS BLOB)) / 16.0) / 4.0)) AS BIGINT)
-        |         AS total_frames
+        |       CAST(SUM(CEIL(CEIL(octet_length(CAST(text AS BLOB))
+        |                          / CAST(32 + (doc_id % 3) * 16 AS DOUBLE))
+        |                     / 4.0)) AS BIGINT) AS total_frames
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_multimodal_features", multimodalFeatures, Some(
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
         |       COUNT(*) AS n,
         |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
-        |       COUNT(DISTINCT md5(text)) AS n_unique
+        |       COUNT(DISTINCT md5(text)) AS n_unique,
+        |       CAST(SUM((32 + (doc_id % 3) * 16)
+        |                * (16 + (doc_id % 5) * 8)) AS BIGINT) AS total_px
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_multimodal_ann", multimodalAnn, None),
   )
 }

@@ -3,59 +3,112 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.MultimodalOps
-import graft.operators.MultimodalOps.{MediaRow, StubCodec}
+import graft.operators.MultimodalOps.{Codec, Grft1, MediaRow}
 
-/** Multimodal plumbing: binary payload round trip, mapPartitions batch
-  * shape, stub-codec determinism, frame sampling. */
+/** Multimodal plumbing AND codec: GRFT1 container round trip, real header
+  * parsing, byte statistics, header-driven frame sampling, histogram
+  * features, the ANN leg, and binary-column pruning. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("media synthesis: binary payloads carry the exact source bytes") {
+  private def fixtureRow(body: Array[Byte], width: Int = 16,
+                         height: Int = 8, rate: Int = 8000): MediaRow =
+    MediaRow(1L, "video", Grft1.pack(2, width, height, rate, body),
+      "grft1", width, height, rate)
+
+  test("container round trip: pack then unpack recovers every field and byte") {
+    val body = "hello multimodal world".getBytes("UTF-8")
+    val (kind, w, h, sr, got) = Grft1.unpack(Grft1.pack(1, 48, 32, 16000, body))
+    assert(kind == "audio" && w == 48 && h == 32 && sr == 16000)
+    assert(got.toSeq == body.toSeq)
+  }
+
+  test("unpack rejects bad magic, bad version, and a lying body length") {
+    val ok = Grft1.pack(0, 32, 16, 8000, "body".getBytes)
+    intercept[IllegalArgumentException](Grft1.unpack("XXXX1234567890123456789012".getBytes))
+    val badVersion = ok.clone(); badVersion(4) = 9
+    intercept[IllegalArgumentException](Grft1.unpack(badVersion))
+    intercept[IllegalArgumentException](Grft1.unpack(ok.dropRight(1)))
+  }
+
+  test("media synthesis: containers carry the exact source bytes and declared header") {
     val media = MultimodalOps.mediaFromDocuments(spark, Sf)
     val docs = graft.sources.Tables.load(spark, Sf, "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
     media.collect().take(20).foreach { r =>
-      assert(new String(r.payload, "UTF-8") == docs(r.media_id))
-      assert(Set("image", "audio", "video").contains(r.kind))
-      assert(r.width == 64 && r.sample_rate == 16000)
+      val (kind, w, h, sr, body) = Grft1.unpack(r.payload)
+      assert(new String(body, "UTF-8") == docs(r.media_id))
+      // parsed header == catalog metadata (drift-free synthesis)
+      assert(kind == r.kind && w == r.width && h == r.height && sr == r.sample_rate)
+      assert(w == 32 + (r.media_id % 3).toInt * 16)
     }
   }
 
-  test("stub decode is deterministic and length-faithful") {
-    val row = MediaRow(1L, "video", "hello world, this is a fake payload".getBytes, "raw", 64, 64, 16000)
-    val f1 = StubCodec.decode(row)
-    val f2 = StubCodec.decode(row)
-    assert(f1 == f2)
-    assert(f1.byte_len == row.payload.length)
+  test("codec features are parsed + computed from bytes, deterministically") {
+    val body = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    val row = fixtureRow(body, width = 16)
+    val f1 = Codec.decode(row)
+    assert(f1 == Codec.decode(row))
+    assert(f1.kind == "video" && f1.width == 16 && f1.height == 8 &&
+      f1.sample_rate == 8000)
+    assert(f1.body_len == 100)
+    assert(f1.body_sum == body.map(_ & 0xff).map(_.toLong).sum)
     assert(f1.content_fp.length == 32)
-    assert(f1.frame_count >= 1)
+    assert(f1.frame_count == 7, "ceil(100/16) = 7 — partial frame counts")
   }
 
-  test("distributed feature extraction matches local stub decode") {
+  test("distributed feature extraction matches local decode") {
     val media = MultimodalOps.mediaFromDocuments(spark, Sf).repartition(4)
     val distributed = MultimodalOps.extractFeatures(media)
       .collect().map(f => f.media_id -> f).toMap
     media.collect().take(50).foreach { r =>
-      val local = StubCodec.decode(r)
-      assert(distributed(r.media_id) == local)
+      assert(distributed(r.media_id) == Codec.decode(r))
     }
   }
 
-  test("frame sampling slices every k-th 16-byte frame") {
-    val payload = Array.tabulate[Byte](160)(_.toByte)
-    val frames = StubCodec.frameSample(payload, 2)
-    assert(frames.length == 5)
-    assert(frames.head.toSeq == payload.slice(0, 16).toSeq)
-    assert(frames(1).toSeq == payload.slice(32, 48).toSeq)
+  test("frame sampling is header-driven: width-byte slices, every k-th kept") {
+    val body = Array.tabulate[Byte](160)(_.toByte)
+    val frames = Codec.sampleFrames(fixtureRow(body, width = 16), 2)
+    assert(frames.map(_._1) == Seq(0, 2, 4, 6, 8))
+    assert(frames.head._2.toSeq == body.slice(0, 16).toSeq)
+    assert(frames(1)._2.toSeq == body.slice(32, 48).toSeq)
+    // partial tail frame survives sampling when its index is on-stride
+    val tail = Codec.sampleFrames(fixtureRow(body.take(40), width = 16), 2)
+    assert(tail.map(_._1) == Seq(0, 2))
+    assert(tail(1)._2.length == 8, "40 bytes / 16 → frames 16,16,8")
   }
 
-  test("resize stub honors the w*h output-size contract deterministically") {
-    val payload = "tiny payload".getBytes
-    val out = StubCodec.resize(payload, 32, 16)
-    assert(out.length == 32 * 16)
-    assert(out.toSeq == StubCodec.resize(payload, 32, 16).toSeq)
-    assert(out.take(payload.length).toSeq == payload.toSeq, "cycled prefix preserved")
-    assert(StubCodec.resize(Array.emptyByteArray, 8, 8).length == 64)
+  test("frame histogram bins byte values and normalizes by length") {
+    val frame = Array[Byte](0, 1, 31, 32, 64, -1, -1, -1) // bins 0,0,0,1,2,7,7,7
+    val h = Codec.frameHistogram(frame)
+    assert(h.sum > 0.999f && h.sum < 1.001f)
+    assert(h(0) == 3f / 8 && h(1) == 1f / 8 && h(2) == 1f / 8 && h(7) == 3f / 8)
+    assert(Codec.frameHistogram(Array.emptyByteArray).forall(_ == 0f))
+  }
+
+  test("multimodal ANN equals a driver-side brute-force cosine ranking") {
+    val got = MultimodalOps.multimodalAnn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == 10)
+    // driver recompute from scratch through the same public codec surface
+    val frames = MultimodalOps.mediaFromDocuments(spark, Sf)
+      .collect().filter(_.kind == "video")
+      .flatMap(r => Codec.sampleFrames(r, 4).map { case (i, f) =>
+        (r.media_id, i, Codec.frameHistogram(f))
+      })
+    val q = frames.minBy(f => (f._1, f._2))._3
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 8).foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val expected = frames
+      .map(f => (f._1, f._2, math.rint(cos(f._3, q) * 1e6) / 1e6))
+      .sortBy { case (id, i, c) => (-c, id, i) }
+      .take(10)
+    assert(got.toSeq == expected.toSeq)
   }
 
   test("metadata-only queries over a landed media table never read payload") {

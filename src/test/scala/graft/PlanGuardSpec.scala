@@ -25,7 +25,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_corpus_split",        // broadcast one-row leakage-invariant frame
     "q_dedup_pipeline",      // broadcast one-row no-pairs-left frame
     "q_events_gapfill",    // broadcast calendar-bounds frame
-    "q_sketch_hll_union"   // broadcast one-row unioned-sketch frame
+    "q_sketch_hll_union",  // broadcast one-row unioned-sketch frame
+    "q_multimodal_ann"     // broadcast one-row query-frame vector
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
