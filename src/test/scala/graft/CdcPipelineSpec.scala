@@ -55,6 +55,106 @@ class CdcPipelineSpec extends SparkSpec {
     assert(roundTripped.sameElements(source))
   }
 
+  test("E1→E3 composed: paced generator → envelope wire → quarantined streaming landing == batch trace") {
+    // The reference's WHOLE pipeline as one running graph: the G14
+    // micro-batch generator (2 s cadence, generator.py:58,338) feeds all
+    // three tables through the Debezium envelope onto a mixed-topic
+    // stream; a single ProcessingTime-triggered query demuxes, decodes
+    // WITH the quarantine lane attached, and lands decoded rows into the
+    // date-partitioned lake. Assertions: the lake equals the generated
+    // batch trace row for row (per table), and a clean run quarantines
+    // nothing — then one injected corrupt wire record lands in the
+    // quarantine lane WITHOUT disturbing the lake.
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.{StructType, TimestampType}
+
+    val root = Files.createTempDirectory("e1e3").toString
+    val ckpt = Files.createTempDirectory("e1e3ckpt").toString
+    val tables = Seq("customers", "accounts", "transactions")
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+
+    // canonical comparison form: money demoted to double exactly once
+    // (the decode contract), timestamps second-precision strings
+    def canonical(df: DataFrame): DataFrame =
+      df.schema.fields.foldLeft(df) { (acc, f) =>
+        f.dataType match {
+          case _: DecimalType =>
+            acc.withColumn(f.name, col(f.name).cast("double"))
+          case TimestampType =>
+            acc.withColumn(f.name,
+              date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"))
+          case _ => acc
+        }
+      }
+
+    var schemas = Map.empty[String, StructType]
+    var expected = Map.empty[String, Seq[String]].withDefaultValue(Seq.empty)
+    val quarantined = new AtomicLong(0)
+
+    // landing side: ONE query — demux → decodeOrQuarantine → dated append
+    val query = mem.toDF().toDF("topic", "value").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("2 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withTable = batch.withColumn("table",
+          CdcEnvelope.tableFromTopic(col("topic")))
+        tables.foreach { t =>
+          schemas.get(t).foreach { schema =>
+            val part = withTable.where(col("table") === t)
+            val (good, quar) = CdcEnvelope.decodeOrQuarantine(part, schema)
+            LandingWriter.landBatch(good.drop("_op", "_lsn"), root, t)
+            val nQuar = quar.count()
+            if (nQuar > 0) {
+              quarantined.addAndGet(nQuar)
+              quar.write.mode("append").parquet(s"$root/_quarantine/$t")
+            }
+          }
+        }
+      }.start()
+
+    try {
+      // E1: the paced generator loop, wire-wrapping each table's batch
+      Datagen.runIterations(spark,
+        sink = { (table, df) =>
+          schemas += table -> df.schema
+          expected += table -> (expected(table) ++
+            canonical(df).orderBy("id").collect().map(_.toString).toSeq)
+          val wire = CdcEnvelope.wrap(df, table).collect()
+          mem.addData(wire.map(r => (r.getString(0), r.getString(1))).toIndexedSeq)
+        },
+        iterations = 3, customersPerBatch = 30, txnsPerBatch = 60,
+        sleepMillis = 2000)
+      query.processAllAvailable()
+      assert(quarantined.get() == 0, "clean run must quarantine nothing")
+
+      // parity: the landed lake == the batch trace, row for row, per table
+      tables.foreach { t =>
+        val landed = spark.read.parquet(s"$root/$t")
+        assert(landed.columns.contains("date"), s"$t must be date-partitioned")
+        val cols = schemas(t).fields.map(f => col(f.name)).toIndexedSeq
+        val got = canonical(landed.select(cols: _*))
+          .orderBy("id").collect().map(_.toString).toSeq
+        assert(got.nonEmpty, s"$t landed nothing")
+        assert(got.sorted == expected(t).sorted, s"$t lake != batch trace")
+      }
+
+      // corruption probe: one malformed record → quarantine, lake untouched
+      val before = tables.map(t => t -> spark.read.parquet(s"$root/$t").count()).toMap
+      mem.addData(("banking_server.public.transactions", "{ not json"))
+      query.processAllAvailable()
+      assert(quarantined.get() == 1, "corrupt record must hit the quarantine lane")
+      val quarRows = spark.read.parquet(s"$root/_quarantine/transactions").collect()
+      assert(quarRows.length == 1 && quarRows.head.getString(1) == "malformed_json")
+      tables.foreach { t =>
+        assert(spark.read.parquet(s"$root/$t").count() == before(t),
+          s"$t changed after a corrupt-only tick")
+      }
+    } finally query.stop()
+  }
+
   test("driver smoke: entry() answers on sf0.001 with rows") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSeq == Seq("region_name", "order_date", "revenue"))
