@@ -41,4 +41,87 @@ class PlanGuardSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  /** Columns whose cardinality is BOUNDED (a handful of languages,
+    * sources, statuses, event types...) regardless of corpus size. A
+    * window partitioned ONLY on these funnels the whole table through a
+    * constant number of tasks at 100 TB — the low-cardinality window
+    * funnel the two-phase-quota rule (CorpusPrep) exists to avoid. */
+  private val boundedCardinality = Set(
+    "lang", "source", "event_type", "status", "split", "kind",
+    "o_orderstatus", "l_returnflag", "l_linestatus", "c_mktsegment",
+    "account_type", "currency", "txn_type", "r_name", "cust_nation",
+    "key_col", "tbl")
+
+  /** Queries whose bounded-key (or global) windows run over inputs that
+    * are provably SMALL — not the raw table — so the funnel is bounded by
+    * a domain, not the corpus. Every entry must say WHY. */
+  private val boundedInputWindow = Map(
+    // cumsum over the count-VALUE histogram: rows = distinct per-key
+    // counts (domain-bounded), not keys or events
+    "q_profile_key_skew" -> "global cumsum over count-value histogram",
+    // per-status cumsum over distinct price values: bounded by the money
+    // domain (cent-quantized), not the order count
+    "q_order_value_percentiles" -> "per-status cumsum over price-value histogram",
+    // two-phase quota: phase-1 shards per (key, shard), the phase-2
+    // window ranks the per-shard survivors — input rows = quota * shards
+    "q_corpus_prep" -> "phase-2 rank over per-shard quota survivors",
+    "q_corpus_mix" -> "per-source aggregate rows (sources, not docs)",
+    "q_stratified_sample" -> "phase-2 rank over per-shard quota survivors",
+    "q_corpus_adaptive_quality" -> "rank-pick over per-source score histogram",
+    // gap-fill calendars: one row per (day/hour) slot — time-domain-bounded
+    "q_events_gapfill" -> "lead over per-type day calendar (time-bounded)",
+    // trailing-window anomaly screen: input is the per-(type, day) DAILY
+    // aggregate — rows = types x days, time-domain-bounded
+    "q_events_rate_anomaly" -> "trailing window over per-day aggregates",
+    // the lag window orders exactly |curve| = 4 probe rows
+    "q_sim_ivf_recall_curve" -> "monotonicity lag over the 4-row curve")
+
+  test("no window over a bounded-cardinality partition key on raw-table input") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    import org.apache.spark.sql.catalyst.expressions.Expression
+
+    // plan.collect alone is blind here: AQE wraps the real tree inside
+    // AdaptiveSparkPlanExec and persisted frames hide theirs behind
+    // InMemoryTableScan — descend through both or the sweep sees nothing
+    def partitionSpecs(p: SparkPlan): Seq[Seq[Expression]] = {
+      val here = p match {
+        case w: WindowExec => Seq(w.partitionSpec)
+        case w: WindowGroupLimitExec => Seq(w.partitionSpec)
+        case _ => Seq.empty
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+        case _ => p.children
+      }
+      here ++ kids.flatMap(partitionSpecs)
+    }
+    var fired = Set.empty[String]
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan = q.fn(spark, Sf).queryExecution.executedPlan
+      val bad = partitionSpecs(plan).filter { spec =>
+        val names = spec.flatMap(_.references.map(_.name.toLowerCase)).toSet
+        // global window (no partition) or every partition column bounded
+        names.forall(n => boundedCardinality(n.takeWhile(_ != '#')))
+      }
+      if (bad.nonEmpty && boundedInputWindow.contains(q.name)) {
+        fired += q.name
+        info(s"justified: ${q.name} — ${boundedInputWindow(q.name)}")
+        None
+      } else if (bad.nonEmpty)
+        Some(s"${q.name}: bounded/global window partitions " +
+          bad.map(_.mkString("[", ",", "]")).mkString(" "))
+      else None
+    }
+    assert(offenders.isEmpty,
+      "window-funnel suspects (justify in boundedInputWindow or shard):\n" +
+        offenders.mkString("\n"))
+    // a justification that never fires is rot — prune it
+    assert((boundedInputWindow.keySet -- fired).isEmpty,
+      s"stale boundedInputWindow entries: ${boundedInputWindow.keySet -- fired}")
+  }
 }
