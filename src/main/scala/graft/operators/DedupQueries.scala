@@ -551,9 +551,101 @@ object DedupQueries {
     NamedQuery("q_dedup_minhash", minhashNearDups, None),
     NamedQuery("q_dedup_incremental", incrementalNearDups, None),
     NamedQuery("q_dedup_simhash", simhashNearDups, None),
-    NamedQuery("q_dedup_ngram_jaccard", ngramJaccardDups, None),
-    NamedQuery("q_dedup_prefix_jaccard", prefixJaccardDups, None),
-    NamedQuery("q_dedup_common_span", commonSpanDups, None),
-    NamedQuery("q_contamination", contaminationScreen, None),
+    // Oracle restates the rare-shingle candidate rule + exact Jaccard over
+    // raw STRING 3-grams (hash-set == string-set sizes absent negligible
+    // 64-bit collisions); round-of-double matches because both engines
+    // round the identical IEEE quotient.
+    NamedQuery("q_dedup_ngram_jaccard", ngramJaccardDups, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |rare AS (SELECT g FROM sh GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 5),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sh a JOIN rare USING (g) JOIN sh b USING (g)
+        |         WHERE a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |ins AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |        FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+        |                    JOIN sh y ON y.doc_id = c.doc_b AND y.g = x.g
+        |        GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) AS jaccard
+        |FROM ins i JOIN sz sa ON sa.doc_id = i.doc_a
+        |           JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // The prefix-filter join is LOSSLESS at its threshold, so the oracle
+    // needn't mirror the prefix mechanics (whose df-ties break on hash
+    // order): ANY complete candidate rule + the same exact-Jaccard filter
+    // states the identical result set. Sharing >= 1 shingle is complete
+    // (j > 0 requires a shared shingle).
+    NamedQuery("q_dedup_prefix_jaccard", prefixJaccardDups, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sh a JOIN sh b USING (g) WHERE a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |ins AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |        FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+        |                    JOIN sh y ON y.doc_id = c.doc_b AND y.g = x.g
+        |        GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) AS jaccard
+        |FROM ins i JOIN sz sa ON sa.doc_id = i.doc_a
+        |           JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // Oracle restates the span detector over raw STRING 3-grams: same
+    // tiered candidate rule (df 2..4096, 8-smallest sample, ≥3 shared),
+    // same positional diagonal-run windows (1-based positions — the
+    // d = pos_a − pos_b diagonals and run lengths are shift-invariant).
+    // Hash-vs-string equality holds absent 64-bit collisions (negligible).
+    NamedQuery("q_dedup_common_span", commonSpanDups, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT doc_id, i AS p, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |postings AS (SELECT DISTINCT g, doc_id FROM pos),
+        |bg AS (SELECT g FROM postings GROUP BY g HAVING COUNT(*) BETWEEN 2 AND 4096),
+        |cl AS (SELECT p0.g, list_sort(list(DISTINCT p0.doc_id))[1:8] AS ids
+        |       FROM postings p0 JOIN bg USING (g) GROUP BY p0.g),
+        |prs0 AS (SELECT UNNEST(flatten(list_transform(ids, a ->
+        |           list_transform(list_filter(ids, b -> b > a),
+        |                          b -> {'doc_a': a, 'doc_b': b})))) AS pr FROM cl),
+        |cand AS (SELECT pr.doc_a AS doc_a, pr.doc_b AS doc_b FROM prs0
+        |         GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |m AS (SELECT c.doc_a, c.doc_b, a.p AS pa, b.p AS pb, a.p - b.p AS d
+        |      FROM cand c
+        |      JOIN pos a ON a.doc_id = c.doc_a
+        |      JOIN pos b ON b.doc_id = c.doc_b AND b.g = a.g),
+        |runs AS (SELECT doc_a, doc_b, d,
+        |                pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, d
+        |                                        ORDER BY pa) AS grp
+        |         FROM m),
+        |rl AS (SELECT doc_a, doc_b, COUNT(*) AS run
+        |       FROM runs GROUP BY doc_a, doc_b, d, grp)
+        |SELECT doc_a, doc_b, CAST(MAX(run) + 2 AS BIGINT) AS span_tokens
+        |FROM rl GROUP BY 1, 2 HAVING MAX(run) + 2 >= 10
+        |ORDER BY span_tokens DESC, doc_a, doc_b LIMIT 50""".stripMargin)),
+    // Oracle restates the screen over raw STRING 3-grams (DuckDB has no
+    // xxhash64): hash-set overlap counts equal string-set overlap counts
+    // absent 64-bit collisions inside a doc pair's shingle universe —
+    // cryptographically negligible, and the hash-equality proves exactly
+    // the collision-freeness the operator's design assumes.
+    NamedQuery("q_contamination", contaminationScreen, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |              t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+        |bench AS (SELECT doc_id AS bench_id, g FROM sh WHERE source = 'src0'),
+        |corpus AS (SELECT doc_id, g FROM sh WHERE source <> 'src0'),
+        |shared AS (SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+        |           FROM corpus c JOIN bench b USING (g)
+        |           GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                  ORDER BY n_shared DESC, bench_id) AS rn FROM shared)
+        |SELECT doc_id, bench_id, n_shared FROM top WHERE rn = 1
+        |ORDER BY n_shared DESC, doc_id LIMIT 50""".stripMargin)),
   )
 }

@@ -1,0 +1,107 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Dev tool: the in-repo sf-scaling probe (SCALE.md). Synthesizes a ~10×
+  * documents/embeddings slice from the sf0.1 testdata — REALISTIC growth,
+  * not naive replication: per source doc, 10 replicas of which 0–2 are
+  * near-duplicates (every 15th token perturbed → Jaccard ≈ 0.87, so
+  * duplicate CLIQUES grow ~3×) and 7 are distinct documents (every token
+  * salted → disjoint shingle space), mirroring how a real corpus grows
+  * (more docs AND more dups, not 10-way copies of everything). Embeddings
+  * replicate with per-replica deterministic dimension nudges: replicas 0–2
+  * stay near-neighbors of the original (ANN clique growth), 3–9 scatter.
+  *
+  * Then times each dedup/ANN-family query warm at sf0.1 and at the 10×
+  * slice and prints the SCALE.md markdown table with the wall-clock ratio.
+  * A family whose ratio ≫ data growth (~10×) has a plan-shape funnel the
+  * 17 MB corpus could not expose. No oracle — this is a plan-shape probe.
+  *
+  * Usage: runMain graft.tools.ScaleProbe /root/testdata/sf0.1 /tmp/sf1x10
+  */
+object ScaleProbe {
+
+  private val Families = Seq(
+    "q_dedup_exact_stats", "q_dedup_minhash", "q_dedup_simhash",
+    "q_dedup_ngram_jaccard", "q_dedup_prefix_jaccard", "q_dedup_incremental",
+    "q_dedup_common_span", "q_dedup_components", "q_dedup_canonical",
+    "q_dedup_pipeline", "q_corpus_split",
+    "q_sim_cosine_topk", "q_sim_ivf_topk", "q_sim_pq_topk",
+    "q_sim_ivfpq_topk", "q_sim_semantic_dedup",
+    "q_text_lm_familiarity", "q_multimodal_features", "q_multimodal_ann")
+
+  def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // replica 0 = original; 1-2 near-dups (1/15 tokens perturbed);
+    // 3-9 distinct (every token salted with the replica id)
+    val replicated = docs
+      .withColumn("k", explode(expr("sequence(0, 9)")))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("text", expr(
+        """array_join(CASE
+          |  WHEN k = 0 THEN toks
+          |  WHEN k <= 2 THEN transform(toks,
+          |    (t, i) -> IF((i + k) % 15 = 0, concat(t, '_r', k), t))
+          |  ELSE transform(toks, t -> concat(t, '_w', k)) END, ' ')""".stripMargin))
+      .select((col("doc_id") * 10 + col("k")).as("doc_id"), col("text"),
+        col("lang"), col("source"), length(col("text")).as("n_chars"))
+    replicated.coalesce(8).write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.selectExpr("size(embedding) AS d").head().getInt(0)
+    val scattered = emb
+      .withColumn("k", explode(expr("sequence(0, 9)")))
+      .withColumn("embedding", expr(
+        // near replicas: tiny nudge on one dim; far replicas: swap-scale
+        // several dims so they leave the original's neighborhood
+        s"""CASE WHEN k <= 2 THEN transform(embedding,
+           |  (v, i) -> IF(i = pmod(vec_id + k, $dim),
+           |            CAST(v + 0.01F * k AS FLOAT), v))
+           |ELSE transform(embedding,
+           |  (v, i) -> CAST(v * (1.0F + 0.13F * k * (pmod(CAST(i AS BIGINT) * 31 + vec_id + k, 7) - 3)) AS FLOAT))
+           |END""".stripMargin))
+      .select((col("vec_id") * 10 + col("k")).as("vec_id"), col("embedding"),
+        col("label"))
+    scattered.coalesce(8).write.mode("overwrite")
+      .parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private def time(spark: SparkSession, name: String, sfDir: String,
+                   runs: Int): Double = {
+    val fn = SparkEntry.queries(name)
+    var best = Double.MaxValue
+    (1 to runs).foreach { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+    }
+    best
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args.take(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
+      synthesize(spark, sfDir, outDir)
+      println(s"[scale] synthesized 10x slice at $outDir")
+    }
+    println("| query | sf0.1 best (s) | 10x best (s) | ratio |")
+    println("|---|---|---|---|")
+    Families.foreach { q =>
+      val base = time(spark, q, sfDir, 2)
+      val big = time(spark, q, outDir, 2)
+      println(f"| $q | $base%.2f | $big%.2f | ${big / base}%.1fx |")
+    }
+    spark.stop()
+  }
+}

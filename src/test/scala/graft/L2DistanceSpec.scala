@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.L2Distance
+
+/** The native graft_l2sq expression: equal to the higher-order SQL
+  * formulation, codegen and interpreted paths agree, edge semantics. */
+class L2DistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withL2[T](f: => T): T = { L2Distance.register(spark); f }
+
+  test("equals the aggregate(zip_with(...)) formulation on random vectors") {
+    withL2 {
+      val df = spark.range(200).select(
+        expr("transform(sequence(0, 15), i -> sin(id * 17 + i) * 10 - 5)").as("a"),
+        expr("transform(sequence(0, 15), i -> cos(id * 29 + i) * 10 - 5)").as("b"))
+      val both = df.select(
+        expr("graft_l2sq(a, b)").as("fast"),
+        expr("aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+          .as("slow"))
+      both.collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+          s"fast ${r.getDouble(0)} != slow ${r.getDouble(1)}")
+      }
+    }
+  }
+
+  test("codegen and interpreted paths agree") {
+    withL2 {
+      val a = Seq(1.0, 2.0, 3.0); val b = Seq(4.0, 6.0, 3.0)
+      val expected = 9.0 + 16.0 + 0.0
+      // whole-stage codegen path
+      val viaCodegen = Seq((a, b)).toDF("a", "b")
+        .select(expr("graft_l2sq(a, b)")).head().getDouble(0)
+      assert(viaCodegen == expected)
+      // interpreted path: nondeterministic wrapper disables codegen'd
+      // projection for the expression tree under it
+      val viaEval = Seq((a, b)).toDF("a", "b")
+        .select(expr("graft_l2sq(a, b) + rand(1) * 0")).head().getDouble(0)
+      assert(viaEval == expected)
+    }
+  }
+
+  test("edge semantics: min common length, null elements as zero, null input") {
+    withL2 {
+      val df = Seq((Seq(1.0, 5.0, 100.0), Seq(2.0))).toDF("a", "b")
+      assert(df.select(expr("graft_l2sq(a, b)")).head().getDouble(0) == 1.0)
+      val withNullElem = spark.sql(
+        "SELECT graft_l2sq(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) v")
+      assert(withNullElem.head().getDouble(0) == 4.0)
+      val nullInput = spark.sql(
+        "SELECT graft_l2sq(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) v")
+      assert(nullInput.head().isNullAt(0))
+    }
+  }
+}
