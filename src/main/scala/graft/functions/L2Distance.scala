@@ -20,14 +20,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * interpreted paths are pinned equal (and equal to the higher-order
   * formulation) in `L2DistanceSpec`.
   *
-  * Semantics: sum over the min common length; null elements count as 0
-  * (matching `zip_with`'s behavior); NULL only when an input is NULL.
+  * Semantics: NULL-poisons exactly like the higher-order formulation it
+  * replaces — NULL when an input array is NULL, when the lengths differ
+  * (`zip_with` pads the short side with nulls), or when any element is
+  * NULL; otherwise the left-to-right sum of squared differences. A
+  * malformed vector (corrupt embedding, wrong dimension) therefore
+  * surfaces as a NULL distance instead of a silently truncated finite
+  * one.
   */
 case class L2DistanceSq(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // A non-null pair of arrays can still produce NULL (length mismatch or
+  // null element), so this is unconditionally nullable.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -43,13 +50,13 @@ case class L2DistanceSq(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
-      val xi = if (x.isNullAt(i)) 0.0 else x.getDouble(i)
-      val yi = if (y.isNullAt(i)) 0.0 else y.getDouble(i)
-      val d = xi - yi
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
       acc += d * d
       i += 1
     }
@@ -62,15 +69,22 @@ case class L2DistanceSq(left: Expression, right: Expression)
       // children would otherwise emit duplicate fixed-name locals.
       s"""
          |{
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.isNullAt(i) ? 0.0 : $a.getDouble(i);
-         |  double yi = $b.isNullAt(i) ? 0.0 : $b.getDouble(i);
-         |  double d = xi - yi;
-         |  acc += d * d;
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  boolean poison = false;
+         |  for (int i = 0; i < n && !poison; i++) {
+         |    if ($a.isNullAt(i) || $b.isNullAt(i)) {
+         |      poison = true;
+         |    } else {
+         |      double d = $a.getDouble(i) - $b.getDouble(i);
+         |      acc += d * d;
+         |    }
+         |  }
+         |  if (poison) { ${ev.isNull} = true; } else { ${ev.value} = acc; }
          |}
-         |${ev.value} = acc;
          |}
        """.stripMargin
     })

@@ -147,21 +147,37 @@ object DedupQueries {
     * signature store. Output identity with the plain join is pinned by
     * DedupSpec's brute-force exactness cases; the salt-spread property by
     * ScaleJoinsSpec. */
-  private[graft] def verifiedJaccardPairs(candidates: DataFrame,
-                                          shingled: DataFrame): DataFrame = {
+  /** Candidate pairs × their shingle sets: semi-join the signature store
+    * down to docs that appear in `pairs`, then salted-join the sets onto
+    * the given side — the one skew-handling fetch every verify pass in
+    * this file shares (hot docs are skewed join keys; see
+    * [[verifiedJaccardPairs]] for the full rationale). */
+  private def fetchShingleSets(sets: DataFrame, pairs: DataFrame,
+                               side: String, shCol: String): DataFrame = {
     import graft.plans.ScaleJoins
+    val needed = sets
+      .select(col("doc_id").as(side), col("shingles").as(shCol))
+      .join(pairs.select(col(side)).distinct(), Seq(side), "left_semi")
+    ScaleJoins.saltedJoin(pairs, needed, side, saltFactor = 8)
+  }
+
+  private[graft] def verifiedJaccardPairs(candidates: DataFrame,
+                                          shingled: DataFrame,
+                                          thresholdNum: Int = 1,
+                                          thresholdDen: Int = 2): DataFrame = {
     val sets = shingled.select(col("doc_id"), col("shingles"))
-    def fetch(pairs: DataFrame, side: String, shCol: String): DataFrame = {
-      val needed = sets
-        .select(col("doc_id").as(side), col("shingles").as(shCol))
-        .join(pairs.select(col(side)).distinct(), Seq(side), "left_semi")
-      ScaleJoins.saltedJoin(pairs, needed, side, saltFactor = 8)
-    }
-    fetch(fetch(candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4))
-      .where(col("jaccard") >= 0.5)
+    // Threshold as an exact integer cross-multiplication (den·|∩| ≥ num·|∪|),
+    // NEVER on the rounded quotient: candidate rules (prefix filter) are only
+    // complete at TRUE jaccard ≥ t, so a filter that admits the rounding band
+    // [t − 5e-5, t) would claim pairs the theorem doesn't guarantee finding.
+    // The rounded double is display-only.
+    fetchShingleSets(sets,
+      fetchShingleSets(sets, candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("ni"))
+      .where(col("ni") * thresholdDen >= col("uni") * thresholdNum)
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / col("uni").cast("double"), 4))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
@@ -353,8 +369,7 @@ object DedupQueries {
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifiedJaccardPairs(candidates, docs)
-      .where(col("jaccard") >= 0.8)
+    verifiedJaccardPairs(candidates, docs, thresholdNum = 4, thresholdDen = 5)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -395,7 +410,6 @@ object DedupQueries {
 
   private[graft] def portableNearDups(spark: SparkSession, sfDir: String): DataFrame =
     cached(portablePairCache, spark, sfDir) {
-      import graft.plans.ScaleJoins
       val docs = sharedPortableShingled(spark, sfDir)
       val banded = docs
         .where(size(col("shingles")) > 0)
@@ -412,17 +426,12 @@ object DedupQueries {
         .select(explode(expr(pairsFromIds)).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()
-      // Same salted shingle-set fetch as verifiedJaccardPairs (hot docs are
-      // skewed join keys); the threshold is exact integers, not a rounded
-      // double, so the pair set is bit-reproducible in any engine.
+      // Shared salted shingle-set fetch (hot docs are skewed join keys);
+      // the threshold is exact integers, not a rounded double, so the
+      // pair set is bit-reproducible in any engine.
       val sets = docs.select(col("doc_id"), col("shingles"))
-      def fetch(pairs: DataFrame, side: String, shCol: String): DataFrame = {
-        val needed = sets
-          .select(col("doc_id").as(side), col("shingles").as(shCol))
-          .join(pairs.select(col(side)).distinct(), Seq(side), "left_semi")
-        ScaleJoins.saltedJoin(pairs, needed, side, saltFactor = 8)
-      }
-      fetch(fetch(candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
+      fetchShingleSets(sets,
+        fetchShingleSets(sets, candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
         .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
         .where(col("ni") * 2 >= size(col("sh_a")) + size(col("sh_b")) - col("ni"))
         .select(col("doc_a"), col("doc_b"))
@@ -553,8 +562,10 @@ object DedupQueries {
     NamedQuery("q_dedup_simhash", simhashNearDups, None),
     // Oracle restates the rare-shingle candidate rule + exact Jaccard over
     // raw STRING 3-grams (hash-set == string-set sizes absent negligible
-    // 64-bit collisions); round-of-double matches because both engines
-    // round the identical IEEE quotient.
+    // 64-bit collisions). The threshold is the same integer
+    // cross-multiplication both engines evaluate exactly; the rounded
+    // double is display-only and matches because both engines round the
+    // identical IEEE quotient.
     NamedQuery("q_dedup_ngram_jaccard", ngramJaccardDups, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
@@ -572,7 +583,7 @@ object DedupQueries {
         |       ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) AS jaccard
         |FROM ins i JOIN sz sa ON sa.doc_id = i.doc_a
         |           JOIN sz sb ON sb.doc_id = i.doc_b
-        |WHERE ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) >= 0.5
+        |WHERE i.ni * 2 >= sa.n + sb.n - i.ni
         |ORDER BY doc_a, doc_b""".stripMargin)),
     // The prefix-filter join is LOSSLESS at its threshold, so the oracle
     // needn't mirror the prefix mechanics (whose df-ties break on hash
@@ -594,7 +605,7 @@ object DedupQueries {
         |       ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) AS jaccard
         |FROM ins i JOIN sz sa ON sa.doc_id = i.doc_a
         |           JOIN sz sb ON sb.doc_id = i.doc_b
-        |WHERE ROUND(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni), 4) >= 0.8
+        |WHERE i.ni * 5 >= (sa.n + sb.n - i.ni) * 4
         |ORDER BY doc_a, doc_b""".stripMargin)),
     // Oracle restates the span detector over raw STRING 3-grams: same
     // tiered candidate rule (df 2..4096, 8-smallest sample, ≥3 shared),

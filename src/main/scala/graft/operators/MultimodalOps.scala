@@ -87,7 +87,10 @@ object MultimodalOps {
         payload(2) == Magic(2) && payload(3) == Magic(3),
         "not a GRFT1 container: bad magic")
       require(payload(4) == 1, s"unsupported GRFT version ${payload(4)}")
-      val kind = Kinds(payload(5).toInt)
+      val kindCode = payload(5).toInt
+      require(kindCode >= 0 && kindCode < Kinds.length,
+        s"not a GRFT1 container: unknown kind byte $kindCode")
+      val kind = Kinds(kindCode)
       val width = getLe(payload, 6)
       val height = getLe(payload, 10)
       val sampleRate = getLe(payload, 14)

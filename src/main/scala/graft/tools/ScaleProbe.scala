@@ -47,7 +47,11 @@ object ScaleProbe {
           |    (t, i) -> IF((i + k) % 15 = 0, concat(t, '_r', k), t))
           |  ELSE transform(toks, t -> concat(t, '_w', k)) END, ' ')""".stripMargin))
       .select((col("doc_id") * 10 + col("k")).as("doc_id"), col("text"),
-        col("lang"), col("source"), length(col("text")).as("n_chars"))
+        col("lang"), col("source"),
+        // int64, matching the real documents.parquet schema (length() is
+        // int32 — a typed consumer pointed at the 10× dir would otherwise
+        // hit a schema drift the probe exists to rule out)
+        length(col("text")).cast("long").as("n_chars"))
     replicated.coalesce(8).write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
 

@@ -90,8 +90,13 @@ class CdcPipelineSpec extends SparkSpec {
         }
       }
 
-    var schemas = Map.empty[String, StructType]
-    var expected = Map.empty[String, Seq[String]].withDefaultValue(Seq.empty)
+    // @volatile: written from the driver thread (generator sink), read
+    // from the streaming micro-batch thread (foreachBatch) — a plain var
+    // has no JMM visibility guarantee across those threads, and a stale
+    // read would silently skip landing a table's rows.
+    @volatile var schemas = Map.empty[String, StructType]
+    @volatile var expected =
+      Map.empty[String, Seq[String]].withDefaultValue(Seq.empty)
     val quarantined = new AtomicLong(0)
 
     // landing side: ONE query — demux → decodeOrQuarantine → dated append

@@ -43,16 +43,29 @@ class L2DistanceSpec extends SparkSpec {
     }
   }
 
-  test("edge semantics: min common length, null elements as zero, null input") {
+  test("edge semantics NULL-poison like the higher-order formulation") {
     withL2 {
-      val df = Seq((Seq(1.0, 5.0, 100.0), Seq(2.0))).toDF("a", "b")
-      assert(df.select(expr("graft_l2sq(a, b)")).head().getDouble(0) == 1.0)
-      val withNullElem = spark.sql(
-        "SELECT graft_l2sq(array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)) v")
-      assert(withNullElem.head().getDouble(0) == 4.0)
-      val nullInput = spark.sql(
-        "SELECT graft_l2sq(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) v")
-      assert(nullInput.head().isNullAt(0))
+      val higherOrder =
+        "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+      // length mismatch, null element, null input: all NULL — and all
+      // EQUAL to the aggregate(zip_with(...)) formulation the Scaladoc
+      // claims equivalence with (zip_with pads / null-poisons).
+      val dirty = Seq(
+        "array(1.0D, 5.0D, 100.0D), array(2.0D)",            // length mismatch
+        "array(1.0D, CAST(NULL AS DOUBLE)), array(1.0D, 2.0D)", // null element
+        "CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)")           // null input
+      dirty.foreach { args =>
+        val row = spark.sql(
+          s"SELECT graft_l2sq(a, b) fast, $higherOrder slow " +
+            s"FROM (SELECT $args) AS t(a, b)")
+          .head()
+        assert(row.isNullAt(0), s"graft_l2sq($args) must be NULL")
+        assert(row.isNullAt(1), s"higher-order form of ($args) must be NULL")
+      }
+      // interpreted path poisons identically (rand wrapper disables codegen)
+      val interp = spark.sql(
+        "SELECT graft_l2sq(array(1.0D), array(1.0D, 2.0D)) + rand(1) * 0 v")
+      assert(interp.head().isNullAt(0))
     }
   }
 }

@@ -29,6 +29,10 @@ class MultimodalSpec extends SparkSpec {
     val badVersion = ok.clone(); badVersion(4) = 9
     intercept[IllegalArgumentException](Grft1.unpack(badVersion))
     intercept[IllegalArgumentException](Grft1.unpack(ok.dropRight(1)))
+    // unknown kind byte must be the same container-validation failure,
+    // not an IndexOutOfBoundsException from the kind table lookup
+    val badKind = ok.clone(); badKind(5) = 3
+    intercept[IllegalArgumentException](Grft1.unpack(badKind))
   }
 
   test("media synthesis: containers carry the exact source bytes and declared header") {
@@ -104,8 +108,13 @@ class MultimodalSpec extends SparkSpec {
       }
       if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
     }
+    // HALF_UP to 6 decimals, matching Spark's round(cos, 6) in the query
+    // under test — math.rint rounds half-to-even and can diverge by 1e-6
+    // on exact .5 boundaries, flipping the ranking near the cutoff.
     val expected = frames
-      .map(f => (f._1, f._2, math.rint(cos(f._3, q) * 1e6) / 1e6))
+      .map(f => (f._1, f._2,
+        BigDecimal(cos(f._3, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
       .sortBy { case (id, i, c) => (-c, id, i) }
       .take(10)
     assert(got.toSeq == expected.toSeq)
