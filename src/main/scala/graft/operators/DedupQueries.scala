@@ -551,12 +551,66 @@ object DedupQueries {
       .limit(50)
   }
 
+  /** Paragraph-level exact dedup (the CCNet/C4 line-dedup shape): docs are
+    * cut into fixed 20-token blocks (the synthetic corpus has no newline
+    * paragraph marks — block boundaries stand in for them; the operator is
+    * boundary-rule-agnostic), each block keyed by md5 of its text, and
+    * only the FIRST occurrence corpus-wide (by (doc_id, block_idx)) is
+    * kept. Emitted per doc: block count, kept count, kept ratio — the
+    * per-document shrink a paragraph-dedup pass would apply before
+    * training.
+    *
+    * Scale shape: block hashes are high-cardinality 32-char keys; the
+    * keep-first winner is a min() agg (map-side combinable — a boilerplate
+    * block replicated a million times shuffles one partial min per
+    * partition, not a million rows); the winner join fans out exactly one
+    * row per (block occurrence), so a hot block inflates nothing. No
+    * windows, no driver state. first_key packs (doc_id, block_idx) into
+    * one BIGINT (idx < 100000 — a 2M-token doc — documented bound) so the
+    * winner rule is engine-portable arithmetic, not a struct ordering. */
+  def paragraphDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val blocks = spread(t.documents.select(col("doc_id"), col("text")))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(size(toks) / 20.0) AS INT) - 1),
+          |          i -> md5(concat_ws(' ', slice(toks, i * 20 + 1, 20))))"""
+          .stripMargin)).as(Seq("bi", "bh")))
+    val firstKey = col("doc_id") * lit(100000L) + col("bi")
+    val winners = blocks
+      .groupBy(col("bh"))
+      .agg(min(firstKey).as("first_key"))
+    blocks.join(winners, "bh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(firstKey === col("first_key"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_ratio",
+        round(col("n_kept").cast("double") / col("n_blocks"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_dedup_exact_stats", exactDedupStats, Some(
       """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_dedup_keep_first", exactDedupKeepFirst, Some(
       """SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1""".stripMargin)),
+    // md5 block keys and an arithmetic first-occurrence rule make the
+    // paragraph pass fully engine-portable (graft-verify-workflow rule).
+    NamedQuery("q_dedup_paragraphs", paragraphDedupStats, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |blk AS (SELECT doc_id, i AS bi,
+        |               md5(array_to_string(t[i*20+1 : i*20+20], ' ')) AS bh
+        |        FROM toks, UNNEST(range(0, CAST(ceil(len(t)/20.0) AS BIGINT))) AS u(i)),
+        |win AS (SELECT bh, MIN(doc_id*100000 + bi) AS first_key FROM blk GROUP BY 1)
+        |SELECT b.doc_id, COUNT(*) AS n_blocks,
+        |       CAST(SUM(CASE WHEN b.doc_id*100000 + b.bi = w.first_key
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       ROUND(CAST(SUM(CASE WHEN b.doc_id*100000 + b.bi = w.first_key
+        |                          THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+        |         AS kept_ratio
+        |FROM blk b JOIN win w USING (bh)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_dedup_minhash", minhashNearDups, None),
     NamedQuery("q_dedup_incremental", incrementalNearDups, None),
     NamedQuery("q_dedup_simhash", simhashNearDups, None),

@@ -272,6 +272,73 @@ object OlapQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** EXISTS subquery (TPC-H Q4 shape) — expressed through the SQL surface
+    * as a genuine correlated EXISTS, decorrelated by Catalyst into a LEFT
+    * SEMI join on the order key (never a per-row probe): order counts per
+    * priority among orders with at least one returned line. The same text
+    * runs on the oracle engine. */
+  def prioritiesWithReturns(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** NOT EXISTS + uncorrelated scalar subqueries (TPC-H Q22 shape):
+    * above-average-balance customers gone dormant (no order since the
+    * 1998-09-01 cutoff), per nation. The
+    * scalar aggregates execute once and inline as literals (no join in
+    * the plan); NOT EXISTS decorrelates to a LEFT ANTI join. The average
+    * threshold is a cross-multiplication on exact decimals
+    * (acctbal·n_pos > total_pos) — never a float average — with the same
+    * documented precision bound as [[aboveNationAvgSpend]]: DECIMAL(18,4)
+    * balances × DECIMAL(15,0) counts stay inside precision 38, so the
+    * predicate cannot NULL-overflow at scale with ANSI off. */
+  def dormantRichCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, sfDir)
+    spark.sql(
+      s"""SELECT n.n_name, COUNT(*) AS n_cust,
+         |       ${moneySumSql("c.c_acctbal")} AS balance
+         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) *
+         |      (SELECT CAST(COUNT(*) AS DECIMAL(15,0)) FROM customer
+         |       WHERE c_acctbal > 0.0)
+         |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer
+         |         WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderdate >= TIMESTAMP '1998-09-01')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Correlated per-group average (TPC-H Q17 shape): revenue locked in
+    * small-lot lines — quantity under a fifth of the part's own average.
+    * The correlated `AVG(l_quantity) WHERE same part` is declared
+    * decorrelated: one aggregate over the fact keyed by part, joined
+    * back, with the threshold as an exact-decimal cross-multiplication
+    * (5·qty·cnt < sum_qty — division-free, so the cut is bit-identical in
+    * any engine; quantities are DECIMAL(18,4)-exact, counts bounded by
+    * DECIMAL(15,0), product ≤ precision 38). The join is self-shuffled on
+    * l_partkey once; AQE picks broadcast when the part-stats side is
+    * small. */
+  def smallLotRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dec = DecimalType(18, 4)
+    val partStats = t.lineitem.groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("sum_qty"),
+        count(lit(1)).as("n_lines_part"))
+    t.lineitem
+      .join(partStats, "l_partkey")
+      .where(col("l_quantity").cast(dec) * lit(5) *
+        col("n_lines_part").cast(DecimalType(15, 0)) < col("sum_qty"))
+      .agg(count(lit(1)).as("n_lines"),
+        moneySum(col("l_extendedprice")).as("revenue"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_shipping_priority", shippingPriority, Some(
       s"""SELECT o.o_orderkey AS l_orderkey,
@@ -395,5 +462,36 @@ object OlapQueries {
         |       MIN(CASE WHEN cum * 2 >= nk THEN v END) AS p50,
         |       MIN(CASE WHEN cum * 100 >= nk * 95 THEN v END) AS p95
         |FROM c GROUP BY status ORDER BY status""".stripMargin)),
+    NamedQuery("q_priorities_with_returns", prioritiesWithReturns, Some(
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_dormant_rich_customers", dormantRichCustomers, Some(
+      s"""SELECT n.n_name, COUNT(*) AS n_cust,
+         |       ${moneySumSql("c.c_acctbal")} AS balance
+         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) *
+         |      (SELECT CAST(COUNT(*) AS DECIMAL(15,0)) FROM customer
+         |       WHERE c_acctbal > 0.0)
+         |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer
+         |         WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c.c_custkey
+         |                    AND o.o_orderdate >= TIMESTAMP '1998-09-01')
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // Oracle states the Q17 predicate as the pretty correlated subquery —
+    // the decorrelated Spark plan and the correlated oracle must agree on
+    // the identical division-free cut.
+    NamedQuery("q_small_lot_revenue", smallLotRevenue, Some(
+      s"""SELECT COUNT(*) AS n_lines, ${moneySumSql("l.l_extendedprice")} AS revenue
+         |FROM lineitem l
+         |WHERE CAST(l.l_quantity AS DECIMAL(18,4)) * 5 *
+         |      (SELECT CAST(COUNT(*) AS DECIMAL(15,0)) FROM lineitem x
+         |       WHERE x.l_partkey = l.l_partkey)
+         |      < (SELECT SUM(CAST(x.l_quantity AS DECIMAL(18,4))) FROM lineitem x
+         |         WHERE x.l_partkey = l.l_partkey)""".stripMargin)),
   )
 }
