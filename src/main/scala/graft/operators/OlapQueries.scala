@@ -339,6 +339,87 @@ object OlapQueries {
         moneySum(col("l_extendedprice")).as("revenue"))
   }
 
+  /** Top revenue supplier (TPC-H Q15 shape): revenue per supplier over one
+    * quarter, then the supplier(s) hitting the maximum. The max is selected
+    * by an EQUI-join against a one-row max frame on the EXACT decimal sum
+    * (never the rounded double, and never a global rank() window — a
+    * no-partition window funnels the whole frame through one task; the
+    * one-row max broadcast is a BroadcastHashJoin and scales flat). Ties
+    * all surface, deterministically ordered by s_suppkey. */
+  def topSupplierQuarter(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val rev = t.lineitem
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).as("rev_dec"))
+    val maxRev = rev.agg(max(col("rev_dec")).as("max_dec"))
+    rev.join(broadcast(maxRev), col("rev_dec") === col("max_dec"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev_dec"), 2).cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Large-volume orders (TPC-H Q18 shape): orders whose total quantity
+    * exceeds 300, with their customer. The classic formulation re-joins
+    * lineitem and re-aggregates after the IN subquery; here the per-order
+    * quantity aggregate is computed ONCE and carried through the join —
+    * one lineitem pass, one shuffle on l_orderkey, then key-joins to
+    * orders/customer (AQE broadcasts the 46-row qualifying side). The
+    * oracle states the textbook IN + HAVING + regroup form; both reduce
+    * to the same exact-decimal per-order sums. */
+  def largeVolumeOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val big = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty_dec"))
+      .where(col("qty_dec") > 300)
+    big.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"),
+        round(col("qty_dec"), 2).cast("double").as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey"))
+  }
+
+  /** Sole-blame late suppliers (TPC-H Q21 shape, adapted to this schema:
+    * "late" = shipped more than 60 days after the order date; the schema
+    * carries no commit/receipt dates). Counts, per supplier, the late
+    * lines on finished multi-supplier orders where that supplier was the
+    * ONLY late shipper.
+    *
+    * The textbook formulation is a correlated EXISTS + NOT EXISTS over two
+    * more self-joins of the fact — three lineitem⋈orders passes. Here the
+    * per-order supplier census (distinct suppliers, distinct late
+    * suppliers, the sole late supplier, its late-line count) is ONE
+    * aggregate over one join, then a broadcast supplier lookup: the
+    * EXISTS ≡ n_supp ≥ 2, the NOT EXISTS ≡ n_late_supp = 1, and COUNT(*)
+    * over qualifying l1 rows ≡ sum of the sole supplier's late lines.
+    * The oracle states the EXISTS form; agreement proves the
+    * reformulation. */
+  def blamedSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val lo = t.lineitem
+      .join(t.orders.where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val perOrder = lo.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    perOrder
+      .join(broadcast(t.supplier), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_shipping_priority", shippingPriority, Some(
       s"""SELECT o.o_orderkey AS l_orderkey,
@@ -493,5 +574,47 @@ object OlapQueries {
          |       WHERE x.l_partkey = l.l_partkey)
          |      < (SELECT SUM(CAST(x.l_quantity AS DECIMAL(18,4))) FROM lineitem x
          |         WHERE x.l_partkey = l.l_partkey)""".stripMargin)),
+    NamedQuery("q_top_supplier_quarter", topSupplierQuarter, Some(
+      """WITH rev AS (SELECT l_suppkey,
+        |        SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |          AS rev_dec
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1996-04-01'
+        |      GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        |       CAST(ROUND(rev_dec, 2) AS DOUBLE) AS total_revenue
+        |FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+        |WHERE r.rev_dec = (SELECT MAX(rev_dec) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin)),
+    // Oracle states the textbook IN + HAVING + regroup form; the Spark
+    // plan aggregates the order quantities once and carries them through.
+    NamedQuery("q_large_volume_orders", largeVolumeOrders, Some(
+      """SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS o_date, o.o_totalprice,
+        |       CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS sum_qty
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                       GROUP BY 1
+        |                       HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+        |GROUP BY 1, 2, 3, 4, 5 ORDER BY sum_qty DESC, o.o_orderkey""".stripMargin)),
+    // Oracle states the correlated EXISTS / NOT EXISTS form over the late
+    // flag; the Spark side's one-pass supplier-census reformulation must
+    // agree line-count for line-count.
+    NamedQuery("q_blamed_suppliers", blamedSuppliers, Some(
+      """WITH l1 AS (SELECT l.l_orderkey, l.l_suppkey,
+        |                   l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+        |            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |            WHERE o.o_orderstatus = 'F')
+        |SELECT s.s_name, COUNT(*) AS numwait
+        |FROM supplier s JOIN l1 ON s.s_suppkey = l1.l_suppkey
+        |WHERE l1.late
+        |  AND EXISTS (SELECT 1 FROM l1 x WHERE x.l_orderkey = l1.l_orderkey
+        |              AND x.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l1 y WHERE y.l_orderkey = l1.l_orderkey
+        |                  AND y.l_suppkey <> l1.l_suppkey AND y.late)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name""".stripMargin)),
   )
 }

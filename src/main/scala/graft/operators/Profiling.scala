@@ -219,7 +219,71 @@ object Profiling {
       .orderBy(col("r_name"))
   }
 
+  /** Categorical-association screen over document metadata: the lang ×
+    * source contingency table with per-cell lift and chi-square
+    * contribution — the "is my corpus mix what I think it is" check a
+    * training-data pipeline runs before sampling (a source that
+    * over-contributes one language skews the mix silently).
+    *
+    * Exactness: every input to the double formulas is an exact integer
+    * count; the lift numerator n·N and the chi-square difference
+    * (n·N − n_lang·n_source) stay in 64-bit integers (exact to 9.2·10^18,
+    * so safe to N = 10^9 docs), the difference is SQUARED in DECIMAL(38,0)
+    * (reaches 10^36 at that N), then cast to double (correctly-rounded in
+    * both engines) for the single division + round.
+    * The over/under flags never touch the doubles: exact integer
+    * cross-multiplications (5·n·N vs 6/4·n_lang·n_source ⇔ lift ≥ 1.2 /
+    * ≤ 0.8). Marginals come from re-aggregating the tiny cell frame
+    * (|langs|·|sources| rows) — never a low-cardinality window over the
+    * corpus; the grand total rides the sanctioned one-row broadcast. */
+  def crosstabLangSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val cells = t.documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col("lang")).agg(sum(col("n")).as("n_lang"))
+    val colTot = cells.groupBy(col("source")).agg(sum(col("n")).as("n_source"))
+    val grand = cells.agg(sum(col("n")).as("n_total"))
+    val d19 = DecimalType(19, 0)
+    val obsScaled = (col("n") * col("n_total")).cast(d19)
+    val expScaled = (col("n_lang") * col("n_source")).cast(d19)
+    val diff = (obsScaled - expScaled).cast(DecimalType(19, 0))
+    cells
+      .join(broadcast(rowTot), "lang")
+      .join(broadcast(colTot), "source")
+      .crossJoin(broadcast(grand))
+      .select(col("lang"), col("source"), col("n"),
+        round(obsScaled.cast("double") / expScaled.cast("double"), 4)
+          .as("lift"),
+        round((diff * diff).cast(DecimalType(38, 0)).cast("double") /
+          (col("n_total").cast(d19) * expScaled).cast(DecimalType(38, 0))
+            .cast("double"), 6).as("chi2_term"),
+        when(obsScaled * 5 > expScaled * 6, lit("over"))
+          .when(obsScaled * 5 < expScaled * 4, lit("under"))
+          .otherwise(lit("balanced")).as("balance"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_profile_crosstab", crosstabLangSource, Some(
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS n
+        |               FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, SUM(n) AS n_lang FROM cells GROUP BY 1),
+        |ct AS (SELECT source, SUM(n) AS n_source FROM cells GROUP BY 1),
+        |g AS (SELECT SUM(n) AS n_total FROM cells)
+        |SELECT c.lang, c.source, c.n,
+        |       ROUND(CAST(c.n * g.n_total AS DOUBLE) /
+        |             CAST(rt.n_lang * ct.n_source AS DOUBLE), 4) AS lift,
+        |       ROUND(CAST((c.n * g.n_total - rt.n_lang * ct.n_source) *
+        |                  (c.n * g.n_total - rt.n_lang * ct.n_source) AS DOUBLE) /
+        |             CAST(g.n_total * rt.n_lang * ct.n_source AS DOUBLE), 6)
+        |         AS chi2_term,
+        |       CASE WHEN c.n * g.n_total * 5 > rt.n_lang * ct.n_source * 6
+        |              THEN 'over'
+        |            WHEN c.n * g.n_total * 5 < rt.n_lang * ct.n_source * 4
+        |              THEN 'under'
+        |            ELSE 'balanced' END AS balance
+        |FROM cells c JOIN rt USING (lang) JOIN ct USING (source), g
+        |ORDER BY lang, source""".stripMargin)),
     NamedQuery("q_trend_region_revenue", regionRevenueTrend, Some(
       """WITH geo AS (
         |  SELECT c_custkey, r_name FROM customer

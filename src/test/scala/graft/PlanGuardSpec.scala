@@ -26,7 +26,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_dedup_pipeline",      // broadcast one-row no-pairs-left frame
     "q_events_gapfill",    // broadcast calendar-bounds frame
     "q_sketch_hll_union",  // broadcast one-row unioned-sketch frame
-    "q_multimodal_ann"     // broadcast one-row query-frame vector
+    "q_multimodal_ann",    // broadcast one-row query-frame vector
+    "q_profile_crosstab"   // broadcast one-row grand-total frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
