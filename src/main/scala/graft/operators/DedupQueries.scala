@@ -203,16 +203,18 @@ object DedupQueries {
     * query a production corpus actually runs: band the NEW BATCH only and
     * probe it against the corpus's cached band index, so per-ingest work
     * scales with |batch|, not |corpus|. Here `doc_id % 3 == 0` stands in
-    * for today's arrivals; the band index comes from the shared signature
-    * cache (at 100 TB: a persisted signature table, bucketed by band_sig,
-    * maintained by appending each batch's signatures after its screen).
-    * The probe includes the batch itself — new arrivals can duplicate each
-    * other, not just history. DedupSpec pins the contract: output ==
-    * full-corpus minhash pairs restricted to pairs touching the batch. */
+    * for today's arrivals; the band index is the PORTABLE md5-keyed
+    * signature table shared with the clustering stack (at 100 TB: a
+    * persisted signature table, bucketed by band_sig, maintained by
+    * appending each batch's signatures after its screen) — which makes the
+    * production daily screen itself DuckDB-oracle-checked, not only the
+    * batch operators derived from it. The probe includes the batch
+    * itself — new arrivals can duplicate each other, not just history.
+    * DedupSpec pins the contract: output == the full-corpus portable pair
+    * graph restricted to pairs touching the batch. */
   def incrementalNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = sharedShingled(spark, sfDir)
-    val allBands = withMinhashBands(docs)
-      .select(col("band_id"), col("band_sig"), col("doc_id"))
+    val docs = sharedPortableShingled(spark, sfDir)
+    val allBands = sharedPortableBands(spark, sfDir)
     val batchBands = allBands
       .where(pmod(col("doc_id"), lit(3)) === 0)
       .withColumnRenamed("doc_id", "batch_doc")
@@ -392,6 +394,7 @@ object DedupQueries {
     * band geometry, portable keys. At 100 TB the fast path screens the
     * corpus and this path certifies samples of it cross-engine. */
   private val portableShingleCache = FrameCache.empty
+  private val portableBandCache = FrameCache.empty
   private val portablePairCache = FrameCache.empty
 
   private def sharedPortableShingled(spark: SparkSession, sfDir: String): DataFrame =
@@ -408,10 +411,14 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-  private[graft] def portableNearDups(spark: SparkSession, sfDir: String): DataFrame =
-    cached(portablePairCache, spark, sfDir) {
-      val docs = sharedPortableShingled(spark, sfDir)
-      val banded = docs
+  /** Portable band index (doc_id, band_id, band_sig), cached per
+    * (session, sf): the 16 md5 permutation minhashes are the expensive
+    * part of the portable path, and both the full-corpus pair graph and
+    * the incremental batch screen probe the SAME index — at 100 TB this is
+    * the persisted signature table both maintain. */
+  private def sharedPortableBands(spark: SparkSession, sfDir: String): DataFrame =
+    cached(portableBandCache, spark, sfDir) {
+      sharedPortableShingled(spark, sfDir)
         .where(size(col("shingles")) > 0)
         .withColumn("minh", expr(
           "transform(sequence(0, 15), p -> array_min(transform(shingles, s -> md5(concat(cast(p AS string), ':', s)))))"))
@@ -419,6 +426,13 @@ object DedupQueries {
           "transform(sequence(0, 3), b -> struct(b AS band_id, md5(concat(minh[b*4], minh[b*4+1], minh[b*4+2], minh[b*4+3])) AS band_sig))")))
         .select(col("doc_id"), col("band.band_id").as("band_id"),
           col("band.band_sig").as("band_sig"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private[graft] def portableNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    cached(portablePairCache, spark, sfDir) {
+      val docs = sharedPortableShingled(spark, sfDir)
+      val banded = sharedPortableBands(spark, sfDir)
       val candidates = banded
         .groupBy(col("band_id"), col("band_sig"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -612,7 +626,39 @@ object DedupQueries {
         |FROM blk b JOIN win w USING (bh)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_dedup_minhash", minhashNearDups, None),
-    NamedQuery("q_dedup_incremental", incrementalNearDups, None),
+    // Mirrors Components.portableClosureSql's band construction term for
+    // term, with the candidate probe restricted to the batch side
+    // (doc_id % 3 = 0) — the incremental screen's exact contract.
+    NamedQuery("q_dedup_incremental", incrementalNearDups, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS pp(i)),
+        |mh AS (SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || h)) AS m
+        |       FROM sh, UNNEST(range(0, 16)) AS qq(p)
+        |       GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, p // 4 AS band_id,
+        |                 md5(string_agg(m, '' ORDER BY p)) AS band_sig
+        |          FROM mh GROUP BY doc_id, p // 4),
+        |cand AS (SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS doc_a,
+        |                         GREATEST(x.doc_id, y.doc_id) AS doc_b
+        |         FROM bands x JOIN bands y
+        |           ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+        |          AND x.doc_id <> y.doc_id
+        |         WHERE x.doc_id % 3 = 0),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |ins AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |        FROM cand c
+        |        JOIN sh a ON a.doc_id = c.doc_a
+        |        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        |        GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       ROUND(CAST(i.ni AS DOUBLE) /
+        |             CAST(sa.n + sb.n - i.ni AS DOUBLE), 4) AS jaccard
+        |FROM ins i JOIN sz sa ON sa.doc_id = i.doc_a
+        |           JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE 2 * i.ni >= sa.n + sb.n - i.ni
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin)),
     NamedQuery("q_dedup_simhash", simhashNearDups, None),
     // Oracle restates the rare-shingle candidate rule + exact Jaccard over
     // raw STRING 3-grams (hash-set == string-set sizes absent negligible

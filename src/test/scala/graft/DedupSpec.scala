@@ -136,17 +136,28 @@ class DedupSpec extends SparkSpec {
   }
 
   test("incremental batch-vs-corpus dedup equals full dedup restricted to the batch") {
-    val full = DedupQueries.minhashNearDups(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // full set = the PORTABLE pair graph (the md5-keyed signature table the
+    // incremental screen probes — same index, so restriction is the exact
+    // contract); jaccard values are checked against brute force separately
+    // below, since portableNearDups emits pairs only
+    val full = DedupQueries.portableNearDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
     // the operator's batch stand-in: doc_id % 3 == 0 are "today's arrivals"
-    val expected = full.filter { case (a, b, _) => a % 3 == 0 || b % 3 == 0 }
+    val expected = full.filter { case (a, b) => a % 3 == 0 || b % 3 == 0 }
     val got = DedupQueries.incrementalNearDups(spark, Sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got == expected,
-      s"missing=${expected -- got} extra=${got -- expected}")
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == expected,
+      s"missing=${expected -- got.keySet} extra=${got.keySet -- expected}")
     assert(got.nonEmpty, "fixture batch must touch at least one near-dup pair")
     // and no pair entirely outside the batch leaks in
-    assert(got.forall { case (a, b, _) => a % 3 == 0 || b % 3 == 0 })
+    assert(got.keySet.forall { case (a, b) => a % 3 == 0 || b % 3 == 0 })
+    // reported jaccards are exact (md5-string shingle sets stand in for the
+    // raw 3-gram sets injectively, so brute force over the spec's hashed
+    // sets states the same quotient)
+    got.foreach { case ((a, b), j) =>
+      val exact = math.rint(jaccard(shingleSets(a), shingleSets(b)) * 1e4) / 1e4
+      assert(j == exact, s"pair ($a,$b): reported $j != brute-force $exact")
+    }
   }
 
   test("keep-first dedup keeps exactly one doc per distinct text") {
