@@ -13,7 +13,7 @@ object SparkEntry {
       Profiling.all ++ SketchQueries.all ++ EventAnalytics.all ++
       IncrementalMart.all ++ ProductQuantization.all ++ BpeTrainer.all ++
       TimeSeriesQueries.all ++ FuzzyJoin.all ++ SemanticDedup.all ++
-      BloomScreen.all
+      BloomScreen.all ++ BehaviorQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

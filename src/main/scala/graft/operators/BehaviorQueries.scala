@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+import MartQueries.moneySumSql
+
+/** Customer-behavior analytics over the order stream — the cohort /
+  * segmentation / affinity layer a BI tool on the reference's warehouse
+  * (`SCHEMA.sql` orders + transactions) would ask of the mart. All three
+  * are exact-arithmetic formulations (integer month indexes, rank-picked
+  * boundaries, integer co-occurrence counts) so every value is
+  * hash-checkable cross-engine — no interpolated statistics anywhere.
+  */
+object BehaviorQueries {
+
+  /** 0-based month index: exact integer month arithmetic is engine-portable
+    * where month-diffs of timestamps (months_between vs datediff('month'))
+    * are not. */
+  private def monthIdx(d: Column): Column =
+    year(d) * 12 + month(d) - 1
+
+  /** Cohort retention: customers grouped by first-order month; for each
+    * (cohort, months-since-first) the count of cohort members active that
+    * month, plus the retention ratio against the cohort's size.
+    *
+    * Scale: the first-order reduction and the join back to orders both key
+    * on o_custkey — one high-cardinality shuffle each, co-partitioned, with
+    * map-side combine; the (cohort, months_since) aggregate is
+    * domain-bounded (months x months) and cohort sizes ride a broadcast
+    * join. No windows, no driver-side state. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val first = t.orders
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(min(monthIdx(col("o_orderdate"))).as("cm"))
+    val active = t.orders
+      .select(col("o_custkey"), monthIdx(col("o_orderdate")).as("om"))
+      .join(first, col("o_custkey") === col("ck"))
+      .groupBy(col("cm"), (col("om") - col("cm")).as("months_since"))
+      .agg(countDistinct(col("o_custkey")).as("active_customers"))
+    val sizes = first.groupBy(col("cm")).agg(count(lit(1)).as("cohort_size"))
+    active
+      .join(broadcast(sizes), "cm")
+      .select(
+        format_string("%d-%02d", expr("cm div 12"), pmod(col("cm"), lit(12)) + 1)
+          .as("cohort_month"),
+        col("months_since"),
+        col("active_customers"),
+        col("cohort_size"),
+        round(col("active_customers").cast("double") / col("cohort_size"), 4)
+          .as("retention"))
+      .orderBy(col("cohort_month"), col("months_since"))
+  }
+
+  /** Rank-picked quartile boundaries (q1/q2/q3) of `vals`' single column
+    * `v`: the first element whose cumulative frequency crosses k·n/4.
+    * Every boundary is an ELEMENT of the data — no interpolation (the
+    * CorpusPrep rule). The cumsum window is global but runs over the
+    * VALUE histogram, whose row count is bounded by the value domain,
+    * never the customer count. */
+  private def quartileBounds(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("freq"))
+    val ord = Window.orderBy(col("v").asc)
+    hist
+      .withColumn("cum", sum(col("freq")).over(ord))
+      .withColumn("n", sum(col("freq")).over(
+        ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .agg(
+        min(when(col("cum") * 4 >= col("n"), col("v"))).as("q1"),
+        min(when(col("cum") * 2 >= col("n"), col("v"))).as("q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
+  }
+
+  /** 1-based quartile label of `v` against one-row bounds frame columns
+    * `pfx`q1/q2/q3. */
+  private def label(v: Column, pfx: String): Column =
+    lit(1) + (v > col(s"${pfx}q1")).cast("int") +
+      (v > col(s"${pfx}q2")).cast("int") + (v > col(s"${pfx}q3")).cast("int")
+
+  /** RFM segmentation: each customer scored 1–4 on Recency (last-order
+    * month), Frequency (order count), Monetary (decimal-exact lifetime
+    * spend), then segment population and spend totals per (r,f,m) cell.
+    *
+    * Quartile boundaries are rank-picked from VALUE histograms, not a
+    * global ntile — an unpartitioned ntile window would funnel every
+    * customer row through one task at 100 TB, while the histograms are
+    * domain-bounded: months for recency, small integers for frequency, and
+    * $1000-buckets for monetary (assignment compares the same bucketed
+    * value, so the oracle states the identical rule). Boundaries ride
+    * sanctioned one-row broadcasts. */
+  def rfmSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val m = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(monthIdx(col("o_orderdate"))).as("rmax"),
+        count(lit(1)).as("f"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))), 0)
+          .cast("long").as("mon"))
+      .withColumn("monk", expr("mon div 1000"))
+    val rq = quartileBounds(m.select(col("rmax").as("v")))
+      .select(col("q1").as("rq1"), col("q2").as("rq2"), col("q3").as("rq3"))
+    val fq = quartileBounds(m.select(col("f").as("v")))
+      .select(col("q1").as("fq1"), col("q2").as("fq2"), col("q3").as("fq3"))
+    val mq = quartileBounds(m.select(col("monk").as("v")))
+      .select(col("q1").as("mq1"), col("q2").as("mq2"), col("q3").as("mq3"))
+    m.join(broadcast(rq)).join(broadcast(fq)).join(broadcast(mq))
+      .select(
+        label(col("rmax"), "r").as("r_q"),
+        label(col("f"), "f").as("f_q"),
+        label(col("monk"), "m").as("m_q"),
+        col("mon"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum(col("mon").cast(DecimalType(18, 4))), 2).cast("double")
+          .as("total_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
+  /** Market-basket brand affinity: for every pair of part brands
+    * co-occurring in an order, the co-occurrence count, per-brand
+    * marginals, and lift = P(ab)/(P(a)P(b)) — computed as the exactly-
+    * representable integer products n_ab·N and n_a·n_b before one
+    * correctly-rounded division, so the double is bit-identical in any
+    * IEEE engine.
+    *
+    * Scale: pair generation is per-ORDER — baskets are collected per
+    * orderkey (one high-cardinality shuffle) and pairs expand inside the
+    * row (≤ brands²/2 per order, bounded by the brand domain), never via a
+    * corpus self-join. Marginals (|brands| rows) ride a broadcast join;
+    * the order total is a sanctioned one-row broadcast. */
+  def marketBasketBrands(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    // collect_set dedups within the order, so no distinct() pre-pass: ONE
+    // orderkey shuffle builds the baskets, and marginals/totals re-read the
+    // same exchange (AQE ReusedExchange) instead of shuffling again
+    val baskets = t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("brand"))).as("bs"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs)),
+          |            y -> struct(x AS brand_a, y AS brand_b))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val marg = baskets.select(explode(col("bs")).as("brand"))
+      .groupBy(col("brand")).agg(count(lit(1)).as("nb"))
+    val total = baskets.agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(marg.select(col("brand").as("brand_a"), col("nb").as("n_a"))),
+        "brand_a")
+      .join(broadcast(marg.select(col("brand").as("brand_b"), col("nb").as("n_b"))),
+        "brand_b")
+      .join(broadcast(total))
+      .select(
+        col("brand_a"), col("brand_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round((col("n_ab").cast("double") * col("n_orders")) /
+          (col("n_a").cast("double") * col("n_b")), 4).as("lift"))
+      .orderBy(col("n_ab").desc, col("brand_a"), col("brand_b"))
+      .limit(50)
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_cohort_retention", cohortRetention, Some(
+      """WITH fo AS (SELECT o_custkey AS ck,
+        |                   MIN(YEAR(o_orderdate)*12 + MONTH(o_orderdate) - 1) AS cm
+        |            FROM orders GROUP BY 1),
+        |act AS (SELECT f.cm,
+        |               (YEAR(o.o_orderdate)*12 + MONTH(o.o_orderdate) - 1) - f.cm AS months_since,
+        |               COUNT(DISTINCT o.o_custkey) AS active_customers
+        |        FROM orders o JOIN fo f ON o.o_custkey = f.ck
+        |        GROUP BY 1, 2),
+        |cs AS (SELECT cm, COUNT(*) AS cohort_size FROM fo GROUP BY 1)
+        |SELECT printf('%d-%02d', a.cm // 12, a.cm % 12 + 1) AS cohort_month,
+        |       a.months_since, a.active_customers, c.cohort_size,
+        |       ROUND(CAST(a.active_customers AS DOUBLE) / c.cohort_size, 4) AS retention
+        |FROM act a JOIN cs c ON a.cm = c.cm
+        |ORDER BY 1, 2""".stripMargin)),
+    NamedQuery("q_rfm_segments", rfmSegments, Some(
+      s"""WITH m AS (SELECT o_custkey,
+         |                  MAX(YEAR(o_orderdate)*12 + MONTH(o_orderdate) - 1) AS rmax,
+         |                  COUNT(*) AS f,
+         |                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS BIGINT) // 1000 AS monk,
+         |                  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS BIGINT) AS mon
+         |           FROM orders GROUP BY 1),
+         |rq AS (SELECT MIN(CASE WHEN cum*4 >= n THEN v END) AS q1,
+         |              MIN(CASE WHEN cum*2 >= n THEN v END) AS q2,
+         |              MIN(CASE WHEN cum*4 >= n*3 THEN v END) AS q3
+         |       FROM (SELECT v, SUM(freq) OVER (ORDER BY v) AS cum, SUM(freq) OVER () AS n
+         |             FROM (SELECT rmax AS v, COUNT(*) AS freq FROM m GROUP BY 1))),
+         |fq AS (SELECT MIN(CASE WHEN cum*4 >= n THEN v END) AS q1,
+         |              MIN(CASE WHEN cum*2 >= n THEN v END) AS q2,
+         |              MIN(CASE WHEN cum*4 >= n*3 THEN v END) AS q3
+         |       FROM (SELECT v, SUM(freq) OVER (ORDER BY v) AS cum, SUM(freq) OVER () AS n
+         |             FROM (SELECT f AS v, COUNT(*) AS freq FROM m GROUP BY 1))),
+         |mq AS (SELECT MIN(CASE WHEN cum*4 >= n THEN v END) AS q1,
+         |              MIN(CASE WHEN cum*2 >= n THEN v END) AS q2,
+         |              MIN(CASE WHEN cum*4 >= n*3 THEN v END) AS q3
+         |       FROM (SELECT v, SUM(freq) OVER (ORDER BY v) AS cum, SUM(freq) OVER () AS n
+         |             FROM (SELECT monk AS v, COUNT(*) AS freq FROM m GROUP BY 1)))
+         |SELECT 1 + (m.rmax > rq.q1)::INT + (m.rmax > rq.q2)::INT + (m.rmax > rq.q3)::INT AS r_q,
+         |       1 + (m.f > fq.q1)::INT + (m.f > fq.q2)::INT + (m.f > fq.q3)::INT AS f_q,
+         |       1 + (m.monk > mq.q1)::INT + (m.monk > mq.q2)::INT + (m.monk > mq.q3)::INT AS m_q,
+         |       COUNT(*) AS n_customers,
+         |       ${moneySumSql("m.mon")} AS total_monetary
+         |FROM m, rq, fq, mq
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    NamedQuery("q_market_basket", marketBasketBrands, Some(
+      """WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+        |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |tot AS (SELECT COUNT(DISTINCT ok) AS n FROM ob),
+        |marg AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY 1),
+        |pairs AS (SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_ab
+        |          FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand
+        |          GROUP BY 1, 2)
+        |SELECT p.brand_a, p.brand_b, p.n_ab, ma.nb AS n_a, mb.nb AS n_b,
+        |       ROUND(CAST(p.n_ab AS DOUBLE) * t.n /
+        |             (CAST(ma.nb AS DOUBLE) * mb.nb), 4) AS lift
+        |FROM pairs p JOIN marg ma ON p.brand_a = ma.brand
+        |             JOIN marg mb ON p.brand_b = mb.brand, tot t
+        |ORDER BY p.n_ab DESC, p.brand_a, p.brand_b LIMIT 50""".stripMargin)),
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.BehaviorQueries
+
+/** Ground-truth checks for the customer-behavior pack: the DuckDB oracle
+  * proves cross-engine equality; these pin the SEMANTICS against naive
+  * driver-side recomputation on sf0.001. */
+class BehaviorSpec extends SparkSpec {
+
+  private lazy val orders: Array[(Long, Int, Double)] = spark.read
+    .parquet(s"$Sf/orders.parquet")
+    .selectExpr("o_custkey", "year(o_orderdate)*12 + month(o_orderdate) - 1",
+      "o_totalprice")
+    .collect()
+    .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+
+  test("cohort retention equals naive per-customer recomputation") {
+    val firstM = orders.groupBy(_._1).map { case (ck, os) => ck -> os.map(_._2).min }
+    val expected = orders
+      .map { case (ck, m, _) => (firstM(ck), m - firstM(ck)) -> ck }
+      .groupBy(_._1)
+      .map { case ((cm, ms), rows) => (cm, ms) -> rows.map(_._2).distinct.size }
+    val cohortSize = firstM.groupBy(_._2).map { case (cm, cs) => cm -> cs.size }
+    val got = BehaviorQueries.cohortRetention(spark, Sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val Array(y, mo) = r.getString(0).split("-")
+      val cm = y.toInt * 12 + mo.toInt - 1
+      val ms = r.getInt(1)
+      assert(r.getLong(2) == expected((cm, ms)), s"active at ($cm, $ms)")
+      assert(r.getLong(3) == cohortSize(cm), s"cohort size at $cm")
+      assert(r.getDouble(4) ==
+        math.rint(r.getLong(2).toDouble / r.getLong(3) * 1e4) / 1e4)
+    }
+    // months_since = 0 is the cohort itself: every member is active
+    got.filter(_.getInt(1) == 0)
+      .foreach(r => assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0))
+  }
+
+  test("rfm quartile labels are 1..4, partition the customers, and respect rank bounds") {
+    val got = BehaviorQueries.rfmSegments(spark, Sf).collect()
+    val nCustomers = orders.map(_._1).distinct.length
+    assert(got.map(_.getLong(3)).sum == nCustomers)
+    got.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 4))
+    }
+    // rank-picked LOWER boundaries: at most ceil(k*n/4) customers can sit at
+    // or below quartile k on each dimension; verify for frequency (exact
+    // naive recomputation of the boundary rule)
+    val freq = orders.groupBy(_._1).map(_._2.size).toSeq.sorted
+    val n = freq.size
+    def bound(k: Int): Int = freq.zipWithIndex
+      .collectFirst { case (v, i) if (i + 1) * 4 >= n * k => v }.get
+    val fOf = orders.groupBy(_._1).map { case (ck, os) => ck -> os.size }
+    val expectedFq = fOf.values
+      .map(f => 1 + Seq(1, 2, 3).count(k => f > bound(k)))
+      .groupBy(identity).map { case (q, xs) => q -> xs.size }
+    val gotFq = got.groupBy(_.getInt(1))
+      .map { case (q, rows) => q -> rows.map(_.getLong(3)).sum }
+    assert(gotFq == expectedFq.map { case (k, v) => k -> v.toLong },
+      s"frequency-quartile populations: got $gotFq expected $expectedFq")
+  }
+
+  test("market-basket pair counts and lift equal brute force") {
+    val ob = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$Sf/part.parquet"),
+        org.apache.spark.sql.functions.expr("l_partkey = p_partkey"))
+      .selectExpr("l_orderkey", "p_brand").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byOrder = ob.groupBy(_._1).map { case (ok, xs) => ok -> xs.map(_._2).sorted }
+    val pairCounts = byOrder.values
+      .flatMap(bs => for (i <- bs.indices; j <- i + 1 until bs.size) yield (bs(i), bs(j)))
+      .groupBy(identity).map { case (p, xs) => p -> xs.size }
+    val marg = ob.groupBy(_._2).map { case (b, xs) => b -> xs.size }
+    val nOrders = byOrder.size
+    val got = BehaviorQueries.marketBasketBrands(spark, Sf).collect()
+    assert(got.nonEmpty && got.length <= 50)
+    // rows are the top pairs by count; verify each against brute force
+    val sortedCounts = pairCounts.values.toSeq.sorted(Ordering.Int.reverse)
+    val kth = sortedCounts(math.min(49, sortedCounts.size - 1))
+    got.foreach { case Row(a: String, b: String, nab: Long, na: Long, nb: Long, lift: Double) =>
+      assert(pairCounts((a, b)) == nab, s"count for ($a,$b)")
+      assert(nab >= kth, s"($a,$b) not in top-50 by count")
+      assert(marg(a) == na && marg(b) == nb)
+      assert(lift ==
+        math.rint(nab.toDouble * nOrders / (na.toDouble * nb) * 1e4) / 1e4)
+    }
+  }
+}

@@ -27,7 +27,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_events_gapfill",    // broadcast calendar-bounds frame
     "q_sketch_hll_union",  // broadcast one-row unioned-sketch frame
     "q_multimodal_ann",    // broadcast one-row query-frame vector
-    "q_profile_crosstab"   // broadcast one-row grand-total frame
+    "q_profile_crosstab",  // broadcast one-row grand-total frame
+    "q_rfm_segments",      // broadcast three one-row quartile-bound frames
+    "q_market_basket"      // broadcast one-row order-total frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -76,7 +78,10 @@ class PlanGuardSpec extends SparkSpec {
     // aggregate — rows = types x days, time-domain-bounded
     "q_events_rate_anomaly" -> "trailing window over per-day aggregates",
     // the lag window orders exactly |curve| = 4 probe rows
-    "q_sim_ivf_recall_curve" -> "monotonicity lag over the 4-row curve")
+    "q_sim_ivf_recall_curve" -> "monotonicity lag over the 4-row curve",
+    // three global cumsums, each over a VALUE histogram bounded by its
+    // domain: months, per-customer order counts, $1000 spend buckets
+    "q_rfm_segments" -> "global cumsum over domain-bounded RFM value histograms")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan
