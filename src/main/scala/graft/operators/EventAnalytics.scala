@@ -113,6 +113,31 @@ object EventAnalytics {
       .orderBy(col("step"))
   }
 
+  /** User-journey transition matrix (first-order Markov over event types):
+    * for every consecutive pair in a user's timeline, the transition count
+    * and the conditional probability P(next | prev). The lag window
+    * partitions on `user_id` — cardinality grows with the corpus, so each
+    * timeline sorts inside its own task and there is no funnel; the
+    * (prev, next) aggregate is bounded by the event-type domain squared.
+    * Ordering is total (es, then unique event_id), so the matrix is
+    * deterministic; probabilities are one correctly-rounded division of
+    * exact integer counts — bit-identical cross-engine. Per-prev totals
+    * (|types| rows) ride a broadcast join. */
+  def journeyTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("event_id").asc)
+    val trans = epochSeconds(spark, sfDir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = trans.groupBy(col("prev_type")).agg(sum(col("n")).as("nf"))
+    trans.join(broadcast(fromTotals), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        round(col("n").cast("double") / col("nf"), 4).as("p"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
   /** Gap-based sessionization through Spark's NATIVE `session_window`
     * operator in batch mode — the same Catalyst construct the streaming
     * session agg uses, here proven against the declarative ANSI
@@ -133,6 +158,23 @@ object EventAnalytics {
   }
 
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_events_transitions", journeyTransitions, Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |seq AS (
+        |  SELECT event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY es, event_id) AS prev_type
+        |  FROM e),
+        |tr AS (SELECT prev_type, event_type, COUNT(*) AS n
+        |       FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |mg AS (SELECT prev_type, SUM(n) AS nf FROM tr GROUP BY 1)
+        |SELECT t.prev_type, t.event_type, t.n,
+        |       ROUND(CAST(t.n AS DOUBLE) / mg.nf, 4) AS p
+        |FROM tr t JOIN mg USING (prev_type)
+        |ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_events_session_native", sessionNative, Some(
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),

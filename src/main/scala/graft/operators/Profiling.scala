@@ -263,7 +263,60 @@ object Profiling {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Benford first-digit audit on order totals — the classic synthetic-
+    * data / fraud screen: distribution of leading digits vs the Benford
+    * expectation log10(1+1/d). The expectations are pinned as LITERALS
+    * (they are mathematical constants), so no transcendental function runs
+    * at query time and every emitted value is either an exact integer, an
+    * integer-ratio round, or arithmetic on identically-rounded doubles —
+    * bit-identical cross-engine. (The TPC-H-ish uniform prices should and
+    * do FAIL the screen; the value is the screen itself.)
+    *
+    * Scale: one digit-domain aggregate (9 groups, map-side combine does
+    * all the work); the total rides the sanctioned one-row broadcast. */
+  def benfordScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val benford = Seq(
+      1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757)
+    val expected = benford.tail.foldLeft(
+      when(col("leading_digit") === benford.head._1, benford.head._2)) {
+      case (acc, (d, p)) => acc.when(col("leading_digit") === d, p)
+    }
+    val cnt = t.orders.where(col("o_totalprice") >= 1)
+      .select(substring(asStr(col("o_totalprice")), 1, 1).cast("int")
+        .as("leading_digit"))
+      .groupBy(col("leading_digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.agg(sum(col("n")).as("t"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("observed", round(col("n").cast("double") / col("t"), 4))
+      .withColumn("expected", expected)
+      .withColumn("deviation", round(col("observed") - col("expected"), 4))
+      .select(col("leading_digit"), col("n"), col("observed"),
+        col("expected"), col("deviation"))
+      .orderBy(col("leading_digit"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_profile_benford", benfordScreen, Some(
+      """WITH lead AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS leading_digit
+        |              FROM orders WHERE o_totalprice >= 1),
+        |cnt AS (SELECT leading_digit, COUNT(*) AS n FROM lead GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS t FROM cnt),
+        |e AS (SELECT c.leading_digit, c.n,
+        |             ROUND(CAST(c.n AS DOUBLE) / t.t, 4) AS observed,
+        |             CAST(CASE c.leading_digit
+        |               WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091
+        |               WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691
+        |               WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+        |               WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+        |               WHEN 9 THEN 0.045757 END AS DOUBLE) AS expected
+        |      FROM cnt c, tot t)
+        |SELECT leading_digit, n, observed, expected,
+        |       ROUND(observed - expected, 4) AS deviation
+        |FROM e ORDER BY leading_digit""".stripMargin)),
     NamedQuery("q_profile_crosstab", crosstabLangSource, Some(
       """WITH cells AS (SELECT lang, source, COUNT(*) AS n
         |               FROM documents GROUP BY 1, 2),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.NamedQuery
 import graft.sources.Tables.Tpch
@@ -162,7 +163,61 @@ object TimeSeriesQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** CUSUM changepoint screen on daily order revenue: the day where the
+    * cumulative deviation from the period mean peaks — level-shift
+    * detection for a revenue series. Division-free: the classic
+    * S_d = Σ_{i≤d}(r_i − μ) is cross-multiplied by n into
+    * S'_d = n·cum_d − d·total, computed in DECIMAL(12,0)×DECIMAL(19,0) →
+    * DECIMAL(32,0) — exact at 100 TB (daily-dollar cumsum < 10^19, day
+    * count < 10^12) with no mean, no interpolation, no double until the
+    * emitted magnitude. Top-5 days by |S'| ranked — the changepoint and
+    * its shoulder.
+    *
+    * Scale: everything after the per-day aggregate runs over n_days rows
+    * (time-domain-bounded — the PlanGuard-allowlisted global-window
+    * shape); the aggregate itself is a (day)-keyed shuffle with map-side
+    * combine. */
+  def cusumChangepoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val daily = t.orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(round(sum(col("o_totalprice").cast(DecimalType(18, 4))), 0)
+        .cast("long").as("r"))
+    val ord = Window.orderBy(col("d"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("i", row_number().over(ord))
+      .withColumn("cum", sum(col("r")).over(ord))
+      .withColumn("tot", sum(col("r")).over(full))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("s",
+        col("n").cast(DecimalType(12, 0)) * col("cum").cast(DecimalType(19, 0)) -
+          col("i").cast(DecimalType(12, 0)) * col("tot").cast(DecimalType(19, 0)))
+      .select(col("d").as("changepoint_day"), col("i").as("day_idx"),
+        col("n").as("n_days"),
+        abs(col("s")).cast("double").as("abs_scaled_cusum"))
+      .orderBy(col("abs_scaled_cusum").desc, col("changepoint_day"))
+      .limit(5)
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ts_cusum_changepoint", cusumChangepoint, Some(
+      """WITH day AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |                    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS BIGINT) AS r
+        |             FROM orders GROUP BY 1),
+        |c AS (SELECT d, r,
+        |             ROW_NUMBER() OVER (ORDER BY d) AS i,
+        |             SUM(r) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum,
+        |             SUM(r) OVER () AS tot,
+        |             COUNT(*) OVER () AS n
+        |      FROM day),
+        |s AS (SELECT d, i, n,
+        |             CAST(n AS DECIMAL(12,0)) * CAST(cum AS DECIMAL(19,0)) -
+        |             CAST(i AS DECIMAL(12,0)) * CAST(tot AS DECIMAL(19,0)) AS S
+        |      FROM c)
+        |SELECT d AS changepoint_day, i AS day_idx, n AS n_days,
+        |       CAST(ABS(S) AS DOUBLE) AS abs_scaled_cusum
+        |FROM s ORDER BY ABS(S) DESC, d LIMIT 5""".stripMargin)),
     NamedQuery("q_events_rate_anomaly", rateAnomalies, Some(
       """WITH daily AS (
         |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -29,7 +29,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_multimodal_ann",    // broadcast one-row query-frame vector
     "q_profile_crosstab",  // broadcast one-row grand-total frame
     "q_rfm_segments",      // broadcast three one-row quartile-bound frames
-    "q_market_basket"      // broadcast one-row order-total frame
+    "q_market_basket",     // broadcast one-row order-total frame
+    "q_profile_benford"    // broadcast one-row digit-total frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -81,7 +82,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_ivf_recall_curve" -> "monotonicity lag over the 4-row curve",
     // three global cumsums, each over a VALUE histogram bounded by its
     // domain: months, per-customer order counts, $1000 spend buckets
-    "q_rfm_segments" -> "global cumsum over domain-bounded RFM value histograms")
+    "q_rfm_segments" -> "global cumsum over domain-bounded RFM value histograms",
+    // CUSUM runs entirely over the per-day revenue aggregate — rows =
+    // days, time-domain-bounded
+    "q_ts_cusum_changepoint" -> "global cumsum over per-day revenue aggregates")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan
