@@ -82,13 +82,22 @@ object SketchQueries {
     // check carry the sketch's contract — SketchSpec asserts all-true.
     val partials = math.max(spark.sparkContext.defaultParallelism, 32)
     val eps = 4.0 * partials / accuracy
-    def qExpr(f: Double => Double): String =
-      Quantiles.map(q => s"${f(q)}D").mkString("array(", ", ", ")")
+    // ONE exact-percentile aggregate for all 12 probes (exact, lo, hi per
+    // quantile): each `percentile` call buffers and sorts the whole column
+    // independently, so folding the probes into a single call does one
+    // sort instead of three
+    val k = Quantiles.size
+    val allProbes = (Quantiles ++
+      Quantiles.map(q => math.max(0.0, q - eps)) ++
+      Quantiles.map(q => math.min(1.0, q + eps)))
+      .map(q => s"${q}D").mkString("array(", ", ", ")")
     t.orders.agg(
       expr(s"percentile_approx(o_totalprice, $qArr, $accuracy)").as("approx"),
-      expr(s"percentile(o_totalprice, $qArr)").as("exact"),
-      expr(s"percentile(o_totalprice, ${qExpr(q => math.max(0.0, q - eps))})").as("lo"),
-      expr(s"percentile(o_totalprice, ${qExpr(q => math.min(1.0, q + eps))})").as("hi"))
+      expr(s"percentile(o_totalprice, $allProbes)").as("all_exact"))
+      .select(col("approx"),
+        slice(col("all_exact"), 1, k).as("exact"),
+        slice(col("all_exact"), k + 1, k).as("lo"),
+        slice(col("all_exact"), 2 * k + 1, k).as("hi"))
       .select(posexplode(
         arrays_zip(col("approx"), col("exact"), col("lo"), col("hi")))
         .as(Seq("i", "q")))

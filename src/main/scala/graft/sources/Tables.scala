@@ -17,9 +17,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-plan memo per (app, session, sf, table): `spark.read.parquet`
+    * lists the path and reads footers for schema on EVERY call, which every
+    * query pays 2-4 times — a real deployment reads through a catalog whose
+    * table metadata is resolved once. Memoizes only the DataFrame (logical
+    * plan); no data is cached, execution plans are unchanged. Same
+    * dead-session purge discipline as the operators' FrameCache: an entry
+    * bound to a stopped SparkContext must never be handed out, and stale
+    * sessions must not be pinned for the JVM lifetime. */
+  private val resolved =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, Int, String, String), (SparkSession, DataFrame)]
+
   /** Read one table from a scale-factor directory. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    resolved.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
+    val key = (spark.sparkContext.applicationId,
+      System.identityHashCode(spark), sfDir, name)
+    resolved.getOrElseUpdate(key,
+      (spark, spark.read.parquet(s"$sfDir/$name.parquet")))._2
+  }
 
   /** Convenience bundle so query bodies read like SQL FROM clauses. */
   final case class Tpch(spark: SparkSession, sfDir: String) {

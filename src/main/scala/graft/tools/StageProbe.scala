@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch tool: time labeled stages of a query's pipeline warm.
+  * Not part of the driver contract; edited ad hoc while profiling. */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def time(label: String)(f: => Long): Unit = {
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
+      }
+    }
+
+    import org.apache.spark.sql.functions._
+    import graft.operators.DedupQueries
+    // warm the shared caches through the full query once
+    time("full q_dedup_prefix_jaccard") {
+      DedupQueries.prefixJaccardDups(spark, sfDir).count()
+    }
+    val prefix = DedupQueries.sharedPrefix(spark, sfDir)
+    time("prefix postings count") { prefix.count() }
+    val cand = prefix.as("x").join(prefix.as("y"), "h")
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    time("candidates") { cand.count() }
+    val docs = DedupQueries.sharedShingled(spark, sfDir)
+    time("verify (with size prefilter)") {
+      DedupQueries.verifiedJaccardPairs(cand, docs, 4, 5).count()
+    }
+    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val compat = cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .where(least(col("sz_a"), col("sz_b")) * 5 >=
+        greatest(col("sz_a"), col("sz_b")) * 4)
+    time("size-compatible candidates") { compat.count() }
+    spark.stop()
+  }
+}
