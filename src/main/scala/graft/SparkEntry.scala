@@ -13,7 +13,8 @@ object SparkEntry {
       Profiling.all ++ SketchQueries.all ++ EventAnalytics.all ++
       IncrementalMart.all ++ ProductQuantization.all ++ BpeTrainer.all ++
       TimeSeriesQueries.all ++ FuzzyJoin.all ++ SemanticDedup.all ++
-      BloomScreen.all ++ BehaviorQueries.all
+      BloomScreen.all ++ BehaviorQueries.all ++ WarehouseQueries.all ++
+      GraphQueries.all ++ QualityConstraints.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

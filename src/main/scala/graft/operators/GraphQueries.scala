@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Graph analytics beyond connected components ([[Components]]): PageRank
+  * and triangle counting over the cross-nation trade graph (nation A →
+  * nation B iff some customer in A bought from some supplier in B — the
+  * counterparty graph of the reference's `related_account` FK,
+  * SCHEMA.sql:26, lifted to the nation level).
+  *
+  * Both queries are ORACLE-CHECKED, which for iterative float algorithms is
+  * normally impossible — solved here by making the arithmetic exact:
+  *
+  * PageRank runs in 64-bit FIXED-POINT integers. Ranks are scaled by 10¹²;
+  * one iteration is `rank' = ⌊0.15·S⌋ + Σ_in ⌊17·rank / (20·outdeg)⌋` —
+  * damping 0.85 as the exact rational 17/20, every step an integer multiply
+  * and a FLOOR division (Spark `div`, DuckDB `//` — identical on
+  * non-negative operands). No float ever appears, so five iterations are
+  * bit-identical across engines and the oracle can state the same
+  * recurrence as five unrolled CTE steps. Dangling mass (nodes with no
+  * out-edges) is dropped on both sides — the standard simplification.
+  *
+  * Scale: the edge list is built once with equi-joins and a distinct (at
+  * 100 TB: the daily counterparty edge table). Each iteration is one
+  * broadcast-sized join (node domain ≪ fact) + one keyed aggregate; on a
+  * billion-node graph the same loop shuffles on dst — partial aggregation
+  * does the map-side combine — and the frame appears ONCE per iteration,
+  * so plan depth grows linearly (the [[Components]] LogicalRDD plan-cut
+  * pattern applies beyond ~20 iterations).
+  */
+object GraphQueries {
+
+  private val Scale = 1000000000000L   // 10^12 fixed-point
+  private val BaseShare = 150000000000L // floor(0.15 * Scale)
+  private val Iters = 5
+
+  /** Distinct directed cross-nation trade edges (cust nation → supp
+    * nation) from one pass over the fact: two fact shuffles (orderkey,
+    * suppkey) then a distinct over ≤ |nations|² pairs. */
+  private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"),
+        col("s_nationkey").as("supp_nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("supp_nation").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Five fixed-point PageRank iterations over the trade graph; emits the
+    * exact integer rank per nation, descending. */
+  def nationPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val edges = tradeEdges(spark, sfDir)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = t.nation.select(col("n_nationkey").as("node"))
+    var ranks = nodes.withColumn("rank", lit(Scale))
+    for (_ <- 1 to Iters) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"),
+          expr(s"rank * 17L div (20L * d)").as("c"))
+      ranks = nodes
+        .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("in_sum")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(BaseShare) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+    }
+    ranks
+      .join(broadcast(t.nation), col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("rank"))
+      .orderBy(col("rank").desc, col("nation"))
+  }
+
+  /** Oracle: the identical recurrence as unrolled CTE steps (r0…r5), with
+    * every per-step rank re-cast to BIGINT (DuckDB SUM(BIGINT) widens to
+    * HUGEINT; the recurrence itself never leaves 64 bits: rank < |V|·10¹²,
+    * ×17 ≲ 4·10¹⁴·|V|). */
+  private def pagerankOracle: String = {
+    val steps = (1 to Iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |         SUM((r${i - 1}.rank * 17) // (20 * o.d)) AS in_sum
+         |  FROM edges e
+         |  JOIN outdeg o ON e.src = o.src
+         |  JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000000000 + COALESCE(c$i.in_sum, 0) AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |nodes AS (SELECT n_nationkey AS node FROM nation),
+       |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+       |$steps
+       |SELECT n.n_name AS nation, r$Iters.rank
+       |FROM r$Iters JOIN nation n ON r$Iters.node = n.n_nationkey
+       |ORDER BY rank DESC, nation""".stripMargin
+  }
+
+  /** Triangle count per nation over the UNDIRECTED trade graph, plus the
+    * global total — the clustering screen ("how interconnected is this
+    * nation's trade neighborhood"). Edges are canonicalized u < v, and
+    * the enumeration joins each wedge (u<v, v<w) against the closing edge
+    * (u<w): each triangle found exactly once. At scale the standard
+    * degree-ordered orientation bounds wedge fan-out; on the nation-level
+    * graph the key-ordered orientation is equivalent in shape (two
+    * equi-joins, no cartesian — PlanGuard-swept like every query). */
+  def tradeTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val directed = tradeEdges(spark, sfDir)
+    val und = directed
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val wedges = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val triangles = wedges
+      .join(und.as("e3"), col("a") === col("e3.u") && col("c") === col("e3.v"))
+      .select(col("a"), col("b"), col("c"))
+    val t = Tpch(spark, sfDir)
+    val perNode = triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    t.nation
+      .join(perNode, col("n_nationkey") === col("node"), "left")
+      .select(col("n_name").as("nation"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("nation"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_graph_pagerank", nationPagerank, Some(pagerankOracle)),
+    NamedQuery("q_graph_triangles", tradeTriangles, Some(
+      """WITH directed AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |und AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        |  FROM directed),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e1.v = e2.u
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |per_node AS (
+        |  SELECT node, COUNT(*) AS n_triangles
+        |  FROM (SELECT a AS node FROM tri
+        |        UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT n.n_name AS nation,
+        |       CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles
+        |FROM nation n LEFT JOIN per_node p ON n.n_nationkey = p.node
+        |ORDER BY n_triangles DESC, nation""".stripMargin)),
+  )
+}

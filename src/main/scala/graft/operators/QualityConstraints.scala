@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Declarative data-quality gate (the Deequ-style "verification suite"
+  * shape): a battery of named constraints — PK uniqueness, completeness,
+  * value-range, domain membership — evaluated over each table in ONE pass
+  * and emitted as a machine-readable report row per constraint.
+  *
+  * This is the admission gate a 100 TB ingest runs before data reaches the
+  * mart: all constraints against one table fold into a SINGLE aggregate
+  * (every metric is a conditional count inside the same partial+final agg,
+  * so the table is scanned once no matter how many checks it carries), and
+  * the per-table one-row results are unpivoted into report rows with
+  * `stack` — O(#constraints) output, never a second scan. Adding a
+  * constraint adds a column to the agg, not a pass over the data.
+  *
+  * Determinism: observed/bound are exact integer counts; threshold checks
+  * are integer cross-multiplications (completeness ≥ 99% ⇔ 100·observed ≥
+  * 99·bound) — no ratio ever crosses the oracle boundary.
+  *
+  * The audit-query family ([[AuditQueries]]) drills into WHICH rows
+  * violate; this suite is the cheap always-on summary that decides whether
+  * to run them.
+  */
+object QualityConstraints {
+
+  /** One constraint: report name, the observed-count expression, the bound
+    * expression, and the pass predicate over the two (as columns of the
+    * aggregated one-row frame). */
+  private final case class Check(
+      name: String, observed: Column, bound: Column,
+      passed: (Column, Column) => Column)
+
+  private def eqPass: (Column, Column) => Column = (o, b) => o === b
+  private def zeroPass: (Column, Column) => Column = (o, _) => o === 0L
+  private def pctPass(pct: Int): (Column, Column) => Column =
+    (o, b) => o * 100 >= b * pct
+
+  /** Evaluate a table's checks in one aggregate, then unpivot. */
+  private def evalTable(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggCols = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(c.observed.cast("long").as(s"o_$i"), c.bound.cast("long").as(s"b_$i"))
+    }
+    val one = df.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = checks.zipWithIndex.map { case (c, i) =>
+      s"'${c.name}', o_$i, b_$i"
+    }.mkString(", ")
+    val rows = one.select(expr(
+      s"stack(${checks.size}, $stacked) AS (check_name, observed, bound)"))
+    // re-attach the pass predicate per check name (tiny frame)
+    val passCase = checks.foldLeft(lit(false)) { (acc, c) =>
+      when(col("check_name") === c.name, c.passed(col("observed"), col("bound")))
+        .otherwise(acc)
+    }
+    rows.withColumn("passed", passCase)
+  }
+
+  /** The shipped constraint battery over the warehouse tables. */
+  def qualityReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val cnt = count(lit(1))
+    val orders = evalTable(t.orders, Seq(
+      Check("orders.pk_unique", countDistinct(col("o_orderkey")), cnt, eqPass),
+      Check("orders.custkey_complete", count(col("o_custkey")), cnt, eqPass),
+      Check("orders.totalprice_positive",
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), lit(0L), zeroPass),
+      Check("orders.status_domain",
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)),
+        lit(0L), zeroPass)))
+    val lineitem = evalTable(t.lineitem, Seq(
+      Check("lineitem.qty_range",
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)), lit(0L), zeroPass),
+      Check("lineitem.discount_range",
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)), lit(0L), zeroPass),
+      Check("lineitem.orderkey_complete", count(col("l_orderkey")), cnt, eqPass)))
+    val customer = evalTable(t.customer, Seq(
+      Check("customer.pk_unique", countDistinct(col("c_custkey")), cnt, eqPass),
+      Check("customer.acctbal_complete", count(col("c_acctbal")), cnt,
+        pctPass(99)),
+      Check("customer.segment_domain",
+        sum(when(!col("c_mktsegment").isin("AUTOMOBILE", "BUILDING",
+          "FURNITURE", "HOUSEHOLD", "MACHINERY"), 1L).otherwise(0L)),
+        lit(0L), zeroPass)))
+    val events = evalTable(t.events, Seq(
+      Check("events.user_complete", count(col("user_id")), cnt, pctPass(95)),
+      Check("events.ts_complete", count(col("ts")), cnt, eqPass)))
+    val documents = evalTable(t.documents, Seq(
+      Check("documents.pk_unique", countDistinct(col("doc_id")), cnt, eqPass),
+      Check("documents.text_nonempty",
+        sum(when(length(col("text")) > 0, 1L).otherwise(0L)), cnt,
+        pctPass(95))))
+    orders.unionAll(lineitem).unionAll(customer).unionAll(events)
+      .unionAll(documents)
+      .orderBy(col("check_name"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_quality_report", qualityReport, Some(
+      """SELECT check_name, CAST(observed AS BIGINT) AS observed,
+        |       CAST(bound AS BIGINT) AS bound, passed
+        |FROM (
+        |  SELECT 'orders.pk_unique' AS check_name,
+        |         COUNT(DISTINCT o_orderkey) AS observed,
+        |         COUNT(*) AS bound,
+        |         COUNT(DISTINCT o_orderkey) = COUNT(*) AS passed
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.custkey_complete', COUNT(o_custkey), COUNT(*),
+        |         COUNT(o_custkey) = COUNT(*) FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.totalprice_positive',
+        |         COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0),
+        |         0,
+        |         COALESCE(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END), 0) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders.status_domain',
+        |         COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+        |                           THEN 1 ELSE 0 END), 0),
+        |         0,
+        |         COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+        |                           THEN 1 ELSE 0 END), 0) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.qty_range',
+        |         COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                           THEN 1 ELSE 0 END), 0),
+        |         0,
+        |         COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                           THEN 1 ELSE 0 END), 0) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.discount_range',
+        |         COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        |                           THEN 1 ELSE 0 END), 0),
+        |         0,
+        |         COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+        |                           THEN 1 ELSE 0 END), 0) = 0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey_complete', COUNT(l_orderkey), COUNT(*),
+        |         COUNT(l_orderkey) = COUNT(*) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'customer.pk_unique', COUNT(DISTINCT c_custkey), COUNT(*),
+        |         COUNT(DISTINCT c_custkey) = COUNT(*) FROM customer
+        |  UNION ALL
+        |  SELECT 'customer.acctbal_complete', COUNT(c_acctbal), COUNT(*),
+        |         COUNT(c_acctbal) * 100 >= COUNT(*) * 99 FROM customer
+        |  UNION ALL
+        |  SELECT 'customer.segment_domain',
+        |         COALESCE(SUM(CASE WHEN c_mktsegment NOT IN
+        |                    ('AUTOMOBILE','BUILDING','FURNITURE',
+        |                     'HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END), 0),
+        |         0,
+        |         COALESCE(SUM(CASE WHEN c_mktsegment NOT IN
+        |                    ('AUTOMOBILE','BUILDING','FURNITURE',
+        |                     'HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END), 0) = 0
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'events.user_complete', COUNT(user_id), COUNT(*),
+        |         COUNT(user_id) * 100 >= COUNT(*) * 95 FROM events
+        |  UNION ALL
+        |  SELECT 'events.ts_complete', COUNT(ts), COUNT(*),
+        |         COUNT(ts) = COUNT(*) FROM events
+        |  UNION ALL
+        |  SELECT 'documents.pk_unique', COUNT(DISTINCT doc_id), COUNT(*),
+        |         COUNT(DISTINCT doc_id) = COUNT(*) FROM documents
+        |  UNION ALL
+        |  SELECT 'documents.text_nonempty',
+        |         COALESCE(SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END), 0),
+        |         COUNT(*),
+        |         COALESCE(SUM(CASE WHEN length(text) > 0 THEN 1 ELSE 0 END), 0)
+        |           * 100 >= COUNT(*) * 95
+        |  FROM documents
+        |) ORDER BY check_name""".stripMargin)),
+  )
+}

@@ -1,0 +1,366 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+import MartQueries.{moneySum, moneySumSql}
+
+/** The remaining TPC-H planner shapes the mart layer had not yet exercised
+  * (Q2, Q5, Q6, Q8, Q9, Q13, Q16, Q19, Q20), adapted to this schema: the
+  * testdata carries no `partsupp`, so supply-cost shapes derive their cost
+  * facts from `lineitem`, and Q16's "customer complaints" exclusion set is
+  * proxied by negative-balance suppliers. Each query exercises a DISTINCT
+  * planner feature — correlated scalar MIN, join-embedded non-key equality,
+  * pure-predicate scan, conditional-share aggregation, outer-join count
+  * distribution, NOT-IN anti join, disjunctive pushdown, nested-IN semi
+  * joins — so the pack is planner coverage, not repetition.
+  *
+  * Determinism: every emitted number is either an exact integer count, an
+  * element of the data (MIN of stored doubles), a decimal-exact money sum
+  * ([[MartQueries.moneySum]]), or a single double division of two such
+  * sums with identical IEEE shape on both engines.
+  */
+object WarehouseQueries {
+
+  /** Min-cost supplier per part (TPC-H Q2 shape). The correlated scalar
+    * subquery `cost = (SELECT MIN(cost) … WHERE same part)` is declared
+    * decorrelated: per-(part, supplier) min line price in ONE aggregate
+    * over the fact, a per-part min joined back on the exact stored double
+    * (an element of the data — no arithmetic, so the equality is
+    * bit-identical in any engine), then dimension lookups. Supplier /
+    * nation / region ride broadcasts; the only fact shuffle is the
+    * l_partkey aggregate. Ties (two suppliers at the same min cost for a
+    * part) all surface, made deterministic by the final sort. */
+  def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val costs = t.lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("cost"))
+    val minPerPart = costs.groupBy(col("l_partkey"))
+      .agg(min(col("cost")).as("min_cost"))
+    costs
+      .join(minPerPart, "l_partkey")
+      .where(col("cost") === col("min_cost"))
+      .join(t.part.where(col("p_size") === 25), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_type"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Local-supplier volume (TPC-H Q5 shape): revenue where the customer
+    * and the supplier sit in the SAME nation, per nation of one region.
+    * The `c_nationkey = s_nationkey` clause is a non-key equality folded
+    * INTO the supplier join (not a post-filter), so the planner prunes
+    * rows at the join; nation/region are broadcast; the fact flows through
+    * exactly one orderkey and one suppkey shuffle. */
+  def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.customer
+      .join(t.orders.where(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"))
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Forecast revenue change (TPC-H Q6 shape): the pure-predicate scan —
+    * no join at all; the whole query is pushdown (shipdate range, discount
+    * band, quantity cap all reach the parquet scan) feeding one global
+    * decimal-exact sum. The shape a planner must NOT turn into anything
+    * but scan → filter → partial/final agg. */
+  def forecastRevenueChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.lineitem
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Market share (TPC-H Q8 shape): one nation's share of a region's
+    * ECONOMY-part revenue, per order year — conditional aggregation (the
+    * numerator is a CASE inside the same sum) over a 6-way join. Share =
+    * one double division of two decimal-exact money sums, rounded — the
+    * same IEEE shape both engines (the promo-share pattern). */
+  def marketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val custRegion = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.where(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t.supplier
+      .join(broadcast(t.nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    t.lineitem
+      .join(t.part.where(col("p_type") === "ECONOMY"),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(
+        moneySum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0.0)))
+          .as("nation_revenue"),
+        moneySum(rev).as("total_revenue"))
+      .withColumn("mkt_share",
+        round(col("nation_revenue") / col("total_revenue"), 6))
+      .orderBy(col("o_year"))
+  }
+
+  /** Product-type profit (TPC-H Q9 shape, supply cost adapted: the schema
+    * has no partsupp, so cost = 10% of the part's retail price per unit —
+    * a fixed landed-cost model). Profit per (supplier nation, order year)
+    * for red parts. The amount expression is written with IDENTICAL
+    * association on both engines (left-to-right products, one subtraction)
+    * before the decimal-exact sum. */
+  def productTypeProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity") * lit(0.1)
+    t.lineitem
+      .join(t.part.where(col("p_name").contains("red")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(moneySum(amount).as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … qualifying orders — the null-preserving
+    * LEFT OUTER join (customers with no orders must survive as count 0)
+    * followed by a two-level aggregation (per-customer count, then the
+    * count-of-counts histogram). The second groupBy runs over distinct
+    * count VALUES — domain-bounded, never a funnel. */
+  def custOrderDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val perCust = t.customer
+      .join(t.orders.where(col("o_orderpriority") =!= "5-LOW"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+    perCust.groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy(col("n_cust").desc, col("n_orders").desc)
+  }
+
+  /** Supplier variety per part group (TPC-H Q16 shape): distinct suppliers
+    * serving each (brand, size) among non-PROMO parts of selected sizes,
+    * EXCLUDING blacklisted suppliers — the NOT IN set (negative-balance
+    * suppliers, the schema's complaint proxy) becomes a broadcast LEFT
+    * ANTI join (the exclusion key is non-null on both sides, so NOT IN ≡
+    * anti join with no null trap). countDistinct shuffles (brand, size,
+    * suppkey) once — partial distinct on the map side. */
+  def supplierVariety(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val blacklist = t.supplier.where(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_suppkey"))
+    t.lineitem
+      .join(t.part.where(col("p_brand") =!= "Brand#11" &&
+        col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(blacklist), col("l_suppkey") === col("bad_suppkey"),
+        "left_anti")
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** Disjunctive-predicate revenue (TPC-H Q19 shape): an OR of three
+    * (brand, quantity band, size band) conjunctions across the
+    * lineitem⋈part join — the shape that tests whether the planner keeps
+    * the join equi (key extracted ABOVE the disjunction) and pushes the
+    * per-side conjuncts (p_size ≥ 1, quantity bounds) into both scans
+    * instead of evaluating the whole OR post-join. */
+  def disjunctiveRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val branch1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+      col("l_quantity").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+      col("l_quantity").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(20, 30)
+    t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .where(branch1 || branch2 || branch3)
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Bulk shippers of small parts (TPC-H Q20 shape): suppliers who shipped
+    * more than 50 units of at least one 'small'-prefix part, in one
+    * region. The textbook nested IN chain (supplier IN (… lineitem WHERE
+    * part IN (…))) is declared as two SEMI joins: part-prefix semi-joins
+    * the fact, a (suppkey, partkey) aggregate applies the HAVING, and the
+    * qualifying suppkey set semi-joins supplier. Quantity threshold on the
+    * exact decimal sum. */
+  def bulkSmallPartShippers(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val smallParts = t.part.where(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val bulk = t.lineitem
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 4))).as("qty"))
+      .where(col("qty") > 50)
+      .select(col("l_suppkey")).distinct()
+    t.supplier
+      .join(bulk, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.where(col("r_name") === "AFRICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_min_cost_supplier", minCostSupplier, Some(
+      """WITH costs AS (
+        |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type, c.cost
+        |FROM part p
+        |JOIN costs c ON c.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN region r ON r.r_regionkey = n.n_regionkey
+        |WHERE p.p_size = 25 AND r.r_name = 'EUROPE'
+        |  AND c.cost = (SELECT MIN(c2.cost) FROM costs c2
+        |                WHERE c2.l_partkey = p.p_partkey)
+        |ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        |LIMIT 100""".stripMargin)),
+    NamedQuery("q_local_supplier_volume", localSupplierVolume, Some(
+      s"""SELECT n.n_name,
+         |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |FROM customer c
+         |JOIN orders o ON c.c_custkey = o.o_custkey
+         |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |               AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin)),
+    NamedQuery("q_forecast_revenue_change", forecastRevenueChange, Some(
+      s"""SELECT ${moneySumSql("l_extendedprice * l_discount")} AS revenue,
+         |       COUNT(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount >= CAST(0.04 AS DOUBLE)
+         |  AND l_discount <= CAST(0.06 AS DOUBLE)
+         |  AND l_quantity < 24""".stripMargin)),
+    NamedQuery("q_market_share", marketShare, Some(
+      s"""SELECT strftime(o.o_orderdate, '%Y') AS o_year,
+         |       ${moneySumSql(
+        "CASE WHEN sn.n_name = 'NATION_3' " +
+          "THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")}
+         |         AS nation_revenue,
+         |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")}
+         |         AS total_revenue,
+         |       ROUND(${moneySumSql(
+        "CASE WHEN sn.n_name = 'NATION_3' " +
+          "THEN l.l_extendedprice * (1.0 - l.l_discount) ELSE 0.0 END")} /
+         |             ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")},
+         |             6) AS mkt_share
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+         |                AND cr.r_name = 'AMERICA'
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_product_type_profit", productTypeProfit, Some(
+      s"""SELECT n.n_name AS nation,
+         |       strftime(o.o_orderdate, '%Y') AS o_year,
+         |       ${moneySumSql(
+        "l.l_extendedprice * (1.0 - l.l_discount) - " +
+          "p.p_retailprice * l.l_quantity * 0.1")} AS profit
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |WHERE p.p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin)),
+    NamedQuery("q_cust_order_distribution", custOrderDistribution, Some(
+      """WITH per_cust AS (
+        |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |                     AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY 1)
+        |SELECT n_orders, COUNT(*) AS n_cust
+        |FROM per_cust GROUP BY 1
+        |ORDER BY n_cust DESC, n_orders DESC""".stripMargin)),
+    NamedQuery("q_supplier_variety", supplierVariety, Some(
+      """SELECT p.p_brand, p.p_size,
+        |       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#11' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l.l_suppkey NOT IN
+        |      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
+    NamedQuery("q_disjunctive_revenue", disjunctiveRevenue, Some(
+      s"""SELECT ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")}
+         |         AS revenue,
+         |       COUNT(*) AS n_lines
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+         |       AND l.l_quantity BETWEEN 1 AND 11)
+         |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+         |       AND l.l_quantity BETWEEN 10 AND 20)
+         |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+    NamedQuery("q_bulk_small_part_shippers", bulkSmallPartShippers, Some(
+      """SELECT s.s_name, s.s_acctbal
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'AFRICA'
+        |  AND s.s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN
+        |          (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    GROUP BY l_suppkey, l_partkey
+        |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 50)
+        |ORDER BY s.s_name""".stripMargin)),
+  )
+}

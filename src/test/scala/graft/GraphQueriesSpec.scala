@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GraphQueries
+
+/** Ground-truth checks for the graph pack: the distributed fixed-point
+  * PageRank must equal a driver-side implementation of the SAME integer
+  * recurrence on the real edge list, and triangle counts must equal a
+  * brute-force enumeration. */
+class GraphQueriesSpec extends SparkSpec {
+
+  private def edgeList(): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey").as("sn")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long"), col("sn").cast("long"))
+      .where(col("c_nationkey") =!= col("sn"))
+      .distinct()
+      .as[(Long, Long)]
+      .collect()
+      .toSeq
+  }
+
+  test("nation pagerank equals the driver-side integer recurrence") {
+    val edges = edgeList()
+    import spark.implicits._
+    val nodes = graft.sources.Tables.Tpch(spark, Sf).nation
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank: Map[Long, Long] = nodes.keys.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          rank(src) * 17L / (20L * outdeg(src))
+        }.sum
+      }
+      rank = nodes.keys.map(n => n -> (150000000000L + in.getOrElse(n, 0L))).toMap
+    }
+    val expected = rank.map { case (k, r) => (nodes(k), r) }.toSeq
+      .sortBy { case (name, r) => (-r, name) }
+    val got = GraphQueries.nationPagerank(spark, Sf)
+      .as[(String, Long)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("trade triangles equal brute-force enumeration") {
+    val und = edgeList()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.toSet
+    val vs = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val perNode = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      a <- vs; b <- vs if a < b && und((a, b))
+      c <- vs if b < c && und((b, c)) && und((a, c))
+    } {
+      perNode(a) += 1; perNode(b) += 1; perNode(c) += 1
+    }
+    import spark.implicits._
+    val nodes = graft.sources.Tables.Tpch(spark, Sf).nation
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    val got = GraphQueries.tradeTriangles(spark, Sf)
+      .as[(String, Long)].collect().toMap
+    nodes.foreach { case (k, name) =>
+      assert(got(name) === perNode(k), s"node $name")
+    }
+  }
+}

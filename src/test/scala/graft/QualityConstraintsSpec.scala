@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityConstraints
+
+/** The constraint suite's report must agree with independently recomputed
+  * metrics, stay one-scan-per-table in plan shape, and carry a pass flag
+  * that actually reflects the observed/bound pair. */
+class QualityConstraintsSpec extends SparkSpec {
+
+  test("report rows match independently recomputed metrics") {
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    val report = QualityConstraints.qualityReport(spark, Sf)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+
+    val nOrders = t.orders.count()
+    val nOrderKeys = t.orders.select(col("o_orderkey")).distinct().count()
+    assert(report("orders.pk_unique") === ((nOrderKeys, nOrders, nOrderKeys == nOrders)))
+
+    val nBadQty = t.lineitem
+      .where(col("l_quantity") < 1 || col("l_quantity") > 50).count()
+    assert(report("lineitem.qty_range") === ((nBadQty, 0L, nBadQty == 0L)))
+
+    val nCust = t.customer.count()
+    val nBal = t.customer.where(col("c_acctbal").isNotNull).count()
+    assert(report("customer.acctbal_complete") ===
+      ((nBal, nCust, nBal * 100 >= nCust * 99)))
+
+    val nDocs = t.documents.count()
+    val nNonEmpty = t.documents.where(length(col("text")) > 0).count()
+    assert(report("documents.text_nonempty") ===
+      ((nNonEmpty, nDocs, nNonEmpty * 100 >= nDocs * 95)))
+  }
+
+  test("every shipped constraint passes on the synthetic warehouse") {
+    val failed = QualityConstraints.qualityReport(spark, Sf)
+      .where(!col("passed")).collect()
+    assert(failed.isEmpty, failed.mkString(", "))
+  }
+
+  test("all constraints on one table fold into a single scan of it") {
+    // The aggregate plan for the orders battery must reference the orders
+    // parquet exactly once: one FileScan in the whole report per table.
+    val plan = QualityConstraints.qualityReport(spark, Sf)
+      .queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            f.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    val ordersScans = scans.count(_.contains("orders.parquet"))
+    assert(ordersScans === 1, s"orders scanned $ordersScans times")
+    val lineitemScans = scans.count(_.contains("lineitem.parquet"))
+    assert(lineitemScans === 1, s"lineitem scanned $lineitemScans times")
+  }
+}
