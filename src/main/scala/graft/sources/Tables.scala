@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver testdata star schema.
   *
@@ -47,16 +47,25 @@ object Tables {
     def part: DataFrame       = load(spark, sfDir, "part")
     def orders: DataFrame     = load(spark, sfDir, "orders")
     def lineitem: DataFrame   = load(spark, sfDir, "lineitem")
-    /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-      * rejects. With `spark.sql.legacy.parquet.nanosAsLong=true` (set in the
-      * Verify/Bench session builders) it arrives as nano-epoch LongType;
-      * normalize back to a (second-truncated) timestamp so query code sees
-      * one schema either way. Day-level aggregates are unaffected. */
+    /** events.ts normalization — the generator's parquet encoding has
+      * varied across data refreshes (TIMESTAMP(NANOS), then naive
+      * TIMESTAMP(MICROS)), and query code must see ONE schema either way:
+      * - NANOS: Spark's vectorized reader rejects it; with
+      *   `spark.sql.legacy.parquet.nanosAsLong=true` (set in the
+      *   Verify/Bench session builders) it arrives as nano-epoch LongType
+      *   → rebuild a (second-truncated) timestamp.
+      * - naive MICROS: arrives as TIMESTAMP_NTZ → cast to session-local
+      *   TIMESTAMP (the session is pinned UTC, so wall-clock values are
+      *   unchanged and LTZ == NTZ instant-for-instant).
+      * Values are whole seconds in every generation, so both paths yield
+      * identical instants and day/hour aggregates are unaffected. */
     def events: DataFrame = {
       val df = load(spark, sfDir, "events")
       df.schema("ts").dataType match {
         case LongType =>
           df.withColumn("ts", timestamp_seconds(expr("ts div 1000000000")))
+        case _: TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
         case _ => df
       }
     }
