@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Corpus-distribution statistics for pipeline governance: an EXACT
+  * two-sample Kolmogorov–Smirnov drift screen over a numeric column, and a
+  * Heaps'-law vocabulary-growth curve — the two numbers a 100 TB ingest
+  * reads before deciding whether a new source shifted the corpus and how
+  * much tokenizer headroom remains.
+  *
+  * Both are oracle-checked, which for distribution statistics is normally
+  * blocked by float CDFs — solved the same way as the TV-distance screen
+  * ([[TextQueries]] `q_text_source_drift`): keep everything in integer
+  * counts and cross-multiplied products, emit ratios only as integer
+  * `div`s. KS distance between source s (n_s docs) and the rest (n_r):
+  * `sup_v |F_s(v) − F_r(v)| = max_v |cum_s(v)·n_r − cum_r(v)·n_s| / (n_s·n_r)`
+  * — the numerator is an exact integer, the sup ranges over the pooled
+  * value domain, and both engines agree bit-for-bit. This complements the
+  * TV screen: TV reads drift in a CATEGORICAL distribution (unigrams), KS
+  * in a NUMERIC one (lengths, scores) where values are ordered.
+  *
+  * Scale notes: every window here runs over a VALUE histogram (distinct
+  * lengths × sources) or a 10-row prefix table — domain-bounded inputs,
+  * never the corpus (the PlanGuard-justified shape). The source×value grid
+  * is a broadcast hash join on a derived all-equal key (10 sources — a
+  * bounded dimension), not a cartesian. Products stay under 2⁶³ while doc
+  * counts are ≤ ~3·10⁹ per split; past that, compute the
+  * cross-multiplication in DECIMAL(38,0) (the TV screen's pattern) or run
+  * KS over per-source stratified samples.
+  */
+object CorpusStats {
+
+  /** Exact two-sample KS drift per source: each source's `n_chars`
+    * distribution against the rest of the corpus. Emits the integer KS
+    * numerator, the value where the sup is attained (min such value —
+    * deterministic under plateaus), and parts-per-million for ranking. */
+  def ksDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val docs = t.documents.select(col("source"), col("n_chars"))
+    val hist = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val values = docs.select(col("n_chars")).distinct()
+    val sources = docs.select(col("source")).distinct()
+    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val totalAll = docs.agg(count(lit(1)).as("n_all")) // one-row broadcast
+
+    // source × pooled-value grid. The join key is an all-equal DERIVED
+    // column (not a foldable literal, so Catalyst cannot rewrite the
+    // equi-join into a nested loop): a broadcast hash join fanning each
+    // value out to the bounded source domain.
+    val grid = values.withColumn("k", col("n_chars") * 0)
+      .join(broadcast(sources.withColumn("k", length(col("source")) * 0)), "k")
+      .drop("k")
+
+    // per-source CDF numerator at every pooled value; the histogram rows
+    // are distinct per (source, value) so the running sum has no ties
+    val wSrc = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val cum = grid.join(hist, Seq("source", "n_chars"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .withColumn("cum_s", sum(col("cnt")).over(wSrc))
+    // corpus CDF numerator over the global value histogram
+    val gcum = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("gcnt"))
+      .withColumn("cum_all", sum(col("gcnt")).over(Window.orderBy(col("n_chars"))))
+      .select(col("n_chars"), col("cum_all"))
+
+    val scored = cum.join(gcum, "n_chars")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(totalAll))
+      .withColumn("n_r", col("n_all") - col("n_s"))
+      .withColumn("diff",
+        abs(col("cum_s") * col("n_r") - (col("cum_all") - col("cum_s")) * col("n_s")))
+    val mx = scored.groupBy(col("source"))
+      .agg(max(col("diff")).as("ks_num"))
+    scored
+      .join(mx, "source")
+      .where(col("diff") === col("ks_num"))
+      .groupBy(col("source"), col("n_s"), col("n_r"), col("ks_num"))
+      .agg(min(col("n_chars")).as("ks_at"))
+      .select(col("source"), col("n_s").cast("long").as("n_source"),
+        col("n_r").cast("long").as("n_rest"),
+        col("ks_num").cast("long").as("ks_num"),
+        col("ks_at").cast("long").as("ks_at"),
+        expr("(ks_num * 1000000) div (n_s * n_r)").cast("long").as("ks_ppm"))
+      .orderBy(col("ks_ppm").desc, col("source"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve: the corpus in 10 id-ordered
+    * prefixes; per prefix, cumulative docs, cumulative token occurrences,
+    * cumulative DISTINCT vocabulary, and the new-type count — the curve
+    * that sizes tokenizer vocabularies and flags corpus saturation (a
+    * flattening curve means new data adds tokens, not types).
+    *
+    * Scale: the only corpus-sized shuffle is token → min(doc_id) (one row
+    * per distinct token, map-side combine); everything after runs over 10
+    * bucket rows. */
+  def heapsCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val toks = split(col("text"), " ")
+    val bounds = t.documents.agg((max(col("doc_id")) + 1).as("id_span"))
+    val bucket = expr("least(9L, (doc_id * 10) div id_span)").as("bucket")
+
+    val firstSeen = t.documents
+      .select(col("doc_id"), explode(toks).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(min(col("doc_id")).as("doc_id"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket).agg(count(lit(1)).as("new_types"))
+    val perBucket = t.documents
+      .select(col("doc_id"),
+        size(filter(toks, x => x =!= "")).cast("long").as("n_toks"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(bucket)
+      .agg(count(lit(1)).as("docs"), sum(col("n_toks")).as("toks"))
+
+    val wCum = Window.orderBy(col("bucket")) // ≤ 10 rows
+    perBucket.join(firstSeen, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .select(col("bucket").cast("long").as("bucket"),
+        sum(col("docs")).over(wCum).cast("long").as("docs_cum"),
+        sum(col("toks")).over(wCum).cast("long").as("tokens_cum"),
+        sum(col("new_types")).over(wCum).cast("long").as("vocab_cum"),
+        col("new_types").cast("long").as("new_types"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_ks_drift", ksDrift, Some(
+      """WITH docs AS (SELECT source, n_chars FROM documents),
+        |hist AS (SELECT source, n_chars, COUNT(*) AS cnt FROM docs GROUP BY 1, 2),
+        |vals AS (SELECT DISTINCT n_chars FROM docs),
+        |srcs AS (SELECT DISTINCT source FROM docs),
+        |totals AS (SELECT source, COUNT(*) AS n_s FROM docs GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n_all FROM docs),
+        |grid AS (SELECT s.source, v.n_chars FROM srcs s CROSS JOIN vals v),
+        |cum AS (
+        |  SELECT g.source, g.n_chars,
+        |         SUM(COALESCE(h.cnt, 0)) OVER (
+        |           PARTITION BY g.source ORDER BY g.n_chars) AS cum_s
+        |  FROM grid g LEFT JOIN hist h
+        |    ON h.source = g.source AND h.n_chars = g.n_chars),
+        |gcum AS (
+        |  SELECT n_chars, SUM(cnt) OVER (ORDER BY n_chars) AS cum_all
+        |  FROM (SELECT n_chars, COUNT(*) AS cnt FROM docs GROUP BY 1)),
+        |scored AS (
+        |  SELECT c.source, c.n_chars, ts.n_s, t.n_all - ts.n_s AS n_r,
+        |         ABS(c.cum_s * (t.n_all - ts.n_s)
+        |             - (g.cum_all - c.cum_s) * ts.n_s) AS diff
+        |  FROM cum c
+        |  JOIN gcum g ON c.n_chars = g.n_chars
+        |  JOIN totals ts ON ts.source = c.source
+        |  CROSS JOIN tot t),
+        |mx AS (SELECT source, MAX(diff) AS ks_num FROM scored GROUP BY 1)
+        |SELECT s.source, CAST(s.n_s AS BIGINT) AS n_source,
+        |       CAST(s.n_r AS BIGINT) AS n_rest,
+        |       CAST(m.ks_num AS BIGINT) AS ks_num,
+        |       CAST(MIN(s.n_chars) AS BIGINT) AS ks_at,
+        |       CAST((m.ks_num * 1000000) // (s.n_s * s.n_r) AS BIGINT) AS ks_ppm
+        |FROM scored s JOIN mx m ON m.source = s.source AND s.diff = m.ks_num
+        |GROUP BY s.source, s.n_s, s.n_r, m.ks_num
+        |ORDER BY ks_ppm DESC, s.source""".stripMargin)),
+    NamedQuery("q_text_heaps_curve", heapsCurve, Some(
+      """WITH bounds AS (SELECT MAX(doc_id) + 1 AS id_span FROM documents),
+        |first_seen AS (
+        |  SELECT token, MIN(doc_id) AS first_doc
+        |  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  WHERE token <> '' GROUP BY token),
+        |fs AS (
+        |  SELECT LEAST(9, (f.first_doc * 10) // b.id_span) AS bucket,
+        |         COUNT(*) AS new_types
+        |  FROM first_seen f CROSS JOIN bounds b GROUP BY 1),
+        |per_bucket AS (
+        |  SELECT LEAST(9, (d.doc_id * 10) // b.id_span) AS bucket,
+        |         COUNT(*) AS docs,
+        |         SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS toks
+        |  FROM documents d CROSS JOIN bounds b
+        |  GROUP BY 1)
+        |SELECT CAST(p.bucket AS BIGINT) AS bucket,
+        |       CAST(SUM(p.docs) OVER w AS BIGINT) AS docs_cum,
+        |       CAST(SUM(p.toks) OVER w AS BIGINT) AS tokens_cum,
+        |       CAST(SUM(COALESCE(f.new_types, 0)) OVER w AS BIGINT) AS vocab_cum,
+        |       CAST(COALESCE(f.new_types, 0) AS BIGINT) AS new_types
+        |FROM per_bucket p LEFT JOIN fs f ON f.bucket = p.bucket
+        |WINDOW w AS (ORDER BY p.bucket)
+        |ORDER BY bucket""".stripMargin)),
+  )
+}

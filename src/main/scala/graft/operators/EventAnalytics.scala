@@ -138,6 +138,31 @@ object EventAnalytics {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** Last-touch marketing attribution: each purchase is credited to the
+    * user's most recent PRECEDING non-purchase event (the touchpoint), or
+    * to "direct" when the purchase is the user's first event. One carry-
+    * forward window per user timeline (high-cardinality partition key, the
+    * sessionization shape), then a type-domain-bounded aggregate — no
+    * self-join of the event stream against itself, which is the naive
+    * formulation's 100 TB cliff. Counts are exact integers; credited value
+    * rides the [[MartQueries.moneySum]] decimal idiom. */
+  def lastTouchAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tpch(spark, sfDir).events.select(
+      col("event_id"), col("user_id"), col("event_type"), col("value"),
+      unix_timestamp(col("ts")).as("es"))
+    ev.withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        MartQueries.moneySum(col("value")).as("attributed_value"))
+      .orderBy(col("purchases").desc, col("channel"))
+  }
+
   /** Gap-based sessionization through Spark's NATIVE `session_window`
     * operator in batch mode — the same Catalyst construct the streaming
     * session agg uses, here proven against the declarative ANSI
@@ -158,6 +183,25 @@ object EventAnalytics {
   }
 
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_events_attribution", lastTouchAttribution, Some(
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |attr AS (
+        |  SELECT event_type, value,
+        |         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY es, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND 1 PRECEDING) AS channel
+        |  FROM e)
+        |SELECT COALESCE(channel, 'direct') AS channel,
+        |       COUNT(*) AS purchases,
+        |       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |         AS attributed_value
+        |FROM attr WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY purchases DESC, channel""".stripMargin)),
     NamedQuery("q_events_transitions", journeyTransitions, Some(
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

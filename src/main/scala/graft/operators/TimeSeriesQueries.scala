@@ -200,7 +200,48 @@ object TimeSeriesQueries {
       .limit(5)
   }
 
+  /** Seasonal-naive forecast error: per event type, score each day's count
+    * against the same-weekday count one week earlier (the baseline every
+    * real forecast must beat) and report the mean absolute error — exact
+    * integers plus an integer-`div` milli-MAE, so the screen is
+    * hash-checkable cross-engine. The week-back lookup is a CALENDAR
+    * equi-join on (type, day−7) over the per-day aggregate — row-lag would
+    * silently shift the season across gap days. Scale: the only
+    * corpus-sized work is the daily aggregate (keyed shuffle, map-side
+    * combine); the self-join runs over types × days rows. */
+  def seasonalNaive(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tpch(spark, sfDir).events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val cur = daily.select(col("event_type"), col("day"), col("n"))
+    val base = daily.select(col("event_type").as("b_type"),
+      col("day").as("b_day"), col("n").as("baseline"))
+    cur
+      .join(base, col("event_type") === col("b_type") &&
+        col("day") === date_add(col("b_day"), 7))
+      .withColumn("abs_err", abs(col("n") - col("baseline")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("days_scored"),
+        sum(col("abs_err")).as("abs_err_sum"))
+      .select(col("event_type"), col("days_scored"),
+        col("abs_err_sum").cast("long").as("abs_err_sum"),
+        expr("(abs_err_sum * 1000) div days_scored").cast("long").as("mae_milli"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ts_seasonal_naive", seasonalNaive, Some(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT c.event_type,
+        |       COUNT(*) AS days_scored,
+        |       CAST(SUM(ABS(c.n - b.n)) AS BIGINT) AS abs_err_sum,
+        |       CAST((SUM(ABS(c.n - b.n)) * 1000) // COUNT(*) AS BIGINT)
+        |         AS mae_milli
+        |FROM daily c
+        |JOIN daily b ON b.event_type = c.event_type AND c.day = b.day + 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_ts_cusum_changepoint", cusumChangepoint, Some(
       """WITH day AS (SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
         |                    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0) AS BIGINT) AS r

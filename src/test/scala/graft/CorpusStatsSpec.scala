@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.{CorpusStats, EventAnalytics, TimeSeriesQueries}
+import graft.sources.Tables.Tpch
+
+/** Ground truth for the corpus-statistics pack: each query recomputed
+  * driver-side from the raw sf0.001 rows with plain Scala collections —
+  * fully independent of the Spark formulations (no windows, no joins). */
+class CorpusStatsSpec extends SparkSpec {
+
+  private lazy val docs: Seq[(String, Long)] =
+    Tpch(spark, Sf).documents.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  test("q_text_ks_drift equals a driver-side exact KS computation") {
+    val n = docs.size.toLong
+    val pooled = docs.map(_._2).distinct.sorted
+    val expected = docs.map(_._1).distinct.sorted.map { s =>
+      val mine = docs.filter(_._1 == s).map(_._2)
+      val ns = mine.size.toLong; val nr = n - ns
+      val cand = pooled.map { v =>
+        val cumS = mine.count(_ <= v).toLong
+        val cumR = docs.count(d => d._1 != s && d._2 <= v).toLong
+        (math.abs(cumS * nr - cumR * ns), v)
+      }
+      val ksNum = cand.map(_._1).max
+      val ksAt = cand.filter(_._1 == ksNum).map(_._2).min
+      (s, ns, nr, ksNum, ksAt, ksNum * 1000000L / (ns * nr))
+    }
+    val got = CorpusStats.ksDrift(spark, Sf).collect().map {
+      case Row(s: String, ns: Long, nr: Long, k: Long, at: Long, ppm: Long) =>
+        (s, ns, nr, k, at, ppm)
+    }.toSeq
+    assert(got.sortBy(_._1) === expected.sortBy(_._1))
+    // and the emitted order is ppm-descending
+    assert(got.map(x => (-x._6, x._1)) === got.map(x => (-x._6, x._1)).sorted)
+  }
+
+  test("q_text_heaps_curve equals a driver-side first-occurrence scan") {
+    val rows = Tpch(spark, Sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+      .sortBy(_._1)
+    val span = rows.map(_._1).max + 1
+    def bucket(id: Long): Long = math.min(9L, id * 10 / span)
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    for ((id, toks) <- rows; t <- toks)
+      if (!firstDoc.contains(t)) firstDoc(t) = id
+    val buckets = rows.map(r => bucket(r._1)).distinct.sorted
+    var (dCum, tCum, vCum) = (0L, 0L, 0L)
+    val expected = buckets.map { b =>
+      val inB = rows.filter(r => bucket(r._1) == b)
+      val newTypes = firstDoc.valuesIterator.count(bucket(_) == b).toLong
+      dCum += inB.size; tCum += inB.map(_._2.length.toLong).sum; vCum += newTypes
+      (b, dCum, tCum, vCum, newTypes)
+    }
+    val got = CorpusStats.heapsCurve(spark, Sf).collect().map {
+      case Row(b: Long, d: Long, t: Long, v: Long, nt: Long) => (b, d, t, v, nt)
+    }.toSeq
+    assert(got === expected)
+    // the curve's defining shape: vocabulary growth decelerates relative
+    // to token growth (type/token ratio non-increasing at the tail)
+    assert(got.last._4 <= got.last._3)
+  }
+
+  test("q_events_attribution equals a driver-side timeline walk") {
+    val ev = Tpch(spark, Sf).events
+      .selectExpr("event_id", "user_id", "event_type",
+        "cast(value as decimal(18,4)) as v", "unix_timestamp(ts) as es")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDecimal(3), r.getLong(4)))
+    val byUser = ev.groupBy(_._2)
+    val credited = scala.collection.mutable.Map.empty[String, (Long, BigDecimal)]
+    for ((_, rows) <- byUser) {
+      val timeline = rows.sortBy(r => (r._5, r._1))
+      var lastTouch: Option[String] = None
+      for ((_, _, typ, v, _) <- timeline) {
+        if (typ == "purchase") {
+          val ch = lastTouch.getOrElse("direct")
+          val (c, s) = credited.getOrElse(ch, (0L, BigDecimal(0)))
+          credited(ch) = (c + 1, s + BigDecimal(v))
+        } else lastTouch = Some(typ)
+      }
+    }
+    val expected = credited.map { case (ch, (c, s)) =>
+      (ch, c, s.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(x => (-x._2, x._1))
+    val got = EventAnalytics.lastTouchAttribution(spark, Sf).collect().map {
+      case Row(ch: String, n: Long, v: Double) => (ch, n, v)
+    }.toSeq
+    assert(got === expected)
+  }
+
+  test("q_ts_seasonal_naive equals a driver-side calendar walk") {
+    val days = Tpch(spark, Sf).events
+      .selectExpr("event_type", "cast(ts as date) as day")
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val counts = days.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val expected = counts.keys.map(_._1).toSeq.distinct.sorted.flatMap { typ =>
+      val scored = counts.collect {
+        case ((t, d), n) if t == typ && counts.contains((t, d.minusDays(7))) =>
+          math.abs(n - counts((t, d.minusDays(7))))
+      }.toSeq
+      if (scored.isEmpty) None
+      else Some((typ, scored.size.toLong, scored.sum,
+        scored.sum * 1000 / scored.size))
+    }
+    val got = TimeSeriesQueries.seasonalNaive(spark, Sf).collect().map {
+      case Row(t: String, d: Long, s: Long, m: Long) => (t, d, s, m)
+    }.toSeq
+    assert(got === expected)
+  }
+}

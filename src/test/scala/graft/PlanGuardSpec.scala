@@ -30,7 +30,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_profile_crosstab",  // broadcast one-row grand-total frame
     "q_rfm_segments",      // broadcast three one-row quartile-bound frames
     "q_market_basket",     // broadcast one-row order-total frame
-    "q_profile_benford"    // broadcast one-row digit-total frame
+    "q_profile_benford",   // broadcast one-row digit-total frame
+    "q_text_ks_drift",     // broadcast one-row corpus-total frame
+    "q_text_heaps_curve"   // broadcast one-row id-span frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -85,7 +87,12 @@ class PlanGuardSpec extends SparkSpec {
     "q_rfm_segments" -> "global cumsum over domain-bounded RFM value histograms",
     // CUSUM runs entirely over the per-day revenue aggregate — rows =
     // days, time-domain-bounded
-    "q_ts_cusum_changepoint" -> "global cumsum over per-day revenue aggregates")
+    "q_ts_cusum_changepoint" -> "global cumsum over per-day revenue aggregates",
+    // KS CDFs: per-source + global cumsums over the LENGTH-VALUE histogram
+    // (rows = sources × distinct lengths, domain-bounded — never docs)
+    "q_text_ks_drift" -> "CDF cumsums over length-value histograms",
+    // Heaps prefixes: cumsum over the 10-row bucket aggregate
+    "q_text_heaps_curve" -> "global cumsum over the 10-bucket prefix table")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan
