@@ -70,7 +70,66 @@ object AuditQueries {
       count(when(col("l_tax") < 0, 1)).as("bad_tax"))
   }
 
+  /** 16^(12-i) multipliers for parsing 12 hex chars to a 48-bit value with
+    * nothing but instr/substring — the engine-portable md5 idiom
+    * ([[CorpusPrep]] split buckets), widened from one bucket digit to a
+    * fingerprint-strength value. */
+  private def hexValSql(h: String, longSuffix: String): String =
+    (1 to 10).map { i =>
+      val mult = 1L << (4 * (10 - i))
+      s"(instr('0123456789abcdef', substring($h, $i, 1)) - 1) * $mult$longSuffix"
+    }.mkString("(", " + ", ")")
+
+  /** `longSuffix`: "L" for Spark SQL (literal would narrow to int),
+    * "" for DuckDB (integer literals are 64-bit already). */
+  private def rowFpSql(cols: Seq[String], longSuffix: String): String = {
+    val canon = cols.map(c => s"cast($c as string)").mkString(", ")
+    hexValSql(s"md5(concat_ws('|', $canon))", longSuffix)
+  }
+
+  /** Anti-entropy replica fingerprint: an ORDER-INDEPENDENT exact checksum
+    * per table — row count plus the sum of a 40-bit md5-derived value of
+    * each row's canonical key/enum string. Two replicas (or a pre- and
+    * post-migration copy) disagree on any row ⇒ the sums differ with
+    * probability 1 − 2⁻⁴⁰ per differing row; agreeing sums + counts
+    * certify the copy without sorting or co-locating either side — the
+    * reconciliation a 100 TB lake runs after every backfill. Shape: one
+    * scan per table folding straight into a 2-value aggregate; commutative
+    * addition means partition order is irrelevant (the same property that
+    * makes it mergeable across shards). Sums accumulate in DECIMAL(38,0)
+    * and cross the oracle boundary as BIGINT — exact while n_rows·2⁴⁰ <
+    * 2⁶³ (~8.4M rows per fingerprint unit; a lake fingerprints per
+    * partition and merges the decimal partials, so the bound is per shard,
+    * not per table). Canonical strings use only integer/enum columns so
+    * both engines render identically; value columns would ride the
+    * decimal-cast string idiom. */
+  def replicaFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    def fp(df: DataFrame, table: String, cols: Seq[String]): DataFrame =
+      df.select(expr(s"cast(${rowFpSql(cols, "L")} as decimal(38,0))").as("v"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("v")).cast("long").as("fp_sum"))
+        .select(lit(table).as("tbl"), col("n_rows"), col("fp_sum"))
+    fp(t.customer, "customer", Seq("c_custkey", "c_name", "c_nationkey"))
+      .unionByName(fp(t.orders, "orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")))
+      .unionByName(fp(t.lineitem, "lineitem",
+        Seq("l_orderkey", "l_linenumber", "l_returnflag")))
+      .orderBy(col("tbl"))
+  }
+
+  private def fpOracleSql: String = {
+    def sel(table: String, cols: Seq[String]): String =
+      s"""SELECT '$table' AS tbl, COUNT(*) AS n_rows,
+         |       CAST(SUM(${rowFpSql(cols, "")}) AS BIGINT) AS fp_sum
+         |FROM $table""".stripMargin
+    Seq(sel("customer", Seq("c_custkey", "c_name", "c_nationkey")),
+      sel("orders", Seq("o_orderkey", "o_custkey", "o_orderstatus")),
+      sel("lineitem", Seq("l_orderkey", "l_linenumber", "l_returnflag")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_audit_replica_fingerprint", replicaFingerprint, Some(fpOracleSql)),
     NamedQuery("q_audit_pk_orders", pkAuditOrders, Some(
       """SELECT o_orderkey, COUNT(*) AS n FROM orders
         |GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin)),

@@ -148,6 +148,31 @@ object CdcQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Temporal (validity-interval) dimension join: each fact row enriched
+    * with the SCD2 customer version that was valid AT THE FACT'S OWN
+    * observation time — the general form of the point-in-time snapshot
+    * (which fixes one time for the whole query). Each order observes the
+    * dimension at lsn `o_orderkey % 3 + 1`, so all three history states
+    * are exercised: pre-update, post-update, post-delete (deleted
+    * customers' orders at lsn 3 correctly find no valid version and drop
+    * out). Shape: one equi-shuffle on the key; the validity predicate is
+    * a post-join filter whose fan-out is bounded by versions-per-key
+    * (2-3 here; bounded by dimension churn in general) — never a range
+    * explosion. At 100 TB the history side partition-prunes on
+    * `valid_to IS NULL` + `valid_from` exactly like the snapshot query. */
+  def scd2TemporalJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val hist = customerScd2History(spark, sfDir)
+    val obs = t.orders.select(col("o_custkey"),
+      (pmod(col("o_orderkey"), lit(3)) + 1).cast("long").as("obs_lsn"))
+    obs.join(hist, col("o_custkey") === col("c_custkey") &&
+        col("valid_from") <= col("obs_lsn") &&
+        (col("valid_to").isNull || col("valid_to") > col("obs_lsn")))
+      .groupBy(col("obs_lsn"), col("valid_from"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("c_acctbal")).as("bal_sum"))
+      .orderBy(col("obs_lsn"), col("valid_from"))
+  }
+
   /** FK ON DELETE CASCADE propagation (C3, SCHEMA.sql:13,23) over the
     * customer → orders → lineitem chain: surviving row counts per table
     * after deleting every 50th customer. */
@@ -224,6 +249,26 @@ object CdcQueries {
         |WHERE op <> 'd' AND valid_from <= 2
         |  AND (valid_to IS NULL OR valid_to > 2)
         |ORDER BY c_custkey""".stripMargin)),
+    NamedQuery("q_scd2_temporal_join", scd2TemporalJoin, Some(
+      s"""WITH ch AS (
+         |  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS lsn, 'c' AS op FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey, -1.0, CAST(2 AS BIGINT), 'u' FROM customer WHERE c_custkey % 100 = 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_acctbal, CAST(3 AS BIGINT), 'd' FROM customer WHERE c_custkey % 97 = 0),
+         |v AS (
+         |  SELECT c_custkey, c_acctbal, op, lsn AS valid_from,
+         |         LEAD(lsn) OVER (PARTITION BY c_custkey ORDER BY lsn) AS valid_to
+         |  FROM ch),
+         |obs AS (
+         |  SELECT o_custkey, (o_orderkey % 3) + 1 AS obs_lsn FROM orders)
+         |SELECT obs.obs_lsn, v.valid_from,
+         |       COUNT(*) AS n_orders, ${moneySumSql("v.c_acctbal")} AS bal_sum
+         |FROM obs JOIN v ON v.c_custkey = obs.o_custkey
+         |  AND v.valid_from <= obs.obs_lsn
+         |  AND (v.valid_to IS NULL OR v.valid_to > obs.obs_lsn)
+         |WHERE v.op <> 'd'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_scd2_change_feed", scd2ChangeFeed, Some(
       """WITH ch AS (
         |  SELECT c_custkey, c_acctbal, CAST(1 AS BIGINT) AS lsn, 'c' AS op FROM customer

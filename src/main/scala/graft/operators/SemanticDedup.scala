@@ -49,6 +49,49 @@ object SemanticDedup {
     * near 0.95+ and the knob is explicit. */
   val Threshold = 0.5
 
+  /** Hard cap on any coarse cell's contribution to the within-cell
+    * quadratic. The corpus-adaptive cell COUNT
+    * ([[ProductQuantization.coarseK]]) makes the AVERAGE cell ~128
+    * vectors, but k-means cell-size variance still lets tail cells grow
+    * (measured at the 10× probe: Σ n_cell² 4.28M vs the 1.27M ideal —
+    * SCALE.md); a single 4·avg cell contributes 16× its share of pairs.
+    * Cells above the cap are LSH-SPLIT before the pair scan: sub-cell =
+    * the low `⌈log2(n/cap)⌉` bits of the vector's deterministic
+    * hyperplane signature ([[graft.functions.HyperplaneSigs]]), so the
+    * split is locality-sensitive — a pair at cosine c lands in the same
+    * sub-cell with probability (1 − arccos(c)/π) per bit (≈0.9 for
+    * 0.95-dups), the SAME trade the paper already accepts for pairs that
+    * straddle coarse cells, now applied inside oversized ones. Identical
+    * vectors always share a signature, so exact duplicates are never
+    * separated. The cap is 2× the quantizer's target cell size: tight
+    * enough to catch the 2–5× tail cells that dominate Σ n² (measured at
+    * the 10× probe: raw max cell 698 of a 128-target build), loose enough
+    * that the shipped scale factors (max cells 41 / 143) never split and
+    * the operator is a provable no-op (cluster ids unchanged). */
+  val CellCap = 2 * ProductQuantization.TargetCellSize
+
+  /** Re-split oversized cells by masked hyperplane signature; cells at or
+    * under [[CellCap]] keep their original id (bit-stable no-op). The
+    * per-cell size frame is cell-count-sized — it rides a broadcast. */
+  private[graft] def splitOversized(cl: DataFrame): DataFrame = {
+    graft.functions.HyperplaneSigs.register(cl.sparkSession)
+    val bits = cl.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))
+      .withColumn("split_bits",
+        when(col("cell_n") <= CellCap, lit(0)).otherwise(
+          least(lit(8), ceil(log2(col("cell_n") / lit(CellCap.toDouble)))
+            .cast("int"))))
+      .select(col("cluster"), col("split_bits"))
+    cl.join(broadcast(bits), "cluster")
+      .withColumn("cluster",
+        when(col("split_bits") === 0, col("cluster")).otherwise(
+          // stays int: sub-cell ids are cluster·256 + an 8-bit mask, and
+          // cluster counts are ≤ ~n/128 — far under 2³¹/256 at any corpus
+          // a single index shard would hold
+          expr("cast(cluster * 256L + pmod(graft_hyperplane_sigs(embedding, 1, 8)[0]," +
+            " shiftleft(1L, split_bits)) as int)")))
+      .drop("split_bits")
+  }
+
   /** Within-cell candidate pairs with exact cosine ≥ `thr`.
     * `clustered` must carry (vec_id, embedding, cluster). The self-join is
     * an equi-join on the cell id; ordered pairs via vec_id inequality
@@ -82,9 +125,10 @@ object SemanticDedup {
     val path = ProductQuantization.ensurePq(spark, sfDir)
     val cells = spark.read.parquet(s"$path/codes")
       .select(col("vec_id"), col("cluster"))
-    Tpch(spark, sfDir).embeddings
-      .select(col("vec_id"), col("embedding"))
-      .join(cells, "vec_id")
+    splitOversized(
+      Tpch(spark, sfDir).embeddings
+        .select(col("vec_id"), col("embedding"))
+        .join(cells, "vec_id"))
   }
 
   /** Per-cell semantic-dedup summary: vectors in the cell, candidate

@@ -78,6 +78,47 @@ class SemanticDedupSpec extends SparkSpec {
     assert(drops == Map(2L -> 1L, 3L -> 1L, 5L -> 4L))
   }
 
+  test("cell split: no-op at/under the cap, locality-preserving above it") {
+    // under-cap cells keep their exact ids (bit-stable no-op)
+    val small = frame(planted)
+    val out = SemanticDedup.splitOversized(small)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val in = planted.map(p => p._1 -> p._3).toMap
+    assert(out === in)
+
+    // one oversized cell: 3 exact-duplicate pairs planted among CellCap+61
+    // distinct vectors, all in cluster 5
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val n = SemanticDedup.CellCap + 61
+    val base = Seq.tabulate(n)(i => (i.toLong, vec(), 5))
+    val dups = Seq(0L, 1L, 2L).map(i =>
+      (1000L + i, base(i.toInt)._2.clone(), 5))
+    val big = frame(base ++ dups)
+    val split = SemanticDedup.splitOversized(big)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every vector re-homed to a sub-cell of cluster 5; sizes shrink
+    assert(split.values.forall(c => c / 256 == 5))
+    val sizes = split.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size >= 2 && sizes.max < n + 3, "cell actually split")
+    // identical vectors share a hyperplane signature — never separated
+    for (i <- 0 to 2)
+      assert(split(i.toLong) === split(1000L + i), s"exact dup $i co-located")
+    // split pairs are a subset of the unsplit cell's pairs (drops only)
+    val unsplitPairs = SemanticDedup.pairsWithin(big, 0.99)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val splitPairs = SemanticDedup.pairsWithin(
+        SemanticDedup.splitOversized(big), 0.99)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(splitPairs.subsetOf(unsplitPairs))
+    // ...and the exact-duplicate pairs all survive the split
+    for (i <- 0 to 2) assert(splitPairs.contains((i.toLong, 1000L + i)))
+  }
+
   test("real-corpus summary matches a driver-side SemDeDup brute force") {
     val summary = SemanticDedup.dedupSummary(spark, Sf).collect()
     // reconstruct the cell assignment the operator used (same artifact)
