@@ -145,7 +145,71 @@ object GraphQueries {
       .orderBy(col("n_triangles").desc, col("nation"))
   }
 
+  /** BFS shortest-hops from nation 0 over the DIRECTED trade graph — the
+    * reachability/distance member of the graph family (components =
+    * undirected closure, PageRank = centrality, triangles = clustering).
+    * Frontier-expansion loop: each round joins the current frontier to the
+    * edge list, keeps min-hop first sightings (anti join against settled
+    * nodes), and stops when the frontier empties — O(eccentricity) rounds,
+    * each one keyed join + one aggregate, the same iterative shape as
+    * [[Components.connectedComponents]] (whose LogicalRDD plan-cut applies
+    * beyond ~20 rounds; this graph's diameter is 2-3). Unreached nations
+    * emit -1. Hops are exact integers, so the loop is oracle-checkable
+    * against a recursive CTE with UNION (distinct-state) semantics —
+    * states bounded by |V|·diameter, never path enumeration. */
+  def tradeReachability(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val edges = tradeEdges(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed from the node table (not a literal frame: a foldable seed
+      // would constant-fold the round-1 join condition into a keyless
+      // nested loop)
+      var dist = t.nation
+        .select(col("n_nationkey").cast("long").as("node"))
+        .where(col("node") === 0L)
+        .withColumn("hops", lit(0L))
+      var frontier = dist
+      var done = false
+      while (!done) {
+        val next = frontier
+          .join(edges, col("node") === col("src"))
+          .groupBy(col("dst")).agg((min(col("hops")) + 1L).as("hops"))
+          .select(col("dst").as("node"), col("hops"))
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+        val found = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        done = found.count() == 0
+        if (!done) { dist = dist.unionByName(found); frontier = found }
+        else found.unpersist()
+      }
+      t.nation
+        .join(dist, col("n_nationkey") === col("node"), "left")
+        .select(col("n_name").as("nation"),
+          coalesce(col("hops"), lit(-1L)).cast("long").as("hops"))
+        .orderBy(col("hops"), col("nation"))
+    } finally { edges.unpersist(); () }
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_graph_reachability", tradeReachability, Some(
+      """WITH RECURSIVE edges AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |reach(node, hops) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.dst, r.hops + 1
+        |  FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.hops < 25),
+        |best AS (SELECT node, MIN(hops) AS hops FROM reach GROUP BY 1)
+        |SELECT n.n_name AS nation,
+        |       CAST(COALESCE(b.hops, -1) AS BIGINT) AS hops
+        |FROM nation n LEFT JOIN best b ON b.node = n.n_nationkey
+        |ORDER BY hops, nation""".stripMargin)),
     NamedQuery("q_graph_pagerank", nationPagerank, Some(pagerankOracle)),
     NamedQuery("q_graph_triangles", tradeTriangles, Some(
       """WITH directed AS (

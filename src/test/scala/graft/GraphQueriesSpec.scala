@@ -70,4 +70,28 @@ class GraphQueriesSpec extends SparkSpec {
       assert(got(name) === perNode(k), s"node $name")
     }
   }
+
+  test("trade reachability equals a driver-side BFS from nation 0") {
+    val edges = edgeList()
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val dist = collection.mutable.Map(0L -> 0L)
+    var frontier = Seq(0L)
+    var h = 0L
+    while (frontier.nonEmpty) {
+      h += 1
+      val next = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+        .distinct.filterNot(dist.contains)
+      next.foreach(m => dist(m) = h)
+      frontier = next
+    }
+    import spark.implicits._
+    val nodes = graft.sources.Tables.Tpch(spark, Sf).nation
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    val got = GraphQueries.tradeReachability(spark, Sf)
+      .as[(String, Long)].collect().toMap
+    nodes.foreach { case (k, name) =>
+      assert(got(name) === dist.getOrElse(k, -1L), s"node $name")
+    }
+  }
 }
