@@ -170,6 +170,7 @@ object GraphQueries {
         .where(col("node") === 0L)
         .withColumn("hops", lit(0L))
       var frontier = dist
+      var prev: Option[DataFrame] = None
       var done = false
       while (!done) {
         val next = frontier
@@ -179,6 +180,10 @@ object GraphQueries {
           .join(dist.select(col("node")), Seq("node"), "left_anti")
         val found = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         done = found.count() == 0
+        // uncache the previous round's frontier: its rows are folded into
+        // `dist` whose lineage can recompute through the persisted edges
+        prev.foreach(_.unpersist())
+        prev = Some(found)
         if (!done) { dist = dist.unionByName(found); frontier = found }
         else found.unpersist()
       }

@@ -72,7 +72,9 @@ object SemanticDedup {
 
   /** Re-split oversized cells by masked hyperplane signature; cells at or
     * under [[CellCap]] keep their original id (bit-stable no-op). The
-    * per-cell size frame is cell-count-sized — it rides a broadcast. */
+    * per-cell size frame is cell-count-sized (~n/128 rows), which fits a
+    * broadcast up to ~10⁷ cells (~10⁹ vectors per index shard); past that,
+    * drop the hint and this becomes a plain keyed shuffle join. */
   private[graft] def splitOversized(cl: DataFrame): DataFrame = {
     graft.functions.HyperplaneSigs.register(cl.sparkSession)
     val bits = cl.groupBy(col("cluster")).agg(count(lit(1)).as("cell_n"))

@@ -27,10 +27,13 @@ import graft.sources.JdbcIO.Conn
   *
   * Scale shape: the LWW collapse is one keyed window per micro-batch
   * (high-cardinality PK partitioning); the JDBC apply runs per PARTITION
-  * with one connection, one prepared statement per op kind, and
-  * `addBatch`/`executeBatch` flushes — the executor-parallel, batched
-  * twin of the reference's row-at-a-time psycopg2 loop
-  * (`generator.py:204-208`). No driver-side collect at any size.
+  * with one connection, one reused prepared statement per op kind, and
+  * periodic commits (update-count inspection forces per-row execute; the
+  * statement reuse still amortizes parse/plan) — the executor-parallel
+  * twin of the reference's row-at-a-time autocommit psycopg2 loop
+  * (`generator.py:204-208`). Keys are disjoint across partitions after
+  * the collapse, so writers never contend on a row. No driver-side
+  * collect at any size.
   */
 object JdbcUpsertSink {
 

@@ -111,6 +111,39 @@ object LandingWriter {
     }
   }
 
+  /** Retention sweep over a date-partitioned landed table: drop every
+    * `date=YYYY-MM-DD` partition strictly OLDER than `keepDays` days
+    * before `asOf` — the TTL a raw-landing zone runs so the lake holds a
+    * bounded window while downstream marts keep history. Deleting whole
+    * partition directories is the point of the layout (one metadata op per
+    * expired day, no file-level scanning, no rewrite); the sweep is
+    * idempotent and leaves compaction markers from [[compact]] untouched
+    * unless their partition itself expired. Returns the dropped partition
+    * names (sorted) so callers can log/audit the sweep. */
+  def retention(spark: SparkSession, root: String, table: String,
+                keepDays: Int, asOf: java.time.LocalDate): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val tablePath = new Path(s"$root/$table")
+    val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(tablePath)) return Seq.empty
+    val cutoff = asOf.minusDays(keepDays.toLong)
+    fs.listStatus(tablePath)
+      .filter { s =>
+        val n = s.getPath.getName
+        val live = s.isDirectory && n.startsWith("date=")
+        val stale = n.startsWith(".compact_old_date=") ||
+          n.startsWith(".compact_tmp_date=")
+        live || stale
+      }
+      .filter { s =>
+        val day = s.getPath.getName.dropWhile(_ != '=').drop(1)
+        try java.time.LocalDate.parse(day).isBefore(cutoff)
+        catch { case _: java.time.format.DateTimeParseException => false }
+      }
+      .map { s => fs.delete(s.getPath, true); s.getPath.getName }
+      .toSeq.sorted
+  }
+
   /** The Kafka leg as a configured reader (S4): 3-topic subscribe, earliest
     * offsets — group/commit management is replaced by Spark checkpointing.
     * Returned unloaded so environments without the Kafka connector jar can

@@ -36,6 +36,30 @@ class LandingWriterSpec extends SparkSpec {
     assert(back.columns.contains("date"))
   }
 
+  test("retention drops only partitions older than the keep window, idempotent") {
+    val root = tmpDir("retain")
+    for (d <- Seq("2024-03-01", "2024-03-05", "2024-03-09"))
+      LandingWriter.landBatch(Seq((1, d)).toDF("id", "v"),
+        root.toString, "events", Some(d))
+    // asOf 2024-03-10, keep 7 days -> cutoff 03-03: only 03-01 expires
+    val dropped = LandingWriter.retention(spark, root.toString, "events",
+      keepDays = 7, asOf = java.time.LocalDate.parse("2024-03-10"))
+    assert(dropped === Seq("date=2024-03-01"))
+    assert(partitionDirs(root, "events").sorted ===
+      Seq("date=2024-03-05", "date=2024-03-09"))
+    // surviving data still reads cleanly, pruning intact
+    val back = spark.read.parquet(s"$root/events")
+    assert(back.selectExpr("cast(date as string)").distinct()
+      .collect().map(_.getString(0)).sorted
+      === Array("2024-03-05", "2024-03-09"))
+    // idempotent: second sweep drops nothing
+    assert(LandingWriter.retention(spark, root.toString, "events",
+      keepDays = 7, asOf = java.time.LocalDate.parse("2024-03-10")).isEmpty)
+    // a missing table is a clean no-op
+    assert(LandingWriter.retention(spark, root.toString, "absent",
+      keepDays = 7, asOf = java.time.LocalDate.parse("2024-03-10")).isEmpty)
+  }
+
   test("compaction collapses small-file partitions, preserves rows, idempotent") {
     val root = tmpDir("compact")
     // 12 tiny flushes → 12+ files in one partition (the count-batcher's
