@@ -291,7 +291,65 @@ object CorpusPrep {
       .orderBy(col("source"))
   }
 
+  /** The "domain sample" DSIR selects toward: one source standing in for
+    * the high-quality target distribution (in a real pipeline: Wikipedia,
+    * curated books, an eval-adjacent corpus). */
+  val DsirTarget = "src0"
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank every document by
+    * how much more likely its hashed-n-gram features are under a TARGET
+    * domain's bigram model than under the corpus model, and keep the
+    * top-k — the data-selection operator that upweights domain-like text
+    * without training a classifier.
+    *
+    * Determinism without an oracle: log-importance is irrational, so the
+    * per-bigram weight is computed ONCE per distinct bigram (add-one
+    * smoothed probability ratio, `floor(ln(ratio)·10⁶)` to a long) and
+    * each document's score is a SUM OF LONGS — order-independent no
+    * matter how partitions merge, hence run-to-run stable; the spec
+    * reproduces every weight bit-for-bit with the same IEEE expression.
+    *
+    * Scale: two distinct-bigram shuffles (target + corpus counts), a
+    * broadcast one-row totals frame, one (doc_id)-keyed aggregate, and a
+    * TakeOrderedAndProject top-k — the [[TextQueries.lmFamiliarity]]
+    * plan family with a per-doc scoring head. */
+  def dsirSelection(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val tok = t.documents
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .where(col("token") =!= "")
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val docBig = tok
+      .withColumn("next", lead(col("token"), 1).over(byPos))
+      .where(col("next").isNotNull)
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", col("token"), col("next")).as("bigram"))
+      .groupBy(col("doc_id"), col("source"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val corpusCnt = docBig.groupBy(col("bigram")).agg(sum(col("n")).as("c_n"))
+    val targetCnt = docBig.where(col("source") === DsirTarget)
+      .groupBy(col("bigram")).agg(sum(col("n")).as("t_n"))
+    val stats = corpusCnt.join(targetCnt, Seq("bigram"), "left")
+      .withColumn("t_n", coalesce(col("t_n"), lit(0L)))
+    val totals = stats.agg(sum(col("c_n")).as("c_tot"),
+      sum(col("t_n")).as("t_tot"), count(lit(1)).as("v"))
+    val weights = stats.crossJoin(broadcast(totals))
+      .withColumn("w", floor(log(
+        ((col("t_n") + 1) / (col("t_tot") + col("v"))) /
+          ((col("c_n") + 1) / (col("c_tot") + col("v")))) * 1e6).cast("long"))
+      .select(col("bigram"), col("w"))
+    docBig.join(weights, "bigram")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        sum(col("n") * col("w")).cast("long").as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_corpus_dsir", dsirSelection, None),
     NamedQuery("q_dataset_card", datasetCard, Some(
       """WITH a AS (
         |  SELECT doc_id, source,

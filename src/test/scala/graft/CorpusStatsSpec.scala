@@ -94,6 +94,48 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("q_corpus_dsir equals a driver-side bigram importance recompute") {
+    val docs = Tpch(spark, Sf).documents
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(text: String): Seq[String] = {
+      val t = text.split(" ").filter(_.nonEmpty)
+      t.zip(t.drop(1)).map { case (a, b) => s"$a $b" }.toSeq
+    }
+    val perDoc = docs.map { case (id, src, text) =>
+      (id, src, bigrams(text).groupBy(identity).map { case (k, v) => k -> v.size.toLong })
+    }
+    val corpus = perDoc.flatMap(_._3).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sum }
+    val target = perDoc.filter(_._2 == graft.operators.CorpusPrep.DsirTarget)
+      .flatMap(_._3).groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val (cTot, tTot, v) =
+      (corpus.values.sum, target.values.sum, corpus.size.toLong)
+    val w = corpus.map { case (bg, cN) =>
+      val tN = target.getOrElse(bg, 0L)
+      bg -> math.floor(math.log(
+        ((tN + 1).toDouble / (tTot + v)) / ((cN + 1).toDouble / (cTot + v))
+      ) * 1e6).toLong
+    }
+    val expected = perDoc
+      .filter(_._3.nonEmpty)
+      .map { case (id, src, bgs) =>
+        (id, src, bgs.values.sum, bgs.map { case (bg, n) => n * w(bg) }.sum)
+      }
+      .sortBy { case (id, _, _, s) => (-s, id) }
+      .take(20)
+    val got = graft.operators.CorpusPrep.dsirSelection(spark, Sf).collect().map {
+      case Row(id: Long, src: String, nb: Long, s: Long) => (id, src, nb, s)
+    }.toSeq
+    assert(got === expected)
+    // selection actually prefers the target domain: its docs are
+    // overrepresented in the top-k relative to the corpus share
+    val targetShareTop = got.count(_._2 == graft.operators.CorpusPrep.DsirTarget)
+    val targetShareAll = docs.count(_._2 == graft.operators.CorpusPrep.DsirTarget)
+    assert(targetShareTop * docs.size > targetShareAll * got.size,
+      "target domain must be overrepresented in the DSIR top-k")
+  }
+
   test("q_ts_seasonal_naive equals a driver-side calendar walk") {
     val days = Tpch(spark, Sf).events
       .selectExpr("event_type", "cast(ts as date) as day")

@@ -32,7 +32,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_market_basket",     // broadcast one-row order-total frame
     "q_profile_benford",   // broadcast one-row digit-total frame
     "q_text_ks_drift",     // broadcast one-row corpus-total frame
-    "q_text_heaps_curve"   // broadcast one-row id-span frame
+    "q_text_heaps_curve",  // broadcast one-row id-span frame
+    "q_corpus_dsir"        // broadcast one-row smoothing-totals frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
