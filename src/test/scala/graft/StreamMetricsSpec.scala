@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.StreamMetrics
+
+/** The observability listener against a REAL stateful streaming query:
+  * batch metrics accumulate, input-row accounting is exact, state size is
+  * visible for a stateful aggregation, and the window stays bounded. */
+class StreamMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("listener captures per-batch rows, latency, and state size") {
+    val metrics = new StreamMetrics(maxEntries = 8)
+    spark.streams.addListener(metrics)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val counts = mem.toDF().toDF("k", "v")
+      .groupBy(col("k")).agg(sum(col("v")).as("total"))
+    val q = counts.writeStream
+      .queryName("metricsProbe")
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .option("checkpointLocation",
+        Files.createTempDirectory("metrics-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      mem.addData(("a", 1L), ("b", 2L)); q.processAllAvailable()
+      mem.addData(("a", 3L), ("c", 4L), ("c", 5L)); q.processAllAvailable()
+      // listener events are delivered asynchronously after the batch
+      var tries = 0
+      while (metrics.asFrame(spark)
+          .where(col("query") === "metricsProbe")
+          .agg(coalesce(sum(col("input_rows")), lit(0L)))
+          .collect().head.getLong(0) < 5L
+          && tries < 100) { Thread.sleep(50); tries += 1 }
+
+      val frame = metrics.asFrame(spark)
+        .where(col("query") === "metricsProbe").collect()
+      assert(frame.map(_.getAs[Long]("input_rows")).sum === 5L,
+        "every input row accounted for")
+      assert(frame.length >= 2, "one metric row per data batch")
+      // the stateful agg holds 3 distinct keys after both batches
+      assert(frame.last.getAs[Long]("state_rows") === 3L)
+      val summary = metrics.summary(spark)
+        .where(col("query") === "metricsProbe").collect().head
+      assert(summary.getAs[Long]("total_rows") === 5L)
+      assert(summary.getAs[Long]("state_rows_now") === 3L)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(metrics)
+    }
+  }
+
+  test("retained window is bounded at maxEntries") {
+    val metrics = new StreamMetrics(maxEntries = 3)
+    spark.streams.addListener(metrics)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().writeStream
+      .queryName("boundedProbe")
+      .format("memory")
+      .option("checkpointLocation",
+        Files.createTempDirectory("bounded-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      for (i <- 1L to 6L) { mem.addData(i); q.processAllAvailable() }
+      var tries = 0
+      while (metrics.asFrame(spark).count() < 3 && tries < 100) {
+        Thread.sleep(50); tries += 1
+      }
+      assert(metrics.asFrame(spark).count() <= 3,
+        "window must stay bounded at maxEntries")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(metrics)
+    }
+  }
+}
