@@ -238,7 +238,55 @@ object Components {
       |                                 ORDER BY q2.quality DESC, comp.id) AS rn
       |       FROM comp JOIN q2 ON q2.doc_id = comp.id)""".stripMargin
 
+  /** Quality × duplication calibration: per quality band (floor(q·10) on
+    * the DECIMAL(18,8)-cast score — the proven cross-engine boundary),
+    * how many documents sit in at least one near-dup pair. The curve a
+    * corpus owner reads before trusting a quality filter as a dedup
+    * proxy (or vice versa): if low-quality bands carry most duplication,
+    * the quality cut already removes near-dups; flat permille means the
+    * two screens are independent and both are needed. Composition: the
+    * dup-membership set is the session-cached portable pair-graph
+    * labeling ([[sharedLabels]]) — no recompute; the oracle re-derives it
+    * from scratch (md5 minhash + recursive closure). */
+  def qualityDupCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = graft.sources.Tables.Tpch(spark, sfDir)
+    val members = sharedLabels(spark, sfDir)
+      .select(col("id").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    t.documents
+      .select(col("doc_id"),
+        TextQueries.qualityScoreExpr
+          .cast(org.apache.spark.sql.types.DecimalType(18, 8)).as("q"))
+      .withColumn("band", floor(col("q") * 10).cast("long"))
+      .join(members, Seq("doc_id"), "left")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_members"))
+      .select(col("band"), col("n_docs"),
+        col("n_dup_members").cast("long").as("n_dup_members"),
+        expr("(n_dup_members * 1000) div n_docs").cast("long").as("dup_permille"))
+      .orderBy(col("band"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_corpus_quality_dup_rate", qualityDupCalibration, Some(
+      portableClosureSql +
+        """,
+          |qb AS (SELECT doc_id,
+          |         CAST(FLOOR(
+          |           CAST(LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+          |              + (len(list_distinct(string_split(text, ' ')))
+          |                 / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+          |             AS DECIMAL(18,8)) * 10) AS BIGINT) AS band
+          |       FROM documents),
+          |mem AS (SELECT DISTINCT id FROM comp)
+          |SELECT qb.band, COUNT(*) AS n_docs,
+          |       CAST(SUM(CASE WHEN mem.id IS NOT NULL THEN 1 ELSE 0 END)
+          |         AS BIGINT) AS n_dup_members,
+          |       CAST((SUM(CASE WHEN mem.id IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+          |         // COUNT(*) AS BIGINT) AS dup_permille
+          |FROM qb LEFT JOIN mem ON mem.id = qb.doc_id
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_dedup_components", nearDupComponents, Some(
       portableClosureSql +
         """

@@ -31,7 +31,8 @@ object ScaleProbe {
     "q_dedup_pipeline", "q_corpus_split",
     "q_sim_cosine_topk", "q_sim_ivf_topk", "q_sim_pq_topk",
     "q_sim_ivfpq_topk", "q_sim_semantic_dedup",
-    "q_text_lm_familiarity", "q_multimodal_features", "q_multimodal_ann")
+    "q_text_lm_familiarity", "q_corpus_dsir", "q_text_ks_drift",
+    "q_text_heaps_curve", "q_multimodal_features", "q_multimodal_ann")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
