@@ -1,0 +1,93 @@
+package graft.plans
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.{Failure, Success, Try}
+
+import org.apache.spark.sql.SparkSession
+
+/** Minimal in-library orchestration — the substance of the reference's
+  * DECLARED-but-empty Airflow layer (`README.md:57` promises DAGs;
+  * `docker-compose.yml:89,117` mounts an empty dags/ directory; the
+  * shipped scheduler logs confirm "0 files in /opt/airflow/dags"). What a
+  * banking-mart DAG actually needs from an orchestrator is small and
+  * engine-adjacent: named tasks, dependencies, topological execution with
+  * independent tasks running CONCURRENTLY (Spark's scheduler interleaves
+  * jobs from multiple driver threads), fail-fast that skips only the
+  * failed task's descendants, and a per-task status/duration report — the
+  * run ledger an ops page shows.
+  *
+  * Determinism: tasks execute in Kahn levels; within a level submission
+  * order is name-sorted and the report is name-sorted, so retries and
+  * tests see stable output regardless of thread timing. Validation
+  * (duplicate names, unknown dependencies, cycles) fails before any task
+  * runs. This is deliberately NOT a scheduler (no cron, no backfill
+  * calendar): the engine's streaming triggers own time; the DAG owns
+  * dependency order within one run.
+  */
+object QueryDag {
+
+  final case class Task(name: String, deps: Seq[String],
+                        run: SparkSession => Unit)
+
+  final case class TaskResult(name: String, status: String, ms: Long,
+                              error: Option[String])
+
+  /** Execute the DAG; returns one result per task, name-sorted.
+    * Status: `ok`, `failed`, or `skipped` (an ancestor failed). */
+  def run(spark: SparkSession, tasks: Seq[Task],
+          parallelism: Int = 4): Seq[TaskResult] = {
+    val byName = tasks.map(t => t.name -> t).toMap
+    require(byName.size == tasks.size,
+      s"duplicate task names: ${tasks.groupBy(_.name).collect {
+        case (n, ts) if ts.size > 1 => n }.mkString(", ")}")
+    val unknown = tasks.flatMap(t => t.deps.filterNot(byName.contains))
+    require(unknown.isEmpty, s"unknown dependencies: ${unknown.mkString(", ")}")
+
+    // Kahn levels (also the cycle check: leftover nodes = a cycle)
+    var remaining = tasks.map(t => t.name -> t.deps.toSet).toMap
+    var levels = Vector.empty[Seq[String]]
+    var doneSet = Set.empty[String]
+    while (remaining.nonEmpty) {
+      val ready = remaining.collect {
+        case (n, ds) if ds.subsetOf(doneSet) => n
+      }.toSeq.sorted
+      require(ready.nonEmpty,
+        s"dependency cycle among: ${remaining.keys.toSeq.sorted.mkString(", ")}")
+      levels :+= ready
+      doneSet ++= ready
+      remaining = remaining.removedAll(ready)
+    }
+
+    val pool = Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results = scala.collection.mutable.Map.empty[String, TaskResult]
+    try {
+      for (level <- levels) {
+        val futures = level.map { name =>
+          val failedAncestor = byName(name).deps.exists(d =>
+            results(d).status != "ok")
+          if (failedAncestor)
+            name -> Future.successful(
+              TaskResult(name, "skipped", 0L, None))
+          else name -> Future {
+            val t0 = System.nanoTime()
+            Try(byName(name).run(spark)) match {
+              case Success(_) =>
+                TaskResult(name, "ok", (System.nanoTime() - t0) / 1000000, None)
+              case Failure(e) =>
+                TaskResult(name, "failed", (System.nanoTime() - t0) / 1000000,
+                  Some(e.toString))
+            }
+          }
+        }
+        futures.foreach { case (n, f) =>
+          results(n) = Await.result(f, Duration.Inf)
+        }
+      }
+    } finally pool.shutdown()
+    results.values.toSeq.sortBy(_.name)
+  }
+}

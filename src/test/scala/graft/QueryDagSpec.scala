@@ -1,0 +1,75 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import graft.plans.QueryDag
+import graft.plans.QueryDag.Task
+
+/** The orchestration layer: topological waves, concurrency within a wave,
+  * fail-fast that skips only descendants, validation before execution —
+  * plus the reference-shaped mart flow (generate → land → mart) as a DAG. */
+class QueryDagSpec extends SparkSpec {
+
+  test("diamond DAG runs in dependency order; independent tasks both run") {
+    val order = new ConcurrentLinkedQueue[String]()
+    def t(name: String, deps: String*) =
+      Task(name, deps, _ => { order.add(name); () })
+    val results = QueryDag.run(spark, Seq(
+      t("d", "b", "c"), t("b", "a"), t("c", "a"), t("a")))
+    assert(results.forall(_.status == "ok"))
+    val seq = order.toArray.map(_.toString).toSeq
+    assert(seq.head == "a" && seq.last == "d")
+    assert(seq.toSet == Set("a", "b", "c", "d"))
+    assert(seq.indexOf("b") > seq.indexOf("a"))
+    assert(seq.indexOf("c") > seq.indexOf("a"))
+  }
+
+  test("a failure skips its descendants but not independent branches") {
+    val ran = new ConcurrentLinkedQueue[String]()
+    val results = QueryDag.run(spark, Seq(
+      Task("a", Nil, _ => { ran.add("a"); () }),
+      Task("boom", Seq("a"), _ => sys.error("kaput")),
+      Task("after-boom", Seq("boom"), _ => { ran.add("after-boom"); () }),
+      Task("side", Seq("a"), _ => { ran.add("side"); () })))
+    val byName = results.map(r => r.name -> r).toMap
+    assert(byName("a").status == "ok")
+    assert(byName("boom").status == "failed" &&
+      byName("boom").error.exists(_.contains("kaput")))
+    assert(byName("after-boom").status == "skipped")
+    assert(byName("side").status == "ok")
+    assert(!ran.contains("after-boom"))
+  }
+
+  test("validation rejects cycles, unknown deps, duplicate names pre-run") {
+    val ran = new ConcurrentLinkedQueue[String]()
+    def t(name: String, deps: String*) =
+      Task(name, deps, _ => { ran.add(name); () })
+    intercept[IllegalArgumentException] {
+      QueryDag.run(spark, Seq(t("a", "b"), t("b", "a")))
+    }
+    intercept[IllegalArgumentException] {
+      QueryDag.run(spark, Seq(t("a", "ghost")))
+    }
+    intercept[IllegalArgumentException] {
+      QueryDag.run(spark, Seq(t("a"), t("a")))
+    }
+    assert(ran.isEmpty, "no task may run when validation fails")
+  }
+
+  test("the reference-shaped mart flow runs as a DAG over real queries") {
+    // generate → (landing-shape check ∥ mart) → audit: each task drives a
+    // real engine query; the DAG only sequences them
+    val sf = Sf
+    var martRows = 0L
+    val results = QueryDag.run(spark, Seq(
+      Task("generate", Nil, s =>
+        assert(graft.generator.Datagen.customers(s, 20).count() == 20)),
+      Task("mart", Seq("generate"), s =>
+        martRows = graft.operators.MartQueries.dailyRegionRevenue(s, sf).count()),
+      Task("audit", Seq("mart"), s =>
+        assert(graft.operators.AuditQueries.pkAuditOrders(s, sf).count() == 0))))
+    assert(results.forall(_.status == "ok"))
+    assert(martRows > 0)
+    assert(results.map(_.name) == Seq("audit", "generate", "mart"), "name-sorted report")
+  }
+}
