@@ -299,7 +299,78 @@ object Profiling {
       .orderBy(col("leading_digit"))
   }
 
+  /** Encoding/layout advisor: per column, the CLUSTERING FACTOR under the
+    * index-equivalent layout (C5: rows ordered by (l_orderkey,
+    * l_linenumber)) — how many adjacent-row value CHANGES the column
+    * shows within each order group, next to its distinct-value count.
+    * A low change rate means run-length/dictionary encoding wins and the
+    * composite-key sort is doing its clustering job for that column; a
+    * change rate near the row count means the column is unclustered
+    * under this layout and a different sort key (or z-order,
+    * [[graft.plans.IndexedLayout]]) would be needed to compress/skip on
+    * it. All counts exact integers, permille by integer `div`. Shape:
+    * ONE window sort per order group (high-cardinality partition key,
+    * reused by all four lag columns — one shuffle total) folded into a
+    * single aggregate, then a constant-width unpivot. */
+  def clusteringFactor(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cols = Seq("l_returnflag", "l_linestatus", "l_partkey", "l_shipdate")
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus — order by
+    // every profiled column too, so any remaining tie is a FULL duplicate
+    // row and adjacency (hence the change count) is order-invariant
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_shipdate"),
+        col("l_returnflag"), col("l_linestatus"))
+    val base = Tpch(spark, sfDir).lineitem
+      .select((Seq("l_orderkey", "l_linenumber") ++ cols).map(col): _*)
+    val flagged = cols.foldLeft(base) { (df, c) =>
+      df.withColumn(s"chg_$c",
+        when(lag(col(c), 1).over(w).isNotNull &&
+          lag(col(c), 1).over(w) =!= col(c), 1L).otherwise(0L))
+    }
+    val aggCols =
+      Seq(count(lit(1)).cast("long").as("n_rows")) ++
+        cols.map(c => sum(col(s"chg_$c")).cast("long").as(s"chg_$c")) ++
+        cols.map(c => countDistinct(col(c)).cast("long").as(s"nd_$c"))
+    val one = flagged.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', n_rows, nd_$c, chg_$c").mkString(", ")
+    one.selectExpr(
+      s"stack(${cols.size}, $stacked) AS (column_name, n_rows, n_distinct, n_changes)")
+      .withColumn("changes_permille",
+        expr("(n_changes * 1000) div n_rows").cast("long"))
+      .orderBy(col("column_name"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_profile_clustering_factor", clusteringFactor, Some {
+      val cols = Seq("l_returnflag", "l_linestatus", "l_partkey", "l_shipdate")
+      val lags = cols.map(c => s"LAG($c) OVER w AS p_$c").mkString(",\n|         ")
+      val sels = cols.map { c =>
+        s"""SELECT '$c' AS column_name, n_rows, nd_$c AS n_distinct,
+           |       chg_$c AS n_changes,
+           |       CAST((chg_$c * 1000) // n_rows AS BIGINT) AS changes_permille
+           |FROM one""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val aggs = cols.map(c =>
+        s"""CAST(SUM(CASE WHEN p_$c IS NOT NULL AND p_$c <> $c
+           |           THEN 1 ELSE 0 END) AS BIGINT) AS chg_$c,
+           |       CAST(COUNT(DISTINCT $c) AS BIGINT) AS nd_$c""".stripMargin)
+        .mkString(",\n|       ")
+      s"""WITH lagged AS (
+         |  SELECT l_returnflag, l_linestatus, l_partkey, l_shipdate,
+         |         $lags
+         |  FROM lineitem
+         |  WINDOW w AS (PARTITION BY l_orderkey
+         |               ORDER BY l_linenumber, l_partkey, l_shipdate,
+         |                        l_returnflag, l_linestatus)),
+         |one AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       $aggs
+         |  FROM lagged)
+         |$sels
+         |ORDER BY column_name""".stripMargin
+    }),
     NamedQuery("q_profile_benford", benfordScreen, Some(
       """WITH lead AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS leading_digit
         |              FROM orders WHERE o_totalprice >= 1),
