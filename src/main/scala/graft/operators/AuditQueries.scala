@@ -128,7 +128,51 @@ object AuditQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl")
   }
 
+  /** k-anonymity risk curve over the quasi-identifier (c_mktsegment,
+    * c_nationkey): for each candidate k, how many equivalence classes
+    * fall below k members, how many ROWS sit in those classes (the
+    * re-identification surface), and the suppression cost in permille —
+    * the governance readout a training-data release runs before
+    * publishing joined demographic columns. One keyed aggregate builds
+    * the class histogram; the k-curve is a narrow 4-way explode over
+    * CLASS rows (bounded by the QI domain, never the table), so the
+    * whole query is one shuffle at any scale. Exact integers throughout. */
+  def kAnonymityCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val classes = t.customer
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"))
+    classes
+      .select(col("n"), explode(array(lit(2), lit(5), lit(10), lit(20))).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < col("k"), 1L).otherwise(0L)).as("classes_below"),
+        sum(when(col("n") < col("k"), col("n")).otherwise(0L)).as("rows_at_risk"),
+        sum(col("n")).as("n_rows"))
+      .select(col("k").cast("long").as("k"), col("n_classes"),
+        col("classes_below").cast("long").as("classes_below"),
+        col("rows_at_risk").cast("long").as("rows_at_risk"),
+        expr("(rows_at_risk * 1000) div n_rows").cast("long")
+          .as("suppression_permille"))
+      .orderBy(col("k"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_audit_k_anonymity", kAnonymityCurve, Some(
+      """WITH classes AS (
+        |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |ks AS (SELECT UNNEST([2, 5, 10, 20]) AS k)
+        |SELECT CAST(ks.k AS BIGINT) AS k,
+        |       COUNT(*) AS n_classes,
+        |       CAST(SUM(CASE WHEN c.n < ks.k THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS classes_below,
+        |       CAST(SUM(CASE WHEN c.n < ks.k THEN c.n ELSE 0 END) AS BIGINT)
+        |         AS rows_at_risk,
+        |       CAST((SUM(CASE WHEN c.n < ks.k THEN c.n ELSE 0 END) * 1000)
+        |         // SUM(c.n) AS BIGINT) AS suppression_permille
+        |FROM classes c CROSS JOIN ks
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_audit_replica_fingerprint", replicaFingerprint, Some(fpOracleSql)),
     NamedQuery("q_audit_pk_orders", pkAuditOrders, Some(
       """SELECT o_orderkey, COUNT(*) AS n FROM orders
