@@ -103,16 +103,21 @@ object AuditQueries {
     * not per table). Canonical strings use only integer/enum columns so
     * both engines render identically; value columns would ride the
     * decimal-cast string idiom. */
+  /** The reusable core: fingerprint ANY frame on a canonical column list.
+    * Commutative sum ⇒ partition- and order-invariant; any single-row
+    * change moves the sum with probability 1 − 2⁻⁴⁰ (property-tested in
+    * `AuditFingerprintSpec`). */
+  def tableFingerprint(df: DataFrame, table: String, cols: Seq[String]): DataFrame =
+    df.select(expr(s"cast(${rowFpSql(cols, "L")} as decimal(38,0))").as("v"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("v")).cast("long").as("fp_sum"))
+      .select(lit(table).as("tbl"), col("n_rows"), col("fp_sum"))
+
   def replicaFingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
-    def fp(df: DataFrame, table: String, cols: Seq[String]): DataFrame =
-      df.select(expr(s"cast(${rowFpSql(cols, "L")} as decimal(38,0))").as("v"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("v")).cast("long").as("fp_sum"))
-        .select(lit(table).as("tbl"), col("n_rows"), col("fp_sum"))
-    fp(t.customer, "customer", Seq("c_custkey", "c_name", "c_nationkey"))
-      .unionByName(fp(t.orders, "orders",
+    tableFingerprint(t.customer, "customer", Seq("c_custkey", "c_name", "c_nationkey"))
+      .unionByName(tableFingerprint(t.orders, "orders",
         Seq("o_orderkey", "o_custkey", "o_orderstatus")))
-      .unionByName(fp(t.lineitem, "lineitem",
+      .unionByName(tableFingerprint(t.lineitem, "lineitem",
         Seq("l_orderkey", "l_linenumber", "l_returnflag")))
       .orderBy(col("tbl"))
   }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.AuditQueries
+
+/** Properties of the anti-entropy fingerprint (raw ScalaCheck, as in
+  * DatagenPropertiesSpec): the checksum must be invariant to row order
+  * and partitioning (replicas lay data out differently) and sensitive to
+  * ANY single-row difference — that is the entire point of the
+  * reconciliation audit. */
+class AuditFingerprintSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(p: Prop, min: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(min), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def fpOf(rows: Seq[(Long, String)], partitions: Int): (Long, Long) = {
+    val df = rows.toDF("id", "name").repartition(partitions)
+    val r = AuditQueries.tableFingerprint(df, "t", Seq("id", "name"))
+      .collect().head
+    (r.getLong(1), r.getLong(2))
+  }
+
+  private val rowsGen: Gen[List[(Long, String)]] = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(0L, 1000000L), Gen.alphaNumStr.map(_.take(12))))
+
+  test("order- and partitioning-invariant: shuffled replicas agree") {
+    val p = Prop.forAll(rowsGen, Gen.choose(1, 7), Gen.choose(0L, Long.MaxValue)) {
+      (rows, parts, seed) =>
+        val shuffled = new scala.util.Random(seed).shuffle(rows)
+        fpOf(rows, 1) == fpOf(shuffled, parts)
+    }
+    check(p)
+  }
+
+  test("sensitive: any single-row mutation moves the checksum") {
+    val p = Prop.forAll(rowsGen, Gen.choose(0, 1 << 20)) { (rows, salt) =>
+      val idx = salt % rows.size
+      val (id, name) = rows(idx)
+      val mutated = rows.updated(idx, (id + 1 + (salt % 97).toLong, name))
+      val a = fpOf(rows, 2)
+      val b = fpOf(mutated, 2)
+      a._1 == b._1 && a._2 != b._2
+    }
+    check(p)
+  }
+
+  test("a dropped row changes both count and checksum") {
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    val full = fpOf(rows, 1)
+    val missing = fpOf(rows.tail, 1)
+    assert(full._1 === missing._1 + 1)
+    assert(full._2 !== missing._2)
+  }
+}
