@@ -40,19 +40,26 @@ object GraphQueries {
 
   /** Distinct directed cross-nation trade edges (cust nation → supp
     * nation) from one pass over the fact: two fact shuffles (orderkey,
-    * suppkey) then a distinct over ≤ |nations|² pairs. */
-  private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = Tpch(spark, sfDir)
-    t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(t.customer, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t.supplier.select(col("s_suppkey"),
-        col("s_nationkey").as("supp_nation"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("c_nationkey").as("src"), col("supp_nation").as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-  }
+    * suppkey) then a distinct over ≤ |nations|² pairs. All three graph
+    * queries consume the SAME edge list, so it is built once per
+    * (session, sf) and persisted — the [[FrameCache]] lifecycle the
+    * dedup signature views use (at 100 TB: the materialized daily
+    * counterparty edge table every graph job reads). */
+  private val edgeCache = FrameCache.empty
+  private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(edgeCache, spark, sfDir) {
+      val t = Tpch(spark, sfDir)
+      t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.supplier.select(col("s_suppkey"),
+          col("s_nationkey").as("supp_nation"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("supp_nation").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Five fixed-point PageRank iterations over the trade graph; emits the
     * exact integer rank per nation, descending. */
@@ -159,9 +166,9 @@ object GraphQueries {
     * states bounded by |V|·diameter, never path enumeration. */
   def tradeReachability(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
+    // shared session-cached edge frame — owned by the cache, not this loop
     val edges = tradeEdges(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    locally {
       // seed from the node table (not a literal frame: a foldable seed
       // would constant-fold the round-1 join condition into a keyless
       // nested loop)
@@ -192,7 +199,7 @@ object GraphQueries {
         .select(col("n_name").as("nation"),
           coalesce(col("hops"), lit(-1L)).cast("long").as("hops"))
         .orderBy(col("hops"), col("nation"))
-    } finally { edges.unpersist(); () }
+    }
   }
 
   val all: Seq[NamedQuery] = Seq(
