@@ -115,4 +115,53 @@ object JdbcUpsertSink {
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
+
+  /** Record `batchId` in the sink-side ledger table; returns false if it
+    * was already recorded (the batch is a REPLAY and must be skipped).
+    * The ledger's PRIMARY KEY makes the insert race-free: exactly one
+    * caller per (table, batchId) ever wins. Create the ledger once with
+    * [[ensureLedger]]. */
+  def claimBatch(conn: Conn, table: String, batchId: Long): Boolean = {
+    Class.forName(conn.driver)
+    val c = DriverManager.getConnection(conn.url, conn.user, conn.password)
+    try {
+      val st = c.prepareStatement(
+        "INSERT INTO graft_batch_ledger (tbl, batch_id) VALUES (?, ?)")
+      st.setString(1, table); st.setLong(2, batchId)
+      try { st.executeUpdate(); true }
+      catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+    } finally c.close()
+  }
+
+  /** Idempotently create the ledger table. */
+  def ensureLedger(conn: Conn): Unit = {
+    Class.forName(conn.driver)
+    val c = DriverManager.getConnection(conn.url, conn.user, conn.password)
+    try c.createStatement().executeUpdate(
+      "CREATE TABLE graft_batch_ledger (tbl VARCHAR(128) NOT NULL, " +
+        "batch_id BIGINT NOT NULL, PRIMARY KEY (tbl, batch_id))")
+    catch { case _: java.sql.SQLException => () } // already exists
+    finally c.close()
+  }
+
+  /** Ledgered form for NON-idempotent applies (e.g. an `increment`-style
+    * aggregate merge, where replaying a batch would double-count): each
+    * micro-batch first claims its batchId in the sink-side ledger inside
+    * the same database; a replayed batch fails the claim and is skipped
+    * entirely. This is the transactional-sink pattern the file sink gets
+    * from its log ([[FileIngest]]), rebuilt at a JDBC store: Spark
+    * guarantees a batchId's CONTENT is deterministic across retries, the
+    * ledger guarantees it applies at most once — together, exactly-once
+    * without requiring the apply itself to be idempotent. */
+  def streamLedgered(decoded: DataFrame, conn: Conn, table: String,
+                     keyCols: Seq[String], checkpoint: String,
+                     trigger: Trigger = Trigger.ProcessingTime("2 seconds"))
+      : DataStreamWriter[Row] =
+    decoded.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        if (claimBatch(conn, table, batchId))
+          applyBatch(b, conn, table, keyCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
 }

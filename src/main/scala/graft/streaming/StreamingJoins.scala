@@ -40,6 +40,29 @@ object StreamingJoins {
              broadcastDim: Boolean = true): DataFrame =
     stream.join(if (broadcastDim) broadcast(dim) else dim, Seq(key), joinType)
 
+  /** Stream-static TEMPORAL enrichment — the streaming twin of the batch
+    * `q_scd2_temporal_join`: each event joins the SCD2 dimension VERSION
+    * that was valid at the event's own time (`valid_from ≤ t < valid_to`,
+    * open `valid_to` = current). Still a stateless stream-static join
+    * (no watermark, no state store): the validity predicate rides the
+    * join condition, and fan-out is bounded by versions-per-key. The
+    * history frame's columns must be disjoint from the stream's apart
+    * from nothing — pass `dimKey`/`eventKey` explicitly, so no renames
+    * are forced upstream. Late events automatically get the version that
+    * was valid back then — the property a latest-only dim join silently
+    * violates. */
+  def enrichTemporal(stream: DataFrame, hist: DataFrame,
+                     eventKey: String, dimKey: String,
+                     eventTime: String, broadcastDim: Boolean = true)
+      : DataFrame = {
+    val h = if (broadcastDim) broadcast(hist) else hist
+    stream.join(h,
+      col(eventKey) === col(dimKey) &&
+        col("valid_from") <= col(eventTime) &&
+        (col("valid_to").isNull || col("valid_to") > col(eventTime)),
+      "left")
+  }
+
   /** Inner band join: rows with equal `key` whose event times lie within
     * `bandSeconds` of each other. Column names of `left` and `right` must
     * be disjoint apart from `key` (rename upstream), so the join output

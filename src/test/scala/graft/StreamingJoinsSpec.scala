@@ -108,4 +108,39 @@ class StreamingJoinsSpec extends SparkSpec {
     assert(rows == Set((1L, 10.0, "GOLD"), (3L, 5.0, "-"), (2L, 7.0, "SILVER")),
       s"got $rows")
   }
+
+  test("temporal enrichment gives each event the dim version valid at ITS time") {
+    implicit val sqlCtx = spark.sqlContext
+    // SCD2 history for key 1: PLAIN@10..20, GOLD@20..open; key 2 never versioned
+    val hist = Seq((1L, 10L, Some(20L), "PLAIN"), (1L, 20L, None, "GOLD"))
+      .toDF("dim_id", "valid_from", "valid_to", "segment")
+    val events = MemoryStream[(Long, Long)]
+    val enriched = StreamingJoins.enrichTemporal(
+      events.toDF().toDF("user_id", "es"), hist,
+      eventKey = "user_id", dimKey = "dim_id", eventTime = "es")
+    val q = enriched.writeStream.format("memory").queryName("ss_temporal")
+      .outputMode("append").start()
+    try {
+      events.addData((1L, 5L))   // before any version -> null
+      events.addData((1L, 15L))  // during PLAIN
+      events.addData((1L, 25L))  // during open GOLD
+      events.addData((2L, 15L))  // unversioned key -> null
+      q.processAllAvailable()
+      // LATE event, delivered after the GOLD version became current:
+      // must still get the version valid back THEN (PLAIN), not latest
+      events.addData((1L, 12L))
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      assert(progress.stateOperators.isEmpty ||
+        progress.stateOperators.forall(_.numRowsTotal == 0),
+        "temporal stream-static join must not accumulate state")
+    } finally q.stop()
+    val rows = spark.table("ss_temporal")
+      .select(col("user_id"), col("es"), col("segment")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSet
+    assert(rows === Set(
+      (1L, 5L, "-"), (1L, 15L, "PLAIN"), (1L, 25L, "GOLD"),
+      (2L, 15L, "-"), (1L, 12L, "PLAIN")), s"got $rows")
+  }
 }
