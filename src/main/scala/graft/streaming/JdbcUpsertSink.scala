@@ -128,8 +128,14 @@ object JdbcUpsertSink {
       val st = c.prepareStatement(
         "INSERT INTO graft_batch_ledger (tbl, batch_id) VALUES (?, ?)")
       st.setString(1, table); st.setLong(2, batchId)
+      // dialect-portable duplicate detection: Derby raises the
+      // SQLIntegrityConstraintViolation subclass, Postgres a plain
+      // SQLException with SQLState 23505 — match on the 23xxx class
       try { st.executeUpdate(); true }
-      catch { case _: java.sql.SQLIntegrityConstraintViolationException => false }
+      catch {
+        case e: java.sql.SQLException
+            if Option(e.getSQLState).exists(_.startsWith("23")) => false
+      }
     } finally c.close()
   }
 
