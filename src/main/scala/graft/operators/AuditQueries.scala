@@ -70,10 +70,11 @@ object AuditQueries {
       count(when(col("l_tax") < 0, 1)).as("bad_tax"))
   }
 
-  /** 16^(12-i) multipliers for parsing 12 hex chars to a 48-bit value with
+  /** 16^(10-i) multipliers for parsing 10 hex chars to a 40-bit value with
     * nothing but instr/substring — the engine-portable md5 idiom
     * ([[CorpusPrep]] split buckets), widened from one bucket digit to a
-    * fingerprint-strength value. */
+    * fingerprint-strength value. 40 bits (not more) keeps the documented
+    * overflow bound: n_rows·2⁴⁰ < 2⁶³ ⇒ ~8.4M rows per fingerprint unit. */
   private def hexValSql(h: String, longSuffix: String): String =
     (1 to 10).map { i =>
       val mult = 1L << (4 * (10 - i))

@@ -177,7 +177,6 @@ object GraphQueries {
         .where(col("node") === 0L)
         .withColumn("hops", lit(0L))
       var frontier = dist
-      var prev: Option[DataFrame] = None
       var done = false
       while (!done) {
         val next = frontier
@@ -187,10 +186,11 @@ object GraphQueries {
           .join(dist.select(col("node")), Seq("node"), "left_anti")
         val found = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         done = found.count() == 0
-        // uncache the previous round's frontier: its rows are folded into
-        // `dist` whose lineage can recompute through the persisted edges
-        prev.foreach(_.unpersist())
-        prev = Some(found)
+        // every round's frontier STAYS cached: the returned frame is a
+        // lazy union over all of them, so uncaching here would force the
+        // caller's action to recompute the whole nested join chain.
+        // Frontiers total ≤ |V| rows across all rounds — session cleanup
+        // (or a caller's unpersist sweep) reclaims them.
         if (!done) { dist = dist.unionByName(found); frontier = found }
         else found.unpersist()
       }

@@ -86,11 +86,15 @@ object SemanticDedup {
     cl.join(broadcast(bits), "cluster")
       .withColumn("cluster",
         when(col("split_bits") === 0, col("cluster")).otherwise(
-          // stays int: sub-cell ids are cluster·256 + an 8-bit mask, and
-          // cluster counts are ≤ ~n/128 — far under 2³¹/256 at any corpus
-          // a single index shard would hold
-          expr("cast(cluster * 256L + pmod(graft_hyperplane_sigs(embedding, 1, 8)[0]," +
-            " shiftleft(1L, split_bits)) as int)")))
+          // sub-cells live in the NEGATIVE id space: -(cluster·256+mask)-1
+          // can never equal an untouched non-negative cell id, so a corpus
+          // with more than 256 coarse cells cannot alias an unsplit cell
+          // onto a sub-cell (which would silently merge unrelated cells
+          // and re-inflate the very quadratic the cap bounds). Injective
+          // while cells ≤ (2³¹−257)/256 ≈ 8.4M — beyond any single index
+          // shard.
+          expr("cast(-(cluster * 256L + pmod(graft_hyperplane_sigs(embedding, 1, 8)[0]," +
+            " shiftleft(1L, split_bits))) - 1L as int)")))
       .drop("split_bits")
   }
 

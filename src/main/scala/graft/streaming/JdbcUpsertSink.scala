@@ -37,36 +37,75 @@ import graft.sources.JdbcIO.Conn
   */
 object JdbcUpsertSink {
 
+  /** The prepared-statement plan + row layout, shared by both apply
+    * paths. Plain Seq/Int/String fields — serializes into executor
+    * closures. */
+  private final case class SqlPlan(
+      updateSql: String, insertSql: String, deleteSql: String,
+      keyIdx: Seq[Int], dataIdx: Seq[Int], opIdx: Int)
+
+  private def sqlPlan(fields: Seq[String], table: String,
+                      keyCols: Seq[String]): SqlPlan = {
+    val dataCols = fields.filterNot(c =>
+      keyCols.contains(c) || c == "_op" || c == "_lsn")
+    val allCols = keyCols ++ dataCols
+    SqlPlan(
+      updateSql = s"UPDATE $table SET " +
+        dataCols.map(c => s"$c = ?").mkString(", ") +
+        " WHERE " + keyCols.map(c => s"$c = ?").mkString(" AND "),
+      insertSql = s"INSERT INTO $table (${allCols.mkString(", ")}) VALUES " +
+        allCols.map(_ => "?").mkString("(", ", ", ")"),
+      deleteSql = s"DELETE FROM $table WHERE " +
+        keyCols.map(c => s"$c = ?").mkString(" AND "),
+      keyIdx = keyCols.map(fields.indexOf),
+      dataIdx = dataCols.map(fields.indexOf),
+      opIdx = fields.indexOf("_op"))
+  }
+
+  /** One winner per key. With `_lsn`: max-lsn (CDC's total order per
+    * key). Without it the winner is still DETERMINISTIC — ordered over
+    * the payload columns — because applying multiple rows per key would
+    * otherwise be partition-order-dependent and can race two INSERTs of
+    * the same key into a PK violation. */
+  private def collapseLww(batch: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val fields = batch.schema.fieldNames.toSeq
+    val order =
+      if (fields.contains("_lsn")) Seq(col("_lsn").desc)
+      else fields.filterNot(keyCols.contains).map(c => col(c).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    batch.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  private def applyRow(r: Row, plan: SqlPlan,
+                       up: java.sql.PreparedStatement,
+                       ins: java.sql.PreparedStatement,
+                       del: java.sql.PreparedStatement): Unit = {
+    val isDelete = plan.opIdx >= 0 && r.getString(plan.opIdx) == "d"
+    if (isDelete) {
+      plan.keyIdx.zipWithIndex.foreach { case (f, i) =>
+        del.setObject(i + 1, r.get(f)) }
+      del.executeUpdate(); ()
+    } else {
+      plan.dataIdx.zipWithIndex.foreach { case (f, i) =>
+        up.setObject(i + 1, r.get(f)) }
+      plan.keyIdx.zipWithIndex.foreach { case (f, i) =>
+        up.setObject(plan.dataIdx.size + i + 1, r.get(f)) }
+      if (up.executeUpdate() == 0) {
+        (plan.keyIdx ++ plan.dataIdx).zipWithIndex.foreach { case (f, i) =>
+          ins.setObject(i + 1, r.get(f)) }
+        ins.executeUpdate(); ()
+      }
+    }
+  }
+
   /** Apply one (possibly replayed) micro-batch of CDC-decoded rows to
     * `table`. `batch` must carry the key columns, the payload columns,
     * and optionally `_op` (c/u/d) and `_lsn` (version) columns. */
   def applyBatch(batch: DataFrame, conn: Conn, table: String,
                  keyCols: Seq[String], batchSize: Int = 500): Unit = {
-    val fields = batch.schema.fieldNames.toSeq
-    val hasOp = fields.contains("_op")
-    val hasLsn = fields.contains("_lsn")
-    // one winner per key: max-lsn row (ties by op rank can't occur — lsn
-    // is a total order per key on a CDC wire)
-    val collapsed =
-      if (hasLsn) {
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(col("_lsn").desc)
-        batch.withColumn("_rn", row_number().over(w))
-          .where(col("_rn") === 1).drop("_rn")
-      } else batch
-    val dataCols = fields.filterNot(c =>
-      keyCols.contains(c) || c == "_op" || c == "_lsn")
-    val allCols = keyCols ++ dataCols
-    val updateSql = s"UPDATE $table SET " +
-      dataCols.map(c => s"$c = ?").mkString(", ") +
-      " WHERE " + keyCols.map(c => s"$c = ?").mkString(" AND ")
-    val insertSql = s"INSERT INTO $table (${allCols.mkString(", ")}) VALUES " +
-      allCols.map(_ => "?").mkString("(", ", ", ")")
-    val deleteSql = s"DELETE FROM $table WHERE " +
-      keyCols.map(c => s"$c = ?").mkString(" AND ")
-    val keyIdx = keyCols.map(fields.indexOf)
-    val dataIdx = dataCols.map(fields.indexOf)
-    val opIdx = if (hasOp) fields.indexOf("_op") else -1
+    val collapsed = collapseLww(batch, keyCols)
+    val plan = sqlPlan(collapsed.schema.fieldNames.toSeq, table, keyCols)
     val (url, user, pass, driver) = (conn.url, conn.user, conn.password, conn.driver)
 
     collapsed.foreachPartition { (rows: Iterator[Row]) =>
@@ -74,27 +113,12 @@ object JdbcUpsertSink {
       val c = DriverManager.getConnection(url, user, pass)
       try {
         c.setAutoCommit(false)
-        val up = c.prepareStatement(updateSql)
-        val ins = c.prepareStatement(insertSql)
-        val del = c.prepareStatement(deleteSql)
+        val up = c.prepareStatement(plan.updateSql)
+        val ins = c.prepareStatement(plan.insertSql)
+        val del = c.prepareStatement(plan.deleteSql)
         var pending = 0
         rows.foreach { r =>
-          val isDelete = opIdx >= 0 && r.getString(opIdx) == "d"
-          if (isDelete) {
-            keyIdx.zipWithIndex.foreach { case (f, i) =>
-              del.setObject(i + 1, r.get(f)) }
-            del.executeUpdate()
-          } else {
-            dataIdx.zipWithIndex.foreach { case (f, i) =>
-              up.setObject(i + 1, r.get(f)) }
-            keyIdx.zipWithIndex.foreach { case (f, i) =>
-              up.setObject(dataIdx.size + i + 1, r.get(f)) }
-            if (up.executeUpdate() == 0) {
-              (keyIdx ++ dataIdx).zipWithIndex.foreach { case (f, i) =>
-                ins.setObject(i + 1, r.get(f)) }
-              ins.executeUpdate()
-            }
-          }
+          applyRow(r, plan, up, ins, del)
           pending += 1
           if (pending >= batchSize) { c.commit(); pending = 0 }
         }
@@ -124,50 +148,94 @@ object JdbcUpsertSink {
   def claimBatch(conn: Conn, table: String, batchId: Long): Boolean = {
     Class.forName(conn.driver)
     val c = DriverManager.getConnection(conn.url, conn.user, conn.password)
-    try {
-      val st = c.prepareStatement(
-        "INSERT INTO graft_batch_ledger (tbl, batch_id) VALUES (?, ?)")
-      st.setString(1, table); st.setLong(2, batchId)
-      // dialect-portable duplicate detection: Derby raises the
-      // SQLIntegrityConstraintViolation subclass, Postgres a plain
-      // SQLException with SQLState 23505 — match on the 23xxx class
-      try { st.executeUpdate(); true }
-      catch {
-        case e: java.sql.SQLException
-            if Option(e.getSQLState).exists(_.startsWith("23")) => false
-      }
-    } finally c.close()
+    try claimOn(c, table, batchId) finally c.close()
   }
 
-  /** Idempotently create the ledger table. */
+  /** The claim itself, on a caller-owned connection/transaction.
+    * Dialect-portable duplicate detection: Derby raises the
+    * SQLIntegrityConstraintViolation subclass, Postgres a plain
+    * SQLException with SQLState 23505 — match on the 23xxx class. */
+  private def claimOn(c: java.sql.Connection, table: String,
+                      batchId: Long): Boolean = {
+    val st = c.prepareStatement(
+      "INSERT INTO graft_batch_ledger (tbl, batch_id) VALUES (?, ?)")
+    st.setString(1, table); st.setLong(2, batchId)
+    try { st.executeUpdate(); true }
+    catch {
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("23")) => false
+    }
+  }
+
+  /** Idempotently create the ledger table: swallow ONLY the
+    * duplicate-table error (Derby X0Y32, Postgres 42P07 — the 42 class
+    * also covers permission errors, so match the two exact states);
+    * anything else (bad credentials, refused connection, permissions)
+    * propagates instead of surfacing later as a confusing missing-table
+    * failure in [[claimBatch]]. */
   def ensureLedger(conn: Conn): Unit = {
     Class.forName(conn.driver)
     val c = DriverManager.getConnection(conn.url, conn.user, conn.password)
     try c.createStatement().executeUpdate(
       "CREATE TABLE graft_batch_ledger (tbl VARCHAR(128) NOT NULL, " +
         "batch_id BIGINT NOT NULL, PRIMARY KEY (tbl, batch_id))")
-    catch { case _: java.sql.SQLException => () } // already exists
-    finally c.close()
+    catch {
+      case e: java.sql.SQLException
+          if Set("X0Y32", "42P07").contains(e.getSQLState) => ()
+    } finally c.close()
   }
 
   /** Ledgered form for NON-idempotent applies (e.g. an `increment`-style
-    * aggregate merge, where replaying a batch would double-count): each
-    * micro-batch first claims its batchId in the sink-side ledger inside
-    * the same database; a replayed batch fails the claim and is skipped
-    * entirely. This is the transactional-sink pattern the file sink gets
-    * from its log ([[FileIngest]]), rebuilt at a JDBC store: Spark
-    * guarantees a batchId's CONTENT is deterministic across retries, the
-    * ledger guarantees it applies at most once — together, exactly-once
-    * without requiring the apply itself to be idempotent. */
+    * aggregate merge, where replaying a batch would double-count): the
+    * batchId claim and EVERY row of the batch commit in ONE transaction
+    * on ONE connection — a crash anywhere before the commit rolls back
+    * both the claim and the partial apply, so Spark's retry finds an
+    * unclaimed ledger and re-applies cleanly; a retry after the commit
+    * finds the claim and skips. That atomicity is what upgrades
+    * at-least-once delivery to exactly-once for an apply that is NOT
+    * idempotent (the file-sink transaction-log pattern, [[FileIngest]],
+    * rebuilt at a JDBC store). The price is the single writer: rows
+    * funnel through the driver (`toLocalIterator`, one partition at a
+    * time — never a full collect). Serving-sized micro-batches are
+    * trigger-bounded, so this is the right trade; for bulk loads where
+    * the apply IS key-idempotent, use [[stream]], which keeps the
+    * executor-parallel path. */
   def streamLedgered(decoded: DataFrame, conn: Conn, table: String,
                      keyCols: Seq[String], checkpoint: String,
                      trigger: Trigger = Trigger.ProcessingTime("2 seconds"))
       : DataStreamWriter[Row] =
     decoded.writeStream
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        if (claimBatch(conn, table, batchId))
-          applyBatch(b, conn, table, keyCols)
+        applyBatchTransactional(b, conn, table, keyCols, batchId); ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
+
+  /** One-transaction claim + apply (see [[streamLedgered]]). Returns true
+    * if this call applied the batch, false if the ledger showed it
+    * already applied. */
+  def applyBatchTransactional(batch: DataFrame, conn: Conn, table: String,
+                              keyCols: Seq[String], batchId: Long): Boolean = {
+    val collapsed = collapseLww(batch, keyCols)
+    val fields = collapsed.schema.fieldNames.toSeq
+    val plan = sqlPlan(fields, table, keyCols)
+    Class.forName(conn.driver)
+    val c = DriverManager.getConnection(conn.url, conn.user, conn.password)
+    try {
+      c.setAutoCommit(false)
+      if (!claimOn(c, table, batchId)) { c.rollback(); false }
+      else {
+        val up = c.prepareStatement(plan.updateSql)
+        val ins = c.prepareStatement(plan.insertSql)
+        val del = c.prepareStatement(plan.deleteSql)
+        val it = collapsed.toLocalIterator()
+        while (it.hasNext) applyRow(it.next(), plan, up, ins, del)
+        c.commit(); true
+      }
+    } catch {
+      case e: Throwable =>
+        try c.rollback() catch { case _: java.sql.SQLException => () }
+        throw e
+    } finally c.close()
+  }
 }

@@ -64,14 +64,16 @@ final class StreamMetrics(maxEntries: Int = 256) extends StreamingQueryListener 
 
   /** One row per query over the retained window: batches, total rows,
     * worst trigger latency, and the newest state size (the alerting
-    * signals). */
+    * signals). "Newest" is max_by over batch_id — `last()` would be
+    * shuffle-order nondeterministic and could report a stale state
+    * size, the one signal this summary exists for. */
   def summary(spark: SparkSession): DataFrame =
     asFrame(spark)
       .groupBy(col("query"))
       .agg(count(lit(1)).as("batches"),
         sum(col("input_rows")).as("total_rows"),
         max(col("trigger_ms")).as("max_trigger_ms"),
-        last(col("state_rows")).as("state_rows_now"))
+        expr("max_by(state_rows, batch_id)").as("state_rows_now"))
       .orderBy(col("query"))
 
   def clear(): Unit = buf.clear()

@@ -85,6 +85,38 @@ class JdbcUpsertSinkSpec extends SparkSpec {
       "ledger is per (table, batchId)")
   }
 
+  test("transactional apply: claim+apply atomic, replay skipped, failure rolls back claim") {
+    val db = Files.createTempDirectory("derby").resolve("txndb").toString
+    val conn = derbyConn(db); createTable(conn)
+    JdbcUpsertSink.ensureLedger(conn)
+
+    // batch 1 applies and claims in one transaction
+    assert(JdbcUpsertSink.applyBatchTransactional(
+      batch(Seq((1L, "a", 10.0, "c", 1L))), conn, "accounts", Seq("id"), 0L))
+    assert(snapshot(conn) === Set((1L, "a", 10.0)))
+    // replaying the same batchId is skipped — even though this apply
+    // would NOT be idempotent content-wise
+    assert(!JdbcUpsertSink.applyBatchTransactional(
+      batch(Seq((1L, "a-DIFFERENT", 99.0, "c", 1L))), conn, "accounts", Seq("id"), 0L))
+    assert(snapshot(conn) === Set((1L, "a", 10.0)), "replay must not apply")
+
+    // a failing batch (name exceeds VARCHAR(64)) rolls back BOTH the rows
+    // and the claim, so the retry with fixed content applies cleanly
+    val tooLong = "x" * 80
+    intercept[Exception] {
+      JdbcUpsertSink.applyBatchTransactional(
+        batch(Seq((2L, "ok", 20.0, "c", 2L), (3L, tooLong, 30.0, "c", 3L))),
+        conn, "accounts", Seq("id"), 1L)
+    }
+    assert(snapshot(conn) === Set((1L, "a", 10.0)),
+      "failed batch must leave no partial rows")
+    assert(JdbcUpsertSink.applyBatchTransactional(
+      batch(Seq((2L, "ok", 20.0, "c", 2L), (3L, "fixed", 30.0, "c", 3L))),
+      conn, "accounts", Seq("id"), 1L), "claim must have been rolled back")
+    assert(snapshot(conn) ===
+      Set((1L, "a", 10.0), (2L, "ok", 20.0), (3L, "fixed", 30.0)))
+  }
+
   test("ledgered streaming form skips a manually re-applied batch") {
     val db = Files.createTempDirectory("derby").resolve("ledgerstreamdb").toString
     val conn = derbyConn(db); createTable(conn)

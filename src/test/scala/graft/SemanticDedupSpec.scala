@@ -99,8 +99,9 @@ class SemanticDedupSpec extends SparkSpec {
     val split = SemanticDedup.splitOversized(big)
       .select("vec_id", "cluster").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    // every vector re-homed to a sub-cell of cluster 5; sizes shrink
-    assert(split.values.forall(c => c / 256 == 5))
+    // every vector re-homed to a negative-space sub-cell of cluster 5
+    // (disjoint from any original id); sizes shrink
+    assert(split.values.forall(c => c < 0 && (-c - 1) / 256 == 5))
     val sizes = split.values.groupBy(identity).map(_._2.size)
     assert(sizes.size >= 2 && sizes.max < n + 3, "cell actually split")
     // identical vectors share a hyperplane signature — never separated
