@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** SQL-registration shims for Spark's OWN Bloom-filter expressions —
@@ -29,24 +29,23 @@ object BloomSketch {
     * `graft_might_contain(bloom, hash)` probes it. The probe's bloom arg
     * must be foldable (a collected literal) or a scalar subquery — the
     * same contract Spark's own runtime-filter rewrite obeys. */
+  private[functions] def aggBuilder(children: Seq[Expression]): Expression =
+    children.length match {
+      case 1 => new BloomFilterAggregate(children.head)
+      case 2 => new BloomFilterAggregate(children.head, children(1))
+      case n => throw new IllegalArgumentException(
+        s"$AggName takes 1 or 2 arguments, got $n")
+    }
+
+  private[functions] def probeBuilder(children: Seq[Expression]): Expression = {
+    require(children.length == 2, s"$ProbeName takes 2 arguments")
+    BloomFilterMightContain(children.head, children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      AggName,
-      { children =>
-        children.length match {
-          case 1 => new BloomFilterAggregate(children.head)
-          case 2 => new BloomFilterAggregate(children.head, children(1))
-          case n => throw new IllegalArgumentException(
-            s"$AggName takes 1 or 2 arguments, got $n")
-        }
-      },
-      "built-in")
+      AggName, aggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      ProbeName,
-      { children =>
-        require(children.length == 2, s"$ProbeName takes 2 arguments")
-        BloomFilterMightContain(children.head, children(1))
-      },
-      "built-in")
+      ProbeName, probeBuilder, "built-in")
   }
 }

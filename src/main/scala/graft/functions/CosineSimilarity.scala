@@ -107,9 +107,31 @@ object GraftFunctions {
 }
 
 /** `SparkSessionExtensions` hook: enable with
-  * `spark.sql.extensions=graft.functions.GraftExtensions` so `graft_cosine`
-  * exists in every session without imperative registration. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and EVERY
+  * native graft expression — cosine, shingle hashes, hyperplane
+  * signatures, rolling hash, squared L2, and the bloom agg/probe pair —
+  * exists in every session of the deployment without imperative
+  * registration (the `--conf` a cluster submits with; the imperative
+  * `register` calls remain for ad-hoc sessions and tests). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  private def triple(name: String, clazz: Class[_],
+      builder: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.injectable)
+    ext.injectFunction(triple(ShingleHashes.Name,
+      classOf[ShingleHashes], ShingleHashes.builder))
+    ext.injectFunction(triple(HyperplaneSigs.Name,
+      classOf[HyperplaneSigs], HyperplaneSigs.builder))
+    ext.injectFunction(triple(PolyHash.Name,
+      classOf[PolyHash], PolyHash.builder))
+    ext.injectFunction(triple(L2Distance.Name,
+      classOf[L2DistanceSq], L2Distance.builder))
+    ext.injectFunction(triple(BloomSketch.AggName,
+      classOf[BloomSketch.type], BloomSketch.aggBuilder))
+    ext.injectFunction(triple(BloomSketch.ProbeName,
+      classOf[BloomSketch.type], BloomSketch.probeBuilder))
+  }
 }

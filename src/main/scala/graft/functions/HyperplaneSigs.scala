@@ -117,16 +117,16 @@ case class HyperplaneSigs(child: Expression, nBands: Int = 4, nBits: Int = 8)
 object HyperplaneSigs {
   val Name = "graft_hyperplane_sigs"
 
+  private[functions] def builder(children: Seq[Expression]): Expression = {
+    require(children.nonEmpty && children.length <= 3,
+      s"$Name takes 1 to 3 arguments")
+    def intArg(i: Int, dflt: Int): Int =
+      children.lift(i).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(dflt)
+    HyperplaneSigs(children.head, intArg(1, 4), intArg(2, 8))
+  }
+
   /** Register alongside graft_cosine (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name,
-      { children =>
-        require(children.nonEmpty && children.length <= 3,
-          s"$Name takes 1 to 3 arguments")
-        def intArg(i: Int, dflt: Int): Int =
-          children.lift(i).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(dflt)
-        HyperplaneSigs(children.head, intArg(1, 4), intArg(2, 8))
-      },
-      "built-in")
+      Name, builder, "built-in")
 }

@@ -98,7 +98,7 @@ case class L2DistanceSq(left: Expression, right: Expression)
 object L2Distance {
   val Name = "graft_l2sq"
 
-  private def builder(children: Seq[Expression]): Expression = {
+  private[functions] def builder(children: Seq[Expression]): Expression = {
     require(children.length == 2, s"$Name takes exactly 2 arguments")
     L2DistanceSq(children.head, children(1))
   }

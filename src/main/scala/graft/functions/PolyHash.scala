@@ -70,12 +70,12 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 object PolyHash {
   val Name = "graft_poly_hash"
 
+  private[functions] def builder(children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(children.length == 1, s"$Name takes exactly 1 argument")
+    PolyHash(children.head)
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name,
-      { children =>
-        require(children.length == 1, s"$Name takes exactly 1 argument")
-        PolyHash(children.head)
-      },
-      "built-in")
+      Name, builder, "built-in")
 }

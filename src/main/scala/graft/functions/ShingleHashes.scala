@@ -106,15 +106,15 @@ case class ShingleHashes(child: Expression, n: Int = 3)
 object ShingleHashes {
   val Name = "graft_shingle_hashes"
 
+  private[functions] def builder(children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): org.apache.spark.sql.catalyst.expressions.Expression = {
+    require(children.nonEmpty && children.length <= 2,
+      s"$Name takes 1 or 2 arguments")
+    val n = children.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(3)
+    ShingleHashes(children.head, n)
+  }
+
   /** Register alongside graft_cosine (idempotent). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      Name,
-      { children =>
-        require(children.nonEmpty && children.length <= 2,
-          s"$Name takes 1 or 2 arguments")
-        val n = children.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(3)
-        ShingleHashes(children.head, n)
-      },
-      "built-in")
+      Name, builder, "built-in")
 }

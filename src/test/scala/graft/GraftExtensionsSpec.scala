@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The deployment path for the native expressions: a session created with
+  * `spark.sql.extensions=graft.functions.GraftExtensions` must expose
+  * every graft_ function in plain SQL with no imperative registration —
+  * and agree with the imperatively registered implementations. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("an extensions-configured session resolves every native function") {
+    spark.range(1).count() // force the shared session/context up first
+    val prior = Some(spark)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, fresh session state with the extensions
+      // applied. `spark.sql.extensions` is a STATIC conf read at
+      // SparkContext creation, so a shared-context test goes through the
+      // equivalent builder hook — the same GraftExtensions.apply runs
+      // either way; only Spark's own conf-string plumbing differs.
+      val ext = SparkSession.builder()
+        .master(spark.sparkContext.master)
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      assert(ext ne spark, "must be a fresh session, not the shared one")
+
+      val cos = ext.sql(
+        "SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))")
+        .head.getDouble(0)
+      assert(math.abs(cos - 1.0) < 1e-12)
+
+      val l2 = ext.sql(
+        "SELECT graft_l2sq(array(0.0D, 3.0D), array(4.0D, 0.0D))")
+        .head.getDouble(0)
+      assert(l2 === 25.0)
+
+      val sh = ext.sql(
+        "SELECT size(graft_shingle_hashes(array('a','b','c','d'), 3))")
+        .head.getInt(0)
+      assert(sh === 2, "two 3-gram shingles from four tokens")
+
+      val hp = ext.sql(
+        "SELECT size(graft_hyperplane_sigs(array(1.0F, 2.0F), 4, 8))")
+        .head.getInt(0)
+      assert(hp === 4, "one signature per band")
+
+      val ph = ext.sql(
+        "SELECT graft_poly_hash('xy') = graft_poly_hash('xy')")
+        .head.getBoolean(0)
+      assert(ph, "rolling hash deterministic")
+
+      val bloom = ext.sql(
+        """SELECT graft_might_contain(
+          |  (SELECT graft_bloom_agg(id) FROM range(100)), 42L)""".stripMargin)
+        .head.getBoolean(0)
+      assert(bloom, "seen key probes true")
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach { p =>
+        SparkSession.setActiveSession(p)
+        SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+}
