@@ -33,7 +33,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_profile_benford",   // broadcast one-row digit-total frame
     "q_text_ks_drift",     // broadcast one-row corpus-total frame
     "q_text_heaps_curve",  // broadcast one-row id-span frame
-    "q_corpus_dsir"        // broadcast one-row smoothing-totals frame
+    "q_corpus_dsir",       // broadcast one-row smoothing-totals frame
+    "q_events_time_to_convert" // broadcast one-row conversion-count frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -93,7 +94,9 @@ class PlanGuardSpec extends SparkSpec {
     // (rows = sources × distinct lengths, domain-bounded — never docs)
     "q_text_ks_drift" -> "CDF cumsums over length-value histograms",
     // Heaps prefixes: cumsum over the 10-row bucket aggregate
-    "q_text_heaps_curve" -> "global cumsum over the 10-bucket prefix table")
+    "q_text_heaps_curve" -> "global cumsum over the 10-bucket prefix table",
+    // quantile pick over the DURATION-value histogram (distinct durations)
+    "q_events_time_to_convert" -> "global cumsum over duration-value histogram")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan
