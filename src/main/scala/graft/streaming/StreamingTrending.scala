@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BoundedTopK, ScoredId}
+
+/** Continuously-maintained trending top-k: the highest-scoring events per
+  * tumbling event-time window, kept as a BOUNDED digest by the same typed
+  * [[BoundedTopK]] aggregator the batch mart uses — per micro-batch, each
+  * task reduces its slice to ≤ k candidates per window before the
+  * shuffle, and the state store holds one ≤ k-element buffer per window,
+  * never the events. The leaderboard a live dashboard polls, at state
+  * cost O(windows · k) regardless of traffic.
+  *
+  * One stateful aggregation only (count-then-rank would chain two —
+  * restricted in streaming); ranking is by the event's own score with
+  * deterministic id tie-break, the aggregator's total order. */
+object StreamingTrending {
+
+  /** `events` needs (event_id, value, ts). Returns one row per
+    * (window_start_es, rank) in the digest. */
+  def trendingTopK(events: DataFrame, windowSeconds: Long, k: Int)
+      : Dataset[(Long, Long, Double, Int)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val top = new BoundedTopK(k).toColumn.name("top")
+    events
+      .select(col("event_id").cast("long"), col("value").cast("double"),
+        unix_timestamp(col("ts")).as("es"))
+      .as[(Long, Double, Long)]
+      .groupByKey { case (_, _, es) => es - es % windowSeconds }
+      .mapValues { case (id, v, _) => ScoredId(v, id) }
+      .agg(top)
+      .flatMap { case (winStart, winners) =>
+        winners.iterator.zipWithIndex.map { case (s, i) =>
+          (winStart, s.id, s.score, i + 1)
+        }
+      }
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.StreamingTrending
+
+/** The live leaderboard against real micro-batches: per tumbling window
+  * the digest holds exactly the k highest-value events (id tie-break),
+  * updates as later batches beat earlier candidates, and never grows past
+  * k per window — asserted against a driver-side recompute over
+  * everything fed so far. */
+class StreamingTrendingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed top-k digest equals driver recompute and stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double, Timestamp)]
+    val trending = StreamingTrending.trendingTopK(
+      mem.toDF().toDF("event_id", "value", "ts"),
+      windowSeconds = 3600L, k = 2)
+    val q = trending.toDF("win_es", "event_id", "value", "rank")
+      .writeStream.format("memory").queryName("trending")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    val fed = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Timestamp)]
+    def feed(rows: (Long, Double, Timestamp)*): Unit = {
+      fed ++= rows; mem.addData(rows); q.processAllAvailable()
+    }
+    def expected: Set[(Long, Long, Double, Int)] =
+      fed.groupBy { case (_, _, t) =>
+        val es = t.getTime / 1000; es - es % 3600 }
+        .flatMap { case (win, rows) =>
+          rows.sortBy { case (id, v, _) => (-v, id) }.take(2)
+            .zipWithIndex.map { case ((id, v, _), i) => (win, id, v, i + 1) }
+        }.toSet
+    def got: Set[(Long, Long, Double, Int)] =
+      spark.table("trending").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
+    try {
+      feed((1L, 10.0, ts("2024-03-01 10:05:00")),
+        (2L, 30.0, ts("2024-03-01 10:10:00")),
+        (3L, 20.0, ts("2024-03-01 10:20:00")))
+      assert(got === expected, "first batch: top-2 of three")
+
+      // a later batch BEATS an earlier candidate and opens a new window
+      feed((4L, 40.0, ts("2024-03-01 10:40:00")),
+        (5L, 5.0, ts("2024-03-01 11:15:00")))
+      assert(got === expected, "digest updated across batches")
+      // bounded: never more than k rows per window
+      val perWin = got.groupBy(_._1).view.mapValues(_.size)
+      assert(perWin.values.forall(_ <= 2))
+      // the beaten candidate (id 1, value 10) is out of the 10:00 window
+      assert(!got.exists { case (_, id, _, _) => id == 1L })
+    } finally q.stop()
+  }
+}
