@@ -163,7 +163,41 @@ object AuditQueries {
       .orderBy(col("k"))
   }
 
+  /** Freshness audit: per fact table, its newest event day and how many
+    * days it lags the freshest table — the staleness readout that catches
+    * a stalled ingest leg (one table's max day frozen while siblings
+    * advance). Each max is a one-pass aggregate the parquet footer stats
+    * already answer; the lag compares against a one-row global-max
+    * broadcast. Day strings + integer day diffs cross the oracle
+    * boundary (the proven date idiom). */
+  def freshnessAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    def one(df: DataFrame, table: String, c: String): DataFrame =
+      df.agg(max(col(c).cast("date")).as("max_day"))
+        .select(lit(table).as("tbl"), col("max_day"))
+    val perTable = one(t.orders, "orders", "o_orderdate")
+      .unionByName(one(t.lineitem, "lineitem", "l_shipdate"))
+      .unionByName(one(t.events, "events", "ts"))
+    val global = perTable.agg(max(col("max_day")).as("g"))
+    perTable.crossJoin(broadcast(global))
+      .select(col("tbl"),
+        date_format(col("max_day"), "yyyy-MM-dd").as("max_day"),
+        datediff(col("g"), col("max_day")).cast("long").as("days_behind"))
+      .orderBy(col("tbl"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_audit_freshness", freshnessAudit, Some(
+      """WITH m AS (
+        |  SELECT 'orders' AS tbl, MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', MAX(CAST(l_shipdate AS DATE)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', MAX(CAST(ts AS DATE)) FROM events),
+        |g AS (SELECT MAX(max_day) AS g FROM m)
+        |SELECT m.tbl, strftime(m.max_day, '%Y-%m-%d') AS max_day,
+        |       CAST(date_diff('day', m.max_day, g.g) AS BIGINT) AS days_behind
+        |FROM m CROSS JOIN g ORDER BY tbl""".stripMargin)),
     NamedQuery("q_audit_k_anonymity", kAnonymityCurve, Some(
       """WITH classes AS (
         |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n

@@ -34,7 +34,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_ks_drift",     // broadcast one-row corpus-total frame
     "q_text_heaps_curve",  // broadcast one-row id-span frame
     "q_corpus_dsir",       // broadcast one-row smoothing-totals frame
-    "q_events_time_to_convert" // broadcast one-row conversion-count frame
+    "q_events_time_to_convert", // broadcast one-row conversion-count frame
+    "q_audit_freshness"    // broadcast one-row global-max-day frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
