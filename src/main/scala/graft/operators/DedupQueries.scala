@@ -248,25 +248,26 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** ONE shared corpus verify pass for the three Jaccard-family screens:
-    * the union of their candidate sets, exact-verified ONCE at the loosest
+  /** ONE shared corpus verify pass for the Jaccard-family screens: the
+    * union of their candidate sets, exact-verified ONCE at the loosest
     * screen threshold (jaccard ≥ 1/2), kept as (doc_a, doc_b, ni, uni).
     * Each screen is then a view over this store — its own candidates
     * inner-joined back, with its own threshold applied as an exact integer
-    * cross-multiplication on the stored counts. The expensive part of all
-    * three screens (fetching both shingle sets and intersecting them) thus
-    * runs once per corpus instead of once per screen; at 100 TB this is the
+    * cross-multiplication on the stored counts. The expensive part of every
+    * screen (fetching both shingle sets and intersecting them) thus runs
+    * once per corpus instead of once per screen; at 100 TB this is the
     * dedup service's maintained pair store, incrementally extended as new
     * batches add candidates. Per-screen results are bit-identical to
-    * verifying each candidate set separately (DedupSpec pins all three
+    * verifying each candidate set separately (DedupSpec pins the screens
     * against brute force): the store is a superset of every screen's
     * verified pairs, and ni/uni are exact integers, so the re-applied
-    * threshold loses and invents nothing. */
+    * threshold loses and invents nothing. (The minhash screens ride the
+    * PORTABLE pair store — [[portableNearDups]] — instead: same
+    * share-one-pass shape, md5 keys.) */
   private def sharedVerifiedCounts(spark: SparkSession, sfDir: String): DataFrame =
     cached(verifiedPairStoreCache, spark, sfDir) {
       val docs = sharedShingled(spark, sfDir)
-      val union = minhashCandidates(spark, sfDir)
-        .unionByName(ngramCandidates(spark, sfDir))
+      val union = ngramCandidates(spark, sfDir)
         .unionByName(prefixCandidates(spark, sfDir))
         .distinct()
       verifiedPairCounts(union, docs, thresholdNum = 1, thresholdDen = 2)
@@ -284,8 +285,16 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** The xxhash64/murmur3 THROUGHPUT variant of the minhash screen (native
+    * codegen'd shingle hashes, 8-byte shuffle keys). Spec-pinned against
+    * brute force (DedupSpec ≥80% recall); the REGISTERED q_dedup_minhash is
+    * [[portableMinhashDups]] — identical algorithm and band geometry on
+    * md5 keys, which a second engine can recompute, so the screen's output
+    * is hash-checked cross-engine rather than rows-only. */
   def minhashNearDups(spark: SparkSession, sfDir: String): DataFrame =
-    screenFromStore(spark, sfDir, minhashCandidates(spark, sfDir), 1, 2)
+    verifiedJaccardPairs(minhashCandidates(spark, sfDir),
+      sharedShingled(spark, sfDir))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Incremental (batch-vs-corpus) near-dup detection — the daily-ingest
     * query a production corpus actually runs: band the NEW BATCH only and
@@ -340,6 +349,64 @@ object DedupQueries {
       .join(sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b")), "doc_b")
       .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .where(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** PORTABLE SimHash signatures (doc_id, sg): a 60-bit signed-bit-sum
+    * signature over the shared md5 shingle view, with each shingle's bit i
+    * read from its md5 HEX string — nibble i/4 (1-based substr position
+    * i/4 + 1), bit i%4 — so a second engine reproduces every signature bit
+    * for bit from the same md5 strings (no xxhash64 dependency; 60 bits =
+    * 15 nibbles keeps the packed value well inside a signed 64-bit long in
+    * both engines). The 15 nibble values are computed once per shingle;
+    * the 60 bit-sums are plain codegen'd integer aggregates over them,
+    * map-side-combined exactly like the fast path's. */
+  private val portableSimhashCache = FrameCache.empty
+
+  private def sharedPortableSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    cached(portableSimhashCache, spark, sfDir) {
+      val exploded = sharedPortableShingled(spark, sfDir)
+        .select(col("doc_id"), explode(col("shingles")).as("h"))
+        .withColumn("nib", expr(
+          "transform(sequence(0, 14), j -> instr('0123456789abcdef', substring(h, j + 1, 1)) - 1)"))
+      val bitSums = (0 until 60).map { i =>
+        sum(when(expr(s"(shiftright(nib[${i / 4}], ${i % 4}) & 1) = 1"), 1L)
+          .otherwise(-1L)).as(s"b$i")
+      }
+      val packed = (0 until 60)
+        .map(i => s"CASE WHEN b$i > 0 THEN shiftleft(1L, $i) ELSE 0L END")
+        .mkString(" + ")
+      exploded.groupBy(col("doc_id"))
+        .agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("sg", expr(packed))
+        .select(col("doc_id"), col("sg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** The REGISTERED simhash near-dup screen — same band-then-verify shape
+    * as [[simhashNearDups]] on the portable 60-bit signature: 4 chunks of
+    * 15 bits (pigeonhole: hamming ≤ 3 must agree on ≥ 1 of 4 chunks, so
+    * the banding is exact, not probabilistic), Hamming verify via
+    * bit_count(xor). md5-derived bits make the whole result
+    * DuckDB-recomputable (rows+schema+hash oracle); the xxhash64 64-bit
+    * variant stays the documented throughput path. */
+  def portableSimhashDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = sharedPortableSimhash(spark, sfDir)
+    val banded = sigs.withColumn("chunk_id", explode(expr("sequence(0, 3)")))
+      .withColumn("chunk", expr("shiftright(sg, chunk_id * 15) & 32767"))
+    val candidates = banded
+      .groupBy(col("chunk_id"), col("chunk"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(pairsFromIds)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sg").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sg").as("sig_b")), "doc_b")
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)").cast("long"))
       .where(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -539,10 +606,26 @@ object DedupQueries {
       fetchShingleSets(sets,
         fetchShingleSets(sets, candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
         .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
-        .where(col("ni") * 2 >= size(col("sh_a")) + size(col("sh_b")) - col("ni"))
-        .select(col("doc_a"), col("doc_b"))
+        .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("ni"))
+        .where(col("ni") * 2 >= col("uni"))
+        .select(col("doc_a"), col("doc_b"), col("ni"), col("uni"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** The REGISTERED minhash near-dup screen — the portable md5-keyed pair
+    * store ([[portableNearDups]]: 16-perm lexicographic-min md5 minhash,
+    * 4×4 bands, exact-integer Jaccard ≥ 1/2) with the display quotient
+    * attached. Keying the screen on md5 makes the whole result
+    * DuckDB-recomputable (rows+schema+hash oracle), and the store is the
+    * SAME cached pair graph the clustering stack, the split proof, and the
+    * incremental screen already share — one corpus pass, seven green
+    * queries. The xxhash64 throughput variant stays [[minhashNearDups]]. */
+  def portableMinhashDups(spark: SparkSession, sfDir: String): DataFrame =
+    portableNearDups(spark, sfDir)
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / col("uni").cast("double"), 4))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Longest shared token span per near-dup candidate pair — the substring
     * -duplication detector (the "train-on-it-twice" span family, distinct
@@ -717,7 +800,39 @@ object DedupQueries {
         |         AS kept_ratio
         |FROM blk b JOIN win w USING (bh)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
-    NamedQuery("q_dedup_minhash", minhashNearDups, None),
+    // The registered minhash screen is the PORTABLE md5-keyed variant —
+    // same 16-perm / 4×4-band geometry as the xxhash64 fast path, on keys
+    // a second engine computes identically, so the screen's full output is
+    // hash-checked instead of rows-only. The oracle mirrors
+    // Components.portableClosureSql's band construction term for term.
+    NamedQuery("q_dedup_minhash", portableMinhashDups, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS pp(i)),
+        |mh AS (SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || h)) AS m
+        |       FROM sh, UNNEST(range(0, 16)) AS qq(p)
+        |       GROUP BY doc_id, p),
+        |bands AS (SELECT doc_id, p // 4 AS band_id,
+        |                 md5(string_agg(m, '' ORDER BY p)) AS band_sig
+        |          FROM mh GROUP BY doc_id, p // 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bands x JOIN bands y
+        |           ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+        |          AND x.doc_id < y.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |ins AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |        FROM cand c
+        |        JOIN sh a ON a.doc_id = c.doc_a
+        |        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        |        GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b,
+        |       ROUND(CAST(i.ni AS DOUBLE) /
+        |             CAST(sa.n + sb.n - i.ni AS DOUBLE), 4) AS jaccard
+        |FROM ins i JOIN sz sa ON sa.doc_id = i.doc_a
+        |           JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE 2 * i.ni >= sa.n + sb.n - i.ni
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin)),
     // Mirrors Components.portableClosureSql's band construction term for
     // term, with the candidate probe restricted to the batch side
     // (doc_id % 3 = 0) — the incremental screen's exact contract.
@@ -751,7 +866,36 @@ object DedupQueries {
         |           JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE 2 * i.ni >= sa.n + sb.n - i.ni
         |ORDER BY i.doc_a, i.doc_b""".stripMargin)),
-    NamedQuery("q_dedup_simhash", simhashNearDups, None),
+    // Registered simhash screen = the portable 60-bit md5-nibble variant;
+    // the oracle rebuilds every signature bit from the same md5 hex
+    // strings, bands into 4×15-bit chunks (exact by pigeonhole), and
+    // verifies Hamming ≤ 3 via bit_count(xor).
+    NamedQuery("q_dedup_simhash", portableSimhashDups, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS pp(i)),
+        |bits AS (SELECT doc_id, i,
+        |           SUM(CASE WHEN ((strpos('0123456789abcdef',
+        |                                  substr(h, CAST(i // 4 AS INT) + 1, 1)) - 1)
+        |                          >> CAST(i % 4 AS INT)) & 1 = 1
+        |                    THEN 1 ELSE -1 END) AS s
+        |         FROM sh, UNNEST(range(0, 60)) AS u(i)
+        |         GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+        |                        ELSE CAST(0 AS BIGINT) END) AS sg
+        |        FROM bits GROUP BY 1),
+        |ch AS (SELECT doc_id, c, (sg >> CAST(15 * c AS INT)) & 32767 AS chunk
+        |       FROM sig, UNNEST(range(0, 4)) AS u(c)),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM ch x JOIN ch y
+        |           ON x.c = y.c AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS hamming
+        |FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+        |            JOIN sig b ON b.doc_id = c.doc_b
+        |WHERE bit_count(xor(a.sg, b.sg)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin)),
     // Oracle restates the rare-shingle candidate rule + exact Jaccard over
     // raw STRING 3-grams (hash-set == string-set sizes absent negligible
     // 64-bit collisions). The threshold is the same integer
