@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Shared argument handling for the SQL-registered expression builders
+  * (`graft_shingle_hashes`, `graft_hyperplane_sigs`, …): optional integer
+  * arguments must be FOLDABLE literals, and a non-foldable or non-numeric
+  * argument fails with a message naming the function and position instead
+  * of an opaque NPE/ClassCastException from `eval(null)` — these builders
+  * are reachable from raw SQL via the GraftExtensions injection path, so
+  * the error is user-facing. */
+private[functions] object BuilderArgs {
+
+  def foldableInt(fn: String, children: Seq[Expression],
+                  pos: Int, dflt: Int): Int =
+    children.lift(pos) match {
+      case None => dflt
+      case Some(e) =>
+        if (!e.foldable)
+          throw new IllegalArgumentException(
+            s"$fn: argument ${pos + 1} must be a foldable integer literal; " +
+              s"got non-foldable expression ${e.sql}")
+        e.eval(null) match {
+          case n: java.lang.Number => n.intValue
+          case null => throw new IllegalArgumentException(
+            s"$fn: argument ${pos + 1} must be a non-NULL integer literal")
+          case other => throw new IllegalArgumentException(
+            s"$fn: argument ${pos + 1} must be an integer literal; got " +
+              s"${other.getClass.getSimpleName} value from ${e.sql}")
+        }
+    }
+}

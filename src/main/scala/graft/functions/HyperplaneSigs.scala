@@ -120,9 +120,9 @@ object HyperplaneSigs {
   private[functions] def builder(children: Seq[Expression]): Expression = {
     require(children.nonEmpty && children.length <= 3,
       s"$Name takes 1 to 3 arguments")
-    def intArg(i: Int, dflt: Int): Int =
-      children.lift(i).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(dflt)
-    HyperplaneSigs(children.head, intArg(1, 4), intArg(2, 8))
+    HyperplaneSigs(children.head,
+      BuilderArgs.foldableInt(Name, children, 1, 4),
+      BuilderArgs.foldableInt(Name, children, 2, 8))
   }
 
   /** Register alongside graft_cosine (idempotent). */

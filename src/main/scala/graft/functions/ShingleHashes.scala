@@ -109,8 +109,8 @@ object ShingleHashes {
   private[functions] def builder(children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): org.apache.spark.sql.catalyst.expressions.Expression = {
     require(children.nonEmpty && children.length <= 2,
       s"$Name takes 1 or 2 arguments")
-    val n = children.lift(1).map(_.eval(null).asInstanceOf[Number].intValue).getOrElse(3)
-    ShingleHashes(children.head, n)
+    ShingleHashes(children.head,
+      BuilderArgs.foldableInt(Name, children, 1, 3))
   }
 
   /** Register alongside graft_cosine (idempotent). */

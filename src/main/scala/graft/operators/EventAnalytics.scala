@@ -186,8 +186,10 @@ object EventAnalytics {
       .withColumn("cum", sum(col("cnt")).over(
         Window.orderBy(col("dur"))))
       .crossJoin(broadcast(converted.agg(count(lit(1)).as("n"))))
-    hist.agg(
-      first(col("n")).as("n_converted"),
+    // Grouped on the broadcast count (mirroring the oracle's GROUP BY t.n)
+    // rather than a global agg: both sides emit ZERO rows on a
+    // conversion-free corpus, instead of Spark emitting one all-null row.
+    hist.groupBy(col("n").as("n_converted")).agg(
       min(when(col("cum") * 4 >= col("n"), col("dur"))).as("p25_s"),
       min(when(col("cum") * 2 >= col("n"), col("dur"))).as("p50_s"),
       min(when(col("cum") * 4 >= col("n") * 3, col("dur"))).as("p75_s"))

@@ -15,11 +15,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * for the JVM lifetime. Persisted entries are bounded: one per cache per
   * live (session, sf), not one per call.
   */
-private[operators] object FrameCache {
+private[graft] object FrameCache {
 
   type Cache = TrieMap[(String, Int, String), (SparkSession, DataFrame)]
 
-  def empty: Cache = TrieMap.empty
+  /** Every cache ever created, so [[sweep]] can release a long-lived
+    * session's artifacts across all operator objects at once. */
+  private val registry = scala.collection.mutable.ArrayBuffer.empty[Cache]
+
+  def empty: Cache = {
+    val c: Cache = TrieMap.empty
+    registry.synchronized { registry += c }
+    c
+  }
 
   def cached(cache: Cache, spark: SparkSession, sfDir: String)
             (build: => DataFrame): DataFrame = {
@@ -27,5 +35,24 @@ private[operators] object FrameCache {
     val key = (spark.sparkContext.applicationId,
       System.identityHashCode(spark), sfDir)
     cache.getOrElseUpdate(key, (spark, build))._2
+  }
+
+  /** Release every cached artifact owned by `spark` (all operators, all
+    * sfDirs): unpersist the frames (blocking=false) and drop the entries,
+    * so the next touch rebuilds. The escape hatch for a long-lived driver
+    * session that has cycled through many scale factors — per-(session, sf)
+    * entries are bounded per cache, but nothing else ever retires them
+    * while the session lives. Dead sessions' entries are dropped without
+    * touching Spark. */
+  def sweep(spark: SparkSession): Unit = registry.synchronized {
+    registry.foreach { c =>
+      c.filterInPlace { case (_, (s, df)) =>
+        val dead = s.sparkContext.isStopped
+        if (!dead && (s eq spark)) {
+          try df.unpersist(blocking = false) catch { case _: Throwable => () }
+          false
+        } else !dead
+      }
+    }
   }
 }

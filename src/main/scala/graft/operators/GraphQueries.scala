@@ -174,25 +174,37 @@ object GraphQueries {
       // nested loop)
       var dist = t.nation
         .select(col("n_nationkey").cast("long").as("node"))
-        .where(col("node") === 0L)
         .withColumn("hops", lit(0L))
-      var frontier = dist
+        .where(col("node") === 0L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // One persisted frame stays alive at a time (the Components pattern):
+      // each round persists the MERGED settled set, rebases the loop on a
+      // LogicalRDD leaf over it (plan stays O(1) deep; the RDD keeps full
+      // lineage, so fault tolerance is untouched), counts it — which
+      // materializes the new cache — and only then unpersists the
+      // superseded round. No frontier blocks accumulate for the session
+      // lifetime; the final frame's single block is all that remains.
+      var persisted = dist
+      var total = dist.count()
+      var round = 0L
       var done = false
       while (!done) {
-        val next = frontier
-          .join(edges, col("node") === col("src"))
-          .groupBy(col("dst")).agg((min(col("hops")) + 1L).as("hops"))
-          .select(col("dst").as("node"), col("hops"))
-          .join(dist.select(col("node")), Seq("node"), "left_anti")
-        val found = next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        done = found.count() == 0
-        // every round's frontier STAYS cached: the returned frame is a
-        // lazy union over all of them, so uncaching here would force the
-        // caller's action to recompute the whole nested join chain.
-        // Frontiers total ≤ |V| rows across all rounds — session cleanup
-        // (or a caller's unpersist sweep) reclaims them.
-        if (!done) { dist = dist.unionByName(found); frontier = found }
-        else found.unpersist()
+        round += 1
+        val frontier = dist.where(col("hops") === (round - 1L))
+        val merged = dist.unionByName(
+          frontier
+            .join(edges, col("node") === col("src"))
+            .groupBy(col("dst")).agg((min(col("hops")) + 1L).as("hops"))
+            .select(col("dst").as("node"), col("hops"))
+            .join(dist.select(col("node")), Seq("node"), "left_anti"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val newTotal = merged.count()
+        persisted.unpersist()
+        persisted = merged
+        dist = merged.sparkSession
+          .createDataFrame(merged.toDF().rdd, merged.schema)
+        done = newTotal == total
+        total = newTotal
       }
       t.nation
         .join(dist, col("n_nationkey") === col("node"), "left")

@@ -44,14 +44,34 @@ object JdbcUpsertSink {
       updateSql: String, insertSql: String, deleteSql: String,
       keyIdx: Seq[Int], dataIdx: Seq[Int], opIdx: Int)
 
+  /** Identifiers are interpolated into SQL text, so they are validated
+    * against the portable unquoted-identifier grammar up front — a
+    * reserved-word, space-containing, or hostile name fails fast with the
+    * offender named instead of producing broken (or injectable) SQL. */
+  private val Identifier = "[A-Za-z_][A-Za-z0-9_$.]*".r
+
+  private def requireIdentifiers(names: Seq[String]): Unit =
+    names.find(n => !Identifier.pattern.matcher(n).matches()).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"JdbcUpsertSink: '$bad' is not a plain SQL identifier " +
+          "([A-Za-z_][A-Za-z0-9_$.]*); rename the column/table or add a " +
+          "projection before the sink")
+    }
+
   private def sqlPlan(fields: Seq[String], table: String,
                       keyCols: Seq[String]): SqlPlan = {
     val dataCols = fields.filterNot(c =>
       keyCols.contains(c) || c == "_op" || c == "_lsn")
+    requireIdentifiers(table +: (keyCols ++ dataCols))
     val allCols = keyCols ++ dataCols
+    // A key-only frame has nothing to SET; keep the update a valid no-op
+    // self-assignment so the exists-then-insert flow (update count = 1 for
+    // present keys) still works instead of rendering `SET  WHERE`.
+    val setClause =
+      if (dataCols.isEmpty) s"${keyCols.head} = ${keyCols.head}"
+      else dataCols.map(c => s"$c = ?").mkString(", ")
     SqlPlan(
-      updateSql = s"UPDATE $table SET " +
-        dataCols.map(c => s"$c = ?").mkString(", ") +
+      updateSql = s"UPDATE $table SET " + setClause +
         " WHERE " + keyCols.map(c => s"$c = ?").mkString(" AND "),
       insertSql = s"INSERT INTO $table (${allCols.mkString(", ")}) VALUES " +
         allCols.map(_ => "?").mkString("(", ", ", ")"),

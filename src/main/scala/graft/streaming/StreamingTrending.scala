@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{BoundedTopK, ScoredId}
@@ -10,28 +10,40 @@ import graft.functions.{BoundedTopK, ScoredId}
   * [[BoundedTopK]] aggregator the batch mart uses — per micro-batch, each
   * task reduces its slice to ≤ k candidates per window before the
   * shuffle, and the state store holds one ≤ k-element buffer per window,
-  * never the events. The leaderboard a live dashboard polls, at state
-  * cost O(windows · k) regardless of traffic.
+  * never the events. The leaderboard a live dashboard polls.
   *
-  * One stateful aggregation only (count-then-rank would chain two —
-  * restricted in streaming); ranking is by the event's own score with
-  * deterministic id tie-break, the aggregator's total order. */
+  * The grouping key is a REAL `window(ts)` column under `withWatermark`,
+  * not a derived epoch bucket: the state store then EVICTS windows older
+  * than the watermark in Update/Append mode, so a weeks-long query holds
+  * O(live windows · k) state, not O(all windows ever · k). (Complete mode
+  * still retains every window — that is Complete's contract, use it only
+  * for bounded replays like the spec's.) One stateful aggregation only
+  * (count-then-rank would chain two — restricted in streaming); ranking
+  * is by the event's own score with deterministic id tie-break, the
+  * aggregator's total order. */
 object StreamingTrending {
 
   /** `events` needs (event_id, value, ts). Returns one row per
-    * (window_start_es, rank) in the digest. */
-  def trendingTopK(events: DataFrame, windowSeconds: Long, k: Int)
+    * (window_start_es, rank) in the digest. `watermarkDelay` bounds how
+    * late an event may arrive and still amend its window's digest — and
+    * therefore when a window's state can be dropped. */
+  def trendingTopK(events: DataFrame, windowSeconds: Long, k: Int,
+                   watermarkDelay: String = "2 hours")
       : Dataset[(Long, Long, Double, Int)] = {
     val spark = events.sparkSession
     import spark.implicits._
-    val top = new BoundedTopK(k).toColumn.name("top")
+    // The typed Aggregator registered for UNTYPED use: input columns map
+    // positionally onto ScoredId(score, id).
+    val top = udaf(new BoundedTopK(k), Encoders.product[ScoredId])
     events
-      .select(col("event_id").cast("long"), col("value").cast("double"),
-        unix_timestamp(col("ts")).as("es"))
-      .as[(Long, Double, Long)]
-      .groupByKey { case (_, _, es) => es - es % windowSeconds }
-      .mapValues { case (id, v, _) => ScoredId(v, id) }
-      .agg(top)
+      .select(col("event_id").cast("long").as("id"),
+        col("value").cast("double").as("score"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), s"$windowSeconds seconds"))
+      .agg(top(col("score"), col("id")).as("winners"))
+      .select(unix_timestamp(col("window.start")).as("win_es"), col("winners"))
+      .as[(Long, Seq[ScoredId])]
       .flatMap { case (winStart, winners) =>
         winners.iterator.zipWithIndex.map { case (s, i) =>
           (winStart, s.id, s.score, i + 1)

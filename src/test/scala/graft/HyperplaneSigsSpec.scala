@@ -60,4 +60,21 @@ class HyperplaneSigsSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(sigs == Seq(0L, 0L, 0L, 0L))
   }
+
+  test("non-foldable or non-numeric size arguments fail with the function named") {
+    HyperplaneSigs.register(spark)
+    graft.functions.ShingleHashes.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), 4)).toDF("embedding", "n")
+    val e1 = intercept[Exception] {
+      df.selectExpr("graft_hyperplane_sigs(embedding, n)").collect()
+    }
+    assert(e1.getMessage.contains("graft_hyperplane_sigs") &&
+      e1.getMessage.contains("foldable"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Seq("a b c").toDF("t")
+        .selectExpr("graft_shingle_hashes(split(t, ' '), 'x')").collect()
+    }
+    assert(e2.getMessage.contains("graft_shingle_hashes"), e2.getMessage)
+  }
 }
