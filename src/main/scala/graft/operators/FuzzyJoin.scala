@@ -54,13 +54,13 @@ object FuzzyJoin {
     * "brush steel" ~ "brushed steel" ~ "brushed stee" chains), and a
     * group-by elects the canonical record (min surviving key — stable
     * under re-runs and new members with larger keys). Name strings become
-    * 64-bit node ids via xxhash64 so the propagation loop shuffles longs,
-    * not strings — an ACCEPTED COLLISION ASSUMPTION: a 64-bit collision
-    * between two unrelated names would silently merge their entity
-    * clusters (birthday bound ~ n²/2⁶⁵: at 10⁹ distinct names, P ≈ 3%;
-    * a registry above that scale should mint dense ids over distinct
-    * names — row_number over a sorted distinct scan — instead of
-    * hashing). Names with no fuzzy edge stay their own singleton
+    * DENSE VERIFIED node ids ([[denseIds]]: per-partition row_number +
+    * the prefix-offset trick — contiguous longs, injective by
+    * construction) so the propagation loop shuffles longs, not strings,
+    * with NO hash-collision assumption: an xxhash64 keying would silently
+    * merge two colliding names' clusters (birthday bound ~ n²/2⁶⁵ — ≈3%
+    * at 10⁹ distinct names, real registry scale), and no spec could
+    * catch it. Names with no fuzzy edge stay their own singleton
     * entity via the left join + coalesce, without ever entering the loop.
     * Output keeps only multi-name entities — the resolved duplicates a
     * steward reviews. Every stage is an equi-shuffle; the quadratic
@@ -72,14 +72,35 @@ object FuzzyJoin {
   // identity, dead-session purge).
   private val entityLabelCache = FrameCache.empty
 
+  /** Mint dense node ids [0, n) over the distinct values of `c` — unique
+    * BY CONSTRUCTION (per-partition row_number + cross-partition prefix
+    * offsets; no single-task global window, no hash birthday bound).
+    * Returns (value-named column, id). The input distinct set is pinned
+    * (persisted) so the offsets pass and every consumer see identical
+    * partitions — the [[graft.plans.PrefixOffsets]] contract. */
+  private[graft] def denseIds(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val parted = df.select(col(c)).where(col(c).isNotNull).distinct()
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offset = graft.plans.PrefixOffsets.offsetColumn(parted, lit(1L))
+    parted
+      .withColumn("id",
+        row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(col(c))).cast("long")
+          + offset - 1L)
+      .select(col(c), col("id"))
+  }
+
   private def partNameEntities(spark: SparkSession, sfDir: String): DataFrame =
     FrameCache.cached(entityLabelCache, spark, sfDir) {
       val t = Tpch(spark, sfDir)
+      val names = denseIds(t.part, "p_name")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val edges = selfMatch(t.part, col("p_name"), maxDist = 2)
-        .select(xxhash64(col("name_a")).as("a"), xxhash64(col("name_b")).as("b"))
-      val names = t.part.select(col("p_name")).where(col("p_name").isNotNull)
-        .distinct()
-        .withColumn("id", xxhash64(col("p_name")))
+        .join(names.select(col("p_name").as("name_a"), col("id").as("a")), "name_a")
+        .join(names.select(col("p_name").as("name_b"), col("id").as("b")), "name_b")
+        .select(col("a"), col("b"))
       val labels = Components.connectedComponents(edges)
       names.join(labels, Seq("id"), "left")
         .withColumn("entity", coalesce(col("component"), col("id")))

@@ -36,4 +36,24 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(expected.exists { case (a, b, _) =>
       math.abs(a.length - b.length) == 2 }, "boundary pair present in fixture")
   }
+
+  test("dense node ids are injective and contiguous — colliding-hash names cannot merge") {
+    // Two names with EQUAL xxhash64 would have silently merged clusters
+    // under hash keying; dense minting makes collisions impossible by
+    // construction, so the property to pin is injectivity + density over
+    // many partitions (the prefix-offset path, not a single-task window).
+    val names = (1 to 5000).map(i => f"part name $i%05d")
+    val df = names.toDF("p_name").repartition(16)
+    val ids = FuzzyJoin.denseIds(df, "p_name")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(ids.length == names.length)
+    assert(ids.map(_._2).distinct.length == names.length, "ids must be unique")
+    assert(ids.map(_._2).sorted.toSeq == (0L until names.length).toSeq,
+      "ids must be dense [0, n)")
+    // distinct values of a frame WITH duplicates still mint one id each
+    val dupIds = FuzzyJoin.denseIds(
+      Seq("x", "x", "y", "z", "z").toDF("p_name"), "p_name")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(dupIds == Seq(0L, 1L, 2L))
+  }
 }
