@@ -166,6 +166,63 @@ object MultimodalOps {
       }
       bins
     }
+
+    /** The 2-D raster view of an image container: the body laid out
+      * row-major as `height` scanlines of `width` bytes, truncated or
+      * zero-padded to exactly width×height — pixel (r, c) lives at flat
+      * index r·width + c. Every 2-D feature below indexes through this
+      * stride, so an off-by-one-row slice changes the features. */
+    def imageRaster(r: MediaRow): (Int, Int, Array[Byte]) = {
+      val (_, w, h, _, body) = Grft1.unpack(r.payload)
+      val raster = java.util.Arrays.copyOf(body, w * h)
+      (w, h, raster)
+    }
+
+    /** Exact-integer 2-D gradient energies: vertical = Σ|p(r,c) − p(r−1,c)|
+      * (the row-stride walk — THE quantity an off-by-one-row bug corrupts),
+      * horizontal = Σ|p(r,c) − p(r,c−1)| within each scanline. */
+    def gradientEnergies(w: Int, h: Int, raster: Array[Byte]): (Long, Long) = {
+      var v = 0L; var hh = 0L
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val p = raster(r * w + c) & 0xff
+          if (r > 0) v += math.abs(p - (raster((r - 1) * w + c) & 0xff))
+          if (c > 0) hh += math.abs(p - (raster(r * w + c - 1) & 0xff))
+          c += 1
+        }
+        r += 1
+      }
+      (v, hh)
+    }
+
+    /** Downsampled thumbnail: the raster divided into a grid×grid block
+      * matrix (integer boundaries ⌊i·h/grid⌋ / ⌊j·w/grid⌋), each cell the
+      * mean byte value of its block scaled to [0, 1] — a 2-D-aware
+      * grid²-dim feature vector for the ANN leg. Row-major cell order. */
+    def thumbnail(w: Int, h: Int, raster: Array[Byte], grid: Int = 4): Array[Float] = {
+      val out = new Array[Float](grid * grid)
+      var i = 0
+      while (i < grid) {
+        val r0 = i * h / grid; val r1 = (i + 1) * h / grid
+        var j = 0
+        while (j < grid) {
+          val c0 = j * w / grid; val c1 = (j + 1) * w / grid
+          var sum = 0L; var n = 0
+          var r = r0
+          while (r < r1) {
+            var c = c0
+            while (c < c1) { sum += (raster(r * w + c) & 0xff); n += 1; c += 1 }
+            r += 1
+          }
+          out(i * grid + j) = if (n == 0) 0f else (sum.toFloat / n) / 255f
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
   }
 
   /** Synthesize the media table from `documents`: body = UTF-8 text bytes
@@ -273,7 +330,87 @@ object MultimodalOps {
       .limit(10)
   }
 
+  /** Per-image 2-D gradient energies over the width×height raster — the
+    * query whose correctness REQUIRES correct 2-D indexing: the vertical
+    * energy walks the row stride (|p(r,c) − p(r−1,c)|), so decoding the
+    * body one byte off, or treating it as a 1-D stream, hash-diverges
+    * from the oracle, which re-derives every pixel independently from the
+    * source text bytes (ASCII-verified corpus) and the doc_id header
+    * rules. Exact integers end to end. */
+  def multimodalImageStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir)
+      .filter(_.kind == "image")
+      .mapPartitions(_.map { r =>
+        val (w, h, raster) = Codec.imageRaster(r)
+        val (v, hh) = Codec.gradientEnergies(w, h, raster)
+        (r.media_id, w.toLong, h.toLong, v, hh)
+      })
+      .toDF("media_id", "width", "height", "v_energy", "h_energy")
+      .orderBy(col("media_id"))
+  }
+
+  /** Thumbnails → the ANN stack: each image's 16-dim 4×4 block-mean
+    * vector, LSH-bucketed into an IVF-style label space via the native
+    * `graft_hyperplane_sigs` expression (4 hyperplanes → 16 buckets), with
+    * per-bucket centroids routing the query (the SAME
+    * [[SimilarityQueries.routeLabels]] coarse search the embedding IVF
+    * uses) and exact cosine only inside the probed buckets. The scale
+    * path for image similarity: probe work ~ corpus·nProbe/buckets.
+    * Rows-only (float cosines); MultimodalSpec pins nProbe=all parity
+    * with brute force and the thumbnail's 2-D block arithmetic. */
+  def multimodalThumbAnn(spark: SparkSession, sfDir: String,
+                         nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    graft.functions.HyperplaneSigs.register(spark)
+    val thumbs = mediaFromDocuments(spark, sfDir)
+      .filter(_.kind == "image")
+      .mapPartitions(_.map { r =>
+        val (w, h, raster) = Codec.imageRaster(r)
+        (r.media_id, Codec.thumbnail(w, h, raster))
+      })
+      .toDF("media_id", "vec")
+      .withColumn("label",
+        expr("element_at(graft_hyperplane_sigs(vec, 1, 4), 1)"))
+    val centroids = thumbs
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+    val q = thumbs.orderBy(col("media_id")).limit(1)
+      .select(col("vec").as("q_vec"))
+    val qComps = q.select(posexplode(col("q_vec")).as(Seq("pos", "qv")))
+      .select(col("pos"), col("qv").cast("double").as("qv"))
+    val routed = SimilarityQueries.routeLabels(centroids, qComps, nProbe)
+    thumbs.join(broadcast(routed), "label")
+      .join(broadcast(q))
+      .withColumn("cos", expr("round(graft_cosine(vec, q_vec), 6)"))
+      .select(col("media_id"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("media_id"))
+      .limit(10)
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_multimodal_image_stats", multimodalImageStats, Some(
+      """WITH img AS (SELECT doc_id, text, 16 + (doc_id % 5) * 8 AS h
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, h, CAST(i AS BIGINT) AS p,
+        |              CASE WHEN i < length(text)
+        |                   THEN ascii(substr(text, CAST(i AS INT) + 1, 1))
+        |                   ELSE 0 END AS b
+        |       FROM img, UNNEST(range(0, 32 * h)) u(i)),
+        |d AS (SELECT doc_id, h, p, b,
+        |             LAG(b, 32) OVER (PARTITION BY doc_id ORDER BY p) AS up,
+        |             LAG(b, 1)  OVER (PARTITION BY doc_id ORDER BY p) AS lf
+        |      FROM px)
+        |SELECT doc_id AS media_id, CAST(32 AS BIGINT) AS width,
+        |       CAST(h AS BIGINT) AS height,
+        |       CAST(COALESCE(SUM(CASE WHEN p >= 32 THEN ABS(b - up) END), 0)
+        |         AS BIGINT) AS v_energy,
+        |       CAST(COALESCE(SUM(CASE WHEN p % 32 <> 0 THEN ABS(b - lf) END), 0)
+        |         AS BIGINT) AS h_energy
+        |FROM d GROUP BY doc_id, h ORDER BY media_id""".stripMargin)),
+    NamedQuery("q_multimodal_thumb_ann", multimodalThumbAnn(_, _), None),
     NamedQuery("q_multimodal_frames", multimodalFrames, Some(
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,

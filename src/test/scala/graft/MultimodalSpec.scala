@@ -120,6 +120,62 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("2-D raster features: thumbnail blocks and gradient energies are stride-exact") {
+    import MultimodalOps.{Codec, Grft1, MediaRow}
+    // a 4x4 raster with known bytes — hand-computable blocks/gradients
+    val w = 4; val h = 4
+    val body = Array[Byte](
+      10, 20, 30, 40,
+      50, 60, 70, 80,
+      90, 100, 110, 120,
+      (130 & 0xff).toByte, (140 & 0xff).toByte, (150 & 0xff).toByte, (160 & 0xff).toByte)
+    val row = MediaRow(1L, "image", Grft1.pack(0, w, h, 8000, body),
+      "grft1", w, h, 8000)
+    val (pw, ph, raster) = Codec.imageRaster(row)
+    assert((pw, ph) == (w, h) && raster.toSeq == body.toSeq)
+    val (v, hh) = Codec.gradientEnergies(pw, ph, raster)
+    // vertical: every column steps by 40, three row-gaps x 4 cols = 480
+    // horizontal: every row steps by 10, three col-gaps x 4 rows = 120
+    assert((v, hh) == (480L, 120L), s"got ($v, $hh)")
+    // thumbnail grid=2: block means of the 2x2 quadrants, /255
+    val th = Codec.thumbnail(pw, ph, raster, grid = 2)
+    val expected = Seq((10 + 20 + 50 + 60) / 4f, (30 + 40 + 70 + 80) / 4f,
+      (90 + 100 + 130 + 140) / 4f, (110 + 120 + 150 + 160) / 4f).map(_ / 255f)
+    assert(th.toSeq == expected, s"got ${th.toSeq}")
+    // an off-by-one-ROW raster (body shifted by one scanline) must change
+    // the vertical energy — the stride-correctness canary
+    val shifted = (body.drop(w) ++ Array.fill(w)(0.toByte))
+    val rowS = MediaRow(2L, "image", Grft1.pack(0, w, h, 8000, shifted),
+      "grft1", w, h, 8000)
+    val (_, _, rs) = Codec.imageRaster(rowS)
+    assert(Codec.gradientEnergies(w, h, rs) != ((v, hh)))
+  }
+
+  test("thumbnail ANN probing all buckets equals brute-force cosine ranking") {
+    import MultimodalOps.Codec
+    val got = MultimodalOps.multimodalThumbAnn(spark, Sf, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val thumbs = MultimodalOps.mediaFromDocuments(spark, Sf)
+      .filter(_.kind == "image").collect()
+      .map { r =>
+        val (w, h, raster) = Codec.imageRaster(r)
+        r.media_id -> Codec.thumbnail(w, h, raster)
+      }.sortBy(_._1)
+    val q = thumbs.head._2
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val brute = thumbs
+      .map { case (id, v) =>
+        (id, BigDecimal(cos(v, q)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.toSeq == brute.toSeq, s"got ${got.toSeq}\nexpected ${brute.toSeq}")
+  }
+
   test("metadata-only queries over a landed media table never read payload") {
     // land the media table as parquet (payload is the dominant column),
     // then answer a metadata aggregate from it — the scan's ReadSchema
