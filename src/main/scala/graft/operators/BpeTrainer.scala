@@ -224,8 +224,36 @@ object BpeTrainer {
        |SELECT * FROM ($union) ORDER BY rank""".stripMargin
   }
 
+  /** DuckDB oracle for the train→encode round trip: the SAME unrolled
+    * merge-round chain as [[bpeOracle]] — its final round table t{Merges}
+    * IS the encoded vocabulary (encoding depends only on the word, so the
+    * (w, s) pairs after the last merge are exactly what [[encodeVocab]]
+    * computes) — joined back to per-language word occurrences. Sums are
+    * cast to BIGINT (DuckDB SUM on BIGINT widens to HUGEINT) and the
+    * tokens-per-100-words statistic uses `//`, DuckDB's floor division,
+    * which agrees with Spark's `DIV` on non-negative operands. */
+  private def bpeEncodeOracle: String = {
+    val chain = bpeOracle
+    // reuse everything up to the final SELECT of the merges oracle
+    val withBody = chain.substring(0, chain.lastIndexOf("SELECT * FROM"))
+    s"""${withBody.trim.stripSuffix(",")},
+       |occ AS (SELECT lang, w, COUNT(*) AS occ
+       |        FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS w
+       |              FROM documents)
+       |        WHERE w <> '' GROUP BY 1, 2),
+       |enc AS (SELECT w, len(s) AS n_bpe FROM t$Merges)
+       |SELECT occ.lang,
+       |       COUNT(DISTINCT occ.w) AS n_words,
+       |       CAST(SUM(occ.occ) AS BIGINT) AS n_ws_tokens,
+       |       CAST(SUM(occ.occ * enc.n_bpe) AS BIGINT) AS n_bpe_tokens,
+       |       CAST(SUM(occ.occ * enc.n_bpe) * 100 // SUM(occ.occ) AS BIGINT)
+       |         AS bpe_per_100_words
+       |FROM occ JOIN enc ON occ.w = enc.w
+       |GROUP BY occ.lang ORDER BY occ.lang""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_text_bpe_merges", bpeMerges, Some(bpeOracle)),
-    NamedQuery("q_text_bpe_encode", bpeEncode, None),
+    NamedQuery("q_text_bpe_encode", bpeEncode, Some(bpeEncodeOracle)),
   )
 }
