@@ -32,7 +32,14 @@ object ScaleProbe {
     "q_sim_cosine_topk", "q_sim_ivf_topk", "q_sim_pq_topk",
     "q_sim_ivfpq_topk", "q_sim_semantic_dedup",
     "q_text_lm_familiarity", "q_corpus_dsir", "q_text_ks_drift",
-    "q_text_heaps_curve", "q_multimodal_features", "q_multimodal_ann")
+    "q_text_heaps_curve", "q_multimodal_features", "q_multimodal_ann",
+    // round 9: warehouse-side families — iterative graph (edge build grows
+    // with the fact), behavior marts (group cardinality grows), window-heavy
+    // OLAP (per-key history grows), sessionization/gap-fill (both axes grow)
+    "q_graph_pagerank", "q_graph_triangles", "q_graph_reachability",
+    "q_cohort_retention", "q_rfm_segments", "q_market_basket",
+    "q_running_balance", "q_rolling_7d_spend",
+    "q_events_gapfill", "q_events_sessionize")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -75,6 +82,64 @@ object ScaleProbe {
       .parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** 10× warehouse slice: facts grow, dimensions do not — the realistic
+    * shape of a growing business (more customers placing more orders against
+    * the SAME part/supplier/nation catalog). Customers replicate 10× (new
+    * keys, salted names, same nation mix, so the graph's node domain stays
+    * fixed while the edge-building fact join grows 10×); each order replica
+    * belongs to the matching customer replica (per-customer order count
+    * stays constant — group cardinality grows, per-group work does not, the
+    * axis that stresses cohort/RFM shuffles); lineitems ride along with
+    * their order replica against the unchanged part/supplier dims. Events
+    * grow on BOTH axes: replicas 1–2 keep the original user shifted +k·7
+    * days (per-user history grows 3× — the window/sessionization stressor),
+    * replicas 3–9 mint new users (user cardinality grows 8×). Dates shift
+    * ≤ 9 days/weeks so the overall span — and hence gap-fill's exploded
+    * calendar domain per key — stays comparable. */
+  def synthesizeWarehouse(spark: SparkSession, sfDir: String,
+                          outDir: String): Unit = {
+    Seq("region", "nation", "part", "supplier").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    val k10 = explode(expr("sequence(0, 9)")).as("k")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("*"), k10)
+      .select((col("c_custkey") * 10 + col("k")).as("c_custkey"),
+        when(col("k") === 0, col("c_name"))
+          .otherwise(concat(col("c_name"), lit("_x"), col("k"))).as("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + col("k") * 0.01).as("c_acctbal"),
+        col("c_mktsegment"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("*"), k10)
+      .select((col("o_orderkey") * 10 + col("k")).as("o_orderkey"),
+        (col("o_custkey") * 10 + col("k")).as("o_custkey"),
+        col("o_orderstatus"),
+        (col("o_totalprice") + col("k") * 0.01).as("o_totalprice"),
+        (col("o_orderdate") + expr("make_interval(0,0,0,k)")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("*"), k10)
+      .withColumn("l_orderkey", col("l_orderkey") * 10 + col("k"))
+      .withColumn("l_shipdate", col("l_shipdate") + expr("make_interval(0,0,0,k)"))
+      .drop("k")
+      .coalesce(16).write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("*"), k10)
+      .select((col("event_id") * 10 + col("k")).as("event_id"),
+        when(col("k").between(1, 2),
+          col("ts") + expr("make_interval(0,0,k)"))
+          .otherwise(col("ts") + expr("make_interval(0,0,0,0,pmod(k, 3))"))
+          .as("ts"),
+        when(col("k") <= 2, col("user_id"))
+          .otherwise(col("user_id") * 10 + col("k")).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(8).write.mode("overwrite").parquet(s"$outDir/events.parquet")
+  }
+
   private def time(spark: SparkSession, name: String, sfDir: String,
                    runs: Int): Double = {
     val fn = SparkEntry.queries(name)
@@ -98,7 +163,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (!new java.io.File(s"$outDir/documents.parquet").exists()) {
       synthesize(spark, sfDir, outDir)
-      println(s"[scale] synthesized 10x slice at $outDir")
+      println(s"[scale] synthesized 10x corpus slice at $outDir")
+    }
+    if (!new java.io.File(s"$outDir/lineitem.parquet").exists()) {
+      synthesizeWarehouse(spark, sfDir, outDir)
+      println(s"[scale] synthesized 10x warehouse slice at $outDir")
     }
     println("| query | sf0.1 best (s) | 10x best (s) | ratio |")
     println("|---|---|---|---|")
