@@ -315,19 +315,8 @@ object CorpusPrep {
     * TakeOrderedAndProject top-k — the [[TextQueries.lmFamiliarity]]
     * plan family with a per-doc scoring head. */
   def dsirSelection(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = Tpch(spark, sfDir)
-    val tok = t.documents
-      .select(col("doc_id"), col("source"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
-      .where(col("token") =!= "")
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val docBig = tok
-      .withColumn("next", lead(col("token"), 1).over(byPos))
-      .where(col("next").isNotNull)
-      .select(col("doc_id"), col("source"),
-        concat_ws(" ", col("token"), col("next")).as("bigram"))
-      .groupBy(col("doc_id"), col("source"), col("bigram"))
-      .agg(count(lit(1)).as("n"))
+    val docBig = TextQueries.docBigrams(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("bigram"), col("n"))
     val corpusCnt = docBig.groupBy(col("bigram")).agg(sum(col("n")).as("c_n"))
     val targetCnt = docBig.where(col("source") === DsirTarget)
       .groupBy(col("bigram")).agg(sum(col("n")).as("t_n"))

@@ -20,6 +20,39 @@ object TextQueries {
 
   private def toks = split(col("text"), " ")
 
+  /** Per-doc bigram counts (doc_id, lang, source, bigram, n) — ONE corpus
+    * pass shared by every bigram-consuming job (LM familiarity, DSIR
+    * selection, top-bigram vocabulary, the repetition screen, the dataset
+    * card), cached per (session, sf) through the same [[FrameCache]]
+    * lifecycle as the dedup signature views. At 100 TB this is the
+    * materialized corpus bigram table a pipeline builds once per snapshot
+    * and every downstream statistic reads — four independent
+    * tokenize+window passes collapse into one.
+    *
+    * Grain: doc_id determines lang and source, so carrying both in the
+    * grouping keys changes no counts — each consumer projects the columns
+    * it needs. Shuffle rows are DISTINCT (doc, bigram) pairs (map-side
+    * combine), never occurrences. */
+  private val bigramCache = FrameCache.empty
+  private[operators] def docBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(bigramCache, spark, sfDir) {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tpch(spark, sfDir)
+      val tok = t.documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          posexplode(toks).as(Seq("pos", "token")))
+        .where(col("token") =!= "")
+      val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      tok
+        .withColumn("next", lead(col("token"), 1).over(byPos))
+        .where(col("next").isNotNull)
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat_ws(" ", col("token"), col("next")).as("bigram"))
+        .groupBy(col("doc_id"), col("lang"), col("source"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Per-doc quality score (length saturation + lexical diversity) — shared
     * with [[CorpusPrep]] so the filter there and the stats here can never
     * silently diverge. */
@@ -188,7 +221,6 @@ object TextQueries {
     * repetition screen and the dataset card so their flag semantics can
     * never diverge. */
   private[operators] def repetitionPerDoc(t: Tpch): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = t.documents
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
       .where(col("token") =!= "")
@@ -196,13 +228,7 @@ object TextQueries {
       .agg(count(lit(1)).as("n"))
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("top_tok"), sum(col("n")).as("n_tok"))
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val topBig = tok
-      .withColumn("next", lead(col("token"), 1).over(byPos))
-      .where(col("next").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("token"), col("next")).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram"))
-      .agg(count(lit(1)).as("n"))
+    val topBig = docBigrams(t.spark, t.sfDir)
       .groupBy(col("doc_id"))
       .agg(max(col("n")).as("top_big"), sum(col("n")).as("n_big"))
     t.documents.select(col("doc_id"), col("source"))
@@ -279,22 +305,14 @@ object TextQueries {
     * round maximizes (most frequent adjacent pair). Same lead()-window
     * pairing as the repetition screen; the count shuffles one row per
     * DISTINCT bigram (map-side combine), then TakeOrderedAndProject. */
-  def topBigrams(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = Tpch(spark, sfDir)
-    val tok = t.documents
-      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
-      .where(col("token") =!= "")
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tok
-      .withColumn("next", lead(col("token"), 1).over(byPos))
-      .where(col("next").isNotNull)
-      .select(concat_ws(" ", col("token"), col("next")).as("bigram"))
+  def topBigrams(spark: SparkSession, sfDir: String): DataFrame =
+    docBigrams(spark, sfDir)
       .groupBy(col("bigram"))
-      .agg(count(lit(1)).as("n"))
+      // Σ per-doc counts = corpus occurrences — same number the direct
+      // per-occurrence count produced, read from the shared view instead
+      .agg(sum(col("n")).as("n"))
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
-  }
 
   /** Rolling-hash document fingerprints (Rabin–Karp polynomial fold) via
     * the native codegen'd [[graft.functions.PolyHash]] expression — the
@@ -347,19 +365,8 @@ object TextQueries {
     * Docs with fewer than two tokens have no bigrams and are excluded by
     * both formulations. */
   def lmFamiliarity(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = Tpch(spark, sfDir)
-    val tok = t.documents
-      .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("pos", "token")))
-      .where(col("token") =!= "")
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val docBig = tok
-      .withColumn("next", lead(col("token"), 1).over(byPos))
-      .where(col("next").isNotNull)
-      .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("token"), col("next")).as("bigram"))
-      .groupBy(col("doc_id"), col("lang"), col("bigram"))
-      .agg(count(lit(1)).as("n"))
+    val docBig = docBigrams(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("bigram"), col("n"))
     val corpus = docBig.groupBy(col("bigram")).agg(sum(col("n")).as("c"))
     val perDoc = docBig.join(corpus, "bigram")
       .groupBy(col("doc_id"), col("lang"))

@@ -27,6 +27,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_events_gapfill",    // broadcast calendar-bounds frame
     "q_sketch_hll_union",  // broadcast one-row unioned-sketch frame
     "q_multimodal_ann",    // broadcast one-row query-frame vector
+    "q_multimodal_thumb_ann", // broadcast one-row query-thumbnail vector
     "q_profile_crosstab",  // broadcast one-row grand-total frame
     "q_rfm_segments",      // broadcast three one-row quartile-bound frames
     "q_market_basket",     // broadcast one-row order-total frame
