@@ -19,11 +19,25 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Datagen {
 
+  /** 60-bit non-negative hash: md5 hex chars 1–15 of the ':'-joined parts,
+    * parsed base-16. ENGINE-PORTABLE — a second engine derives the identical
+    * value from the identical digest string (DuckDB:
+    * `('0x' || substr(md5(k), 1, 15))::BIGINT`), which is what lets the
+    * generator's own summaries be hash-checked cross-engine. */
+  private[graft] def h60(parts: Column*): Column =
+    conv(substring(md5(concat_ws(":", parts.map(_.cast("string")): _*)),
+      1, 15), 16, 10).cast("long")
+
   /** Deterministic uniform [0,1) from id+seed+salt — the distributed stand-in
     * for the reference's `random.random()`: hash-based so it is stable under
-    * repartitioning (unlike rand(seed), which is partition-indexed). */
+    * repartitioning (unlike rand(seed), which is partition-indexed), and
+    * md5-derived (round 9, was xxhash64) so the DRAW STREAM is engine-
+    * portable: the DuckDB oracle regenerates every draw from the same
+    * '<id>:<seed>:<salt>' key strings — a regeneratable corpus is the
+    * reproducibility contract of a data generator, worth the ~2× per-draw
+    * cost over xxhash64 at what is driver-batch scale. */
   private def u(idCol: Column, seed: Long, salt: Int): Column =
-    (pmod(xxhash64(idCol, lit(seed), lit(salt)), lit(1000000000L)).cast("double")
+    (pmod(h60(idCol, lit(seed), lit(salt)), lit(1000000000L)).cast("double")
       / 1000000000.0)
 
   /** G1: weighted categorical sampling via CDF when-chain
@@ -125,18 +139,28 @@ object Datagen {
   /** Accounts (generator.py:220-268): 1–4 per customer fan-out (G8), 90%
     * CHECKING-first (G8), weighted types (G1), per-type balance ranges (G2),
     * age>50 balance boost (G9), created_at ≥ parent's (G10). */
+  /** The weighted-category tables, shared with the DuckDB oracle builders
+    * below so the CDF thresholds cannot drift between engine and oracle. */
+  private[graft] val AccountTypeWeights = Seq("CHECKING" -> 0.35,
+    "SAVINGS" -> 0.35, "BUSINESS" -> 0.15, "INVESTMENT" -> 0.15)
+  private[graft] val CurrencyWeights = Seq("USD" -> 0.60, "EUR" -> 0.15,
+    "GBP" -> 0.10, "INR" -> 0.08, "CAD" -> 0.04, "AUD" -> 0.03)
+  private[graft] val TxnTypeWeights = Seq("DEPOSIT" -> 0.25,
+    "WITHDRAWAL" -> 0.20, "TRANSFER" -> 0.25, "PAYMENT" -> 0.15,
+    "REFUND" -> 0.05, "FEE" -> 0.05, "INTEREST" -> 0.05)
+  private[graft] val StatusWeights = Seq("COMPLETED" -> 0.85,
+    "PENDING" -> 0.08, "FAILED" -> 0.04, "CANCELLED" -> 0.03)
+
   def accounts(customersDf: DataFrame, seed: Long = 42L): DataFrame = {
-    val typeWeights = Seq("CHECKING" -> 0.35, "SAVINGS" -> 0.35,
-      "BUSINESS" -> 0.15, "INVESTMENT" -> 0.15)
-    val currencyWeights = Seq("USD" -> 0.60, "EUR" -> 0.15, "GBP" -> 0.10,
-      "INR" -> 0.08, "CAD" -> 0.04, "AUD" -> 0.03)
+    val typeWeights = AccountTypeWeights
+    val currencyWeights = CurrencyWeights
     val cid = col("customer_id")
     val fannedOut = customersDf
       .select(col("id").as("customer_id"), col("age"),
         col("created_at").as("cust_created_at"))
       // G8: explode 1..(1 + uniform{0..3}) account slots per customer
-      .withColumn("slot", explode(expr(
-        "sequence(1, 1 + cast(pmod(xxhash64(customer_id, 7001), 4) as int))")))
+      .withColumn("slot", explode(sequence(lit(1),
+        lit(1) + pmod(h60(col("customer_id"), lit(7001)), lit(4)).cast("int"))))
     val rSlot = u(cid * 7 + col("slot"), seed, 20)
     val accountType =
       when(col("slot") === 1 && u(cid, seed, 21) < 0.9, "CHECKING")
@@ -180,11 +204,8 @@ object Datagen {
     * self-join (G11). */
   def transactions(accountsDf: DataFrame, n: Long, seed: Long = 42L): DataFrame = {
     val spark = accountsDf.sparkSession
-    val typeWeights = Seq("DEPOSIT" -> 0.25, "WITHDRAWAL" -> 0.20,
-      "TRANSFER" -> 0.25, "PAYMENT" -> 0.15, "REFUND" -> 0.05,
-      "FEE" -> 0.05, "INTEREST" -> 0.05)
-    val statusWeights = Seq("COMPLETED" -> 0.85, "PENDING" -> 0.08,
-      "FAILED" -> 0.04, "CANCELLED" -> 0.03)
+    val typeWeights = TxnTypeWeights
+    val statusWeights = StatusWeights
     // Sample against the frame's ACTUAL id range (ids are dense but may be
     // offset by the G14 cross-iteration loop), not an assumed 1..n.
     val (nAccounts, idBase) = {
@@ -193,7 +214,7 @@ object Datagen {
     }
     val base = spark.range(n).toDF("rid")
       .withColumn("account_id",
-        (pmod(xxhash64(col("rid"), lit(seed), lit(30)), lit(nAccounts)) + 1 + idBase).cast("int"))
+        (pmod(h60(col("rid"), lit(seed), lit(30)), lit(nAccounts)) + 1 + idBase).cast("int"))
       .withColumn("txn_type", weightedChoice(u(col("rid"), seed, 31), typeWeights))
       .withColumn("status", weightedChoice(u(col("rid"), seed, 32), statusWeights))
     val amount0 =
@@ -217,7 +238,7 @@ object Datagen {
       .where(col("partner_id").isNull || col("partner_id") =!= col("account_id"))
       .withColumn("pick", row_number().over(
         Window.partitionBy(col("rid")).orderBy(
-          xxhash64(col("rid"), col("partner_id"), lit(seed)))))
+          md5(concat_ws(":", col("rid"), col("partner_id"), lit(seed))))))
       .where(col("pick") === 1)
       .select(col("rid"), col("partner_id"))
     withAcct.join(partnerPool, Seq("rid"), "left")
@@ -228,7 +249,7 @@ object Datagen {
             // any OTHER account: offset in [1, n-1] from self, mod n — can
             // never land back on account_id (mirrors generator.py:296-304)
             .otherwise((pmod(col("account_id") - 1 - idBase +
-              pmod(xxhash64(col("rid"), lit(seed), lit(35)), lit(nAccounts - 1)) + 1,
+              pmod(h60(col("rid"), lit(seed), lit(35)), lit(nAccounts - 1)) + 1,
               lit(nAccounts)) + 1 + idBase).cast("int")))
           .otherwise(lit(null).cast("int")))
       .withColumn("amount", roundNumberBias(amount0,
@@ -276,4 +297,38 @@ object Datagen {
     }
     totals
   }
+
+  // ---- DuckDB oracle builders: the generator REGENERATED by a second
+  // engine. Every helper mirrors the matching column expression above
+  // operation for operation (same association order, same double
+  // thresholds), so the oracle's synthetic stream is bit-identical.
+
+  /** Exact-decimal rendering of a double, so the oracle's parser recovers
+    * the IDENTICAL double the Scala expression tree used (a shortened
+    * literal like 0.85 could round to a different neighbor than the
+    * Scala-computed running CDF sum). */
+  private def dstr(d: Double): String = BigDecimal(d).toString
+
+  /** DuckDB mirror of [[u]]: same key string, same 15 hex chars of the
+    * same digest, same modulus and divisor. */
+  private[graft] def uSql(key: String, seed: Long, salt: Int): String =
+    s"((('0x' || substr(md5($key || ':$seed:$salt'), 1, 15))::BIGINT " +
+      s"% 1000000000) / 1000000000.0)"
+
+  /** DuckDB mirror of [[weightedChoice]]'s CDF when-chain. */
+  private[graft] def weightedChoiceSql(r: String,
+                                       vw: Seq[(String, Double)]): String = {
+    val total = vw.map(_._2).sum
+    val cdf = vw.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val whens = vw.init.zip(cdf.init)
+      .map { case ((v, _), c) => s"WHEN $r < ${dstr(c)} THEN '$v'" }
+      .mkString(" ")
+    s"(CASE $whens ELSE '${vw.last._1}' END)"
+  }
+
+  /** DuckDB mirror of [[boundedMoney]] — note the association order
+    * (r · span) · 100 + min·100 matches the Column expression exactly. */
+  private[graft] def boundedMoneySql(r: String, min: Double, max: Double): String =
+    s"CAST(FLOOR($r * ${dstr(max - min)} * 100 + ${dstr(min * 100)}) / 100 " +
+      s"AS DECIMAL(18,2))"
 }

@@ -21,8 +21,12 @@ import MartQueries.{moneySum, moneySumSql}
   * perturbed any row or any cent, the hashes diverge.
   *
   * The `q_gen_*` queries run the seeded synthetic generator and summarize
-  * its distributions (no oracle — rand streams aren't reproducible in
-  * DuckDB; distribution properties are asserted in DatagenSpec).
+  * its distributions — ORACLE-CHECKED since round 9: the generator's
+  * uniforms are md5-derived (engine-portable), so the DuckDB oracle
+  * REGENERATES the same synthetic stream draw for draw (the
+  * `Datagen.*Sql` builders mirror each column expression operation for
+  * operation) and must reproduce the identical summaries. Distribution
+  * properties are additionally asserted in DatagenSpec.
   */
 object CdcQueries {
 
@@ -309,7 +313,62 @@ object CdcQueries {
         |SELECT 'orders' AS tbl, COUNT(*) AS n FROM orders
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM delc)
         |ORDER BY tbl""".stripMargin)),
-    NamedQuery("q_gen_account_summary", genAccountSummary, None),
-    NamedQuery("q_gen_transaction_summary", genTransactionSummary, None),
+    NamedQuery("q_gen_account_summary", genAccountSummary, Some(
+      genAccountSummaryOracle)),
+    NamedQuery("q_gen_transaction_summary", genTransactionSummary, Some(
+      genTransactionSummaryOracle)),
   )
+
+  /** DuckDB regeneration of [[genAccountSummary]]: 2000 customers →
+    * slot fan-out (`sequence(1, 1+h60%4)` ⇔ `range(1, 2+h60%4)`) → the
+    * first-slot CHECKING rule + the weighted-type CDF chain. Only the
+    * draws feeding account_type are regenerated — balance/currency/ids
+    * don't reach this summary. */
+  private def genAccountSummaryOracle: String = {
+    import Datagen.{uSql, weightedChoiceSql, AccountTypeWeights}
+    s"""WITH c AS (SELECT CAST(r + 1 AS BIGINT) AS cid FROM range(0, 2000) t(r)),
+       |s AS (SELECT cid, CAST(UNNEST(range(1,
+       |         2 + CAST((('0x' || substr(md5(cid || ':7001'), 1, 15))::BIGINT % 4) AS INT)
+       |       )) AS INT) AS slot FROM c),
+       |typed AS (SELECT CASE
+       |    WHEN slot = 1 AND ${uSql("cid", 42, 21)} < 0.9 THEN 'CHECKING'
+       |    ELSE ${weightedChoiceSql(uSql("(cid * 7 + slot)", 42, 20), AccountTypeWeights)}
+       |  END AS account_type FROM s)
+       |SELECT account_type, COUNT(*) AS n FROM typed
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB regeneration of [[genTransactionSummary]]: 5000 transaction
+    * rows' type/status/amount draws. The account join is row-preserving
+    * (every generated account_id resolves) and amounts depend only on
+    * (rid, seed) draws, so accounts need not be regenerated for THIS
+    * summary. boundedMoney / roundNumberBias are mirrored with the same
+    * association order and the same exact-half behavior (both engines
+    * round half away from zero for positive values). */
+  private def genTransactionSummaryOracle: String = {
+    import Datagen.{uSql, weightedChoiceSql, boundedMoneySql, TxnTypeWeights, StatusWeights}
+    s"""WITH t AS (SELECT CAST(r AS BIGINT) AS rid FROM range(0, 5000) tt(r)),
+       |d AS (SELECT rid,
+       |  ${weightedChoiceSql(uSql("rid", 42, 31), TxnTypeWeights)} AS txn_type,
+       |  ${weightedChoiceSql(uSql("rid", 42, 32), StatusWeights)} AS status,
+       |  ${uSql("rid", 42, 33)} AS r33,
+       |  ${uSql("rid", 42, 36)} AS r36,
+       |  ${uSql("rid", 42, 37)} AS r37 FROM t),
+       |a0 AS (SELECT txn_type, status, r36, r37, CASE
+       |    WHEN txn_type IN ('DEPOSIT', 'WITHDRAWAL', 'TRANSFER')
+       |      THEN ${boundedMoneySql("r33", 10, 5000)}
+       |    WHEN txn_type = 'PAYMENT' THEN ${boundedMoneySql("r33", 5, 2000)}
+       |    WHEN txn_type = 'REFUND' THEN ${boundedMoneySql("r33", 5, 500)}
+       |    WHEN txn_type = 'FEE' THEN ${boundedMoneySql("r33", 1, 50)}
+       |    ELSE ${boundedMoneySql("r33", 1, 100)} END AS amount0 FROM d),
+       |amt AS (SELECT txn_type, status,
+       |  GREATEST(CASE
+       |      WHEN r37 < 0.1 THEN CAST(ROUND(amount0 / 100) * 100 AS DECIMAL(18,2))
+       |      WHEN r36 < 0.3 THEN CAST(ROUND(amount0 / 10) * 10 AS DECIMAL(18,2))
+       |      ELSE amount0 END,
+       |    CAST(1.0 AS DECIMAL(18,2))) AS amount FROM a0)
+       |SELECT txn_type, status, COUNT(*) AS n,
+       |       ${moneySumSql("amount")} AS volume
+       |FROM amt GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 }
