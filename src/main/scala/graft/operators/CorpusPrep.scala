@@ -337,7 +337,59 @@ object CorpusPrep {
       .limit(20)
   }
 
+  /** Crawl-over-crawl snapshot diff — the operator a corpus pipeline runs
+    * per crawl: which documents are added / removed / changed / unchanged
+    * since the previous snapshot, per source. Snapshots are derived
+    * deterministically from the one shipped table (previous = even
+    * doc_ids; current = doc_id % 3 ≠ 0, with every fifth doc "edited"),
+    * standing in for two crawl dates of the same lake path.
+    *
+    * Scale shape: both sides reduce to (doc_id, source, md5 fingerprint)
+    * BEFORE the join, so the full-outer equi-join on doc_id moves 32-byte
+    * fingerprints, never document bodies, and the change test is one
+    * string compare — at 100 TB this is two snapshot scans + one keyed
+    * shuffle (or zero, when snapshots share a doc_id-bucketed layout).
+    * The status counts then aggregate over the bounded (source, status)
+    * grid. */
+  def corpusSnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val prev = t.documents.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"), col("source").as("source_a"),
+        md5(col("text")).as("fp_a"))
+    val curr = t.documents.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      .select(col("doc_id"), col("source").as("source_b"),
+        md5(when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
+          .as("fp_b"))
+    prev.join(curr, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("changed"))
+      .withColumn("src", coalesce(col("source_a"), col("source_b")))
+      .groupBy(col("src"), col("status")).agg(count(lit(1)).as("n"))
+      .orderBy(col("src"), col("status"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_corpus_snapshot_diff", corpusSnapshotDiff, Some(
+      """WITH prev AS (
+        |  SELECT doc_id, source AS source_a, md5(text) AS fp_a
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |curr AS (
+        |  SELECT doc_id, source AS source_b,
+        |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [edited]'
+        |                  ELSE text END) AS fp_b
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT COALESCE(source_a, source_b) AS src,
+        |       CASE WHEN fp_a IS NULL THEN 'added'
+        |            WHEN fp_b IS NULL THEN 'removed'
+        |            WHEN fp_a = fp_b THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       COUNT(*) AS n
+        |FROM prev FULL OUTER JOIN curr USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_corpus_dsir", dsirSelection, None),
     NamedQuery("q_dataset_card", datasetCard, Some(
       """WITH a AS (
