@@ -627,6 +627,49 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** CONTAINMENT screen (Broder's containment, not resemblance):
+    * |A ∩ B| / min(|A|, |B|) ≥ 9/10 — the small-doc-inside-big-doc
+    * duplication Jaccard structurally misses (a 30-shingle doc fully
+    * contained in a 300-shingle doc has Jaccard 0.1 and NEVER collides in
+    * minhash bands, yet trains its content twice). Candidates therefore
+    * come from a RARE-shingle inverted index (df ∈ [2, 5]) over the same
+    * portable md5 shingle view, not from the Jaccard bands: a contained
+    * doc shares EVERY one of its shingles with its container, so any one
+    * of them being corpus-rare surfaces the pair. Candidate-bounded by
+    * the df cap (a contained doc ALL of whose shingles are common is
+    * missed — the cap is the recall/cost dial; at 100 TB the postings
+    * tier like the common-span index). Verification is the same salted
+    * shingle-set fetch as every screen here; the threshold is exact
+    * integer cross-multiplication, and md5 keys make the full output
+    * DuckDB-recomputable (rows+schema+hash oracle). */
+  def containmentDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = sharedPortableShingled(spark, sfDir)
+    val posting = docs.select(col("doc_id"), explode(col("shingles")).as("h"))
+    val candidates = posting.groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")).between(2, 5))
+      .select(explode(expr(pairsFromIds)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), col("shingles"))
+    fetchShingleSets(sets,
+      fetchShingleSets(sets, candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
+      .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("na", size(col("sh_a")))
+      .withColumn("nb", size(col("sh_b")))
+      .withColumn("n_small", least(col("na"), col("nb")).cast("long"))
+      .where(col("ni") * 10 >= col("n_small") * 9)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("doc_small"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("doc_big"),
+        col("n_small"), col("ni"),
+        round(col("ni").cast("double") / col("n_small").cast("double"), 4)
+          .as("containment"))
+      .orderBy(col("doc_small"), col("doc_big"))
+  }
+
   /** Longest shared token span per near-dup candidate pair — the substring
     * -duplication detector (the "train-on-it-twice" span family, distinct
     * from whole-doc similarity: two docs can share a 50-token boilerplate
@@ -805,6 +848,32 @@ object DedupQueries {
     // a second engine computes identically, so the screen's full output is
     // hash-checked instead of rows-only. The oracle mirrors
     // Components.portableClosureSql's band construction term for term.
+    // Containment (small-in-big duplication): rare-shingle candidates
+    // (df 2..5 — the BETWEEN mirrors the Spark posting cap), exact
+    // integer ni*10 >= n_small*9, smaller-set side reported first.
+    NamedQuery("q_dedup_containment", containmentDups, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS pp(i)),
+        |rare AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 5),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sh a JOIN rare r ON a.h = r.h
+        |         JOIN sh b ON b.h = a.h AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |ins AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+        |        FROM cand c
+        |        JOIN sh a ON a.doc_id = c.doc_a
+        |        JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+        |        GROUP BY 1, 2)
+        |SELECT CASE WHEN sa.n <= sb.n THEN i.doc_a ELSE i.doc_b END AS doc_small,
+        |       CASE WHEN sa.n <= sb.n THEN i.doc_b ELSE i.doc_a END AS doc_big,
+        |       LEAST(sa.n, sb.n) AS n_small, i.ni,
+        |       ROUND(CAST(i.ni AS DOUBLE) / LEAST(sa.n, sb.n), 4) AS containment
+        |FROM ins i JOIN sz sa ON sa.doc_id = i.doc_a
+        |           JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE i.ni * 10 >= LEAST(sa.n, sb.n) * 9
+        |ORDER BY doc_small, doc_big""".stripMargin)),
     NamedQuery("q_dedup_minhash", portableMinhashDups, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
