@@ -223,6 +223,36 @@ object MultimodalOps {
       }
       out
     }
+
+    /** Audio DSP pass, exact-integer: the body as a stream of 8-bit
+      * samples with the DC offset removed (s = byte − 64 — the 7-bit
+      * synthetic stream sits around the printable-ASCII band, so 64
+      * centers it and gives zero-crossings real meaning: crossings land
+      * at space/letter boundaries). Per `width`-sample window: energy
+      * Σ|s| and within-window sign crossings (s·s_prev < 0); per clip:
+      * window count (ceil — the frame convention), total energy, total
+      * crossings, peak window energy. All integers — bit-identical in any
+      * engine, which is what lets the audio leg be oracle-checked. */
+    def audioStats(r: MediaRow): (Long, Int, Long, Long, Long, Long) = {
+      val (_, w, _, sr, body) = Grft1.unpack(r.payload)
+      var energy = 0L; var crossings = 0L; var maxWin = 0L; var winEnergy = 0L
+      var i = 0
+      while (i < body.length) {
+        val s = (body(i) & 0xff) - 64
+        energy += math.abs(s)
+        winEnergy += math.abs(s)
+        if (i % w != 0) {
+          val prev = (body(i - 1) & 0xff) - 64
+          if (prev * s < 0) crossings += 1
+        }
+        if ((i + 1) % w == 0 || i + 1 == body.length) {
+          maxWin = math.max(maxWin, winEnergy); winEnergy = 0L
+        }
+        i += 1
+      }
+      val nWin = (body.length + w - 1) / w
+      (r.media_id, sr, nWin.toLong, energy, crossings, maxWin)
+    }
   }
 
   /** Synthesize the media table from `documents`: body = UTF-8 text bytes
@@ -297,6 +327,35 @@ object MultimodalOps {
       .select(col("kind"), col("n_docs"),
         coalesce(col("total_frames"), lit(0L)).as("total_frames"))
       .orderBy(col("kind"))
+  }
+
+  /** Audio analytics over the container bodies: per-sample-rate clip
+    * counts, windowed energy, zero-crossing totals, and peak window
+    * energy — the audio-quality triage pass (energy ≈ loudness,
+    * crossing rate ≈ spectral brightness; a near-zero-energy clip is
+    * silence, a pathological crossing rate is noise) run before any
+    * expensive transcription. Every statistic is exact integer
+    * arithmetic on parsed bytes ([[Codec.audioStats]]), so the DuckDB
+    * oracle recomputes the whole pass from the source text bytes —
+    * window boundaries, DC offset, sign products and all.
+    *
+    * Scale: per-row codec work (embarrassingly parallel, no shuffle
+    * until the 4-group aggregate); the grouping key is the PARSED
+    * sample rate — catalog drift would hash-diverge. */
+  def multimodalAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir)
+      .filter(_.kind == "audio")
+      .mapPartitions(_.map(Codec.audioStats))
+      .toDF("media_id", "sample_rate", "n_windows", "energy", "crossings",
+        "max_window_energy")
+      .groupBy(col("sample_rate"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_windows")).as("n_windows"),
+        sum(col("energy")).as("energy"),
+        sum(col("crossings")).as("crossings"),
+        max(col("max_window_energy")).as("peak_window_energy"))
+      .orderBy(col("sample_rate"))
   }
 
   /** Frames → feature vectors → ANN: the multimodal leg feeding the
@@ -411,6 +470,30 @@ object MultimodalOps {
         |         AS BIGINT) AS h_energy
         |FROM d GROUP BY doc_id, h ORDER BY media_id""".stripMargin)),
     NamedQuery("q_multimodal_thumb_ann", multimodalThumbAnn(_, _), None),
+    // Audio windows: width for kind 1 is 32 + 1*16 = 48; samples are
+    // DC-offset-removed bytes (ascii − 64); crossings are within-window
+    // sign products, windows the ceil frame convention. All integers.
+    NamedQuery("q_multimodal_audio_energy", multimodalAudioEnergy, Some(
+      """WITH aud AS (SELECT doc_id, text, CAST(8000 * (1 + doc_id % 4) AS INT) AS sr
+        |             FROM documents WHERE doc_id % 3 = 1),
+        |px AS (SELECT doc_id, sr, CAST(i AS BIGINT) AS p,
+        |              ascii(substr(text, CAST(i AS INT) + 1, 1)) - 64 AS s
+        |       FROM aud, UNNEST(range(0, length(text))) u(i)),
+        |w AS (SELECT doc_id, sr, p // 48 AS wi, s, p % 48 AS off,
+        |             LAG(s) OVER (PARTITION BY doc_id ORDER BY p) AS sp
+        |      FROM px),
+        |win AS (SELECT doc_id, sr, wi, SUM(ABS(s)) AS we,
+        |               SUM(CASE WHEN off <> 0 AND sp * s < 0 THEN 1 ELSE 0 END) AS wc
+        |        FROM w GROUP BY 1, 2, 3),
+        |med AS (SELECT doc_id, sr, COUNT(*) AS nw, SUM(we) AS en,
+        |               SUM(wc) AS cr, MAX(we) AS mx
+        |        FROM win GROUP BY 1, 2)
+        |SELECT sr AS sample_rate, COUNT(*) AS n_clips,
+        |       CAST(SUM(nw) AS BIGINT) AS n_windows,
+        |       CAST(SUM(en) AS BIGINT) AS energy,
+        |       CAST(SUM(cr) AS BIGINT) AS crossings,
+        |       CAST(MAX(mx) AS BIGINT) AS peak_window_energy
+        |FROM med GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_multimodal_frames", multimodalFrames, Some(
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
