@@ -670,6 +670,37 @@ object DedupQueries {
       .orderBy(col("doc_small"), col("doc_big"))
   }
 
+  /** N-gram novelty per source — duplication's inverse, the memorization-
+    * risk triage: for each document, the fraction of its distinct
+    * 3-shingles that appear NOWHERE else in the corpus (df = 1). A source
+    * whose docs are mostly non-novel is template/boilerplate-shaped and a
+    * memorization risk if oversampled; a high-novelty source carries
+    * information the rest of the corpus lacks. Reported per source as an
+    * exact basis-point integer (novel·10⁴ DIV total — no float ratio).
+    *
+    * Scale: the document-frequency table is one keyed aggregate over the
+    * SAME cached portable shingle view every screen shares (at 100 TB:
+    * the maintained shingle-df side table); the novelty join is keyed on
+    * the shingle with a 1-row build side per key. Docs with fewer than 3
+    * tokens have no shingles and are excluded by both formulations. */
+  def ngramNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val posting = sharedPortableShingled(spark, sfDir)
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+    val dfTab = posting.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val perDoc = posting.join(dfTab, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    perDoc.join(t.documents.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_sh")).as("n_shingles"),
+        sum(col("n_novel")).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 DIV n_shingles"))
+      .orderBy(col("source"))
+  }
+
   /** Longest shared token span per near-dup candidate pair — the substring
     * -duplication detector (the "train-on-it-twice" span family, distinct
     * from whole-doc similarity: two docs can share a 50-token boilerplate
@@ -848,6 +879,24 @@ object DedupQueries {
     // a second engine computes identically, so the screen's full output is
     // hash-checked instead of rows-only. The oracle mirrors
     // Components.portableClosureSql's band construction term for term.
+    // Novelty = duplication's inverse on the same md5 shingle space;
+    // basis points via integer floor division on both engines.
+    NamedQuery("q_text_novelty", ngramNovelty, Some(
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |              md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |       FROM toks, UNNEST(range(1, len(t) - 1)) AS pp(i)),
+        |dfs AS (SELECT h, COUNT(*) AS df FROM sh GROUP BY 1),
+        |pd AS (SELECT s.doc_id, COUNT(*) AS n_sh,
+        |              SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel
+        |       FROM sh s JOIN dfs d ON s.h = d.h GROUP BY 1)
+        |SELECT tk.source, COUNT(*) AS n_docs,
+        |       CAST(SUM(pd.n_sh) AS BIGINT) AS n_shingles,
+        |       CAST(SUM(pd.n_novel) AS BIGINT) AS n_novel,
+        |       CAST(SUM(pd.n_novel) * 10000 // SUM(pd.n_sh) AS BIGINT) AS novelty_bp
+        |FROM pd JOIN toks tk ON pd.doc_id = tk.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     // Containment (small-in-big duplication): rare-shingle candidates
     // (df 2..5 — the BETWEEN mirrors the Spark posting cap), exact
     // integer ni*10 >= n_small*9, smaller-set side reported first.
