@@ -39,7 +39,11 @@ object ScaleProbe {
     "q_graph_pagerank", "q_graph_triangles", "q_graph_reachability",
     "q_cohort_retention", "q_rfm_segments", "q_market_basket",
     "q_running_balance", "q_rolling_7d_spend",
-    "q_events_gapfill", "q_events_sessionize")
+    "q_events_gapfill", "q_events_sessionize",
+    // round 9 additions: containment + novelty (posting-shaped over the
+    // portable shingle view), snapshot diff (keyed full-outer), audio DSP
+    "q_dedup_containment", "q_text_novelty",
+    "q_corpus_snapshot_diff", "q_multimodal_audio_energy")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
