@@ -85,7 +85,14 @@ object TimeSeriesQueries {
 
   /** Unpivot (wide → long): per-nation customer balance stats computed
     * wide, melted to (nation, stat, value) rows via the native unpivot
-    * operator — the inverse of `q_pivot_segment_status`. */
+    * operator — the inverse of `q_pivot_segment_status`.
+    *
+    * The average is integer tenth-mil arithmetic with an EXPLICIT
+    * half-away-from-zero ((2s + 100n) DIV (200n), sign-split), never a
+    * rounded quotient: Spark's decimal AVG and DuckDB's double AVG
+    * disagree on exact .xx5 ties (a real 4201.315 at sf0.001 rounded
+    * 4201.32 vs 4201.31), and the integer form makes the tie-break a
+    * bit-identical floor on both engines. */
   def unpivotNationBalance(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val wide = t.customer.join(t.nation,
@@ -94,11 +101,15 @@ object TimeSeriesQueries {
       .agg(
         min(col("c_acctbal").cast("decimal(18,4)")).as("min_bal"),
         max(col("c_acctbal").cast("decimal(18,4)")).as("max_bal"),
-        avg(col("c_acctbal").cast("decimal(18,4)")).as("avg_bal"))
+        sum((col("c_acctbal").cast(DecimalType(18, 4)) * 10000).cast("long"))
+          .as("s4"),
+        count(lit(1)).as("n"))
       .select(col("n_name"),
         round(col("min_bal"), 2).cast("double").as("min_bal"),
         round(col("max_bal"), 2).cast("double").as("max_bal"),
-        round(col("avg_bal"), 2).cast("double").as("avg_bal"))
+        (when(col("s4") >= 0, expr("(2 * s4 + 100 * n) DIV (200 * n)"))
+          .otherwise(-expr("(-2 * s4 + 100 * n) DIV (200 * n)"))
+          .cast("double") / 100.0).as("avg_bal"))
     wide.unpivot(
         Array(col("n_name")),
         Array(col("min_bal"), col("max_bal"), col("avg_bal")),
@@ -312,13 +323,20 @@ object TimeSeriesQueries {
         |  ON cal.event_type = h.event_type AND cal.hour_es = h.hour_es
         |ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_unpivot_nation_balance", unpivotNationBalance, Some(
-      """WITH wide AS (
+      """WITH agg AS (
         |  SELECT n_name,
         |    CAST(ROUND(MIN(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS min_bal,
         |    CAST(ROUND(MAX(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS max_bal,
-        |    CAST(ROUND(AVG(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS avg_bal
+        |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS s4,
+        |    COUNT(*) AS n
         |  FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |  GROUP BY n_name)
+        |  GROUP BY n_name),
+        |wide AS (
+        |  SELECT n_name, min_bal, max_bal,
+        |    CAST(CASE WHEN s4 >= 0 THEN (2 * s4 + 100 * n) // (200 * n)
+        |         ELSE -((-2 * s4 + 100 * n) // (200 * n)) END AS DOUBLE) / 100.0
+        |      AS avg_bal
+        |  FROM agg)
         |SELECT n_name, stat, value FROM (
         |  SELECT n_name, 'min_bal' AS stat, min_bal AS value FROM wide
         |  UNION ALL SELECT n_name, 'max_bal', max_bal FROM wide
