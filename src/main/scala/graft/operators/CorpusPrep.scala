@@ -390,7 +390,39 @@ object CorpusPrep {
         |       COUNT(*) AS n
         |FROM prev FULL OUTER JOIN curr USING (doc_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-    NamedQuery("q_corpus_dsir", dsirSelection, None),
+    // The per-bigram weight floor(ln(ratio)·1e⁶) is one IEEE double
+    // expression per DISTINCT bigram, identical source-level shape in both
+    // engines (long/long division promotes to double in each), and the
+    // per-doc score is a sum of longs — order-independent. The ulp risk is
+    // ln() landing within ~1e-10 of a floor boundary; verified value-exact
+    // at sf0.01 and sf0.1 before registering.
+    NamedQuery("q_corpus_dsir", dsirSelection, Some(
+      """WITH a AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, source,
+        |         UNNEST(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |  FROM a WHERE len(toks) >= 2),
+        |db AS (SELECT doc_id, source, bigram, COUNT(*) AS n FROM big GROUP BY 1, 2, 3),
+        |cc AS (SELECT bigram, SUM(n) AS c_n FROM db GROUP BY 1),
+        |tc AS (SELECT bigram, SUM(n) AS t_n FROM db WHERE source = 'src0' GROUP BY 1),
+        |st AS (SELECT cc.bigram, cc.c_n, COALESCE(tc.t_n, 0) AS t_n
+        |       FROM cc LEFT JOIN tc USING (bigram)),
+        |tot AS (SELECT SUM(c_n) AS c_tot, SUM(t_n) AS t_tot, COUNT(*) AS v FROM st),
+        |w AS (SELECT bigram,
+        |             CAST(FLOOR(LN(((t_n + 1) / (t_tot + v)) /
+        |                           ((c_n + 1) / (c_tot + v))) * 1e6) AS BIGINT) AS w
+        |      FROM st, tot)
+        |SELECT db.doc_id, db.source,
+        |       CAST(SUM(n) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(n * w) AS BIGINT) AS dsir_score
+        |FROM db JOIN w USING (bigram)
+        |GROUP BY 1, 2
+        |ORDER BY dsir_score DESC, doc_id
+        |LIMIT 20""".stripMargin)),
     NamedQuery("q_dataset_card", datasetCard, Some(
       """WITH a AS (
         |  SELECT doc_id, source,

@@ -253,6 +253,46 @@ object MultimodalOps {
       val nWin = (body.length + w - 1) / w
       (r.media_id, sr, nWin.toLong, energy, crossings, maxWin)
     }
+
+    /** Integer 8-bin histogram of a frame (the exact-arithmetic sibling of
+      * [[frameHistogram]] — counts, not normalized floats, so frame deltas
+      * are engine-portable integers). */
+    def frameHistogramInt(frame: Array[Byte]): Array[Int] = {
+      val bins = new Array[Int](8)
+      var i = 0
+      while (i < frame.length) { bins((frame(i) & 0xff) >>> 5) += 1; i += 1 }
+      bins
+    }
+
+    /** Scene-change / keyframe detection over the container's
+      * `width`-byte frames: frame 0 is always a keyframe; frame i is a
+      * keyframe iff the L1 distance between its integer histogram and
+      * frame i−1's is ≥ `threshold` (a hard cut moves lots of histogram
+      * mass; compression-style inter-frame deltas move little — the
+      * classic histogram-difference shot-boundary rule). Sequential
+      * single-pass per clip, exact integers — the whole pass is
+      * recomputable in ANSI SQL, so the query is oracle-checked.
+      * Returns (media_id, n_frames, n_keyframes, delta_sum, delta_max). */
+    def keyframeStats(r: MediaRow, threshold: Long = 16L)
+        : (Long, Long, Long, Long, Long) = {
+      val (_, w, _, _, body) = Grft1.unpack(r.payload)
+      var prev: Array[Int] = null
+      var nFrames = 0L; var nKey = 0L; var dSum = 0L; var dMax = 0L
+      body.grouped(w).foreach { f =>
+        val hist = frameHistogramInt(f)
+        if (prev == null) nKey += 1
+        else {
+          var d = 0L; var b = 0
+          while (b < 8) { d += math.abs(hist(b) - prev(b)).toLong; b += 1 }
+          dSum += d
+          if (d > dMax) dMax = d
+          if (d >= threshold) nKey += 1
+        }
+        prev = hist
+        nFrames += 1
+      }
+      (r.media_id, nFrames, nKey, dSum, dMax)
+    }
   }
 
   /** Synthesize the media table from `documents`: body = UTF-8 text bytes
@@ -449,7 +489,63 @@ object MultimodalOps {
       .limit(10)
   }
 
+  /** Keyframe / shot-boundary sampling over the video containers — the
+    * frame-selection pass a video training pipeline runs so it embeds a
+    * handful of representative frames per clip instead of all of them.
+    * Per clip: frame count, keyframe count (histogram-difference rule,
+    * [[Codec.keyframeStats]]), total and peak inter-frame L1 delta.
+    *
+    * Scale: one sequential pass per clip inside `mapPartitions`, no
+    * shuffle until the final per-clip frame (embarrassingly parallel —
+    * a 100 TB video lake splits by clip, never by frame). Exact integer
+    * arithmetic end to end; the oracle re-derives every frame histogram
+    * from the source text bytes and the doc_id width rule, so a codec
+    * that mis-sliced one frame boundary hash-diverges. */
+  def multimodalKeyframes(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaFromDocuments(spark, sfDir)
+      .filter(_.kind == "video")
+      .mapPartitions(_.map(r => Codec.keyframeStats(r)))
+      .toDF("media_id", "n_frames", "n_keyframes", "delta_sum", "delta_max")
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    // Video width is 32 + 2*16 = 64; bins are byte // 32 (ASCII corpus →
+    // bins 0..3); the LAG-over-(doc, bin) grid recomputes every
+    // inter-frame L1 delta; keyframe rule: frame 0, plus delta ≥ 16.
+    NamedQuery("q_multimodal_keyframes", multimodalKeyframes, Some(
+      """WITH vid AS (SELECT doc_id, text,
+        |                    octet_length(CAST(text AS BLOB)) AS len
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |px AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |              ascii(substr(text, CAST(i AS INT) + 1, 1)) // 32 AS b
+        |       FROM vid, UNNEST(range(0, len)) u(i)),
+        |cnt AS (SELECT doc_id, p // 64 AS fi, b, COUNT(*) AS c
+        |        FROM px GROUP BY 1, 2, 3),
+        |grid AS (SELECT v.doc_id, CAST(f AS BIGINT) AS fi,
+        |                CAST(bb AS BIGINT) AS b
+        |         FROM vid v,
+        |              UNNEST(range(0, CAST(CEIL(v.len / 64.0) AS BIGINT))) g(f),
+        |              UNNEST(range(0, 8)) h(bb)),
+        |gc AS (SELECT g.doc_id, g.fi, g.b, COALESCE(c.c, 0) AS c
+        |       FROM grid g LEFT JOIN cnt c
+        |         ON g.doc_id = c.doc_id AND g.fi = c.fi AND g.b = c.b),
+        |dl AS (SELECT doc_id, fi, c,
+        |              LAG(c) OVER (PARTITION BY doc_id, b ORDER BY fi) AS pc
+        |       FROM gc),
+        |fd AS (SELECT doc_id, fi, SUM(ABS(c - pc)) AS delta
+        |       FROM dl WHERE fi > 0 GROUP BY 1, 2)
+        |SELECT v.doc_id AS media_id,
+        |       CAST(CEIL(v.len / 64.0) AS BIGINT) AS n_frames,
+        |       CAST(CASE WHEN v.len = 0 THEN 0
+        |                 ELSE 1 + COALESCE(SUM(CASE WHEN delta >= 16
+        |                                        THEN 1 ELSE 0 END), 0)
+        |            END AS BIGINT) AS n_keyframes,
+        |       CAST(COALESCE(SUM(delta), 0) AS BIGINT) AS delta_sum,
+        |       CAST(COALESCE(MAX(delta), 0) AS BIGINT) AS delta_max
+        |FROM vid v LEFT JOIN fd ON v.doc_id = fd.doc_id
+        |GROUP BY v.doc_id, v.len ORDER BY media_id""".stripMargin)),
     NamedQuery("q_multimodal_image_stats", multimodalImageStats, Some(
       """WITH img AS (SELECT doc_id, text, 16 + (doc_id % 5) * 8 AS h
         |             FROM documents WHERE doc_id % 3 = 0),

@@ -347,7 +347,33 @@ object SimilarityQueries {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sim_ivf_topk", ivfTopK, None),
     NamedQuery("q_sim_ivf_recall_curve", ivfRecallCurve, None),
-    NamedQuery("q_sim_quantized_topk", quantizedTopK, None),
+    // The int8 codec (per-vector scale, round-trip through 127 levels) and
+    // the decimal-summed cosine are both exact IEEE/decimal arithmetic, so
+    // the search over the QUANTIZED corpus hash-matches DuckDB spelling the
+    // same codec — same per-component expression q_embed_quantize's green
+    // oracle already pins, composed into the score instead of the error.
+    NamedQuery("q_sim_quantized_topk", quantizedTopK, Some(
+      """WITH c AS (
+        |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, MAX(ABS(v)) AS s FROM c GROUP BY 1),
+        |d AS (
+        |  SELECT c.vec_id, c.label, c.pos,
+        |         CASE WHEN s.s = 0 THEN 0
+        |              ELSE ROUND(c.v / s.s * 127) / 127 * s.s END AS qv
+        |  FROM c JOIN s USING (vec_id)),
+        |q AS (
+        |  SELECT CAST(UNNEST(embedding) AS DOUBLE) AS qy,
+        |         generate_subscripts(embedding, 1) AS pos
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT d.vec_id, d.label,
+        |       ROUND(CAST(SUM(CAST(d.qv * q.qy AS DECIMAL(28,14))) AS DOUBLE) /
+        |             (SQRT(CAST(SUM(CAST(d.qv * d.qv AS DECIMAL(28,14))) AS DOUBLE)) *
+        |              SQRT(CAST(SUM(CAST(q.qy * q.qy AS DECIMAL(28,14))) AS DOUBLE))), 6) AS cos
+        |FROM d JOIN q USING (pos)
+        |GROUP BY 1, 2
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)),
     NamedQuery("q_sim_ivf_quantized_topk", ivfQuantizedTopK, None),
     // Double-precision cosine spelled out via aligned UNNEST — DuckDB's
     // list_cosine_similarity returns FLOAT (float32), which would diverge

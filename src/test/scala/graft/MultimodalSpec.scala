@@ -200,4 +200,50 @@ class MultimodalSpec extends SparkSpec {
       planText.linesIterator.filter(_.contains("PushedFilters")).mkString("; "))
     assert(metaQuery.collect().map(_.getLong(1)).sum > 0)
   }
+
+  test("keyframes: a hard cut between uniform shots is detected, a still clip is not") {
+    // width 16 → 16-byte frames. Three frames: two of 'A's (one shot),
+    // then one of 'Z's (a hard cut: all 16 bytes change histogram bin
+    // 'A'>>5=2 → 'Z'>>5=2... both in bin 2! Use '0' (0x30, bin 1) for the
+    // cut so the histogram mass actually moves: L1 = 32 ≥ 16).
+    val cut = fixtureRow(("A" * 32 + "0" * 16).getBytes("US-ASCII"))
+    assert(MultimodalOps.Codec.keyframeStats(cut) == ((1L, 3L, 2L, 32L, 32L)))
+    // A still clip — every frame identical — has exactly one keyframe
+    // (frame 0) and zero delta.
+    val still = fixtureRow(("B" * 48).getBytes("US-ASCII"))
+    assert(MultimodalOps.Codec.keyframeStats(still) == ((1L, 3L, 1L, 0L, 0L)))
+    // Empty body: no frames, no keyframes — not a crash.
+    assert(MultimodalOps.Codec.keyframeStats(fixtureRow(Array.empty[Byte])) ==
+      ((1L, 0L, 0L, 0L, 0L)))
+    // A partial last frame still deltas against the previous full frame
+    // (8 missing bytes of mass = L1 8 < 16 → sampled, not a keyframe).
+    val partial = fixtureRow(("C" * 24).getBytes("US-ASCII"))
+    assert(MultimodalOps.Codec.keyframeStats(partial) == ((1L, 2L, 1L, 8L, 8L)))
+  }
+
+  test("keyframes query matches a textbook driver-side recompute on sf0.001") {
+    val got = MultimodalOps.multimodalKeyframes(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().filter(_._1 % 3 == 2)
+    val want = docs.map { case (id, text) =>
+      val body = text.getBytes("UTF-8")
+      val frames = body.grouped(64).map { f =>
+        val h = new Array[Long](8)
+        f.foreach(b => h((b & 0xff) >>> 5) += 1)
+        h.toSeq
+      }.toSeq
+      val deltas = frames.sliding(2).collect {
+        case Seq(a, b) => a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+      }.toSeq
+      (id, frames.size.toLong,
+        (if (frames.isEmpty) 0L else 1L) + deltas.count(_ >= 16L),
+        deltas.sum, if (deltas.isEmpty) 0L else deltas.max)
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    // the fixture must actually exercise both branches of the rule
+    assert(got.exists(r => r._3 > 1) && got.exists(r => r._3 < r._2))
+  }
 }
