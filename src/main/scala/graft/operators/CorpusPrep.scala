@@ -372,7 +372,50 @@ object CorpusPrep {
       .orderBy(col("src"), col("status"))
   }
 
+  /** Deterministic epoch shuffle + shard assignment — the reproducibility
+    * primitive a training pipeline needs: every run (and every engine)
+    * must agree on which shard a document lands in and in what order it
+    * is read, with a different but equally deterministic order per epoch.
+    * The shuffle key is `md5(doc_id ∥ ':ep1')` — changing the epoch salt
+    * reshuffles; re-running does not. Shard = first-byte value mod 8
+    * (the same engine-portable hex arithmetic the train/val/test split
+    * uses); within a shard the read order is the key's lexicographic
+    * order. The registered query emits the per-shard manifest (count,
+    * token mass, first/last key) — the balance + determinism readout;
+    * the production write path is `repartition(shard)` +
+    * `sortWithinPartitions(k)`, one shuffle at any corpus size, no
+    * global sort. */
+  def epochShuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("k", md5(concat(col("doc_id").cast("string"), lit(":ep1"))))
+      .withColumn("shard", expr(
+        """pmod((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 16
+          |     + instr('0123456789abcdef', substring(k, 2, 1)) - 1, 8)"""
+          .stripMargin))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        min(col("k")).as("first_key"),
+        max(col("k")).as("last_key"))
+      .orderBy(col("shard"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_corpus_shuffle_shards", epochShuffleShards, Some(
+      """WITH k AS (SELECT doc_id, text,
+        |                  md5(CAST(doc_id AS VARCHAR) || ':ep1') AS k
+        |           FROM documents),
+        |s AS (SELECT *,
+        |             ((instr('0123456789abcdef', substring(k, 1, 1)) - 1) * 16
+        |              + instr('0123456789abcdef', substring(k, 2, 1)) - 1) % 8
+        |               AS shard
+        |      FROM k)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |       MIN(k) AS first_key, MAX(k) AS last_key
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_corpus_snapshot_diff", corpusSnapshotDiff, Some(
       """WITH prev AS (
         |  SELECT doc_id, source AS source_a, md5(text) AS fp_a

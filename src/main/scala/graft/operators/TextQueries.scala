@@ -432,7 +432,80 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Per-source boilerplate screen (the CCNet/C4 line-frequency rule):
+    * a text block that recurs across ≥ 20 % of a SOURCE's documents (and
+    * in at least 2) is boilerplate — headers, footers, nav chrome, cookie
+    * banners — and a corpus pipeline strips those blocks before training.
+    * Blocks are the same 20-token md5 units the paragraph-dedup pass
+    * segments (one segmentation rule corpus-wide, so "what dedup keeps"
+    * and "what boilerplate removes" can never disagree about block
+    * boundaries). Emits per source the block counts and the exact
+    * instance share removal would reclaim (integer ‰×10 — no float).
+    *
+    * Distinct from [[DedupQueries.paragraphDedupStats]]: dedup keeps the
+    * FIRST occurrence of a block (cross-doc, corpus-wide); boilerplate
+    * removes EVERY occurrence of a block that is frequent WITHIN its
+    * source — the df test is per-source document frequency, not first-key
+    * arithmetic.
+    *
+    * Scale: one (source, block-hash) aggregate over exploded blocks
+    * (~n_tokens/20 rows), one |sources|-row broadcast join back — no
+    * pairs, no self-join; block hashes are md5 (engine-portable). */
+  def boilerplateBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val docs = t.documents
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), col("text"))
+    val blocks = docs
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), posexplode(expr(
+        """transform(sequence(0, CAST(ceil(size(t) / 20.0) AS INT) - 1),
+          |          i -> md5(concat_ws(' ', slice(t, i * 20 + 1, 20))))"""
+          .stripMargin)).as(Seq("bi", "bh")))
+    val nDocs = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dfreq = blocks.groupBy(col("source"), col("bh"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("inst"))
+    dfreq.join(broadcast(nDocs), "source")
+      .withColumn("bp",
+        when(col("df") >= 2 && col("df") * 5 >= col("n_docs"), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        sum(col("inst")).as("n_blocks"),
+        count(lit(1)).as("n_distinct_blocks"),
+        sum(col("bp")).as("n_boilerplate"),
+        sum(when(col("bp") === 1L, col("inst")).otherwise(0L)).as("rm"))
+      .select(col("source"), col("n_docs"), col("n_blocks"),
+        col("n_distinct_blocks"), col("n_boilerplate"),
+        expr("CAST(rm * 10000 div n_blocks AS BIGINT)").as("removed_x10000"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_boilerplate", boilerplateBlocks, Some(
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |              FROM documents),
+        |blk AS (SELECT doc_id, source,
+        |               md5(array_to_string(t[i*20+1 : i*20+20], ' ')) AS bh
+        |        FROM toks,
+        |             UNNEST(range(0, CAST(ceil(len(t)/20.0) AS BIGINT))) u(i)),
+        |nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs
+        |       FROM documents GROUP BY 1),
+        |df AS (SELECT source, bh, COUNT(DISTINCT doc_id) AS df,
+        |              COUNT(*) AS inst
+        |       FROM blk GROUP BY 1, 2),
+        |fl AS (SELECT df.source, df.df, df.inst, nd.n_docs,
+        |              CASE WHEN df.df >= 2 AND df.df * 5 >= nd.n_docs
+        |                   THEN 1 ELSE 0 END AS bp
+        |       FROM df JOIN nd USING (source))
+        |SELECT source, MAX(n_docs) AS n_docs,
+        |       CAST(SUM(inst) AS BIGINT) AS n_blocks,
+        |       COUNT(*) AS n_distinct_blocks,
+        |       CAST(SUM(bp) AS BIGINT) AS n_boilerplate,
+        |       CAST(SUM(CASE WHEN bp = 1 THEN inst ELSE 0 END) * 10000
+        |            // SUM(inst) AS BIGINT) AS removed_x10000
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_source_drift", sourceDistributionDrift, Some(
       """WITH tok AS (
         |  SELECT source,

@@ -43,7 +43,9 @@ object ScaleProbe {
     // round 9 additions: containment + novelty (posting-shaped over the
     // portable shingle view), snapshot diff (keyed full-outer), audio DSP
     "q_dedup_containment", "q_text_novelty",
-    "q_corpus_snapshot_diff", "q_multimodal_audio_energy")
+    "q_corpus_snapshot_diff", "q_multimodal_audio_energy",
+    // per-clip sequential frame pass — should scale with clip count
+    "q_multimodal_keyframes")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
