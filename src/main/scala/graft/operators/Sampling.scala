@@ -21,9 +21,18 @@ import graft.sources.Tables.Tpch
   */
 object Sampling {
 
-  /** Hash-uniform in (0, 1]: (pmod(xxhash64(key, seed), M) + 1) / M. */
+  /** Hash-uniform in (0, 1]: md5 hex chars 1–15 of `<key>:<seed>`, parsed
+    * base-16, reduced mod M — ENGINE-PORTABLE (round 10, was xxhash64): a
+    * second engine derives the identical draw from the identical digest
+    * string (DuckDB: `('0x' || substr(md5(k), 1, 15))::BIGINT % M`), which
+    * is what lets the weighted sample itself be hash-checked cross-engine
+    * (the same portability contract as [[graft.generator.Datagen]]'s draw
+    * stream). ~2× the per-draw cost of xxhash64 — irrelevant against the
+    * top-k scan it feeds. */
   private def u(key: Column, seed: Long): Column =
-    (pmod(xxhash64(key, lit(seed)), lit(1000000007L)) + 1.0) / 1000000007.0
+    (pmod(conv(substring(md5(concat_ws(":", key.cast("string"),
+      lit(seed.toString))), 1, 15), 16, 10).cast("long"),
+      lit(1000000007L)) + 1.0) / 1000000007.0
 
   /** Priority column for weighted sampling: u^(1/w). Weights must be > 0. */
   def priority(key: Column, weight: Column, seed: Long): Column =
@@ -38,7 +47,12 @@ object Sampling {
       .drop("__p")
 
   /** Sample 100 documents weighted by a quality proxy (lexical diversity ×
-    * length saturation — the TextQueries score), deterministic seed. */
+    * length saturation — the TextQueries score), deterministic seed.
+    * Emitted quality evidence is the INTEGER pair (n_tok, n_distinct) the
+    * score derives from, not the rounded double — `round` on a double is
+    * the one spot where engines legitimately disagree (shortest-decimal
+    * HALF_UP vs binary half-away), and the integers carry the same
+    * information exactly. */
   def sampleDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val toks = split(col("text"), " ")
@@ -46,10 +60,13 @@ object Sampling {
     val score = least(lit(1.0), nTok / lit(100.0)) * 0.5 +
       (size(array_distinct(toks)).cast("double") / nTok) * 0.5
     weightedSample(
-      t.documents.withColumn("quality", score),
+      t.documents
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+        .withColumn("quality", score),
       col("doc_id"), col("quality"), k = 100)
       .select(col("doc_id"), col("lang"), col("source"),
-        round(col("quality"), 4).as("quality"))
+        col("n_tok"), col("n_distinct"))
       .orderBy(col("doc_id"))
   }
 
@@ -84,10 +101,29 @@ object Sampling {
   }
 
   val all: Seq[NamedQuery] = Seq(
-    // No oracle: the priority depends on Spark's xxhash64, which DuckDB
-    // cannot reproduce; SamplingSpec recomputes the exact expected sample
-    // driver-side instead.
-    NamedQuery("q_sample_documents", sampleDocuments, None),
+    // Oracle (graduated round 10): the md5-portable priority lets DuckDB
+    // regenerate the identical draw per doc and take the same top-100.
+    // POW/division agree across engines to well under the ~1/n priority
+    // spacing at the selection boundary, and ties break on doc_id; the
+    // quality weight itself is exact IEEE (+ × ÷ least only).
+    NamedQuery("q_sample_documents", sampleDocuments, Some(
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |         len(string_split(text, ' ')) AS n_tok,
+        |         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |         LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+        |           + (len(list_distinct(string_split(text, ' ')))
+        |              / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5 AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT *,
+        |         POW((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+        |              % 1000000007 + 1.0) / 1000000007.0, 1.0 / w) AS pr
+        |  FROM t)
+        |SELECT doc_id, lang, source, CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST(n_distinct AS BIGINT) AS n_distinct
+        |FROM (SELECT * FROM p ORDER BY pr DESC, doc_id ASC LIMIT 100)
+        |ORDER BY doc_id""".stripMargin)),
     NamedQuery("q_stratified_sample", stratifiedSampleDocuments, Some(
       """SELECT lang, doc_id, source
         |FROM (SELECT lang, doc_id, source,

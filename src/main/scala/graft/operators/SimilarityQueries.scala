@@ -390,7 +390,67 @@ object SimilarityQueries {
         |       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
         |FROM pairs GROUP BY 1, 2
         |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)),
-    NamedQuery("q_sim_embedding_near_dups", embeddingNearDups, None),
+    // Oracle (graduated round 10): the hyperplane components are public
+    // arithmetic — Murmur3_x86_32.hashInt(b*4096 + h*512 + i, seed=42) is a
+    // fixed chain of 32-bit mul/rotl/xor steps, emulated below in exact
+    // BIGINT/HUGEINT modular arithmetic (validated term-for-term against
+    // the algorithm); the signed floorMod(·, 2001) recovers Java's int
+    // semantics from the unsigned emulation. Sign bits, band signatures,
+    // the band-bucket self-join and the exact double cosine then mirror
+    // the engine's formulation step for step. The only cross-engine wiggle
+    // is double SUM order inside a 64-term dot product — a sign can differ
+    // only if the true projection is within ~1e-16 of 0, vanishing at any
+    // tested scale.
+    NamedQuery("q_sim_embedding_near_dups", embeddingNearDups, Some(
+      """WITH dims AS (
+        |  SELECT CAST(bb AS BIGINT) AS b, CAST(hh AS BIGINT) AS h,
+        |         CAST(ii AS BIGINT) AS i,
+        |         CAST(bb * 4096 + hh * 512 + ii AS BIGINT) AS k0
+        |  FROM range(0, 4) t1(bb), range(0, 8) t2(hh), range(0, 64) t3(ii)),
+        |s1 AS (SELECT *, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
+        |s2 AS (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),
+        |s3 AS (SELECT * REPLACE(CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k) FROM s2),
+        |s4 AS (SELECT *, xor(42, k) AS hv FROM s3),
+        |s5 AS (SELECT * REPLACE((((hv << 13) | (hv >> 19)) % 4294967296) AS hv) FROM s4),
+        |s6 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hv) FROM s5),
+        |s7 AS (SELECT * REPLACE(xor(hv, 4) AS hv) FROM s6),
+        |s8 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s7),
+        |s9 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS hv) FROM s8),
+        |s10 AS (SELECT * REPLACE(xor(hv, hv >> 13) AS hv) FROM s9),
+        |s11 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS hv) FROM s10),
+        |s12 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s11),
+        |planes AS (
+        |  SELECT b, h, i,
+        |         (CASE WHEN hv < 2147483648 THEN hv % 2001
+        |               ELSE ((hv - 4294967296) % 2001 + 2001) % 2001 END) - 1000 AS w
+        |  FROM s12),
+        |comps AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |bits AS (
+        |  SELECT c.vec_id, p.b, p.h, SUM(c.v * (p.w / 1000.0)) AS s
+        |  FROM comps c JOIN planes p USING (i)
+        |  GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT vec_id, b,
+        |         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << h ELSE 0 END) AS sig
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM sigs x JOIN sigs y
+        |    ON x.b = y.b AND x.sig = y.sig AND x.vec_id < y.vec_id),
+        |pairs AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |         CAST(UNNEST(ea.embedding) AS DOUBLE) AS x,
+        |         CAST(UNNEST(eb.embedding) AS DOUBLE) AS y
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+        |SELECT vec_a, vec_b,
+        |       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 50""".stripMargin)),
     NamedQuery("q_embed_quantize", quantizationStats, Some(
       """WITH c AS (
         |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v
