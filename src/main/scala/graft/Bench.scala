@@ -45,15 +45,20 @@ object Bench {
       catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // Untimed registry warm-up pass (pass 0): shared artifacts — signature/
+    // Registry warm-up pass (pass 0): shared artifacts — signature/
     // band/candidate caches, the verified pair store, centroids, codebooks,
     // edge lists — are per-(session, sf) and built on first touch, so
     // without this pass their one-time build cost lands on whichever
-    // query's run 1 reaches them first. The min already discards most of
-    // that, but pass 0 makes all three TIMED passes warm by construction:
-    // what the report measures is each query's steady-state cost, the
-    // number that actually predicts behavior on a long-lived cluster.
+    // query's run 1 reaches them first. Pass 0 makes all three TIMED passes
+    // warm by construction: the per-query numbers measure steady-state
+    // cost, the number that predicts behavior on a long-lived cluster.
+    // The pass-0 wall-clock itself goes ON THE RECORD as its own metric
+    // line (and as `warmup` in the report line): a production user pays
+    // the one-time builds once, and hiding them entirely would let a
+    // regression in cold artifact-build cost go unnoticed.
+    val warmT0 = System.nanoTime()
     names.foreach(timeOnce)
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
     val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
     val results = names.map { n =>
       val times = passes.map(_(n))
@@ -78,7 +83,12 @@ object Bench {
     // the final JSON line, so the report must be short and last.
     System.err.println(
       s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","total_median":${fmt(totalMedian, 4)},""" +
-        s""""queries":${obj(_._1, 4)},"queries_median":${obj(_._2, 4)},"sf":"$sfDir"}""")
+        s""""warmup":${fmt(warmupSec, 4)},"queries":${obj(_._1, 4)},"queries_median":${obj(_._2, 4)},"sf":"$sfDir"}""")
+    // Cold-path record: pass-0 wall-clock (JVM-warm but artifact-cold — one
+    // run of every query including every one-time build). Printed BEFORE
+    // the final report line so the driver still parses the total as the
+    // last JSON line.
+    println(s"""{"metric":"warmup","value":${fmt(warmupSec, 3)},"unit":"sec","sf":"$sfDir"}""")
     // Self-fitting compact line: as the registry grows the per-query map
     // must stay inside the driver's bounded tail. Degrade precision first;
     // if still too long, drop the FASTEST queries from the map (the slow
@@ -92,7 +102,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"""" +
-        s""","queries":$m$omit$suspectJson,"sf":"$sfDir"}"""
+        s""","warmup":${fmt(warmupSec, 3)},"queries":$m$omit$suspectJson,"sf":"$sfDir"}"""
     }
     val mins = results.toSeq.map { case (k, v) => k -> v._1 }
     // Bounded search so the empty-map fallback is genuinely reachable

@@ -8,7 +8,15 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // Optional third arg: comma-separated query names — dump only those
     // (dev loop for cross-SF spot checks; the driver always omits it).
+    // A name that doesn't exist in the registry is a hard error: silently
+    // filtering a typo'd name would produce an empty outDir that reads as
+    // "nothing to check" instead of failing the dev loop loudly.
     val only = args.lift(2).map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -377,9 +377,12 @@ object CorpusPrep {
     * must agree on which shard a document lands in and in what order it
     * is read, with a different but equally deterministic order per epoch.
     * The shuffle key is `md5(doc_id ∥ ':ep1')` — changing the epoch salt
-    * reshuffles; re-running does not. Shard = first-byte value mod 8
-    * (the same engine-portable hex arithmetic the train/val/test split
-    * uses); within a shard the read order is the key's lexicographic
+    * reshuffles; re-running does not. Shard = first-byte value mod 8 —
+    * NOTE: since 16 ≡ 0 (mod 8), the first hex digit's ×16 term
+    * contributes nothing and the shard is decided by the SECOND nibble
+    * alone (still hash-uniform); the term is kept purely for symmetry
+    * with the train/val/test split's mod-10 rule, where both digits
+    * matter. Within a shard the read order is the key's lexicographic
     * order. The registered query emits the per-shard manifest (count,
     * token mass, first/last key) — the balance + determinism readout;
     * the production write path is `repartition(shard)` +

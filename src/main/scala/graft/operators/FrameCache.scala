@@ -20,8 +20,24 @@ private[graft] object FrameCache {
   type Cache = TrieMap[(String, Int, String), (SparkSession, DataFrame)]
 
   /** Every cache ever created, so [[sweep]] can release a long-lived
-    * session's artifacts across all operator objects at once. */
+    * session's artifacts across all operator objects at once.
+    *
+    * BOUND: this buffer grows by one entry per [[empty]] call and never
+    * shrinks — but [[empty]] is only ever called from `private val`
+    * initializers of operator OBJECTS (singletons), so its size is bounded
+    * by the number of operator objects in the library (~a dozen), NOT by
+    * query count, session count, or data volume. If a future caller ever
+    * created caches per query or per session, THIS would become a leak —
+    * don't; FrameCacheSpec counts the registry to keep the bound honest. */
   private val registry = scala.collection.mutable.ArrayBuffer.empty[Cache]
+
+  /** Registry size — exposed for the spec that pins the bound above. */
+  private[graft] def registrySize: Int = registry.synchronized(registry.size)
+
+  /** Total live entries owned by `spark` across every cache — exposed for
+    * the sweep-releases-everything spec. */
+  private[graft] def liveEntries(spark: SparkSession): Int =
+    registry.synchronized(registry.map(_.count { case (_, (s, _)) => s eq spark }).sum)
 
   def empty: Cache = {
     val c: Cache = TrieMap.empty

@@ -92,6 +92,10 @@ object MultimodalOps {
         s"not a GRFT1 container: unknown kind byte $kindCode")
       val kind = Kinds(kindCode)
       val width = getLe(payload, 6)
+      // width drives frame segmentation (body.grouped(width)) — a corrupt
+      // header with width <= 0 must fail HERE with a codec-level message,
+      // not as a bare IllegalArgumentException from grouped downstream
+      require(width > 0, s"not a GRFT1 container: non-positive width $width")
       val height = getLe(payload, 10)
       val sampleRate = getLe(payload, 14)
       val bodyLen = getLe(payload, 18)
@@ -299,7 +303,14 @@ object MultimodalOps {
     * packed into a GRFT1 container whose header fields VARY per row
     * (width ∈ {32,48,64}, height ∈ {16..48}, rate ∈ {8k..32k}) — so a
     * codec that echoed constants instead of parsing would diverge on the
-    * very first aggregate. */
+    * very first aggregate.
+    *
+    * ASCII-CORPUS INVARIANT: the per-pixel oracles in this file index the
+    * text CHARACTER-wise (`ascii(substr(text, i+1, 1))`) while the codec
+    * iterates UTF-8 BYTES — equal only while every document is pure ASCII
+    * (octet_length == length). The driver's synthetic corpus satisfies
+    * this; MultimodalSpec asserts it at the source so a future non-ASCII
+    * fixture fails loudly here, not via a downstream hash mismatch. */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     val t = Tpch(spark, sfDir)
@@ -458,20 +469,33 @@ object MultimodalOps {
     * path for image similarity: probe work ~ corpus·nProbe/buckets.
     * Rows-only (float cosines); MultimodalSpec pins nProbe=all parity
     * with brute force and the thumbnail's 2-D block arithmetic. */
+  /** Shared thumbnail frame (media_id, vec, label): one decode +
+    * hyperplane-bucket pass per (session, sf), persisted — consumed by the
+    * inline ANN, the persisted-index build, and every recall probe (the
+    * [[FrameCache]] lifecycle the graph edge list uses; at 100 TB this is
+    * the materialized image-feature table every similarity job reads). */
+  private val thumbCache = FrameCache.empty
+  private def thumbFrames(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(thumbCache, spark, sfDir) {
+      import spark.implicits._
+      GraftFunctions.register(spark)
+      graft.functions.HyperplaneSigs.register(spark)
+      mediaFromDocuments(spark, sfDir)
+        .filter(_.kind == "image")
+        .mapPartitions(_.map { r =>
+          val (w, h, raster) = Codec.imageRaster(r)
+          (r.media_id, Codec.thumbnail(w, h, raster))
+        })
+        .toDF("media_id", "vec")
+        .withColumn("label",
+          expr("element_at(graft_hyperplane_sigs(vec, 1, 4), 1)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def multimodalThumbAnn(spark: SparkSession, sfDir: String,
                          nProbe: Int = 3): DataFrame = {
-    import spark.implicits._
     GraftFunctions.register(spark)
-    graft.functions.HyperplaneSigs.register(spark)
-    val thumbs = mediaFromDocuments(spark, sfDir)
-      .filter(_.kind == "image")
-      .mapPartitions(_.map { r =>
-        val (w, h, raster) = Codec.imageRaster(r)
-        (r.media_id, Codec.thumbnail(w, h, raster))
-      })
-      .toDF("media_id", "vec")
-      .withColumn("label",
-        expr("element_at(graft_hyperplane_sigs(vec, 1, 4), 1)"))
+    val thumbs = thumbFrames(spark, sfDir)
     val centroids = thumbs
       .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -487,6 +511,83 @@ object MultimodalOps {
       .select(col("media_id"), col("label"), col("cos"))
       .orderBy(col("cos").desc, col("media_id"))
       .limit(10)
+  }
+
+  /** Build and persist the thumbnail IVF coarse quantizer: one row per
+    * (hyperplane bucket, dim) centroid component over the 16-dim block-mean
+    * vectors — the SAME artifact lifecycle as the embedding IVF
+    * ([[SimilarityQueries.buildCentroids]]): fingerprint-keyed on the source
+    * parquet, app-scoped root, sibling GC on the build path only. */
+  def buildThumbCentroids(spark: SparkSession, sfDir: String,
+                          outPath: String): Unit = {
+    graft.plans.ArtifactPaths.gcSiblings(spark, outPath, sfDir)
+    thumbFrames(spark, sfDir)
+      .select(col("label"), posexplode(col("vec")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("m"))
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Build-if-absent the persisted thumbnail centroid index (thumbnails
+    * derive from documents.parquet, so that is the freshness source). */
+  def ensureThumbCentroids(spark: SparkSession, sfDir: String): String =
+    graft.plans.ArtifactPaths.ensure(spark,
+      graft.plans.ArtifactPaths.indexPath(spark, sfDir, "thumb_ivf",
+        "documents.parquet"))(buildThumbCentroids(spark, sfDir, _))
+
+  /** IVF probe over thumbnails against a PERSISTED centroid index: route
+    * the query thumbnail to its nProbe highest-dot-product buckets (the
+    * same [[SimilarityQueries.routeLabels]] coarse search), exact cosine
+    * inside the probed buckets only. */
+  def thumbIvfProbe(spark: SparkSession, sfDir: String, centroids: DataFrame,
+                    nProbe: Int, k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val thumbs = thumbFrames(spark, sfDir)
+    val q = thumbs.orderBy(col("media_id")).limit(1)
+      .select(col("vec").as("q_vec"))
+    val qComps = q.select(posexplode(col("q_vec")).as(Seq("pos", "qv")))
+      .select(col("pos"), col("qv").cast("double").as("qv"))
+    val routed = SimilarityQueries.routeLabels(centroids, qComps, nProbe)
+    thumbs.join(broadcast(routed), "label")
+      .join(broadcast(q))
+      .withColumn("cos", expr("round(graft_cosine(vec, q_vec), 6)"))
+      .select(col("media_id"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("media_id"))
+      .limit(k)
+  }
+
+  /** Recall-vs-nProbe curve for the thumbnail index — the multimodal leg
+    * routed through the TRAINED ANN stack end to end (persisted coarse
+    * quantizer + bucket-pruned exact scoring), emitted as the same tuning
+    * table [[SimilarityQueries.ivfRecallCurve]] ships for embeddings:
+    * recall@10 against the unrouted brute force at each probe width, with
+    * the in-query invariants (recall monotone in nProbe; nProbe = all 16
+    * sign buckets reaches 1.0) spec-pinned too. Rows-only (float cosines);
+    * MultimodalSpec pins the invariants and brute-force parity. */
+  def multimodalThumbIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val path = ensureThumbCentroids(spark, sfDir)
+    val cents = spark.read.parquet(path)
+    val thumbs = thumbFrames(spark, sfDir)
+    val q = thumbs.orderBy(col("media_id")).limit(1)
+      .select(col("vec").as("q_vec"))
+    val brute = thumbs.join(broadcast(q))
+      .withColumn("cos", expr("round(graft_cosine(vec, q_vec), 6)"))
+      .orderBy(col("cos").desc, col("media_id")).limit(10)
+      .select(col("media_id"))
+    val rows = Seq(1, 2, 4, 16).map { np =>
+      thumbIvfProbe(spark, sfDir, cents, nProbe = np)
+        .join(brute, "media_id")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(np).as("n_probe"),
+          round(col("hits") / 10.0, 2).as("recall_at_10"))
+    }.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("n_probe"))
+    rows
+      .withColumn("monotone_ok",
+        coalesce(col("recall_at_10") >=
+          lag(col("recall_at_10"), 1).over(w), lit(true)))
+      .orderBy(col("n_probe"))
   }
 
   /** Keyframe / shot-boundary sampling over the video containers — the
@@ -566,6 +667,7 @@ object MultimodalOps {
         |         AS BIGINT) AS h_energy
         |FROM d GROUP BY doc_id, h ORDER BY media_id""".stripMargin)),
     NamedQuery("q_multimodal_thumb_ann", multimodalThumbAnn(_, _), None),
+    NamedQuery("q_multimodal_thumb_ivf", multimodalThumbIvf, None),
     // Audio windows: width for kind 1 is 32 + 1*16 = 48; samples are
     // DC-offset-removed bytes (ascii − 64); crossings are within-window
     // sign products, windows the ceil frame convention. All integers.

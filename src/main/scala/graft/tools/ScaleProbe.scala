@@ -45,7 +45,10 @@ object ScaleProbe {
     "q_dedup_containment", "q_text_novelty",
     "q_corpus_snapshot_diff", "q_multimodal_audio_energy",
     // per-clip sequential frame pass — should scale with clip count
-    "q_multimodal_keyframes")
+    "q_multimodal_keyframes",
+    // round 10: thumbnail decode + persisted-index probe; portable sampling
+    "q_multimodal_thumb_ann", "q_multimodal_thumb_ivf",
+    "q_sample_documents", "q_sim_embedding_near_dups")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -146,16 +149,28 @@ object ScaleProbe {
       .coalesce(8).write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
+  /** (cold, warm): run 1 is timed with every session-cached frame swept
+    * first — the COLD first touch that pays this family's one-time builds
+    * (edge list, signature/pair stores, shared shingle views); warm is the
+    * best of `runs` subsequent executions against the rebuilt caches.
+    * Persisted DISK artifacts (IVF centroids, PQ codebooks) are NOT swept:
+    * they are per-corpus, not per-session, so their build cost lands once —
+    * in the first probe family that ensures them — exactly as in
+    * production. */
   private def time(spark: SparkSession, name: String, sfDir: String,
-                   runs: Int): Double = {
+                   runs: Int): (Double, Double) = {
     val fn = SparkEntry.queries(name)
+    graft.operators.FrameCache.sweep(spark)
+    val c0 = System.nanoTime()
+    fn(spark, sfDir).count()
+    val cold = (System.nanoTime() - c0) / 1e9
     var best = Double.MaxValue
     (1 to runs).foreach { _ =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
     }
-    best
+    (cold, best)
   }
 
   def main(args: Array[String]): Unit = {
@@ -175,12 +190,12 @@ object ScaleProbe {
       synthesizeWarehouse(spark, sfDir, outDir)
       println(s"[scale] synthesized 10x warehouse slice at $outDir")
     }
-    println("| query | sf0.1 best (s) | 10x best (s) | ratio |")
-    println("|---|---|---|---|")
+    println("| query | sf0.1 cold (s) | sf0.1 warm (s) | 10x cold (s) | 10x warm (s) | warm ratio | cold ratio |")
+    println("|---|---|---|---|---|---|---|")
     Families.foreach { q =>
-      val base = time(spark, q, sfDir, 2)
-      val big = time(spark, q, outDir, 2)
-      println(f"| $q | $base%.2f | $big%.2f | ${big / base}%.1fx |")
+      val (baseCold, base) = time(spark, q, sfDir, 2)
+      val (bigCold, big) = time(spark, q, outDir, 2)
+      println(f"| $q | $baseCold%.2f | $base%.2f | $bigCold%.2f | $big%.2f | ${big / base}%.1fx | ${bigCold / baseCold}%.1fx |")
     }
     spark.stop()
   }

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.{FrameCache, GraphQueries, MultimodalOps, Components}
+
+/** FrameCache lifecycle: the registry bound (one cache per operator object,
+  * never per query/session) and the sweep escape hatch (one call releases
+  * every live entry across all operator caches, next touch rebuilds). */
+class FrameCacheSpec extends SparkSpec {
+
+  test("sweep releases every operator's cached entries; next touch rebuilds") {
+    // Touch ≥3 distinct operator objects' caches for this (session, sf).
+    val graph = GraphQueries.tradeTriangles(spark, Sf).collect()
+    val thumb = MultimodalOps.multimodalThumbAnn(spark, Sf).collect()
+    val comp = Components.nearDupComponents(spark, Sf).collect()
+    assert(graph.nonEmpty && thumb.nonEmpty && comp.nonEmpty)
+    val live = FrameCache.liveEntries(spark)
+    assert(live >= 3, s"expected >=3 cached frames across operator objects, got $live")
+    FrameCache.sweep(spark)
+    assert(FrameCache.liveEntries(spark) == 0,
+      "sweep left live entries behind for this session")
+    // the caches are not poisoned: a re-run rebuilds and agrees
+    val again = GraphQueries.tradeTriangles(spark, Sf).collect()
+    assert(again.map(_.toString).sorted.toSeq == graph.map(_.toString).sorted.toSeq)
+    assert(FrameCache.liveEntries(spark) >= 1, "re-touch did not repopulate")
+  }
+
+  test("registry is bounded by operator-object count, not by query count") {
+    val before = FrameCache.registrySize
+    // Re-running queries (even across sfDirs) must NOT create new caches —
+    // only loading a new operator OBJECT may.
+    GraphQueries.tradeTriangles(spark, Sf).collect()
+    GraphQueries.nationPagerank(spark, Sf).collect()
+    MultimodalOps.multimodalThumbAnn(spark, Sf).collect()
+    assert(FrameCache.registrySize == before,
+      "running queries created new caches — the registry bound is broken")
+  }
+}

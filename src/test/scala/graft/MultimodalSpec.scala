@@ -176,6 +176,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == brute.toSeq, s"got ${got.toSeq}\nexpected ${brute.toSeq}")
   }
 
+  test("ASCII-corpus invariant: every document is pure ASCII (bytes == chars)") {
+    // The per-pixel oracles index text character-wise while the codec walks
+    // UTF-8 bytes — equal only while the corpus is ASCII. Assert it at the
+    // source so a future non-ASCII fixture fails HERE, not via a hash
+    // mismatch three queries downstream.
+    val nonAscii = graft.sources.Tables.load(spark, Sf, "documents")
+      .where(octet_length(col("text")) =!= length(col("text")))
+      .count()
+    assert(nonAscii == 0, s"$nonAscii non-ASCII documents break the byte-wise oracles")
+  }
+
+  test("thumbnail IVF curve: persisted index, recall monotone, all-buckets = 1.0") {
+    val rows = MultimodalOps.multimodalThumbIvf(spark, Sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 16))
+    assert(rows.forall(_._3), s"recall not monotone in nProbe: ${rows.toSeq}")
+    assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    assert(rows.last._2 == 1.0,
+      s"probing all 16 sign buckets must equal brute force: ${rows.toSeq}")
+    // the artifact is really on disk (the probe read a persisted index)
+    val path = MultimodalOps.ensureThumbCentroids(spark, Sf)
+    assert(new java.io.File(path, "_SUCCESS").exists())
+  }
+
   test("metadata-only queries over a landed media table never read payload") {
     // land the media table as parquet (payload is the dominant column),
     // then answer a metadata aggregate from it — the scan's ReadSchema

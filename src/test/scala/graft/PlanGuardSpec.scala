@@ -28,6 +28,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_sketch_hll_union",  // broadcast one-row unioned-sketch frame
     "q_multimodal_ann",    // broadcast one-row query-frame vector
     "q_multimodal_thumb_ann", // broadcast one-row query-thumbnail vector
+    "q_multimodal_thumb_ivf", // 4 probes, each broadcasting the one-row query thumbnail + routed labels
     "q_profile_crosstab",  // broadcast one-row grand-total frame
     "q_rfm_segments",      // broadcast three one-row quartile-bound frames
     "q_market_basket",     // broadcast one-row order-total frame
@@ -86,6 +87,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_events_rate_anomaly" -> "trailing window over per-day aggregates",
     // the lag window orders exactly |curve| = 4 probe rows
     "q_sim_ivf_recall_curve" -> "monotonicity lag over the 4-row curve",
+    "q_multimodal_thumb_ivf" -> "monotonicity lag over the 4-row thumb curve",
     // three global cumsums, each over a VALUE histogram bounded by its
     // domain: months, per-customer order counts, $1000 spend buckets
     "q_rfm_segments" -> "global cumsum over domain-bounded RFM value histograms",
