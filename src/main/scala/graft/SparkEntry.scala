@@ -14,7 +14,8 @@ object SparkEntry {
       IncrementalMart.all ++ ProductQuantization.all ++ BpeTrainer.all ++
       TimeSeriesQueries.all ++ FuzzyJoin.all ++ SemanticDedup.all ++
       BloomScreen.all ++ BehaviorQueries.all ++ WarehouseQueries.all ++
-      GraphQueries.all ++ QualityConstraints.all ++ CorpusStats.all
+      GraphQueries.all ++ QualityConstraints.all ++ CorpusStats.all ++
+      MixtureBalance.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Domain-mixture balancing via iterative proportional fitting (raking) —
+  * the mixture-reweighting step of a training-data pipeline: fit one
+  * multiplicative weight per (source, lang) cell so the WEIGHTED corpus
+  * simultaneously matches a target source marginal and a target language
+  * marginal (here: uniform over both — "no source and no language
+  * dominates"), without changing within-cell document identity. This is
+  * the classic contingency-table raking loop (Deming–Stephan IPF), the
+  * same fixed-point that temperature mixing (`q_corpus_mix`) approximates
+  * one-axis-at-a-time — IPF solves BOTH axes jointly.
+  *
+  * Scale design: the corpus-sized work is EXACTLY ONE aggregation — the
+  * (source, lang) cell-count groupBy (one shuffle over bounded-domain
+  * keys). The IPF loop then iterates over the CELL table (|sources| ×
+  * |langs| rows, a domain-bounded frame) as five unrolled join+agg
+  * rounds — the PageRank/BPE fixed-iteration pattern — so 100 TB changes
+  * the first scan's cost and nothing else. Applying the fitted weights
+  * back to documents is a broadcast join on (source, lang).
+  *
+  * Correctness: marginal sums are double adds over ≤ |langs| (resp.
+  * |sources|) terms; the DuckDB oracle unrolls the same five rounds as
+  * CTEs, and the output rounds to 6 decimals — far coarser than the
+  * ~1e-15 cross-engine sum-order wiggle.
+  */
+object MixtureBalance {
+
+  /** (source, lang) cell counts — the one corpus-sized aggregation. */
+  private def cells(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    t.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("double").as("n"))
+  }
+
+  /** One IPF round: scale weights to match the source marginal target,
+    * then the lang marginal target. Targets are N/S per source and N/L
+    * per lang (uniform marginals over the grand total N). */
+  private def ipfRound(c: DataFrame): DataFrame = {
+    val srcTot = c.groupBy(col("source"))
+      .agg(sum(col("w") * col("n")).as("src_mass"))
+    val rowScaled = c.join(broadcast(srcTot), "source")
+      .withColumn("w", col("w") * col("src_target") / col("src_mass"))
+      .drop("src_mass")
+    val langTot = rowScaled.groupBy(col("lang"))
+      .agg(sum(col("w") * col("n")).as("lang_mass"))
+    rowScaled.join(broadcast(langTot), "lang")
+      .withColumn("w", col("w") * col("lang_target") / col("lang_mass"))
+      .drop("lang_mass")
+  }
+
+  /** Five unrolled IPF rounds over the cell table; emits per cell the
+    * fitted weight and the achieved (weighted) share of each marginal. */
+  def mixtureIpf(spark: SparkSession, sfDir: String): DataFrame = {
+    val c0 = cells(spark, sfDir)
+    // grand total + marginal targets ride along as one-row broadcasts
+    val totals = c0.agg(sum(col("n")).as("grand"),
+      countDistinct(col("source")).as("n_src"),
+      countDistinct(col("lang")).as("n_lang"))
+    val seeded = c0.join(broadcast(totals))
+      .withColumn("src_target", col("grand") / col("n_src"))
+      .withColumn("lang_target", col("grand") / col("n_lang"))
+      .withColumn("w", lit(1.0))
+      .drop("grand")
+    val fitted = (1 to 5).foldLeft(seeded)((acc, _) => ipfRound(acc))
+    // achieved marginals AFTER the last round — the convergence readout
+    val srcAch = fitted.groupBy(col("source"))
+      .agg(sum(col("w") * col("n")).as("src_ach"))
+    fitted.join(broadcast(srcAch), "source")
+      .select(col("source"), col("lang"),
+        col("n").cast("long").as("n_docs"),
+        round(col("w"), 6).as("weight"),
+        round(col("w") * col("n"), 2).as("weighted_mass"),
+        round(col("src_ach") / (col("src_target") * col("n_src")), 6)
+          .as("src_share_achieved"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** Oracle: the same five rounds unrolled as CTEs. Kept textually in
+    * lockstep with [[ipfRound]] — same operation order per round. */
+  private def ipfSql: String = {
+    def round(i: Int): String = {
+      val p = if (i == 1) "i0" else s"c${i - 1}"
+      s"""r$i AS (SELECT source, SUM(w * n) AS src_mass FROM $p GROUP BY 1),
+         |rs$i AS (SELECT p.source, p.lang, p.n, p.src_target, p.lang_target,
+         |               p.n_src, p.w * p.src_target / r.src_mass AS w
+         |        FROM $p p JOIN r$i r USING (source)),
+         |l$i AS (SELECT lang, SUM(w * n) AS lang_mass FROM rs$i GROUP BY 1),
+         |c$i AS (SELECT p.source, p.lang, p.n, p.src_target, p.lang_target,
+         |               p.n_src, p.w * p.lang_target / l.lang_mass AS w
+         |        FROM rs$i p JOIN l$i l USING (lang))""".stripMargin
+    }
+    s"""WITH cells AS (
+       |  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT SUM(n) AS grand,
+       |               COUNT(DISTINCT source) AS n_src,
+       |               COUNT(DISTINCT lang) AS n_lang
+       |        FROM cells),
+       |i0 AS (SELECT c.source, c.lang, c.n,
+       |              t.grand / t.n_src AS src_target,
+       |              t.grand / t.n_lang AS lang_target,
+       |              t.n_src, 1.0 AS w
+       |       FROM cells c, tot t),
+       |${(1 to 5).map(round).mkString(",\n")},
+       |ach AS (SELECT source, SUM(w * n) AS src_ach FROM c5 GROUP BY 1)
+       |SELECT c.source, c.lang, CAST(c.n AS BIGINT) AS n_docs,
+       |       ROUND(c.w, 6) AS weight,
+       |       ROUND(c.w * c.n, 2) AS weighted_mass,
+       |       ROUND(a.src_ach / (c.src_target * c.n_src), 6) AS src_share_achieved
+       |FROM c5 c JOIN ach a USING (source)
+       |ORDER BY c.source, c.lang""".stripMargin
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_corpus_mixture_ipf", mixtureIpf, Some(ipfSql)),
+  )
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MixtureBalance
+
+/** IPF mixture balancing: convergence to the target marginals, exact
+  * driver-side reproduction of the five unrolled rounds, and the raking
+  * invariant (the LAST-scaled axis matches its target exactly). */
+class MixtureBalanceSpec extends SparkSpec {
+
+  private def fitted() = MixtureBalance.mixtureIpf(spark, Sf).collect()
+    .map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getDouble(3), r.getDouble(4))))
+
+  test("five IPF rounds match a textbook driver-side raking loop") {
+    val cells = graft.sources.Tables.load(spark, Sf, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2).toDouble))
+      .toMap
+    val sources = cells.keys.map(_._1).toSeq.distinct.sorted
+    val langs = cells.keys.map(_._2).toSeq.distinct.sorted
+    val grand = cells.values.sum
+    val (srcT, langT) = (grand / sources.size, grand / langs.size)
+    var w = cells.map { case (k, _) => k -> 1.0 }
+    (1 to 5).foreach { _ =>
+      val srcMass = sources.map(s =>
+        s -> cells.collect { case ((s2, l), n) if s2 == s => w((s2, l)) * n }.sum).toMap
+      w = w.map { case ((s, l), wv) => (s, l) -> wv * srcT / srcMass(s) }
+      val langMass = langs.map(l =>
+        l -> cells.collect { case ((s, l2), n) if l2 == l => w((s, l2)) * n }.sum).toMap
+      w = w.map { case ((s, l), wv) => (s, l) -> wv * langT / langMass(l) }
+    }
+    val got = fitted()
+    assert(got.length == cells.size)
+    got.foreach { case (k, (n, weight, _)) =>
+      assert(n.toDouble == cells(k))
+      assert(math.abs(weight - w(k)) < 1e-6,
+        s"$k: engine $weight vs driver ${w(k)}")
+    }
+  }
+
+  test("raking invariant: lang marginals exact after the lang-scaled round; source near-target") {
+    val rows = fitted()
+    val grand = rows.map(_._2._1).sum.toDouble
+    val langs = rows.map(_._1._2).distinct
+    val sources = rows.map(_._1._1).distinct
+    // lang was scaled LAST → its weighted marginal matches the uniform
+    // target to rounding; source (scaled first) is near-target after 5
+    // alternations (IPF geometric convergence)
+    langs.foreach { l =>
+      val mass = rows.collect { case ((_, l2), (n, w, _)) if l2 == l => w * n }.sum
+      assert(math.abs(mass / grand - 1.0 / langs.size) < 1e-6,
+        s"lang $l share ${mass / grand} != ${1.0 / langs.size}")
+    }
+    sources.foreach { s =>
+      val mass = rows.collect { case ((s2, _), (n, w, _)) if s2 == s => w * n }.sum
+      assert(math.abs(mass / grand - 1.0 / sources.size) < 0.02,
+        s"source $s share ${mass / grand} far from ${1.0 / sources.size}")
+    }
+    assert(rows.forall(_._2._2 > 0.0), "non-positive IPF weight")
+  }
+}
