@@ -54,20 +54,58 @@ object MixtureBalance {
       .drop("lang_mass")
   }
 
+  /** Plan-cut: rebase on a LogicalRDD leaf over the (persisted) frame's
+    * RDD — the [[Components]] pattern. Each IPF round references its
+    * input TWICE (marginal aggregate + join back), so without the cut the
+    * logical plan — and the corpus-scan lineage under it — DOUBLES twice
+    * per round: the first registered run measured 311 s at sf0.1, all of
+    * it re-executing the documents groupBy ~4^5 times. The cut truncates
+    * only the QUERY PLAN; the RDD keeps full lineage through the
+    * persisted parent, so fault tolerance is untouched. */
+  private def rebase(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  /** Fitted cell table, built once per (session, sf): five IPF rounds,
+    * each materialized (one tiny job over the domain-bounded cell frame)
+    * and plan-cut before feeding the next. One corpus-sized aggregation
+    * total; the loop itself touches ≤ |sources|×|langs| rows per round.
+    * The final round stays persisted under the [[FrameCache]] lifecycle
+    * (sweep releases it). */
+  private val fittedCache = FrameCache.empty
+  private def fittedCells(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(fittedCache, spark, sfDir) {
+      val c0 = cells(spark, sfDir)
+      // grand total + marginal targets ride along as one-row broadcasts
+      val totals = c0.agg(sum(col("n")).as("grand"),
+        countDistinct(col("source")).as("n_src"),
+        countDistinct(col("lang")).as("n_lang"))
+      val seeded = c0.join(broadcast(totals))
+        .withColumn("src_target", col("grand") / col("n_src"))
+        .withColumn("lang_target", col("grand") / col("n_lang"))
+        .withColumn("w", lit(1.0))
+        .drop("grand")
+      var persisted = seeded
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted.count()
+      var cur = rebase(persisted)
+      (1 to 5).foreach { _ =>
+        val next = ipfRound(cur)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        persisted.unpersist()
+        persisted = next
+        cur = rebase(next)
+      }
+      // return the PERSISTED frame (shallow one-round plan over a leaf),
+      // not another rebase wrapper, so FrameCache.sweep's unpersist
+      // releases the real cached blocks
+      persisted
+    }
+
   /** Five unrolled IPF rounds over the cell table; emits per cell the
     * fitted weight and the achieved (weighted) share of each marginal. */
   def mixtureIpf(spark: SparkSession, sfDir: String): DataFrame = {
-    val c0 = cells(spark, sfDir)
-    // grand total + marginal targets ride along as one-row broadcasts
-    val totals = c0.agg(sum(col("n")).as("grand"),
-      countDistinct(col("source")).as("n_src"),
-      countDistinct(col("lang")).as("n_lang"))
-    val seeded = c0.join(broadcast(totals))
-      .withColumn("src_target", col("grand") / col("n_src"))
-      .withColumn("lang_target", col("grand") / col("n_lang"))
-      .withColumn("w", lit(1.0))
-      .drop("grand")
-    val fitted = (1 to 5).foldLeft(seeded)((acc, _) => ipfRound(acc))
+    val fitted = fittedCells(spark, sfDir)
     // achieved marginals AFTER the last round — the convergence readout
     val srcAch = fitted.groupBy(col("source"))
       .agg(sum(col("w") * col("n")).as("src_ach"))

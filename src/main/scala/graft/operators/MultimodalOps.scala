@@ -415,9 +415,11 @@ object MultimodalOps {
     * media_id; ranking runs through the same codegen'd `graft_cosine`
     * native expression the embedding queries use. One-row query broadcast
     * (the sanctioned BNLJ), top-10 by (cos, media_id, frame_idx) — fully
-    * deterministic. Rows-only (float cosines aren't ANSI-SQL-expressible
-    * bit-exactly); MultimodalSpec pins the cosines and the ranking against
-    * a driver-side recompute. */
+    * deterministic. Oracle-checked (round 10): the float32 histogram
+    * arithmetic is bit-portable (exact integer counts, correctly-rounded
+    * binary32 division) and the cosine is the proven double formulation;
+    * MultimodalSpec additionally pins the ranking against a driver-side
+    * recompute. */
   def multimodalAnn(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     GraftFunctions.register(spark)
@@ -467,8 +469,9 @@ object MultimodalOps {
     * [[SimilarityQueries.routeLabels]] coarse search the embedding IVF
     * uses) and exact cosine only inside the probed buckets. The scale
     * path for image similarity: probe work ~ corpus·nProbe/buckets.
-    * Rows-only (float cosines); MultimodalSpec pins nProbe=all parity
-    * with brute force and the thumbnail's 2-D block arithmetic. */
+    * Oracle-checked (round 10 — exact block sums + portable float32
+    * division + Murmur3-emulated bucket labels); MultimodalSpec pins
+    * nProbe=all parity with brute force and the 2-D block arithmetic. */
   /** Shared thumbnail frame (media_id, vec, label): one decode +
     * hyperplane-bucket pass per (session, sf), persisted — consumed by the
     * inline ANN, the persisted-index build, and every recall probe (the
@@ -562,8 +565,9 @@ object MultimodalOps {
     * table [[SimilarityQueries.ivfRecallCurve]] ships for embeddings:
     * recall@10 against the unrouted brute force at each probe width, with
     * the in-query invariants (recall monotone in nProbe; nProbe = all 16
-    * sign buckets reaches 1.0) spec-pinned too. Rows-only (float cosines);
-    * MultimodalSpec pins the invariants and brute-force parity. */
+    * sign buckets reaches 1.0) spec-pinned too. Oracle-checked (round 10):
+    * DuckDB re-derives thumbnails, bucket labels, centroids and the whole
+    * curve; MultimodalSpec pins the invariants and brute-force parity. */
   def multimodalThumbIvf(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val path = ensureThumbCentroids(spark, sfDir)
@@ -666,8 +670,140 @@ object MultimodalOps {
         |       CAST(COALESCE(SUM(CASE WHEN p % 32 <> 0 THEN ABS(b - lf) END), 0)
         |         AS BIGINT) AS h_energy
         |FROM d GROUP BY doc_id, h ORDER BY media_id""".stripMargin)),
-    NamedQuery("q_multimodal_thumb_ann", multimodalThumbAnn(_, _), None),
-    NamedQuery("q_multimodal_thumb_ivf", multimodalThumbIvf, None),
+    // Oracles (graduated round 10): the thumbnail features are exact —
+    // integer block sums, then the float32 division chain DuckDB
+    // reproduces bit-for-bit — and the hyperplane bucket labels reuse the
+    // Murmur3-emulation pattern proven on q_sim_embedding_near_dups. The
+    // centroid routing + exact cosine mirror the embedding-IVF oracles.
+    NamedQuery("q_multimodal_thumb_ann", multimodalThumbAnn(_, _), Some(
+      """WITH img AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len,
+        |                    CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS h
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, h, CAST(p AS BIGINT) AS p,
+        |              CASE WHEN p < len THEN ascii(substr(text, CAST(p AS INT) + 1, 1))
+        |                   ELSE 0 END AS byte
+        |       FROM img, UNNEST(range(0, 32 * h)) u(p)),
+        |cell AS (SELECT doc_id,
+        |                ((p // 32) // (h // 4)) * 4 + (p % 32) // 8 AS pos,
+        |                SUM(byte) AS s, COUNT(*) AS n
+        |         FROM px GROUP BY 1, 2),
+        |thumb AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |                 CAST(CAST(CAST(s AS FLOAT) / CAST(n AS FLOAT) AS FLOAT)
+        |                      / CAST(255 AS FLOAT) AS FLOAT) AS v
+        |          FROM cell),
+        |dims AS (SELECT CAST(hh AS BIGINT) AS hb, CAST(ii AS BIGINT) AS i,
+        |                CAST(hh * 512 + ii AS BIGINT) AS k0
+        |         FROM range(0, 4) t1(hh), range(0, 16) t2(ii)),
+        |
+        |s1 AS (SELECT hb, i, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
+        |s2 AS (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),
+        |s3 AS (SELECT * REPLACE(CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k) FROM s2),
+        |s4 AS (SELECT *, xor(42, k) AS hv FROM s3),
+        |s5 AS (SELECT * REPLACE((((hv << 13) | (hv >> 19)) % 4294967296) AS hv) FROM s4),
+        |s6 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hv) FROM s5),
+        |s7 AS (SELECT * REPLACE(xor(hv, 4) AS hv) FROM s6),
+        |s8 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s7),
+        |s9 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS hv) FROM s8),
+        |s10 AS (SELECT * REPLACE(xor(hv, hv >> 13) AS hv) FROM s9),
+        |s11 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS hv) FROM s10),
+        |s12 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s11),
+        |planes AS (SELECT hb, i,
+        |                  (CASE WHEN hv < 2147483648 THEN hv % 2001
+        |                        ELSE ((hv - 4294967296) % 2001 + 2001) % 2001 END) - 1000 AS w
+        |           FROM s12)
+        |,
+        |bits AS (SELECT t.doc_id, p.hb,
+        |                SUM(CAST(t.v AS DOUBLE) * (p.w / 1000.0)) AS sdot
+        |         FROM thumb t JOIN planes p ON p.i = t.pos GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |               CAST(SUM(CASE WHEN sdot > 0 THEN CAST(1 AS BIGINT) << hb ELSE 0 END) AS BIGINT) AS label
+        |        FROM bits GROUP BY 1),
+        |lt AS (SELECT t.doc_id, s.label, t.pos, t.v FROM thumb t JOIN sig s USING (doc_id)),
+        |cent AS (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM lt GROUP BY 1, 2),
+        |qd AS (SELECT MIN(doc_id) AS qid FROM img),
+        |qc AS (SELECT t.pos, CAST(t.v AS DOUBLE) AS qv FROM thumb t, qd WHERE t.doc_id = qd.qid),
+        |routed AS (SELECT label FROM (
+        |             SELECT c.label, SUM(c.m * qc.qv) AS score
+        |             FROM cent c JOIN qc ON qc.pos = c.pos GROUP BY 1)
+        |           ORDER BY score DESC, label ASC LIMIT 3),
+        |pp AS (SELECT l.doc_id, l.label, CAST(l.v AS DOUBLE) AS x, qc.qv AS y
+        |       FROM lt l JOIN routed r ON l.label = r.label
+        |       JOIN qc ON qc.pos = l.pos)
+        |SELECT doc_id AS media_id, label,
+        |       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+        |FROM pp GROUP BY 1, 2
+        |ORDER BY cos DESC, media_id LIMIT 10""".stripMargin)),
+    NamedQuery("q_multimodal_thumb_ivf", multimodalThumbIvf, Some(
+      """WITH img AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len,
+        |                    CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS h
+        |             FROM documents WHERE doc_id % 3 = 0),
+        |px AS (SELECT doc_id, h, CAST(p AS BIGINT) AS p,
+        |              CASE WHEN p < len THEN ascii(substr(text, CAST(p AS INT) + 1, 1))
+        |                   ELSE 0 END AS byte
+        |       FROM img, UNNEST(range(0, 32 * h)) u(p)),
+        |cell AS (SELECT doc_id,
+        |                ((p // 32) // (h // 4)) * 4 + (p % 32) // 8 AS pos,
+        |                SUM(byte) AS s, COUNT(*) AS n
+        |         FROM px GROUP BY 1, 2),
+        |thumb AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |                 CAST(CAST(CAST(s AS FLOAT) / CAST(n AS FLOAT) AS FLOAT)
+        |                      / CAST(255 AS FLOAT) AS FLOAT) AS v
+        |          FROM cell),
+        |dims AS (SELECT CAST(hh AS BIGINT) AS hb, CAST(ii AS BIGINT) AS i,
+        |                CAST(hh * 512 + ii AS BIGINT) AS k0
+        |         FROM range(0, 4) t1(hh), range(0, 16) t2(ii)),
+        |
+        |s1 AS (SELECT hb, i, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
+        |s2 AS (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),
+        |s3 AS (SELECT * REPLACE(CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k) FROM s2),
+        |s4 AS (SELECT *, xor(42, k) AS hv FROM s3),
+        |s5 AS (SELECT * REPLACE((((hv << 13) | (hv >> 19)) % 4294967296) AS hv) FROM s4),
+        |s6 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hv) FROM s5),
+        |s7 AS (SELECT * REPLACE(xor(hv, 4) AS hv) FROM s6),
+        |s8 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s7),
+        |s9 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS hv) FROM s8),
+        |s10 AS (SELECT * REPLACE(xor(hv, hv >> 13) AS hv) FROM s9),
+        |s11 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS hv) FROM s10),
+        |s12 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s11),
+        |planes AS (SELECT hb, i,
+        |                  (CASE WHEN hv < 2147483648 THEN hv % 2001
+        |                        ELSE ((hv - 4294967296) % 2001 + 2001) % 2001 END) - 1000 AS w
+        |           FROM s12)
+        |,
+        |bits AS (SELECT t.doc_id, p.hb,
+        |                SUM(CAST(t.v AS DOUBLE) * (p.w / 1000.0)) AS sdot
+        |         FROM thumb t JOIN planes p ON p.i = t.pos GROUP BY 1, 2),
+        |sig AS (SELECT doc_id,
+        |               CAST(SUM(CASE WHEN sdot > 0 THEN CAST(1 AS BIGINT) << hb ELSE 0 END) AS BIGINT) AS label
+        |        FROM bits GROUP BY 1),
+        |lt AS (SELECT t.doc_id, s.label, t.pos, t.v FROM thumb t JOIN sig s USING (doc_id)),
+        |cent AS (SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM lt GROUP BY 1, 2),
+        |qd AS (SELECT MIN(doc_id) AS qid FROM img),
+        |qc AS (SELECT t.pos, CAST(t.v AS DOUBLE) AS qv FROM thumb t, qd WHERE t.doc_id = qd.qid),
+        |scored AS (SELECT c.label, SUM(c.m * qc.qv) AS score,
+        |                  ROW_NUMBER() OVER (ORDER BY SUM(c.m * qc.qv) DESC, c.label ASC) AS rk
+        |           FROM cent c JOIN qc ON qc.pos = c.pos GROUP BY c.label),
+        |allcos AS (SELECT l.doc_id, l.label,
+        |                  ROUND(SUM(CAST(l.v AS DOUBLE) * qc.qv) /
+        |                        (SQRT(SUM(CAST(l.v AS DOUBLE) * CAST(l.v AS DOUBLE))) *
+        |                         SQRT(SUM(qc.qv * qc.qv))), 6) AS cos
+        |           FROM lt l JOIN qc ON qc.pos = l.pos GROUP BY 1, 2),
+        |brute AS (SELECT doc_id FROM allcos ORDER BY cos DESC, doc_id ASC LIMIT 10),
+        |np AS (SELECT CAST(UNNEST([1, 2, 4, 16]) AS INT) AS n_probe),
+        |ranked AS (SELECT np.n_probe, a.doc_id,
+        |                  ROW_NUMBER() OVER (PARTITION BY np.n_probe
+        |                                     ORDER BY a.cos DESC, a.doc_id ASC) AS pr
+        |           FROM np JOIN scored s ON s.rk <= np.n_probe
+        |           JOIN allcos a ON a.label = s.label),
+        |hits AS (SELECT n_probe, COUNT(*) AS hcnt FROM ranked
+        |         WHERE pr <= 10 AND doc_id IN (SELECT doc_id FROM brute)
+        |         GROUP BY 1),
+        |curve AS (SELECT np.n_probe, ROUND(COALESCE(hcnt, 0) / 10.0, 2) AS recall_at_10
+        |          FROM np LEFT JOIN hits USING (n_probe))
+        |SELECT n_probe, recall_at_10,
+        |       COALESCE(recall_at_10 >= LAG(recall_at_10) OVER (ORDER BY n_probe),
+        |                TRUE) AS monotone_ok
+        |FROM curve ORDER BY n_probe""".stripMargin)),
     // Audio windows: width for kind 1 is 32 + 1*16 = 48; samples are
     // DC-offset-removed bytes (ascii − 64); crossings are within-window
     // sign products, windows the ceil frame convention. All integers.
@@ -709,6 +845,44 @@ object MultimodalOps {
         |       CAST(SUM((32 + (doc_id % 3) * 16)
         |                * (16 + (doc_id % 5) * 8)) AS BIGINT) AS total_px
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
-    NamedQuery("q_multimodal_ann", multimodalAnn, None),
+    // Oracle (graduated round 10): the histogram features are float32
+    // arithmetic DuckDB reproduces bit-for-bit (integer bin counts < 2^24
+    // are float-exact; FLOAT/FLOAT division is correctly-rounded binary32
+    // in both engines), and the cosine is the proven double formulation
+    // over exact float inputs. Frames re-derived from text bytes + the
+    // doc_id width rule, stride 4, ceil tail — mis-slice one boundary and
+    // the hash diverges.
+    NamedQuery("q_multimodal_ann", multimodalAnn, Some(
+      """WITH vid AS (SELECT doc_id, text,
+        |                    octet_length(CAST(text AS BLOB)) AS len
+        |             FROM documents WHERE doc_id % 3 = 2),
+        |px AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
+        |              ascii(substr(text, CAST(i AS INT) + 1, 1)) // 32 AS b
+        |       FROM vid, UNNEST(range(0, len)) u(i)),
+        |cnt AS (SELECT doc_id, p // 64 AS fi, b, COUNT(*) AS c
+        |        FROM px WHERE (p // 64) % 4 = 0 GROUP BY 1, 2, 3),
+        |fr AS (SELECT v.doc_id, CAST(f AS BIGINT) AS fi,
+        |              CAST(LEAST(64, v.len - f * 64) AS INT) AS flen
+        |       FROM vid v,
+        |            UNNEST(range(0, CAST(CEIL(v.len / 64.0) AS BIGINT))) g(f)
+        |       WHERE f % 4 = 0),
+        |grid AS (SELECT fr.doc_id, fr.fi, fr.flen, CAST(bb AS BIGINT) AS b
+        |         FROM fr, UNNEST(range(0, 8)) h(bb)),
+        |hist AS (SELECT g.doc_id, g.fi, g.b,
+        |                CAST(CAST(COALESCE(c.c, 0) AS FLOAT)
+        |                     / CAST(g.flen AS FLOAT) AS FLOAT) AS v
+        |         FROM grid g LEFT JOIN cnt c
+        |           ON g.doc_id = c.doc_id AND g.fi = c.fi AND g.b = c.b),
+        |q AS (SELECT doc_id, fi FROM fr ORDER BY doc_id, fi LIMIT 1),
+        |qh AS (SELECT h.b, h.v AS qv FROM hist h
+        |       JOIN q ON h.doc_id = q.doc_id AND h.fi = q.fi),
+        |sc AS (SELECT h.doc_id, h.fi,
+        |              ROUND(SUM(CAST(h.v AS DOUBLE) * CAST(qh.qv AS DOUBLE)) /
+        |                    (SQRT(SUM(CAST(h.v AS DOUBLE) * CAST(h.v AS DOUBLE))) *
+        |                     SQRT(SUM(CAST(qh.qv AS DOUBLE) * CAST(qh.qv AS DOUBLE)))),
+        |                    6) AS cos
+        |       FROM hist h JOIN qh USING (b) GROUP BY 1, 2)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx, cos
+        |FROM sc ORDER BY cos DESC, media_id, frame_idx LIMIT 10""".stripMargin)),
   )
 }
