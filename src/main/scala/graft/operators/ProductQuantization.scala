@@ -363,8 +363,167 @@ object ProductQuantization {
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqProbe(spark, sfDir, nProbe = 4)
 
+  /** Oracle SQL (graduated round 10): DuckDB RETRAINS the codebooks —
+    * the whole Lloyd's loop is deterministic arithmetic (first-K init,
+    * squared-L2 argmin with (dist, code) tie-break, decimal-mean update),
+    * so the four iterations unroll as CTE rounds (the PageRank/BPE
+    * pattern), followed by encode, the decimal ADC lookup table, the
+    * compressed-scan shortlist, exact re-rank and the recall audit. With
+    * `ivf = true` the coarse quantizer trains the same way over full
+    * vectors and the scan is routed to the query's 4 nearest cells —
+    * mirroring [[buildPq]]/[[ivfPqProbe]] stage for stage. Cross-engine
+    * wiggle is double-sum ORDER inside distances/dots (~1e-16), far
+    * below every decision boundary (argmin gaps, round-6, top-k cuts). */
+  private def lloydCtes(pfx: String, src: String, dims: String,
+                        joinDims: String, keyCols: String): String = {
+    def one(i: Int, prev: String): String =
+      s"""${pfx}a$i AS (
+         |  SELECT s.vec_id, $keyCols c.code,
+         |         SUM((s.v - c.cv) * (s.v - c.cv)) AS dist
+         |  FROM $src s JOIN $prev c ON $joinDims
+         |  GROUP BY ALL),
+         |${pfx}b$i AS (
+         |  SELECT * EXCLUDE (rn, dist)
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id$dims
+         |                                     ORDER BY dist ASC, code ASC) AS rn
+         |        FROM ${pfx}a$i)
+         |  WHERE rn = 1),
+         |${pfx}m$i AS (
+         |  SELECT $keyCols b.code, s.d,
+         |         CAST(SUM(CAST(s.v AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS cv
+         |  FROM ${pfx}b$i b JOIN $src s
+         |    ON s.vec_id = b.vec_id${if (pfx == "f") "" else " AND s.j = b.j"}
+         |  GROUP BY ALL),
+         |${pfx}cb$i AS (
+         |  SELECT p.* EXCLUDE (cv), COALESCE(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN ${pfx}m$i m
+         |    ON m.code = p.code AND m.d = p.d${if (pfx == "f") "" else " AND m.j = p.j"})"""
+        .stripMargin
+    (1 to Iters).map(i => one(i, s"${pfx}cb${i - 1}")).mkString(",\n")
+  }
+
+  /** Coarse-quantizer retrain + full-corpus assignment CTE chain
+    * (fv → fcb0..fcb[[Iters]] → clusterof) — shared VERBATIM by the IVF-PQ
+    * oracle and the semantic-dedup oracle, so the two queries can never
+    * certify two different quantizers. Pins the test-scale constants
+    * (k = [[CoarseK]], train on all ids — `coarseK(n)` and the 4096
+    * trainCap only diverge from these beyond the shipped scale factors,
+    * where no oracle runs). */
+  private[operators] def coarseChainSql: String =
+    s"""fv AS (
+       |  SELECT vec_id, (generate_subscripts(embedding, 1) - 1) AS d,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |fcb0 AS (
+       |  SELECT CAST(vec_id AS INT) AS code, d, v AS cv FROM fv WHERE vec_id < $CoarseK),
+       |${lloydCtes("f", "fv", "", "s.d = c.d", "")},
+       |clusterof AS (
+       |  SELECT vec_id, code AS cluster
+       |  FROM (SELECT f.vec_id, c.code, SUM((f.v - c.cv) * (f.v - c.cv)) AS dist
+       |        FROM fv f JOIN fcb$Iters c ON f.d = c.d GROUP BY 1, 2)
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dist ASC, code ASC) = 1)"""
+      .stripMargin
+
+  private def pqOracleSql(ivf: Boolean): String = {
+    val subTrain =
+      s"""WITH sv AS (
+         |  SELECT vec_id, label,
+         |         (generate_subscripts(embedding, 1) - 1) // $DSub AS j,
+         |         (generate_subscripts(embedding, 1) - 1) % $DSub AS d,
+         |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |cb0 AS (
+         |  SELECT j, CAST(vec_id AS INT) AS code, d, v AS cv
+         |  FROM sv WHERE vec_id < $K),
+         |${lloydCtes("", "sv", ", j", "s.j = c.j AND s.d = c.d", "s.j,")}"""
+        .stripMargin
+    val coarse = if (!ivf) "" else
+      s""",
+         |$coarseChainSql,
+         |qfull AS (
+         |  SELECT (generate_subscripts(embedding, 1) - 1) AS d,
+         |         CAST(UNNEST(embedding) AS DOUBLE) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |routed AS (
+         |  SELECT code AS cluster FROM (
+         |    SELECT c.code, SUM(c.cv * q.qv) AS score
+         |    FROM fcb$Iters c JOIN qfull q ON q.d = c.d GROUP BY 1)
+         |  ORDER BY score DESC, code ASC LIMIT 4)"""
+        .stripMargin
+    val encFilter = if (!ivf) "enc" else
+      """enc0"""
+    val encBlock =
+      s""",
+         |$encFilter AS (
+         |  SELECT vec_id, label, j, code
+         |  FROM (SELECT s.vec_id, s.label, s.j, c.code,
+         |               SUM((s.v - c.cv) * (s.v - c.cv)) AS dist
+         |        FROM sv s JOIN cb$Iters c ON s.j = c.j AND s.d = c.d
+         |        GROUP BY 1, 2, 3, 4)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j
+         |                             ORDER BY dist ASC, code ASC) = 1)"""
+        .stripMargin
+    val routeBlock = if (!ivf) "" else
+      s""",
+         |enc AS (
+         |  SELECT e.* FROM enc0 e
+         |  JOIN clusterof cl ON cl.vec_id = e.vec_id
+         |  JOIN routed r ON r.cluster = cl.cluster)"""
+        .stripMargin
+    s"""$subTrain$coarse$encBlock$routeBlock,
+       |qsub AS (
+       |  SELECT (generate_subscripts(embedding, 1) - 1) // $DSub AS j,
+       |         (generate_subscripts(embedding, 1) - 1) % $DSub AS d,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |lut AS (
+       |  SELECT c.j, c.code,
+       |         CAST(SUM(CAST(c.cv * q.qv AS DECIMAL(28,14))) AS DOUBLE) AS dot,
+       |         CAST(SUM(CAST(c.cv * c.cv AS DECIMAL(28,14))) AS DOUBLE) AS sq
+       |  FROM cb$Iters c JOIN qsub q ON q.j = c.j AND q.d = c.d
+       |  GROUP BY 1, 2),
+       |qn AS (
+       |  SELECT SQRT(CAST(SUM(CAST(qv * qv AS DECIMAL(28,14))) AS DOUBLE)) AS q_norm
+       |  FROM qsub),
+       |adc AS (
+       |  SELECT e.vec_id, e.label, SUM(l.dot) AS dot, SUM(l.sq) AS rsq
+       |  FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT a.vec_id, ROUND(a.dot / (SQRT(a.rsq) * qn.q_norm), 6) AS adc_cos
+       |  FROM adc a, qn
+       |  ORDER BY adc_cos DESC, vec_id ASC LIMIT $Shortlist),
+       |q0 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |rp AS (
+       |  SELECT e.vec_id, e.label,
+       |         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+       |         CAST(UNNEST(q0.qe) AS DOUBLE) AS y
+       |  FROM embeddings e, q0
+       |  WHERE e.vec_id IN (SELECT vec_id FROM short)),
+       |probe AS (
+       |  SELECT vec_id, label,
+       |         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+       |  FROM rp GROUP BY 1, 2
+       |  ORDER BY cos DESC, vec_id ASC LIMIT 10),
+       |bp AS (
+       |  SELECT e.vec_id, CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+       |         CAST(UNNEST(q0.qe) AS DOUBLE) AS y
+       |  FROM embeddings e, q0),
+       |brute AS (
+       |  SELECT vec_id, ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+       |  FROM bp GROUP BY 1 ORDER BY cos DESC, vec_id ASC LIMIT 10),
+       |recall AS (
+       |  SELECT ROUND(COUNT(*) / 10.0, 2) AS recall_at_k
+       |  FROM probe JOIN brute USING (vec_id))
+       |SELECT p.vec_id, p.label, p.cos, r.recall_at_k
+       |FROM probe p, recall r
+       |ORDER BY p.cos DESC, p.vec_id ASC"""
+      .stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_sim_pq_topk", pqTopK, None),
-    NamedQuery("q_sim_ivfpq_topk", ivfPqTopK, None),
+    NamedQuery("q_sim_pq_topk", pqTopK, Some(pqOracleSql(ivf = false))),
+    NamedQuery("q_sim_ivfpq_topk", ivfPqTopK, Some(pqOracleSql(ivf = true))),
   )
 }

@@ -162,6 +162,62 @@ object SemanticDedup {
       .orderBy(col("cluster"))
   }
 
+  /** Oracle (graduated round 10): DuckDB RETRAINS the coarse quantizer —
+    * [[ProductQuantization.coarseChainSql]], the exact chain the IVF-PQ
+    * oracle certifies — then recomputes the within-cell pair scan
+    * (unrounded double cosine vs [[Threshold]]), the min-label components
+    * via a recursive-CTE closure (the q_dedup_components pattern), and
+    * the per-cell summary. [[splitOversized]] is a spec-proven no-op at
+    * the shipped scale factors (max cell ≪ [[CellCap]]), so the oracle
+    * rightly omits it — if a future corpus ever split, n_vecs would
+    * hash-diverge here and flag it. All output columns are exact
+    * integers. */
+  private def summarySql: String =
+    s"""WITH RECURSIVE
+       |${ProductQuantization.coarseChainSql},
+       |cl AS (SELECT vec_id, cluster FROM clusterof),
+       |percell AS (
+       |  SELECT cluster, COUNT(*) AS n_vecs,
+       |         COUNT(*) * (COUNT(*) - 1) // 2 AS n_candidate_pairs
+       |  FROM cl GROUP BY 1),
+       |cp AS (
+       |  SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM cl a JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |pc AS (
+       |  SELECT c.cluster, c.vec_a, c.vec_b,
+       |         CAST(UNNEST(ea.embedding) AS DOUBLE) AS x,
+       |         CAST(UNNEST(eb.embedding) AS DOUBLE) AS y
+       |  FROM cp c
+       |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+       |  JOIN embeddings eb ON eb.vec_id = c.vec_b),
+       |pairs AS (
+       |  SELECT cluster, vec_a, vec_b
+       |  FROM (SELECT cluster, vec_a, vec_b,
+       |               SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos
+       |        FROM pc GROUP BY 1, 2, 3)
+       |  WHERE cos >= $Threshold),
+       |e AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+       |      UNION ALL SELECT vec_b, vec_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |reach(id, r) AS (SELECT id, id FROM nodes
+       |                 UNION
+       |                 SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+       |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+       |drp AS (SELECT id AS vec_id FROM comp WHERE id <> component),
+       |dc AS (SELECT cl.cluster, COUNT(*) AS n_dropped
+       |       FROM drp d JOIN cl ON cl.vec_id = d.vec_id
+       |       GROUP BY 1),
+       |prc AS (SELECT pairs.cluster, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY 1)
+       |SELECT p.cluster, CAST(p.n_vecs AS BIGINT) AS n_vecs,
+       |       CAST(p.n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+       |       CAST(COALESCE(prc.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       |       CAST(COALESCE(dc.n_dropped, 0) AS BIGINT) AS n_dropped,
+       |       CAST(p.n_vecs - COALESCE(dc.n_dropped, 0) AS BIGINT) AS n_kept
+       |FROM percell p
+       |LEFT JOIN prc ON prc.cluster = p.cluster
+       |LEFT JOIN dc ON dc.cluster = p.cluster
+       |ORDER BY p.cluster""".stripMargin
+
   def all: Seq[NamedQuery] = Seq(
-    NamedQuery("q_sim_semantic_dedup", dedupSummary, None))
+    NamedQuery("q_sim_semantic_dedup", dedupSummary, Some(summarySql)))
 }
