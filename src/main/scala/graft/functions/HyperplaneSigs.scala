@@ -16,11 +16,16 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   * iff `dot(vec, plane(b, h)) > 0`. Hyperplane components are hash-derived
   * (deterministic, identical on every executor, no randomness shipped):
   * component d of plane (b, h) is
-  * `(pmod(murmur3(b*4096 + h*512 + d, seed=42), 2001) - 1000) / 1000.0`
-  * — exactly the value the SQL formulation
-  * `(pmod(hash(band_id*4096 + h*512 + d), 2001) - 1000) / 1000.0` produces,
-  * so signatures (and therefore candidate pairs) are bit-identical to the
-  * previous higher-order-function implementation.
+  * `(pmod(murmur3(b·2^20 + h·2^14 + d, seed=42), 2001) - 1000) / 1000.0`
+  * — the same value the SQL formulation
+  * `(pmod(hash(band_id*1048576 + h*16384 + d), 2001) - 1000) / 1000.0`
+  * produces. The strides keep every (band, bit, dim) triple's hash input
+  * DISTINCT across the full argument domain (nBits ≤ 63, dims < 16384,
+  * nBands ≤ 2047): the previous `b*4096 + h*512 + d` packing aliased band
+  * b's bits ≥ 8 onto band b+1's plane space, silently correlating bands
+  * in wide configurations — and wide bands are exactly how this operator
+  * scales (bits ≈ log2(n/bucket) keeps background collisions flat; see
+  * SCALE.md round 10).
   *
   * Why a custom Expression: the nested `aggregate(... aggregate(...))`
   * formulation evaluates interpreted — one boxed lambda invocation per
@@ -37,8 +42,8 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
 case class HyperplaneSigs(child: Expression, nBands: Int = 4, nBits: Int = 8)
     extends UnaryExpression {
 
-  require(nBands >= 1 && nBits >= 1 && nBits <= 63,
-    s"graft_hyperplane_sigs needs 1 <= nBands and 1 <= nBits <= 63, got ($nBands, $nBits)")
+  require(nBands >= 1 && nBands <= 2047 && nBits >= 1 && nBits <= 63,
+    s"graft_hyperplane_sigs needs 1 <= nBands <= 2047 and 1 <= nBits <= 63, got ($nBands, $nBits)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -64,7 +69,8 @@ case class HyperplaneSigs(child: Expression, nBands: Int = 4, nBits: Int = 8)
           var s = 0.0
           var i = 0
           while (i < len) {
-            val m = Math.floorMod(Murmur3_x86_32.hashInt(b * 4096 + h * 512 + i, 42), 2001)
+            val m = Math.floorMod(
+              Murmur3_x86_32.hashInt((b << 20) + (h << 14) + i, 42), 2001)
             s += a.getFloat(i).toDouble * ((m - 1000) / 1000.0)
             i += 1
           }
@@ -97,7 +103,7 @@ case class HyperplaneSigs(child: Expression, nBands: Int = 4, nBits: Int = 8)
          |      double s = 0.0;
          |      for (int i = 0; i < len; i++) {
          |        int m = java.lang.Math.floorMod(
-         |          $mm.hashInt(b * 4096 + h * 512 + i, 42), 2001);
+         |          $mm.hashInt((b << 20) + (h << 14) + i, 42), 2001);
          |        s += ((double) $a.getFloat(i)) * ((m - 1000) / 1000.0);
          |      }
          |      if (s > 0) sig |= 1L << h;

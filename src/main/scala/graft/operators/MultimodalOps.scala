@@ -692,7 +692,7 @@ object MultimodalOps {
         |                      / CAST(255 AS FLOAT) AS FLOAT) AS v
         |          FROM cell),
         |dims AS (SELECT CAST(hh AS BIGINT) AS hb, CAST(ii AS BIGINT) AS i,
-        |                CAST(hh * 512 + ii AS BIGINT) AS k0
+        |                CAST(hh * 16384 + ii AS BIGINT) AS k0
         |         FROM range(0, 4) t1(hh), range(0, 16) t2(ii)),
         |
         |s1 AS (SELECT hb, i, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
@@ -750,7 +750,7 @@ object MultimodalOps {
         |                      / CAST(255 AS FLOAT) AS FLOAT) AS v
         |          FROM cell),
         |dims AS (SELECT CAST(hh AS BIGINT) AS hb, CAST(ii AS BIGINT) AS i,
-        |                CAST(hh * 512 + ii AS BIGINT) AS k0
+        |                CAST(hh * 16384 + ii AS BIGINT) AS k0
         |         FROM range(0, 4) t1(hh), range(0, 16) t2(ii)),
         |
         |s1 AS (SELECT hb, i, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),

@@ -363,6 +363,46 @@ object ProductQuantization {
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqProbe(spark, sfDir, nProbe = 4)
 
+  /** Append-only index maintenance — the missing leg of the artifact
+    * lifecycle (build → probe → GC → APPEND): a new batch of vectors
+    * (modeled as the vec_id ≡ 4 (mod 5) slice) joins a TRAINED index by
+    * assigning against the FROZEN coarse centroids — one broadcast-join
+    * argmin pass over the batch, no retrain, no touch of existing codes.
+    * At 100 TB this is why ingest cost scales with the batch and not the
+    * corpus: the quantizer is frozen between scheduled retrains.
+    *
+    * The query emits the per-cell growth ledger (n_base, n_new, n_total)
+    * plus `append_consistent` — whether every appended vector landed in
+    * the SAME cell the full-corpus encode gave it (true by construction
+    * while centroids are frozen; a false here means someone retrained
+    * under a live index). All-integer output + one boolean. */
+  def indexAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val path = ensurePq(spark, sfDir)
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cluster"))
+    val batch = fullVec(t.embeddings.where(pmod(col("vec_id"), lit(5)) === 4))
+    val assigned = assign(batch, coarse)
+      .select(col("vec_id"), col("code").as("cluster_new"))
+    // one-row parity frame (sanctioned single-row broadcast)
+    val parity = assigned.join(codes, "vec_id")
+      .agg((sum(when(col("cluster_new") === col("cluster"), 0L).otherwise(1L))
+        === 0L).as("append_consistent"))
+    val base = codes.where(pmod(col("vec_id"), lit(5)) =!= 4)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_base"))
+    val appended = assigned
+      .groupBy(col("cluster_new").as("cluster"))
+      .agg(count(lit(1)).as("n_new"))
+    base.join(appended, Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("n_total", col("n_base") + col("n_new"))
+      .join(broadcast(parity))
+      .orderBy(col("cluster"))
+  }
+
   /** Oracle SQL (graduated round 10): DuckDB RETRAINS the codebooks —
     * the whole Lloyd's loop is deterministic arithmetic (first-K init,
     * squared-L2 argmin with (dist, code) tie-break, decimal-mean update),
@@ -525,5 +565,23 @@ object ProductQuantization {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_sim_pq_topk", pqTopK, Some(pqOracleSql(ivf = false))),
     NamedQuery("q_sim_ivfpq_topk", ivfPqTopK, Some(pqOracleSql(ivf = true))),
+    // Oracle: retrains the same frozen quantizer (shared chain) and
+    // recomputes the growth ledger; `append_consistent` is stated as the
+    // SPEC (TRUE — frozen centroids make batch assignment equal the
+    // full-corpus encode by determinism), so an engine that ever broke
+    // append/rebuild parity would hash-diverge on that column.
+    NamedQuery("q_sim_index_append", indexAppend, Some(
+      s"""WITH ${coarseChainSql},
+         |base AS (SELECT cluster, COUNT(*) AS n_base FROM clusterof
+         |         WHERE vec_id % 5 <> 4 GROUP BY 1),
+         |nw AS (SELECT cluster, COUNT(*) AS n_new FROM clusterof
+         |       WHERE vec_id % 5 = 4 GROUP BY 1)
+         |SELECT COALESCE(b.cluster, n.cluster) AS cluster,
+         |       CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+         |       CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+         |       CAST(COALESCE(n_base, 0) + COALESCE(n_new, 0) AS BIGINT) AS n_total,
+         |       TRUE AS append_consistent
+         |FROM base b FULL OUTER JOIN nw n ON b.cluster = n.cluster
+         |ORDER BY cluster""".stripMargin)),
   )
 }

@@ -55,14 +55,24 @@ object SimilarityQueries {
       .limit(10)
   }
 
-  /** Embedding-cosine nearest candidate pairs via banded sign-LSH: 4 bands
-    * of 8 hyperplane sign bits each; vectors agreeing on any full band are
-    * candidates (classic banding — per-band collision keeps recall, band
-    * width bounds the background collision rate). Candidates get exact
-    * cosine; top-50 pairs returned. Bucket equi-join — no crossJoin (the
-    * all-pairs verify would be dead at any scale). Hyperplane components are
-    * hash-derived: seeded, deterministic, identical on every executor. */
-  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Embedding-cosine nearest candidate pairs via banded sign-LSH:
+    * `nBands` bands of `nBits` hyperplane sign bits each; vectors agreeing
+    * on any full band are candidates (classic banding — per-band collision
+    * keeps recall, band width bounds the background collision rate).
+    * Candidates get exact cosine; top-50 pairs returned. Bucket equi-join —
+    * no crossJoin (the all-pairs verify would be dead at any scale).
+    * Hyperplane components are hash-derived: seeded, deterministic,
+    * identical on every executor.
+    *
+    * THE SCALE KNOB IS `nBits`: expected background-collision pairs per
+    * band are ~n²/2^(nBits+1), so holding cost flat as the corpus grows
+    * means nBits ≈ log2(n / target-bucket-size) — the registered (4, 8)
+    * geometry is sized for the test corpora, and the round-10 ScaleProbe
+    * measured exactly the predicted quadratic creep (10.5× warm at 10×
+    * rows) when the knob is left fixed; re-probing at (4, 12) restores the
+    * flat shape (SCALE.md round 10, `tools/WideBandProbe`). */
+  def embeddingNearDupsBanded(spark: SparkSession, sfDir: String,
+                              nBands: Int, nBits: Int): DataFrame = {
     GraftFunctions.register(spark)
     graft.functions.HyperplaneSigs.register(spark)
     val t = Tpch(spark, sfDir)
@@ -77,7 +87,7 @@ object SimilarityQueries {
     // nested-aggregate SQL formulation (see HyperplaneSigs scaladoc).
     val banded = vecs
       .select(col("vec_id"),
-        posexplode(expr("graft_hyperplane_sigs(embedding, 4, 8)"))
+        posexplode(expr(s"graft_hyperplane_sigs(embedding, $nBands, $nBits)"))
           .as(Seq("band_id", "band_sig")))
     val pairs = banded
       .groupBy(col("band_id"), col("band_sig"))
@@ -96,6 +106,11 @@ object SimilarityQueries {
       .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(50)
   }
+
+  /** The registered (4, 8) geometry — stable results at the test corpora;
+    * production sizes nBits up (see [[embeddingNearDupsBanded]]). */
+  def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    embeddingNearDupsBanded(spark, sfDir, nBands = 4, nBits = 8)
 
   /** Label centroids — the IVF coarse-quantizer build step: mean vector per
     * label. Scale-correct formulation: posexplode to (label, dim, value) and
@@ -537,7 +552,7 @@ object SimilarityQueries {
       """WITH dims AS (
         |  SELECT CAST(bb AS BIGINT) AS b, CAST(hh AS BIGINT) AS h,
         |         CAST(ii AS BIGINT) AS i,
-        |         CAST(bb * 4096 + hh * 512 + ii AS BIGINT) AS k0
+        |         CAST(bb * 1048576 + hh * 16384 + ii AS BIGINT) AS k0
         |  FROM range(0, 4) t1(bb), range(0, 8) t2(hh), range(0, 64) t3(ii)),
         |s1 AS (SELECT *, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
         |s2 AS (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),

@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.SimilarityQueries
+
+/** Dev tool: measure the sign-LSH band-width knob (SCALE.md round 10).
+  * Times `embeddingNearDupsBanded` at the registered (4, 8) geometry and a
+  * widened one on two corpus dirs — the demonstration that background-
+  * collision pairs (~n²/2^(nBits+1) per band) are what the fixed geometry
+  * pays at scale, and that nBits ≈ log2(n/bucket) restores the flat shape.
+  *
+  * Usage: runMain graft.tools.WideBandProbe <sfDir> <10xDir> [wideBits]
+  */
+object WideBandProbe {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, bigDir) = args.take(2)
+    val wideBits = args.lift(2).map(_.toInt).getOrElse(12)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    def time(dir: String, bits: Int): Double = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        SimilarityQueries.embeddingNearDupsBanded(spark, dir, 4, bits).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.min
+    }
+    println("| geometry | sf0.1 (s) | 10x (s) | ratio |")
+    println("|---|---|---|---|")
+    Seq(8, wideBits).foreach { bits =>
+      val a = time(sfDir, bits)
+      val b = time(bigDir, bits)
+      println(f"| 4 x $bits-bit | $a%.2f | $b%.2f | ${b / a}%.1fx |")
+    }
+    spark.stop()
+  }
+}

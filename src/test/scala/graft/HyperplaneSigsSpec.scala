@@ -11,29 +11,55 @@ class HyperplaneSigsSpec extends SparkSpec {
   private def vecs = graft.sources.Tables.load(spark, Sf, "embeddings")
     .select(col("vec_id"), col("embedding")).limit(100)
 
-  /** The former interpreted nested-aggregate formulation, evaluated per
-    * band — the ground truth the native expression must reproduce. */
-  private val sqlFormulation =
-    """aggregate(sequence(0, 7), 0L, (acc, h) ->
-      |  acc + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D,
-      |    (s, d) -> s + CAST(element_at(embedding, d + 1) AS DOUBLE)
-      |               * ((pmod(hash(band_id * 4096 + h * 512 + d), 2001) - 1000) / 1000.0)) > 0
-      |  THEN shiftleft(1L, h) ELSE 0L END)""".stripMargin
+  /** The interpreted nested-aggregate formulation, evaluated per band —
+    * the ground truth the native expression must reproduce. Strides
+    * 2^20 / 2^14 keep every (band, bit, dim) hash input distinct across
+    * the whole argument domain (the old 4096/512 packing aliased band b's
+    * bits ≥ 8 onto band b+1's plane space). */
+  private def sqlFormulation(nBits: Int) =
+    s"""aggregate(sequence(0, ${nBits - 1}), 0L, (acc, h) ->
+       |  acc + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0D,
+       |    (s, d) -> s + CAST(element_at(embedding, d + 1) AS DOUBLE)
+       |               * ((pmod(hash(band_id * 1048576 + h * 16384 + d), 2001) - 1000) / 1000.0)) > 0
+       |  THEN shiftleft(1L, h) ELSE 0L END)""".stripMargin
 
-  test("signatures are bit-identical to the nested-aggregate SQL formulation") {
+  private def parity(nBands: Int, nBits: Int): Unit = {
     HyperplaneSigs.register(spark)
     val native = vecs
       .select(col("vec_id"),
-        posexplode(expr("graft_hyperplane_sigs(embedding, 4, 8)"))
+        posexplode(expr(s"graft_hyperplane_sigs(embedding, $nBands, $nBits)"))
           .as(Seq("band_id", "band_sig")))
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     val viaSql = vecs
-      .withColumn("band_id", explode(expr("sequence(0, 3)")))
-      .withColumn("band_sig", expr(sqlFormulation))
+      .withColumn("band_id", explode(expr(s"sequence(0, ${nBands - 1})")))
+      .withColumn("band_sig", expr(sqlFormulation(nBits)))
       .select(col("vec_id"), col("band_id"), col("band_sig"))
       .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(native.size == viaSql.size)
     assert(native == viaSql)
+  }
+
+  test("signatures are bit-identical to the nested-aggregate SQL formulation") {
+    parity(4, 8)
+  }
+
+  test("wide bands stay bit-exact and alias-free (the scale geometry)") {
+    parity(2, 16)
+    // alias regression: under the old packing, band 0's bits 8.. shared
+    // planes with band 1's bits 0.. — wide sigs of band 0 would correlate
+    // with band 1. With distinct strides the 16-bit band-0 signature's
+    // high byte must NOT equal band 1's 8-bit signature for typical input.
+    HyperplaneSigs.register(spark)
+    val rows = vecs.limit(50)
+      .selectExpr("graft_hyperplane_sigs(embedding, 2, 16) AS wide",
+        "graft_hyperplane_sigs(embedding, 2, 8) AS narrow")
+      .collect()
+    val collisions = rows.count { r =>
+      val wide = r.getSeq[Long](0); val narrow = r.getSeq[Long](1)
+      (wide.head >> 8) == narrow(1)
+    }
+    assert(collisions < rows.length,
+      "band 0's high bits mirror band 1 — plane aliasing is back")
   }
 
   test("codegen and interpreted paths agree") {

@@ -135,6 +135,16 @@ class PqSpec extends SparkSpec {
     assert(one.head.getAs[Double]("recall_at_k") >= 0.5)
   }
 
+  test("index append: frozen-centroid batch assignment equals the stored encode") {
+    val rows = ProductQuantization.indexAppend(spark, Sf).collect()
+    val total = graft.sources.Tables.load(spark, Sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_total")).sum == total,
+      "append ledger must cover the whole corpus")
+    assert(rows.forall(_.getAs[Boolean]("append_consistent")),
+      "batch assignment diverged from the stored encode under frozen centroids")
+    assert(rows.map(_.getAs[Long]("n_new")).sum > 0, "the batch slice is empty")
+  }
+
   test("shortlist constant bounds the re-rank side") {
     // the re-rank must never touch more than Shortlist embeddings —
     // structural guarantee that the float stage is O(1) in corpus size
