@@ -405,7 +405,77 @@ object CorpusPrep {
       .orderBy(col("shard"))
   }
 
+  /** Padding-waste audit for length-bucketed batch packing — the
+    * training-efficiency readout behind "bucket by length before
+    * batching": with one global bucket, every sequence pads to the corpus
+    * max; with k equi-depth buckets each pads only to its bucket max.
+    * Emits the per-bucket ledger (docs, length range, padded vs real
+    * tokens, exact waste, waste in basis points) — the table that decides
+    * the bucket count for a 100 TB tokenization run.
+    *
+    * Scale shape: ONE corpus-sized aggregation (per-length counts), then
+    * all bucketing math runs on the LENGTH-VALUE histogram (rows =
+    * distinct lengths, domain-bounded — never docs), the same
+    * histogram-cumsum pattern as the KS/percentile families. Bucket of a
+    * length = ⌊cum_before · k / N⌋ capped at k−1 — exact integers, ties
+    * share a bucket deterministically. */
+  def paddingWaste(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val hist = t.documents
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("cum_before", col("cum") - col("c"))
+    val total = cum.agg(sum(col("c")).as("n_total"))
+    cum.join(broadcast(total))
+      .withColumn("bucket",
+        least(lit(k - 1), expr(s"(cum_before * $k) DIV n_total")).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_docs"),
+        min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"),
+        sum(col("c") * col("len")).as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_len"))
+      .withColumn("waste", col("padded_tokens") - col("real_tokens"))
+      .withColumn("waste_bp", expr("(waste * 10000) DIV padded_tokens"))
+      .select(col("bucket"), col("n_docs"), col("min_len"), col("max_len"),
+        col("real_tokens"), col("padded_tokens"), col("waste"), col("waste_bp"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_corpus_padding_waste", paddingWaste(_, _), Some(
+      """WITH hist AS (
+        |  SELECT len(string_split(text, ' ')) AS len, COUNT(*) AS c
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT len, c,
+        |         SUM(c) OVER (ORDER BY len
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - c AS cum_before
+        |  FROM hist),
+        |tot AS (SELECT SUM(c) AS n_total FROM hist),
+        |b AS (
+        |  SELECT LEAST(7, CAST((cum_before * 8) // n_total AS INT)) AS bucket,
+        |         len, c
+        |  FROM cum, tot),
+        |agg AS (
+        |  SELECT bucket, SUM(c) AS n_docs, MIN(len) AS min_len,
+        |         MAX(len) AS max_len, SUM(c * len) AS real_tokens
+        |  FROM b GROUP BY 1)
+        |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+        |       CAST(min_len AS BIGINT) AS min_len,
+        |       CAST(max_len AS BIGINT) AS max_len,
+        |       CAST(real_tokens AS BIGINT) AS real_tokens,
+        |       CAST(n_docs * max_len AS BIGINT) AS padded_tokens,
+        |       CAST(n_docs * max_len - real_tokens AS BIGINT) AS waste,
+        |       CAST((n_docs * max_len - real_tokens) * 10000
+        |            // (n_docs * max_len) AS BIGINT) AS waste_bp
+        |FROM agg ORDER BY bucket""".stripMargin)),
     NamedQuery("q_corpus_shuffle_shards", epochShuffleShards, Some(
       """WITH k AS (SELECT doc_id, text,
         |                  md5(CAST(doc_id AS VARCHAR) || ':ep1') AS k

@@ -128,4 +128,26 @@ class CorpusOpsSpec extends SparkSpec {
     val folded = gaps.sliding(2).count { case Seq(a, b) => b - a > 1800L case _ => false } + 1
     assert(folded == 2)
   }
+  test("padding waste: buckets partition the corpus and beat one-bucket padding") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.CorpusPrep.paddingWaste(spark, Sf).collect()
+    val docs = graft.sources.Tables.load(spark, Sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .collect().map(_.getLong(0))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(rows.map(_.getAs[Long]("real_tokens")).sum == docs.sum)
+    // buckets are length-ordered and non-overlapping
+    val spans = rows.sortBy(_.getAs[Int]("bucket"))
+      .map(r => (r.getAs[Long]("min_len"), r.getAs[Long]("max_len")))
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+    // bucketed padding strictly beats padding everything to the global max
+    val bucketedWaste = rows.map(_.getAs[Long]("waste")).sum
+    val oneBucketWaste = docs.length * docs.max - docs.sum
+    assert(bucketedWaste < oneBucketWaste,
+      s"bucketing must reduce waste: $bucketedWaste vs $oneBucketWaste")
+  }
+
 }

@@ -24,6 +24,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_lm_familiarity", // broadcast one-row corpus-totals frame
     "q_text_source_drift",   // broadcast one-row corpus-total frame
     "q_corpus_split",        // broadcast one-row leakage-invariant frame
+    "q_corpus_padding_waste", // broadcast one-row corpus-total frame
     "q_dedup_pipeline",      // broadcast one-row no-pairs-left frame
     "q_events_gapfill",    // broadcast calendar-bounds frame
     "q_sketch_hll_union",  // broadcast one-row unioned-sketch frame
@@ -100,6 +101,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_ks_drift" -> "CDF cumsums over length-value histograms",
     // Heaps prefixes: cumsum over the 10-row bucket aggregate
     "q_text_heaps_curve" -> "global cumsum over the 10-bucket prefix table",
+    "q_corpus_padding_waste" -> "global cumsum over token-length-value histogram",
     // quantile pick over the DURATION-value histogram (distinct durations)
     "q_events_time_to_convert" -> "global cumsum over duration-value histogram")
 
