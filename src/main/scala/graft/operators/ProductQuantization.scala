@@ -363,6 +363,16 @@ object ProductQuantization {
   def ivfPqTopK(spark: SparkSession, sfDir: String): DataFrame =
     ivfPqProbe(spark, sfDir, nProbe = 4)
 
+  /** Append-path assignment, public: (vec_id, embedding) rows → (vec_id,
+    * cluster) against FROZEN coarse centroids — one broadcast argmin join,
+    * cost linear in the batch. The single assignment definition behind
+    * both the batch ledger ([[indexAppend]]) and the streaming
+    * maintenance leg ([[graft.streaming.StreamingIndexAppend]]). */
+  def assignClusters(vecs: DataFrame, coarse: DataFrame): DataFrame =
+    assign(vecs.select(col("vec_id"), lit("").as("label"), lit(0).as("j"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("sub")), coarse)
+      .select(col("vec_id"), col("code").as("cluster"))
+
   /** Append-only index maintenance — the missing leg of the artifact
     * lifecycle (build → probe → GC → APPEND): a new batch of vectors
     * (modeled as the vec_id ≡ 4 (mod 5) slice) joins a TRAINED index by

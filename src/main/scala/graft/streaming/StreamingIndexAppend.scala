@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.ProductQuantization
+
+/** Streaming ANN-index maintenance — the streaming twin of
+  * [[graft.operators.ProductQuantization.indexAppend]]: each arriving
+  * micro-batch of (vec_id, embedding) rows is assigned to the FROZEN
+  * coarse centroids (one broadcast argmin join — the quantizer is never
+  * retrained between scheduled rebuilds) and its cluster-resident rows
+  * appended to the index's assignment store.
+  *
+  * Scale contract: per-batch work is |batch| · k distance evaluations
+  * through the codegen'd `graft_l2sq` — linear in the batch, ZERO touch
+  * of the existing corpus or codes. The store append is a per-batch
+  * parquet write; as with [[StreamingIngestDedup]], a transactional table
+  * format would make it exactly-once — with plain parquet a replayed
+  * batch can re-append, the documented at-least-once residue (assignments
+  * are deterministic, so replays duplicate rows without ever
+  * CONTRADICTING an earlier assignment; readers dedup on vec_id).
+  *
+  * StreamingIndexAppendSpec drives micro-batches from a MemoryStream and
+  * pins batch/stream/full-encode three-way parity.
+  */
+object StreamingIndexAppend {
+
+  def assignedPath(root: String) = s"$root/assigned"
+
+  /** Assignments appended so far. */
+  def assignedSoFar(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(assignedPath(root))
+
+  /** Wire a streaming (vec_id, embedding) source through the assigner.
+    * `coarse` is the frozen centroid table (read once from the persisted
+    * artifact — small, broadcast per batch). */
+  def start(vecs: DataFrame, coarse: DataFrame, root: String,
+            checkpoint: String): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        processBatch(batch, coarse, root))
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch: frozen-centroid assignment → append. Static-frame
+    * logic, directly testable, usable unchanged for a batch backfill. */
+  def processBatch(batch: DataFrame, coarse: DataFrame, root: String): Unit =
+    ProductQuantization.assignClusters(batch, coarse)
+      .write.mode("append").parquet(assignedPath(root))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProductQuantization
+import graft.streaming.StreamingIndexAppend
+
+/** Streaming ANN-index maintenance: micro-batched frozen-centroid
+  * assignment equals both the one-shot batch assignment AND the persisted
+  * full-corpus encode — the three-way parity that makes append-only
+  * maintenance safe between retrains. */
+class StreamingIndexAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream / batch / stored-encode assignments agree, batch by batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("idx_append").toString
+    val ckpt = Files.createTempDirectory("idx_ckpt").toString
+    val path = ProductQuantization.ensurePq(spark, Sf)
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val vecs = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    // three uneven micro-batches covering the corpus
+    val batches = Seq(vecs.take(7), vecs.slice(7, 20), vecs.drop(20))
+    batches.foreach { rows =>
+      mem.addData(rows: _*)
+      val q = StreamingIndexAppend.start(stream, coarse, root, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+
+    val streamed = StreamingIndexAppend.assignedSoFar(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed.size == vecs.size, "every vector assigned exactly once")
+    // parity 1: one-shot batch assignment over the same rows
+    val oneShot = ProductQuantization.assignClusters(
+        graft.sources.Tables.load(spark, Sf, "embeddings")
+          .select(col("vec_id"), col("embedding")), coarse)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == oneShot, "micro-batching changed an assignment")
+    // parity 2: the persisted full-corpus encode (codes/ cluster column)
+    val stored = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == stored,
+      "streamed assignment diverged from the stored encode under frozen centroids")
+  }
+}
