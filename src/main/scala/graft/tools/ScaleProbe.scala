@@ -48,7 +48,10 @@ object ScaleProbe {
     "q_multimodal_keyframes",
     // round 10: thumbnail decode + persisted-index probe; portable sampling
     "q_multimodal_thumb_ann", "q_multimodal_thumb_ivf",
-    "q_sample_documents", "q_sim_embedding_near_dups")
+    "q_sample_documents", "q_sim_embedding_near_dups",
+    // round 10 additions: cell-table IPF, frozen-index append, histogram-
+    // bucketed padding audit
+    "q_corpus_mixture_ipf", "q_sim_index_append", "q_corpus_padding_waste")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
