@@ -413,6 +413,38 @@ object ProductQuantization {
       .orderBy(col("cluster"))
   }
 
+  /** Retrain-decision drift monitor — the signal that closes the index
+    * lifecycle (build → probe → append → RETRAIN WHEN): per coarse cell,
+    * the mean assignment distortion (squared L2 to the frozen centroid)
+    * of the APPENDED batch against the base corpus's. A frozen quantizer
+    * serves appends only while new data still looks like the data it was
+    * trained on; `drift_ratio` ≫ 1 in a cell says arrivals land far from
+    * that centroid — the scheduled-retrain trigger a production index
+    * monitors. One assignment pass (linear, broadcast argmin); means are
+    * decimal-summed for cross-engine determinism. */
+  def indexDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val path = ensurePq(spark, sfDir)
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val assigned = assign(fullVec(t.embeddings), coarse)
+      .select(col("vec_id"), col("code").as("cluster"), col("dist"))
+    def dmean(c: org.apache.spark.sql.Column) =
+      round((sum(c.cast(DecimalType(28, 12))) / count(lit(1)))
+        .cast("double"), 8)
+    val base = assigned.where(pmod(col("vec_id"), lit(5)) =!= 4)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_base"), dmean(col("dist")).as("base_dist"))
+    val fresh = assigned.where(pmod(col("vec_id"), lit(5)) === 4)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_new"), dmean(col("dist")).as("new_dist"))
+    base.join(fresh, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("base_dist"), col("new_dist"),
+        round(col("new_dist") / col("base_dist"), 4).as("drift_ratio"))
+      .orderBy(col("cluster"))
+  }
+
   /** Oracle SQL (graduated round 10): DuckDB RETRAINS the codebooks —
     * the whole Lloyd's loop is deterministic arithmetic (first-K init,
     * squared-L2 argmin with (dist, code) tie-break, decimal-mean update),
@@ -580,6 +612,31 @@ object ProductQuantization {
     // SPEC (TRUE — frozen centroids make batch assignment equal the
     // full-corpus encode by determinism), so an engine that ever broke
     // append/rebuild parity would hash-diverge on that column.
+    // Oracle: same retrained chain, assignment kept WITH its distortion;
+    // means decimal-summed, ratio computed from the identically-rounded
+    // means on both sides.
+    NamedQuery("q_sim_index_drift", indexDrift, Some(
+      s"""WITH ${coarseChainSql},
+         |adist AS (
+         |  SELECT vec_id, code AS cluster, dist
+         |  FROM (SELECT f.vec_id, c.code, SUM((f.v - c.cv) * (f.v - c.cv)) AS dist
+         |        FROM fv f JOIN fcb$Iters c ON f.d = c.d GROUP BY 1, 2)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                             ORDER BY dist ASC, code ASC) = 1),
+         |base AS (
+         |  SELECT cluster, COUNT(*) AS n_base,
+         |         ROUND(CAST(SUM(CAST(dist AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE), 8) AS base_dist
+         |  FROM adist WHERE vec_id % 5 <> 4 GROUP BY 1),
+         |fresh AS (
+         |  SELECT cluster, COUNT(*) AS n_new,
+         |         ROUND(CAST(SUM(CAST(dist AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE), 8) AS new_dist
+         |  FROM adist WHERE vec_id % 5 = 4 GROUP BY 1)
+         |SELECT b.cluster, CAST(b.n_base AS BIGINT) AS n_base,
+         |       CAST(COALESCE(f.n_new, 0) AS BIGINT) AS n_new,
+         |       b.base_dist, f.new_dist,
+         |       ROUND(f.new_dist / b.base_dist, 4) AS drift_ratio
+         |FROM base b LEFT JOIN fresh f ON f.cluster = b.cluster
+         |ORDER BY b.cluster""".stripMargin)),
     NamedQuery("q_sim_index_append", indexAppend, Some(
       s"""WITH ${coarseChainSql},
          |base AS (SELECT cluster, COUNT(*) AS n_base FROM clusterof

@@ -20,6 +20,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_pq_topk",       // broadcast ADC lookup-table row + recall frame
     "q_sim_ivfpq_topk",    // broadcast ADC lookup-table row + routed labels
     "q_sim_index_append",  // broadcast one-row append-parity frame
+    "q_sim_index_drift",   // broadcast KB-scale frozen codebook vs the scan (argmin assignment; the j=0 equi-key folds away)
     "q_text_tfidf",        // broadcast corpus-size frame
     "q_text_lm_familiarity", // broadcast one-row corpus-totals frame
     "q_text_source_drift",   // broadcast one-row corpus-total frame

@@ -145,6 +145,20 @@ class PqSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_new")).sum > 0, "the batch slice is empty")
   }
 
+  test("index drift: in-distribution appends read near ratio 1, never wild") {
+    val rows = ProductQuantization.indexDrift(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // the batch slice is drawn from the same distribution as the base, so
+    // per-cell mean distortion must be comparable — a wide sanity band
+    // (small cells are noisy), but nothing pathological
+    val ratios = rows.flatMap(r => Option(r.getAs[java.lang.Double]("drift_ratio")))
+      .map(_.doubleValue)
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(r => r > 0.2 && r < 5.0),
+      s"in-distribution batch drifted: ${ratios.toSeq}")
+    assert(rows.forall(r => r.getAs[Double]("base_dist") > 0.0))
+  }
+
   test("shortlist constant bounds the re-rank side") {
     // the re-rank must never touch more than Shortlist embeddings —
     // structural guarantee that the float stage is O(1) in corpus size
