@@ -112,6 +112,71 @@ object SimilarityQueries {
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame =
     embeddingNearDupsBanded(spark, sfDir, nBands = 4, nBits = 8)
 
+  /** Margin-based bitext mining over the embedding corpus — the
+    * parallel-corpus miner of a multilingual pretraining pipeline
+    * (CCMatrix-style): candidate CROSS-LABEL pairs come from the same
+    * banded sign-LSH the near-dup screen uses (labels standing in for
+    * languages), each source vector ranks its cross-label candidates by
+    * exact cosine, and the mined pair is scored by the MARGIN — best
+    * cosine over second-best (Artetxe & Schwenk's ratio margin) — which
+    * suppresses hub vectors that are merely close to everything. Top-20
+    * by margin.
+    *
+    * Scale: candidates are band-bucket equi-joins (never all pairs);
+    * the rank window partitions on the SOURCE VECTOR id — corpus-scale
+    * cardinality, no funnel. Recall inherits the banding trade and its
+    * nBits knob. */
+  def bitextMarginPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    graft.functions.HyperplaneSigs.register(spark)
+    val t = Tpch(spark, sfDir)
+    val vecs = t.embeddings
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val banded = vecs
+      .select(col("vec_id"),
+        posexplode(expr("graft_hyperplane_sigs(embedding, 4, 8)"))
+          .as(Seq("band_id", "band_sig")))
+    val cands = banded
+      .groupBy(col("band_id"), col("band_sig"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS vec_a, b AS vec_b))))"))
+        .as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
+    val scored = cands
+      .join(vecs.select(col("vec_id").as("vec_a"), col("label").as("lab_a"),
+        col("embedding").as("e_a")), "vec_a")
+      .join(vecs.select(col("vec_id").as("vec_b"), col("label").as("lab_b"),
+        col("embedding").as("e_b")), "vec_b")
+      .withColumn("cos", expr("round(graft_cosine(e_a, e_b), 6)"))
+    // both directions, cross-label only: each vector ranks ITS candidates
+    val directional = scored
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"),
+        col("lab_a").as("src_label"), col("lab_b").as("dst_label"), col("cos"))
+      .unionByName(scored.select(col("vec_b").as("src"), col("vec_a").as("dst"),
+        col("lab_b").as("src_label"), col("lab_a").as("dst_label"), col("cos")))
+      .where(col("src_label") =!= col("dst_label"))
+    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+    val ranked = directional
+      .withColumn("rn", row_number().over(w))
+      .withColumn("second_cos", lead(col("cos"), 1).over(w))
+      .where(col("rn") === 1)
+    ranked
+      .select(col("src"), col("dst"), col("src_label"), col("dst_label"),
+        col("cos").as("best_cos"),
+        // margin only when the runner-up is a positive match — a zero or
+        // negative second-best makes the ratio meaningless (and an exact
+        // 0 divides to engine-dependent inf/null)
+        when(col("second_cos") > 0, round(col("cos") / col("second_cos"), 4))
+          .as("margin"))
+      .orderBy(col("margin").desc_nulls_last, col("src").asc)
+      .limit(20)
+  }
+
   /** Label centroids — the IVF coarse-quantizer build step: mean vector per
     * label. Scale-correct formulation: posexplode to (label, dim, value) and
     * aggregate per dimension — partial+final HashAggregate, constant memory
@@ -359,6 +424,51 @@ object SimilarityQueries {
     ivfQuantizedProbe(spark, sfDir, spark.read.parquet(path), nProbe = 2)
   }
 
+  /** Banded sign-LSH candidate chain in DuckDB SQL (Murmur3 emulation →
+    * planes → sign bits → (4, 8) band signatures → bucket self-join) —
+    * shared by the near-dup and bitext-mining oracles so both certify the
+    * SAME candidate generation. Yields `cand(vec_a, vec_b)`. */
+  private def lshCandSql: String =
+    """dims AS (
+        |  SELECT CAST(bb AS BIGINT) AS b, CAST(hh AS BIGINT) AS h,
+        |         CAST(ii AS BIGINT) AS i,
+        |         CAST(bb * 1048576 + hh * 16384 + ii AS BIGINT) AS k0
+        |  FROM range(0, 4) t1(bb), range(0, 8) t2(hh), range(0, 64) t3(ii)),
+        |s1 AS (SELECT *, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
+        |s2 AS (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),
+        |s3 AS (SELECT * REPLACE(CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k) FROM s2),
+        |s4 AS (SELECT *, xor(42, k) AS hv FROM s3),
+        |s5 AS (SELECT * REPLACE((((hv << 13) | (hv >> 19)) % 4294967296) AS hv) FROM s4),
+        |s6 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hv) FROM s5),
+        |s7 AS (SELECT * REPLACE(xor(hv, 4) AS hv) FROM s6),
+        |s8 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s7),
+        |s9 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS hv) FROM s8),
+        |s10 AS (SELECT * REPLACE(xor(hv, hv >> 13) AS hv) FROM s9),
+        |s11 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS hv) FROM s10),
+        |s12 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s11),
+        |planes AS (
+        |  SELECT b, h, i,
+        |         (CASE WHEN hv < 2147483648 THEN hv % 2001
+        |               ELSE ((hv - 4294967296) % 2001 + 2001) % 2001 END) - 1000 AS w
+        |  FROM s12),
+        |comps AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+        |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |bits AS (
+        |  SELECT c.vec_id, p.b, p.h, SUM(c.v * (p.w / 1000.0)) AS s
+        |  FROM comps c JOIN planes p USING (i)
+        |  GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT vec_id, b,
+        |         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << h ELSE 0 END) AS sig
+        |  FROM bits GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM sigs x JOIN sigs y
+        |    ON x.b = y.b AND x.sig = y.sig AND x.vec_id < y.vec_id)"""
+      .stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     // Oracle (graduated round 10): the "trained artifact" — per-label mean
     // centroids — is itself deterministic arithmetic over the corpus, so
@@ -549,44 +659,7 @@ object SimilarityQueries {
     // only if the true projection is within ~1e-16 of 0, vanishing at any
     // tested scale.
     NamedQuery("q_sim_embedding_near_dups", embeddingNearDups, Some(
-      """WITH dims AS (
-        |  SELECT CAST(bb AS BIGINT) AS b, CAST(hh AS BIGINT) AS h,
-        |         CAST(ii AS BIGINT) AS i,
-        |         CAST(bb * 1048576 + hh * 16384 + ii AS BIGINT) AS k0
-        |  FROM range(0, 4) t1(bb), range(0, 8) t2(hh), range(0, 64) t3(ii)),
-        |s1 AS (SELECT *, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
-        |s2 AS (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),
-        |s3 AS (SELECT * REPLACE(CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k) FROM s2),
-        |s4 AS (SELECT *, xor(42, k) AS hv FROM s3),
-        |s5 AS (SELECT * REPLACE((((hv << 13) | (hv >> 19)) % 4294967296) AS hv) FROM s4),
-        |s6 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hv) FROM s5),
-        |s7 AS (SELECT * REPLACE(xor(hv, 4) AS hv) FROM s6),
-        |s8 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s7),
-        |s9 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS hv) FROM s8),
-        |s10 AS (SELECT * REPLACE(xor(hv, hv >> 13) AS hv) FROM s9),
-        |s11 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS hv) FROM s10),
-        |s12 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s11),
-        |planes AS (
-        |  SELECT b, h, i,
-        |         (CASE WHEN hv < 2147483648 THEN hv % 2001
-        |               ELSE ((hv - 4294967296) % 2001 + 2001) % 2001 END) - 1000 AS w
-        |  FROM s12),
-        |comps AS (
-        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
-        |         CAST(UNNEST(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |bits AS (
-        |  SELECT c.vec_id, p.b, p.h, SUM(c.v * (p.w / 1000.0)) AS s
-        |  FROM comps c JOIN planes p USING (i)
-        |  GROUP BY 1, 2, 3),
-        |sigs AS (
-        |  SELECT vec_id, b,
-        |         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << h ELSE 0 END) AS sig
-        |  FROM bits GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-        |  FROM sigs x JOIN sigs y
-        |    ON x.b = y.b AND x.sig = y.sig AND x.vec_id < y.vec_id),
+      s"""WITH $lshCandSql,
         |pairs AS (
         |  SELECT c.vec_a, c.vec_b,
         |         CAST(UNNEST(ea.embedding) AS DOUBLE) AS x,
@@ -598,6 +671,39 @@ object SimilarityQueries {
         |       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
         |FROM pairs GROUP BY 1, 2
         |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 50""".stripMargin)),
+    // Oracle: the SAME candidate chain as the near-dup screen (shared
+    // lshCandSql), labels carried through, both directions ranked per
+    // source vector, ratio margin from the identically-rounded cosines.
+    NamedQuery("q_sim_bitext_margin", bitextMarginPairs, Some(
+      s"""WITH $lshCandSql,
+        |pr AS (
+        |  SELECT c.vec_a, c.vec_b, ea.label AS lab_a, eb.label AS lab_b,
+        |         CAST(UNNEST(ea.embedding) AS DOUBLE) AS x,
+        |         CAST(UNNEST(eb.embedding) AS DOUBLE) AS y
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b),
+        |sc AS (
+        |  SELECT vec_a, vec_b, lab_a, lab_b,
+        |         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+        |  FROM pr GROUP BY 1, 2, 3, 4),
+        |dirn AS (
+        |  SELECT vec_a AS src, vec_b AS dst, lab_a AS src_label,
+        |         lab_b AS dst_label, cos FROM sc
+        |  UNION ALL
+        |  SELECT vec_b, vec_a, lab_b, lab_a, cos FROM sc),
+        |crossl AS (SELECT * FROM dirn WHERE src_label <> dst_label),
+        |rk AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY src
+        |                            ORDER BY cos DESC, dst ASC) AS rn,
+        |         LEAD(cos, 1) OVER (PARTITION BY src
+        |                            ORDER BY cos DESC, dst ASC) AS second_cos
+        |  FROM crossl)
+        |SELECT src, dst, src_label, dst_label, cos AS best_cos,
+        |       CASE WHEN second_cos > 0 THEN ROUND(cos / second_cos, 4) END AS margin
+        |FROM rk WHERE rn = 1
+        |ORDER BY margin DESC NULLS LAST, src ASC LIMIT 20""".stripMargin)),
     NamedQuery("q_embed_quantize", quantizationStats, Some(
       """WITH c AS (
         |  SELECT vec_id, label, CAST(UNNEST(embedding) AS DOUBLE) AS v

@@ -170,4 +170,19 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.0)
     }
   }
+  test("bitext margin: cross-label only, margin is best/second, hubs suppressed") {
+    val rows = SimilarityQueries.bitextMarginPairs(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // every mined pair crosses labels, and each source appears once
+    assert(rows.forall(r => r.getAs[Int]("src_label") != r.getAs[Int]("dst_label")))
+    val srcs = rows.map(_.getAs[Long]("src"))
+    assert(srcs.distinct.length == srcs.length)
+    // ratio margin of a rank-1 pair over a positive runner-up is >= 1 when
+    // the best cosine is itself positive (rank order on rounded cosines)
+    rows.foreach { r =>
+      val m = Option(r.getAs[java.lang.Double]("margin")).map(_.doubleValue)
+      if (r.getAs[Double]("best_cos") > 0) m.foreach(v => assert(v >= 1.0, s"$r"))
+    }
+  }
+
 }
