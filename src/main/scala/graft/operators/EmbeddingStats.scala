@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Embedding-corpus spectral statistics: the dominant principal direction
+  * and its variance share, by power iteration on the dimension covariance —
+  * the anisotropy audit behind embedding whitening ("all-but-the-top":
+  * Mu & Viswanath 2018 observe embedding spaces concentrate variance in a
+  * few dominant directions, and retrieval improves when they are removed).
+  * The variance share of the top direction is the decision input: a share
+  * near 1/dims says the space is isotropic and whitening buys nothing.
+  *
+  * Scale shape: ONE corpus-sized pass builds the centered covariance by
+  * outer-product aggregation — per vector, dims² products feed a
+  * partial+final decimal-sum aggregate keyed on (d1, d2); everything after
+  * (five power-iteration rounds, normalization, the Rayleigh quotient)
+  * runs on the dims×dims matrix — a DOMAIN-BOUNDED frame (64×64 here),
+  * independent of corpus size. At 10^9 vectors the covariance pass would
+  * run on a deterministic sample; the plumbing is unchanged.
+  *
+  * Determinism: covariance entries are decimal-summed (order-independent
+  * and cross-engine exact); the iteration arithmetic is double over those
+  * identical inputs, and the output rounds far above the ~1e-15 sum-order
+  * wiggle inside the 64-term matrix-vector products. Start vector e_0
+  * fixes the eigenvector sign.
+  */
+object EmbeddingStats {
+
+  /** Centered covariance entries (d1, d2, c) via outer-product decimal
+    * aggregation — built once per (session, sf) and persisted under the
+    * [[FrameCache]] lifecycle (the corpus-sized pass; everything downstream
+    * is dims×dims). */
+  private val covCache = FrameCache.empty
+  private def covariance(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(covCache, spark, sfDir) {
+      covarianceUncached(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def covarianceUncached(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val comps = t.embeddings
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val means = comps.groupBy(col("d"))
+      .agg((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
+        .cast("double").as("m"))
+    val centered = comps.join(broadcast(means), "d")
+      .select(col("vec_id"), col("d"), (col("v") - col("m")).as("x"))
+    // upper triangle only (d1 <= d2) — the decimal sum for (d1, d2) and
+    // (d2, d1) is the same multiset, so mirroring is EXACT and halves the
+    // corpus-sized outer-product aggregate
+    centered.as("a")
+      .join(centered.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
+      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+      .agg((sum((col("a.x") * col("b.x")).cast(DecimalType(28, 12))) /
+        countDistinct(col("a.vec_id"))).cast("double").as("c"))
+  }
+
+  /** Five power-iteration rounds from e_0 over the covariance matrix;
+    * emits the unit top-direction components, the Rayleigh quotient
+    * (≈ λ₁) and its share of total variance (trace).
+    *
+    * Everything downstream of the one corpus-sized aggregate runs on the
+    * COLLECTED upper-triangle covariance — dims·(dims+1)/2 doubles
+    * (2080 here, KB scale), the same sanctioned artifact materialization
+    * the PQ codebook train uses ([[ProductQuantization]] `materialize`).
+    * The first cut kept the iteration distributed and paid 47 s WARM at
+    * sf0.1 — 2^rounds broadcast-subquery re-executions, all plan
+    * machinery, zero data; iterating a KB-scale artifact on the driver is
+    * the honest shape. */
+  def topDirection(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val upper = covariance(spark, sfDir)
+      .collect().map(r => (r.getAs[Int]("d1"), r.getAs[Int]("d2"),
+        r.getAs[Double]("c")))
+    val dims = upper.map(_._2).max + 1
+    val cov = Array.ofDim[Double](dims, dims)
+    upper.foreach { case (i, j, c) => cov(i)(j) = c; cov(j)(i) = c }
+    var v = Array.tabulate(dims)(d => if (d == 0) 1.0 else 0.0)
+    (1 to 5).foreach { _ =>
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val lambda1 = (0 until dims)
+      .map(i => (0 until dims).map(j => cov(i)(j) * v(i) * v(j)).sum).sum
+    val tr = (0 until dims).map(i => cov(i)(i)).sum
+    v.zipWithIndex
+      .map { case (x, d) => (d.toLong, x) }.toSeq.toDF("d", "vv")
+      .select(col("d"), round(col("vv"), 6).as("component"),
+        round(lit(lambda1), 6).as("lambda1"),
+        round(lit(lambda1 / tr), 4).as("variance_share"))
+      .orderBy(col("d"))
+  }
+
+  /** Oracle: identical decimal-summed covariance, five unrolled rounds. */
+  private def topDirectionSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""w$i AS (SELECT c.d1, SUM(c.c * v.vv) AS w
+         |       FROM cov c JOIN $prev v ON c.d2 = v.d GROUP BY 1),
+         |n$i AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w$i),
+         |v$i AS (SELECT w.d1 AS d, w.w / n.nrm AS vv FROM w$i w, n$i n)"""
+        .stripMargin
+    s"""WITH comps AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
+       |         CAST(UNNEST(embedding) AS DOUBLE) AS v
+       |  FROM embeddings),
+       |means AS (
+       |  SELECT d, CAST(SUM(CAST(v AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS m
+       |  FROM comps GROUP BY 1),
+       |cent AS (
+       |  SELECT c.vec_id, c.d, c.v - m.m AS x
+       |  FROM comps c JOIN means m USING (d)),
+       |cov AS (
+       |  SELECT a.d AS d1, b.d AS d2,
+       |         CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) /
+       |              COUNT(DISTINCT a.vec_id) AS DOUBLE) AS c
+       |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id
+       |  GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT d1 AS d,
+       |              CASE WHEN d1 = 0 THEN 1.0 ELSE 0.0 END AS vv
+       |       FROM cov),
+       |${(1 to 5).map(i => round(i, s"v${i - 1}")).mkString(",\n")},
+       |ray AS (
+       |  SELECT SUM(c.c * va.vv * vb.vv) AS lambda1
+       |  FROM cov c
+       |  JOIN v5 va ON va.d = c.d1
+       |  JOIN v5 vb ON vb.d = c.d2),
+       |tr AS (SELECT SUM(c) AS tr FROM cov WHERE d1 = d2)
+       |SELECT v.d, ROUND(v.vv, 6) AS component,
+       |       ROUND(r.lambda1, 6) AS lambda1,
+       |       ROUND(r.lambda1 / t.tr, 4) AS variance_share
+       |FROM v5 v, ray r, tr t
+       |ORDER BY v.d""".stripMargin
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_embed_top_direction", topDirection, Some(topDirectionSql)),
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EmbeddingStats
+
+/** Spectral stats: the distributed power iteration reproduces a textbook
+  * driver-side covariance + power iteration, the direction is unit-norm,
+  * and the variance share is a sane Rayleigh/trace ratio. */
+class EmbeddingStatsSpec extends SparkSpec {
+
+  test("top direction equals a driver-side covariance power iteration") {
+    val rows = EmbeddingStats.topDirection(spark, Sf).collect()
+    assert(rows.length == 64)
+    val got = rows.map(r => r.getAs[Long]("d") -> r.getAs[Double]("component")).toMap
+    val lambda1 = rows.head.getAs[Double]("lambda1")
+    val share = rows.head.getAs[Double]("variance_share")
+
+    // textbook recompute
+    val vecs = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length; val dim = 64
+    val mean = Array.tabulate(dim)(d => vecs.map(_(d)).sum / n)
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+    }
+    var v = Array.tabulate(dim)(d => if (d == 0) 1.0 else 0.0)
+    (1 to 5).foreach { _ =>
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val ray = (0 until dim).map(i => (0 until dim).map(j => cov(i)(j) * v(i) * v(j)).sum).sum
+    val tr = (0 until dim).map(i => cov(i)(i)).sum
+
+    (0 until dim).foreach { d =>
+      assert(math.abs(got(d.toLong) - v(d)) < 1e-4, s"dim $d: ${got(d.toLong)} vs ${v(d)}")
+    }
+    assert(math.abs(lambda1 - ray) < 1e-3, s"$lambda1 vs $ray")
+    assert(math.abs(share - ray / tr) < 1e-3)
+    // unit norm (of the rounded components, loosely)
+    val norm = math.sqrt(got.values.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3)
+    assert(share > 0 && share < 1)
+  }
+}
