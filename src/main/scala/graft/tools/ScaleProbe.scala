@@ -52,7 +52,7 @@ object ScaleProbe {
     // round 10 additions: cell-table IPF, frozen-index append, histogram-
     // bucketed padding audit
     "q_corpus_mixture_ipf", "q_sim_index_append", "q_corpus_padding_waste",
-    "q_sim_index_drift", "q_sim_bitext_margin")
+    "q_sim_index_drift", "q_sim_bitext_margin", "q_embed_top_direction")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
