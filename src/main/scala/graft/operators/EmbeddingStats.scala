@@ -143,7 +143,143 @@ object EmbeddingStats {
        |ORDER BY v.d""".stripMargin
   }
 
+  /** Embedding-health audit — the QC gate a pipeline runs BEFORE paying
+    * for ANN index builds: per label, vector count, non-finite vectors
+    * (any NaN/±Inf element), zero-norm vectors (undefined cosine),
+    * dimension min/max (a mismatch means a corrupt batch), and a robust
+    * norm-outlier count (|‖v‖² − median| > 3×MAD — truncated writes and
+    * wrong-scale batches land far from the corpus norm band).
+    *
+    * Exactness across engines: the norm statistic is the INTEGER
+    * `Σᵢ ⌊4096·vᵢ²⌋` — each term is one IEEE multiply of identical
+    * operands (float→double is exact, the product is a single correctly-
+    * rounded op) then a floor, so both engines derive the identical
+    * BIGINT from the identical vector and the sum is order-free. Median
+    * and MAD are rank-picked from the GRID HISTOGRAM, never interpolated.
+    *
+    * Scale shape: the per-vector fold is a codegen'd array aggregate —
+    * no explode, no shuffle; the only shuffled key is (label, norm_q)
+    * whose cardinality is bounded by the GRID RANGE (≈ dims·4096·max v²
+    * distinct values), not the corpus — the same domain-bounded-grid
+    * rule the KS/TV drift queries follow, which is what lets the
+    * median/MAD windows run over a frame that stays KB-sized at 100 TB.
+    * The 1/4096 per-element grid is the knob: QC hunts gross outliers
+    * (wrong scale, truncation), not 6th-decimal drift. */
+  def embeddingQc(spark: SparkSession, sfDir: String): DataFrame =
+    qcOf(Tpch(spark, sfDir).embeddings)
+
+  /** The audit over any (label, embedding: array<float>) frame — split out
+    * so the spec can plant NaN / zero / short / wrong-scale vectors. */
+  private[graft] def qcOf(embeddings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // v - v = 0 only for finite v (NaN/±Inf yield NaN, and NaN = 0 is
+    // false in BOTH engines' float semantics — including Spark's
+    // NaN-equals-NaN rule, which only bites on NaN = NaN).
+    val base = embeddings.select(
+      col("vec_id"), col("label").cast("long").as("label"),
+      size(col("embedding")).cast("long").as("dims"),
+      expr("exists(embedding, v -> NOT (v - v = CAST(0.0 AS FLOAT)))")
+        .as("bad"),
+      expr(
+        """aggregate(embedding, 0L, (acc, v) ->
+          |  acc + CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 4096.0)
+          |             AS BIGINT))""".stripMargin).as("raw_q"))
+      .withColumn("norm_q", when(col("bad"), lit(null)).otherwise(col("raw_q")))
+    val hist = base.where(!col("bad"))
+      .groupBy(col("label"), col("norm_q")).agg(count(lit(1)).as("freq"))
+    // Lower median rank-picked from the cumulative histogram: the grid
+    // value whose cumulative span covers rank ⌈n/2⌉.
+    def gridMedian(h: DataFrame, value: String, out: String): DataFrame = {
+      val ord = Window.partitionBy(col("label")).orderBy(col(value).asc)
+      val all = Window.partitionBy(col("label"))
+      h.withColumn("cum", sum(col("freq")).over(ord))
+        .withColumn("n", sum(col("freq")).over(all))
+        // (n + 1) DIV 2, not `/`: Spark's `/` on longs is DOUBLE division,
+        // which would shift even-n cases to the UPPER median and diverge
+        // from the oracle's `//`.
+        .withColumn("r", expr("(n + 1) DIV 2"))
+        .where(col("cum") - col("freq") < col("r") && col("r") <= col("cum"))
+        .select(col("label"), col(value).as(out))
+    }
+    val med = gridMedian(hist, "norm_q", "med_q")
+    val dev = hist.join(broadcast(med), "label")
+      .groupBy(col("label"), abs(col("norm_q") - col("med_q")).as("dv"))
+      .agg(sum(col("freq")).as("freq"))
+    val mad = gridMedian(dev, "dv", "mad_q")
+    val outliers = dev.join(broadcast(mad), "label")
+      .groupBy(col("label"))
+      .agg(sum(when(col("dv") > lit(3) * col("mad_q"), col("freq"))
+        .otherwise(lit(0L))).as("n_norm_outliers"))
+    val summary = base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(!col("bad") && col("norm_q") === 0, 1L).otherwise(0L))
+          .as("n_zero_norm"),
+        min(col("dims")).as("dims_min"),
+        max(col("dims")).as("dims_max"))
+    summary.join(broadcast(med), "label").join(broadcast(mad), "label")
+      .join(broadcast(outliers), "label")
+      .select(col("label"), col("n_vecs"), col("n_nonfinite"),
+        col("n_zero_norm"), col("dims_min"), col("dims_max"),
+        col("med_q").as("med_norm_q"), col("mad_q").as("mad_norm_q"),
+        col("n_norm_outliers"))
+      .orderBy(col("label"))
+  }
+
+  /** Oracle: the identical integer grid fold via list_transform/list_sum,
+    * the identical histogram rank-picks — every emitted value an exact
+    * integer. */
+  private def embeddingQcSql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |         CAST(len(embedding) AS BIGINT) AS dims,
+      |         len(list_filter(embedding, x -> NOT (x - x = 0))) > 0 AS bad,
+      |         CASE WHEN len(list_filter(embedding, x -> NOT (x - x = 0))) > 0
+      |              THEN NULL
+      |              ELSE CAST(list_sum(list_transform(embedding,
+      |                x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+      |                                * 4096.0) AS BIGINT))) AS BIGINT)
+      |         END AS norm_q
+      |  FROM embeddings),
+      |hist AS (SELECT label, norm_q, COUNT(*) AS freq
+      |         FROM v WHERE NOT bad GROUP BY 1, 2),
+      |h2 AS (SELECT *,
+      |              SUM(freq) OVER (PARTITION BY label ORDER BY norm_q) AS cum,
+      |              SUM(freq) OVER (PARTITION BY label) AS n
+      |       FROM hist),
+      |med AS (SELECT label, norm_q AS med_q FROM h2
+      |        WHERE cum - freq < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+      |dev AS (SELECT h.label, ABS(h.norm_q - m.med_q) AS dv,
+      |               SUM(h.freq) AS freq
+      |        FROM hist h JOIN med m USING (label) GROUP BY 1, 2),
+      |d2 AS (SELECT *,
+      |              SUM(freq) OVER (PARTITION BY label ORDER BY dv) AS cum,
+      |              SUM(freq) OVER (PARTITION BY label) AS n
+      |       FROM dev),
+      |mad AS (SELECT label, dv AS mad_q FROM d2
+      |        WHERE cum - freq < (n + 1) // 2 AND (n + 1) // 2 <= cum),
+      |outl AS (SELECT d.label,
+      |                CAST(SUM(CASE WHEN d.dv > 3 * mad.mad_q THEN d.freq
+      |                              ELSE 0 END) AS BIGINT) AS n_norm_outliers
+      |         FROM dev d JOIN mad USING (label) GROUP BY 1),
+      |summ AS (SELECT label, COUNT(*) AS n_vecs,
+      |                CAST(SUM(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+      |                  AS n_nonfinite,
+      |                CAST(SUM(CASE WHEN NOT bad AND norm_q = 0 THEN 1
+      |                              ELSE 0 END) AS BIGINT) AS n_zero_norm,
+      |                MIN(dims) AS dims_min, MAX(dims) AS dims_max
+      |         FROM v GROUP BY 1)
+      |SELECT s.label, s.n_vecs, s.n_nonfinite, s.n_zero_norm,
+      |       s.dims_min, s.dims_max, m.med_q AS med_norm_q,
+      |       mad.mad_q AS mad_norm_q, o.n_norm_outliers
+      |FROM summ s
+      |JOIN med m USING (label)
+      |JOIN mad USING (label)
+      |JOIN outl o USING (label)
+      |ORDER BY s.label""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_embed_top_direction", topDirection, Some(topDirectionSql)),
+    NamedQuery("q_embed_qc", embeddingQc, Some(embeddingQcSql)),
   )
 }

@@ -100,6 +100,68 @@ object Sampling {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Temperature-scaled mixture sampling — the language-balancing draw of
+    * the multilingual-pretraining recipe (sampling share ∝ n_ℓ^α with
+    * α < 1 upweights low-resource languages relative to their raw share;
+    * α = 0.5 here). The k-doc budget is apportioned across languages by
+    * LARGEST-REMAINDER (Hamilton) on the tempered masses, then each
+    * language's quota is filled in md5-order — every step deterministic
+    * and engine-portable.
+    *
+    * Exactness: α = 0.5 is deliberate — `sqrt` is an IEEE CORRECTLY-
+    * ROUNDED operation (unlike `pow(·, 0.3)`, whose last ulp is libm-
+    * dependent), so `⌊√(n_ℓ·10⁶)⌋` is the identical BIGINT mass in both
+    * engines and the whole apportionment (integer DIV/mod, remainder
+    * ranking) never touches a float. A quota can exceed a tiny stratum
+    * (single-round apportionment, no redistribution) — the draw then
+    * returns the whole stratum and fewer than k rows total, which is the
+    * readout a mixture designer wants to SEE, not paper over.
+    *
+    * Scale shape: masses/quotas live on a #languages-sized frame (the
+    * keySkewReport precedent for tiny global windows); the pick reuses
+    * the two-phase shard trick of [[stratifiedSampleDocuments]] so no
+    * language funnels through one task — phase 1 ranks within
+    * (lang, doc_id mod 64) and keeps each shard's top-quota (a superset
+    * of the language's global top-quota), phase 2 re-ranks ≤ 64·quota
+    * survivors. */
+  def temperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val k = 100
+    val mass = t.documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("s",
+        floor(sqrt(col("n").cast("double") * lit(1000000.0))).cast("long"))
+    val totals = mass.agg(sum(col("s")).as("big_s"))
+    val quotas0 = mass.crossJoin(broadcast(totals))
+      .withColumn("base", expr(s"$k * s DIV big_s"))
+      .withColumn("rem", expr(s"($k * s) % big_s"))
+    val leftover = quotas0.agg((lit(k) - sum(col("base"))).as("leftover"))
+    val quotas = quotas0
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang").asc)))
+      .crossJoin(broadcast(leftover))
+      .withColumn("quota",
+        col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("lang"), col("n").as("lang_docs"), col("quota"))
+    val keyed = t.documents
+      .join(broadcast(quotas), "lang")
+      .withColumn("rk", md5(concat(col("doc_id").cast("string"), lit(":ts"))))
+    val phase1 = keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"), pmod(col("doc_id"), lit(64)))
+          .orderBy(col("rk"), col("doc_id"))))
+      .where(col("rn") <= col("quota"))
+      .drop("rn")
+    phase1
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("rk"), col("doc_id"))))
+      .where(col("rn") <= col("quota"))
+      .select(col("lang"), col("lang_docs"), col("quota"), col("doc_id"),
+        col("source"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
     // Oracle (graduated round 10): the md5-portable priority lets DuckDB
     // regenerate the identical draw per doc and take the same top-100.
@@ -124,6 +186,37 @@ object Sampling {
         |       CAST(n_distinct AS BIGINT) AS n_distinct
         |FROM (SELECT * FROM p ORDER BY pr DESC, doc_id ASC LIMIT 100)
         |ORDER BY doc_id""".stripMargin)),
+    // Oracle: the naive single-rank formulation of the same apportionment —
+    // integer masses from correctly-rounded sqrt, Hamilton remainders,
+    // md5-order pick; every compared value an exact integer or md5 digest.
+    NamedQuery("q_corpus_temperature_sample", temperatureSample, Some(
+      """WITH mass AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |         CAST(FLOOR(SQRT(COUNT(*) * 1000000.0)) AS BIGINT) AS s
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(s) AS big_s FROM mass),
+        |q0 AS (
+        |  SELECT m.lang, m.n, m.s,
+        |         100 * m.s // t.big_s AS base,
+        |         (100 * m.s) % t.big_s AS rem
+        |  FROM mass m, tot t),
+        |lo AS (SELECT 100 - SUM(base) AS leftover FROM q0),
+        |q AS (
+        |  SELECT q0.lang, q0.n AS lang_docs,
+        |         q0.base + CASE WHEN ROW_NUMBER() OVER
+        |                          (ORDER BY q0.rem DESC, q0.lang ASC)
+        |                        <= lo.leftover THEN 1 ELSE 0 END AS quota
+        |  FROM q0, lo),
+        |r AS (
+        |  SELECT d.lang, q.lang_docs, q.quota, d.doc_id, d.source,
+        |         ROW_NUMBER() OVER (PARTITION BY d.lang
+        |           ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':ts'),
+        |                    d.doc_id) AS rn
+        |  FROM documents d JOIN q USING (lang))
+        |SELECT lang, CAST(lang_docs AS BIGINT) AS lang_docs,
+        |       CAST(quota AS BIGINT) AS quota, doc_id, source
+        |FROM r WHERE rn <= quota
+        |ORDER BY lang, doc_id""".stripMargin)),
     NamedQuery("q_stratified_sample", stratifiedSampleDocuments, Some(
       """SELECT lang, doc_id, source
         |FROM (SELECT lang, doc_id, source,

@@ -44,4 +44,70 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-3)
     assert(share > 0 && share < 1)
   }
+
+  test("embedding QC flags planted NaN / zero / short / wrong-scale vectors") {
+    import spark.implicits._
+    // label 0: 9 clean unit-ish vectors + one of each corruption class;
+    // label 1: all clean — its audit row must be all-zeros on the flags.
+    def vec(scale: Float): Array[Float] = Array.fill(8)(0.5f * scale)
+    val clean0 = (0 until 9).map(i => (i.toLong, 0, vec(1.0f)))
+    val planted = Seq(
+      (100L, 0, vec(1.0f).updated(3, Float.NaN)),  // non-finite
+      (101L, 0, Array.fill(8)(0.0f)),              // zero norm
+      (102L, 0, vec(1.0f).take(5)),                // short (dim mismatch)
+      (103L, 0, vec(10.0f)))                       // wrong scale (norm outlier)
+    val clean1 = (200 until 212).map(i => (i.toLong, 1, vec(1.0f)))
+    val df = (clean0 ++ planted ++ clean1)
+      .toDF("vec_id", "label", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val got = graft.operators.EmbeddingStats.qcOf(df).collect()
+      .map(r => r.getAs[Long]("label") -> r).toMap
+
+    val l0 = got(0L)
+    assert(l0.getAs[Long]("n_vecs") == 13)
+    assert(l0.getAs[Long]("n_nonfinite") == 1)
+    assert(l0.getAs[Long]("n_zero_norm") == 1)
+    assert(l0.getAs[Long]("dims_min") == 5 && l0.getAs[Long]("dims_max") == 8)
+    // clean norm² = 8·0.25 = 2 → grid 8·⌊0.25·4096⌋ = 8192. The 12 finite
+    // norms {0, 5120, 8192×9, 819200} have lower-median 8192; deviations
+    // {8192, 3072, 0×9, 811008} have lower-median 0 — MAD collapses, and
+    // the screen's MAD=0 degenerate rule (any deviation is an outlier)
+    // must flag exactly the zero, short and wrong-scale vectors.
+    assert(l0.getAs[Long]("med_norm_q") == 8192L)
+    assert(l0.getAs[Long]("mad_norm_q") == 0L)
+    assert(l0.getAs[Long]("n_norm_outliers") == 3L)
+
+    val l1 = got(1L)
+    assert(l1.getAs[Long]("n_vecs") == 12)
+    assert(l1.getAs[Long]("n_nonfinite") == 0)
+    assert(l1.getAs[Long]("n_zero_norm") == 0)
+    assert(l1.getAs[Long]("dims_min") == 8 && l1.getAs[Long]("dims_max") == 8)
+    assert(l1.getAs[Long]("med_norm_q") == 8192L)
+    assert(l1.getAs[Long]("mad_norm_q") == 0L)
+    assert(l1.getAs[Long]("n_norm_outliers") == 0L)
+  }
+
+  test("embedding QC on the corpus matches a driver-side brute force") {
+    val rows = graft.operators.EmbeddingStats.embeddingQc(spark, Sf).collect()
+    val vecs = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Int]("label").toLong,
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+    rows.foreach { r =>
+      val lab = r.getAs[Long]("label")
+      val mine = vecs.filter(_._1 == lab).map(_._2)
+      val grid = mine.map(v => v.map(x => math.floor(x * x * 4096.0).toLong).sum)
+      assert(r.getAs[Long]("n_vecs") == mine.length)
+      assert(r.getAs[Long]("n_nonfinite") == 0)
+      val med = lowerMedian(grid)
+      assert(r.getAs[Long]("med_norm_q") == med, s"label $lab median")
+      val mad = lowerMedian(grid.map(g => math.abs(g - med)))
+      assert(r.getAs[Long]("mad_norm_q") == mad, s"label $lab MAD")
+      val out = grid.count(g => mad > 0 && math.abs(g - med) > 3 * mad)
+      assert(r.getAs[Long]("n_norm_outliers") ==
+        (if (mad > 0) out else grid.count(g => math.abs(g - med) > 0)),
+        s"label $lab outliers")
+    }
+  }
 }

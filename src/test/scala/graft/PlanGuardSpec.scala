@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_heaps_curve",  // broadcast one-row id-span frame
     "q_corpus_dsir",       // broadcast one-row smoothing-totals frame
     "q_events_time_to_convert", // broadcast one-row conversion-count frame
-    "q_audit_freshness"    // broadcast one-row global-max-day frame
+    "q_audit_freshness",   // broadcast one-row global-max-day frame
+    "q_corpus_temperature_sample" // broadcast one-row Σmass + leftover frames
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -62,7 +63,7 @@ class PlanGuardSpec extends SparkSpec {
     * constant number of tasks at 100 TB — the low-cardinality window
     * funnel the two-phase-quota rule (CorpusPrep) exists to avoid. */
   private val boundedCardinality = Set(
-    "lang", "source", "event_type", "status", "split", "kind",
+    "lang", "source", "event_type", "status", "split", "kind", "label",
     "o_orderstatus", "l_returnflag", "l_linestatus", "c_mktsegment",
     "account_type", "currency", "txn_type", "r_name", "cust_nation",
     "key_col", "tbl")
@@ -104,7 +105,14 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_heaps_curve" -> "global cumsum over the 10-bucket prefix table",
     "q_corpus_padding_waste" -> "global cumsum over token-length-value histogram",
     // quantile pick over the DURATION-value histogram (distinct durations)
-    "q_events_time_to_convert" -> "global cumsum over duration-value histogram")
+    "q_events_time_to_convert" -> "global cumsum over duration-value histogram",
+    // median/MAD rank-picks run over the NORM-GRID histogram — rows =
+    // labels × occupied grid values (grid-range-bounded), never vectors
+    "q_embed_qc" -> "rank-picks over the label × norm-grid histogram",
+    // quota apportionment windows over the #languages frame; the pick is
+    // the two-phase shard trick (phase-2 rank over quota survivors)
+    "q_corpus_temperature_sample" ->
+      "quota frame = languages; phase-2 rank over per-shard quota survivors")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -45,4 +45,48 @@ class SamplingSpec extends SparkSpec {
     assert(a.length == 100 && a.distinct.length == 100)
     assert(a == b)
   }
+
+  test("temperature sample: Hamilton quotas from √-tempered masses, filled in md5 order") {
+    val rows = Sampling.temperatureSample(spark, Sf).collect()
+
+    // Driver-side recomputation of the apportionment.
+    val counts = Tpch(spark, Sf).documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    val mass = counts.map { case (l, n) =>
+      l -> math.floor(math.sqrt(n * 1000000.0)).toLong }
+    val s = mass.values.sum
+    val base = mass.map { case (l, m) => l -> 100 * m / s }
+    val leftover = (100 - base.values.sum).toInt
+    val extras = mass.toSeq
+      .sortBy { case (l, m) => (-(100 * m % s), l) }
+      .take(leftover).map(_._1).toSet
+    val expQuota = base.map { case (l, b) =>
+      l -> (b + (if (extras(l)) 1L else 0L)) }
+
+    val gotQuota = rows.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("quota")).toMap
+    assert(gotQuota == expQuota.filter(_._2 > 0), "apportionment mismatch")
+    assert(expQuota.values.sum == 100L)
+
+    // Each language contributes min(quota, |stratum|) docs, and exactly
+    // the md5-first ones.
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (l, rs) =>
+      assert(rs.length == math.min(expQuota(l), counts(l)).toInt, s"lang $l")
+    }
+    // temperature flattens: the sampled share of the SMALLEST stratum must
+    // be >= its raw share (α = 0.5 upweights low-resource langs)
+    val minLang = counts.minBy(_._2)._1
+    val rawShare = counts(minLang).toDouble / counts.values.sum
+    val sampledShare = byLang(minLang).length / 100.0
+    assert(sampledShare >= rawShare * 0.99,
+      s"$minLang sampled $sampledShare < raw $rawShare")
+
+    // determinism
+    val again = Sampling.temperatureSample(spark, Sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSeq
+    assert(again == rows.map(r =>
+      (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSeq)
+  }
 }
