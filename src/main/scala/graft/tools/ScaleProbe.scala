@@ -52,7 +52,10 @@ object ScaleProbe {
     // round 10 additions: cell-table IPF, frozen-index append, histogram-
     // bucketed padding audit
     "q_corpus_mixture_ipf", "q_sim_index_append", "q_corpus_padding_waste",
-    "q_sim_index_drift", "q_sim_bitext_margin", "q_embed_top_direction")
+    "q_sim_index_drift", "q_sim_bitext_margin", "q_embed_top_direction",
+    // round 10 additions: grid-histogram QC (one codegen fold + bounded
+    // windows), temperature sampling (two-phase quota pick)
+    "q_embed_qc", "q_corpus_temperature_sample")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -194,9 +197,17 @@ object ScaleProbe {
       synthesizeWarehouse(spark, sfDir, outDir)
       println(s"[scale] synthesized 10x warehouse slice at $outDir")
     }
+    // Optional third arg: comma-separated family names — probe only those
+    // (fail loudly on a typo, the Verify.scala rule).
+    val only = args.lift(2).map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names.diff(Families.toSet)
+      require(unknown.isEmpty,
+        s"unknown probe family(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     println("| query | sf0.1 cold (s) | sf0.1 warm (s) | 10x cold (s) | 10x warm (s) | warm ratio | cold ratio |")
     println("|---|---|---|---|---|---|---|")
-    Families.foreach { q =>
+    Families.filter(q => only.forall(_.contains(q))).foreach { q =>
       val (baseCold, base) = time(spark, q, sfDir, 2)
       val (bigCold, big) = time(spark, q, outDir, 2)
       println(f"| $q | $baseCold%.2f | $base%.2f | $bigCold%.2f | $big%.2f | ${big / base}%.1fx | ${bigCold / baseCold}%.1fx |")
