@@ -168,22 +168,31 @@ object EmbeddingStats {
   def embeddingQc(spark: SparkSession, sfDir: String): DataFrame =
     qcOf(Tpch(spark, sfDir).embeddings)
 
+  /** True iff any element of `embedding` is NaN or ±Inf. v - v = 0 only
+    * for finite v (NaN/±Inf yield NaN, and NaN = 0 is false in BOTH
+    * engines' float semantics — including Spark's NaN-equals-NaN rule,
+    * which only bites on NaN = NaN). Shared by the batch audit and the
+    * streaming ingest gate so the two rules can never diverge. */
+  private[graft] def nonFinite: org.apache.spark.sql.Column =
+    expr("exists(embedding, v -> NOT (v - v = CAST(0.0 AS FLOAT)))")
+
+  /** The integer norm statistic Σᵢ ⌊4096·vᵢ²⌋ — engine-portable (one IEEE
+    * multiply of identical operands per term, then floor), order-free. */
+  private[graft] def normGrid: org.apache.spark.sql.Column =
+    expr(
+      """aggregate(embedding, 0L, (acc, v) ->
+        |  acc + CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 4096.0)
+        |             AS BIGINT))""".stripMargin)
+
   /** The audit over any (label, embedding: array<float>) frame — split out
     * so the spec can plant NaN / zero / short / wrong-scale vectors. */
   private[graft] def qcOf(embeddings: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // v - v = 0 only for finite v (NaN/±Inf yield NaN, and NaN = 0 is
-    // false in BOTH engines' float semantics — including Spark's
-    // NaN-equals-NaN rule, which only bites on NaN = NaN).
     val base = embeddings.select(
       col("vec_id"), col("label").cast("long").as("label"),
       size(col("embedding")).cast("long").as("dims"),
-      expr("exists(embedding, v -> NOT (v - v = CAST(0.0 AS FLOAT)))")
-        .as("bad"),
-      expr(
-        """aggregate(embedding, 0L, (acc, v) ->
-          |  acc + CAST(FLOOR(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 4096.0)
-          |             AS BIGINT))""".stripMargin).as("raw_q"))
+      nonFinite.as("bad"),
+      normGrid.as("raw_q"))
       .withColumn("norm_q", when(col("bad"), lit(null)).otherwise(col("raw_q")))
     val hist = base.where(!col("bad"))
       .groupBy(col("label"), col("norm_q")).agg(count(lit(1)).as("freq"))

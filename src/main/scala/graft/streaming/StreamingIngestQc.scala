@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{EmbeddingStats, ProductQuantization}
+
+/** Streaming embedding-QC gate — [[graft.operators.EmbeddingStats]]'s
+  * per-vector health rules composed IN FRONT of the streaming index
+  * append: each arriving micro-batch is split into clean vectors (fed to
+  * the frozen-centroid assigner exactly as [[StreamingIndexAppend]] does)
+  * and rejects (non-finite elements, zero norm, wrong dimension), which
+  * land in a quarantine lane WITH their reason instead of poisoning the
+  * ANN index. A NaN that reaches a distance computation silently corrupts
+  * every top-k it participates in — the gate is the reason the QC rules
+  * exist as reusable Columns rather than only inside the batch audit.
+  *
+  * Same quarantine-lane pattern as the CDC wire's malformed-envelope
+  * lane ([[CdcEnvelope]]): reject rows are never dropped, they are
+  * routed — the ops readout ("why is 0.3% of the feed quarantined?") is
+  * itself the monitoring signal a production feed needs.
+  *
+  * Scale contract: the screen is two codegen'd array folds per row —
+  * no shuffle, no state store; per-batch cost stays |batch|-linear and
+  * the append inherits [[StreamingIndexAppend]]'s contract (broadcast
+  * argmin against the frozen centroids, at-least-once parquet append).
+  */
+object StreamingIngestQc {
+
+  def quarantinePath(root: String) = s"$root/quarantine"
+
+  /** Per-vector screen: adds a `reject_reason` column (null = clean).
+    * Precedence: dimension first (a truncated write is the root cause
+    * even when its tail also contains junk), then non-finite, then zero
+    * norm. Static-frame logic — usable unchanged for a batch backfill. */
+  def screened(batch: DataFrame, expectedDims: Int): DataFrame =
+    batch.withColumn("reject_reason",
+      when(size(col("embedding")) =!= expectedDims, lit("dim_mismatch"))
+        .when(EmbeddingStats.nonFinite, lit("non_finite"))
+        .when(EmbeddingStats.normGrid === 0L, lit("zero_norm")))
+
+  /** One micro-batch: screen → clean rows through the frozen-centroid
+    * assigner, rejects (vec_id, dims, reason) to the quarantine lane. */
+  def processBatch(batch: DataFrame, coarse: DataFrame, root: String,
+                   expectedDims: Int): Unit = {
+    val s = screened(batch, expectedDims)
+    // One pass each side: the screen is cheap enough to evaluate twice
+    // (two codegen folds), which beats caching the micro-batch.
+    ProductQuantization.assignClusters(
+      s.where(col("reject_reason").isNull).drop("reject_reason"), coarse)
+      .write.mode("append").parquet(StreamingIndexAppend.assignedPath(root))
+    val rejects = s.where(col("reject_reason").isNotNull)
+      .select(col("vec_id"), size(col("embedding")).as("dims"),
+        col("reject_reason"))
+    // Empty-frame append still costs a job; skip it the cheap way (the
+    // common case is a fully clean batch).
+    if (!rejects.isEmpty)
+      rejects.write.mode("append").parquet(quarantinePath(root))
+  }
+
+  /** Quarantined rows so far (empty frame if nothing was rejected yet). */
+  def quarantinedSoFar(spark: SparkSession, root: String): DataFrame = {
+    val p = quarantinePath(root)
+    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    else spark.emptyDataFrame
+  }
+
+  /** Wire a streaming (vec_id, embedding) source through screen + append. */
+  def start(vecs: DataFrame, coarse: DataFrame, root: String,
+            checkpoint: String, expectedDims: Int): StreamingQuery =
+    vecs.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        processBatch(batch, coarse, root, expectedDims))
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

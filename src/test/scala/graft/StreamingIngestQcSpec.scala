@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProductQuantization
+import graft.streaming.{StreamingIndexAppend, StreamingIngestQc}
+
+/** Streaming embedding-QC gate: planted bad vectors land in the
+  * quarantine lane with the right reason and NEVER reach the index;
+  * clean vectors get exactly the assignments the ungated streaming
+  * append produces. */
+class StreamingIngestQcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("gate quarantines bad vectors with reasons; clean assignments unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("qc_idx").toString
+    val ckpt = Files.createTempDirectory("qc_ckpt").toString
+    val path = ProductQuantization.ensurePq(spark, Sf)
+    val coarse = spark.read.parquet(s"$path/coarse")
+    val clean = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val dims = clean.head._2.length
+    val bad = Seq(
+      (900001L, clean.head._2.updated(0, Float.NaN)),       // non_finite
+      (900002L, Array.fill(dims)(0.0f)),                    // zero_norm
+      (900003L, clean.head._2.take(dims - 3)),              // dim_mismatch
+      // dim_mismatch wins over the NaN in its tail (precedence rule)
+      (900004L, clean.head._2.take(dims - 3).updated(1, Float.NaN)))
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    // two micro-batches, bad rows interleaved with clean ones
+    val batches = Seq(clean.take(10) ++ bad.take(2), bad.drop(2) ++ clean.drop(10))
+    batches.foreach { rows =>
+      mem.addData(rows: _*)
+      val q = StreamingIngestQc.start(stream, coarse, root, ckpt, dims)
+      q.processAllAvailable(); q.stop()
+    }
+
+    val quarantined = StreamingIngestQc.quarantinedSoFar(spark, root)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[String]("reject_reason")).toMap
+    assert(quarantined == Map(
+      900001L -> "non_finite", 900002L -> "zero_norm",
+      900003L -> "dim_mismatch", 900004L -> "dim_mismatch"))
+
+    val gated = StreamingIndexAppend.assignedSoFar(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gated.keySet == clean.map(_._1).toSet,
+      "index must contain exactly the clean vectors")
+    // parity with the ungated one-shot assignment over the clean rows
+    val oneShot = ProductQuantization.assignClusters(
+        clean.toDF("vec_id", "embedding"), coarse)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(gated == oneShot, "the gate changed a clean vector's assignment")
+  }
+}
