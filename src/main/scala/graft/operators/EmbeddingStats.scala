@@ -168,6 +168,101 @@ object EmbeddingStats {
   def embeddingQc(spark: SparkSession, sfDir: String): DataFrame =
     qcOf(Tpch(spark, sfDir).embeddings)
 
+  /** Whitened ("all-but-the-top") cosine retrieval — the ACTION the
+    * anisotropy audit's readout recommends: center the space, remove the
+    * dominant direction, rank by cosine in the residual space (Mu &
+    * Viswanath 2018 — the common-direction component carries corpus-wide
+    * bias, not similarity signal). Composes the audit into retrieval:
+    * the direction comes from [[topDirection]]'s ROUNDED components, so
+    * both engines whiten with the identical KB-scale artifact.
+    *
+    * ONE corpus pass, no whitened vectors materialized: with x = v − μ,
+    * b = x·u, s = u·u, the residual dot product expands to
+    * w_p·w_q = x_p·x_q − b_p·b_q·(2 − s) and ‖w‖² = ‖x‖² − b²·(2 − s) —
+    * so per vector only THREE decimal-summed scalars (b, ‖x‖², x·x_q)
+    * are aggregated against broadcast means / direction / query
+    * components, then the cosine is scalar arithmetic on identical
+    * doubles in both engines. The (2 − s) term makes the identity EXACT
+    * for the rounded (not-quite-unit) u rather than pretending ‖u‖ = 1.
+    *
+    * Scale shape: posexplode + three broadcast keyed joins on the dim id
+    * (map-side) + one groupBy on the unique vec_id — a single shuffle,
+    * the same budget as the raw cosine scan; the query row and s are
+    * one-row broadcasts. */
+  def whitenedTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    import spark.implicits._
+    val u = topDirection(spark, sfDir)
+      .select(col("d"), col("component")).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Double]("component"))).toSeq
+      .toDF("d", "u")
+    val comps = t.embeddings
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("label"), col("d").cast("long").as("d"),
+        col("v").cast("double").as("v"))
+    val means = comps.groupBy(col("d"))
+      .agg((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
+        .cast("double").as("m"))
+    val x = comps.join(broadcast(means), "d")
+      .select(col("vec_id"), col("label"), col("d"),
+        (col("v") - col("m")).as("x"))
+    val qComps = x.where(col("vec_id") === 0)
+      .select(col("d"), col("x").as("xq"))
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(28, 12))).cast("double")
+    val per = x.join(broadcast(u), "d").join(broadcast(qComps), "d")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(dsum(col("x") * col("u")).as("b"),
+        dsum(col("x") * col("x")).as("xx"),
+        dsum(col("x") * col("xq")).as("xdq"))
+    val s = u.agg(dsum(col("u") * col("u")).as("s"))
+    val qRow = per.where(col("vec_id") === 0)
+      .select(col("b").as("bq"), col("xx").as("xxq"))
+    val two = lit(2.0)
+    per.crossJoin(broadcast(qRow)).crossJoin(broadcast(s))
+      .withColumn("wn2", col("xx") - col("b") * col("b") * (two - col("s")))
+      .withColumn("wq2", col("xxq") - col("bq") * col("bq") * (two - col("s")))
+      .where(col("wn2") > 0 && col("wq2") > 0)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round((col("xdq") - col("b") * col("bq") * (two - col("s"))) /
+          sqrt(col("wn2") * col("wq2")), 6).as("cos_w"))
+      .orderBy(col("cos_w").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Oracle: the full unrolled direction chain (shared with
+    * [[topDirectionSql]]), then the identical expansion — every summed
+    * term decimal-cast so order cannot move a bit. */
+  private def whitenedTopKSql: String = {
+    val chain = topDirectionSql
+    val withBody = chain.substring(0, chain.lastIndexOf("SELECT v.d"))
+    s"""${withBody.trim.stripSuffix(",")},
+       |u AS (SELECT d, ROUND(vv, 6) AS u FROM v5),
+       |su AS (SELECT CAST(SUM(CAST(u * u AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |       FROM u),
+       |x AS (SELECT c.vec_id, c.d, c.v - m.m AS x
+       |      FROM comps c JOIN means m USING (d)),
+       |qc AS (SELECT d, x AS xq FROM x WHERE vec_id = 0),
+       |per AS (
+       |  SELECT x.vec_id,
+       |         CAST(SUM(CAST(x.x * u.u AS DECIMAL(28,12))) AS DOUBLE) AS b,
+       |         CAST(SUM(CAST(x.x * x.x AS DECIMAL(28,12))) AS DOUBLE) AS xx,
+       |         CAST(SUM(CAST(x.x * qc.xq AS DECIMAL(28,12))) AS DOUBLE) AS xdq
+       |  FROM x JOIN u USING (d) JOIN qc USING (d) GROUP BY 1),
+       |qr AS (SELECT b AS bq, xx AS xxq FROM per WHERE vec_id = 0)
+       |SELECT p.vec_id, CAST(e.label AS BIGINT) AS label,
+       |       ROUND((p.xdq - p.b * qr.bq * (2.0 - su.s)) /
+       |             SQRT((p.xx - p.b * p.b * (2.0 - su.s)) *
+       |                  (qr.xxq - qr.bq * qr.bq * (2.0 - su.s))), 6) AS cos_w
+       |FROM per p
+       |JOIN embeddings e ON e.vec_id = p.vec_id
+       |CROSS JOIN qr CROSS JOIN su
+       |WHERE (p.xx - p.b * p.b * (2.0 - su.s)) > 0
+       |  AND (qr.xxq - qr.bq * qr.bq * (2.0 - su.s)) > 0
+       |ORDER BY cos_w DESC, p.vec_id ASC LIMIT 10""".stripMargin
+  }
+
   /** True iff any element of `embedding` is NaN or ±Inf. v - v = 0 only
     * for finite v (NaN/±Inf yield NaN, and NaN = 0 is false in BOTH
     * engines' float semantics — including Spark's NaN-equals-NaN rule,
@@ -290,5 +385,6 @@ object EmbeddingStats {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_embed_top_direction", topDirection, Some(topDirectionSql)),
     NamedQuery("q_embed_qc", embeddingQc, Some(embeddingQcSql)),
+    NamedQuery("q_sim_whitened_topk", whitenedTopK, Some(whitenedTopKSql)),
   )
 }

@@ -55,7 +55,9 @@ object ScaleProbe {
     "q_sim_index_drift", "q_sim_bitext_margin", "q_embed_top_direction",
     // round 10 additions: grid-histogram QC (one codegen fold + bounded
     // windows), temperature sampling (two-phase quota pick)
-    "q_embed_qc", "q_corpus_temperature_sample")
+    "q_embed_qc", "q_corpus_temperature_sample",
+    // whitened retrieval: one posexplode pass + broadcast artifacts
+    "q_sim_whitened_topk")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -45,6 +45,55 @@ class EmbeddingStatsSpec extends SparkSpec {
     assert(share > 0 && share < 1)
   }
 
+  test("whitened top-k equals a brute force that MATERIALIZES the residual vectors") {
+    val rows = graft.operators.EmbeddingStats.whitenedTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_w")))
+
+    // Independent formulation: actually build w = x − (x·u)·u per vector
+    // (the engine never materializes w — it uses the expansion identity),
+    // then rank by plain cosine of the residuals.
+    val u = graft.operators.EmbeddingStats.topDirection(spark, Sf)
+      .collect().sortBy(_.getAs[Long]("d")).map(_.getAs[Double]("component"))
+    val vecs = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    val n = vecs.length; val dim = u.length
+    val mean = Array.tabulate(dim)(d => vecs.map(_._2(d)).sum / n)
+    val s = u.map(x => x * x).sum
+    def whiten(v: Array[Double]): Array[Double] = {
+      val x = Array.tabulate(dim)(d => v(d) - mean(d))
+      val b = (0 until dim).map(d => x(d) * u(d)).sum
+      Array.tabulate(dim)(d => x(d) - b * u(d))
+    }
+    val q = whiten(vecs.find(_._1 == 0L).get._2)
+    val expected = vecs.map { case (id, v) =>
+      val w = whiten(v)
+      val cos = (0 until dim).map(d => w(d) * q(d)).sum /
+        (math.sqrt(w.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+      (id, cos)
+    }.sortBy { case (id, c) => (-c, id) }.take(10)
+
+    assert(rows.map(_._1).toSeq == expected.map(_._1).toSeq,
+      s"ranking mismatch: ${rows.toSeq} vs ${expected.toSeq}")
+    rows.zip(expected).foreach { case ((_, got), (_, exp)) =>
+      // the expansion identity w·w = x·x − b²(2−s) is algebraically EXACT
+      // for w = x − b·u (any ‖u‖) — differences are float association plus
+      // the engine's 6-dp output rounding (≤ 5e-7)
+      assert(math.abs(got - exp) < 1e-6, s"$got vs $exp")
+    }
+    // whitening must actually change something: the residual ranking
+    // differs from the raw cosine ranking somewhere in the top-10
+    val raw = vecs.map { case (id, v) =>
+      val qv = vecs.find(_._1 == 0L).get._2
+      val cos = (0 until dim).map(d => v(d) * qv(d)).sum /
+        (math.sqrt(v.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum))
+      (id, cos)
+    }.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    assert(rows.map(_._1).toSeq != raw || u.forall(math.abs(_) < 1e-3),
+      "whitening was a no-op on a visibly anisotropic corpus")
+  }
+
   test("embedding QC flags planted NaN / zero / short / wrong-scale vectors") {
     import spark.implicits._
     // label 0: 9 clean unit-ish vectors + one of each corruption class;

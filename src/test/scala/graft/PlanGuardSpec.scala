@@ -41,7 +41,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_corpus_dsir",       // broadcast one-row smoothing-totals frame
     "q_events_time_to_convert", // broadcast one-row conversion-count frame
     "q_audit_freshness",   // broadcast one-row global-max-day frame
-    "q_corpus_temperature_sample" // broadcast one-row Σmass + leftover frames
+    "q_corpus_temperature_sample", // broadcast one-row Σmass + leftover frames
+    "q_sim_whitened_topk"  // broadcast one-row query-scalars + u·u frames
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
