@@ -42,16 +42,28 @@ object EmbeddingStats {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  private def covarianceUncached(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = Tpch(spark, sfDir)
-    val comps = t.embeddings
-      .select(col("vec_id"),
+  /** Per-dimension decimal means — a dims-sized (KB) artifact cached per
+    * (session, sf): the covariance build and the whitened retrieval both
+    * center against the SAME frame, so neither re-scans the corpus for
+    * means. */
+  private val meansCache = FrameCache.empty
+  private def dimMeans(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(meansCache, spark, sfDir) {
+      comps(spark, sfDir).groupBy(col("d"))
+        .agg((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
+          .cast("double").as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def comps(spark: SparkSession, sfDir: String): DataFrame =
+    Tpch(spark, sfDir).embeddings
+      .select(col("vec_id"), col("label"),
         posexplode(col("embedding")).as(Seq("d", "v")))
-      .withColumn("v", col("v").cast("double"))
-    val means = comps.groupBy(col("d"))
-      .agg((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
-        .cast("double").as("m"))
-    val centered = comps.join(broadcast(means), "d")
+      .select(col("vec_id"), col("label"), col("d").cast("long").as("d"),
+        col("v").cast("double").as("v"))
+
+  private def covarianceUncached(spark: SparkSession, sfDir: String): DataFrame = {
+    val centered = comps(spark, sfDir).join(broadcast(dimMeans(spark, sfDir)), "d")
       .select(col("vec_id"), col("d"), (col("v") - col("m")).as("x"))
     // upper triangle only (d1 <= d2) — the decimal sum for (d1, d2) and
     // (d2, d1) is the same multiset, so mirroring is EXACT and halves the
@@ -79,7 +91,7 @@ object EmbeddingStats {
   def topDirection(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val upper = covariance(spark, sfDir)
-      .collect().map(r => (r.getAs[Int]("d1"), r.getAs[Int]("d2"),
+      .collect().map(r => (r.getAs[Long]("d1").toInt, r.getAs[Long]("d2").toInt,
         r.getAs[Double]("c")))
     val dims = upper.map(_._2).max + 1
     val cov = Array.ofDim[Double](dims, dims)
@@ -192,31 +204,32 @@ object EmbeddingStats {
   def whitenedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     import spark.implicits._
+    // All three whitening inputs are KB-scale per-(session, sf) artifacts
+    // collected ONCE and rejoined as a single 64-row broadcast: the
+    // direction (driver iteration output), the decimal means (cached
+    // frame), and the centered query components (one row of embeddings,
+    // centered in driver doubles — bit-identical to the oracle's SQL
+    // subtraction of the same operands). The corpus is then scanned
+    // exactly once, by the aggregate below.
     val u = topDirection(spark, sfDir)
       .select(col("d"), col("component")).collect()
-      .map(r => (r.getAs[Long]("d"), r.getAs[Double]("component"))).toSeq
-      .toDF("d", "u")
-    val comps = t.embeddings
-      .select(col("vec_id"), col("label"),
-        posexplode(col("embedding")).as(Seq("d", "v")))
-      .select(col("vec_id"), col("label"), col("d").cast("long").as("d"),
-        col("v").cast("double").as("v"))
-    val means = comps.groupBy(col("d"))
-      .agg((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
-        .cast("double").as("m"))
-    val x = comps.join(broadcast(means), "d")
-      .select(col("vec_id"), col("label"), col("d"),
-        (col("v") - col("m")).as("x"))
-    val qComps = x.where(col("vec_id") === 0)
-      .select(col("d"), col("x").as("xq"))
+      .map(r => r.getAs[Long]("d") -> r.getAs[Double]("component")).toMap
+    val m = dimMeans(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("d") -> r.getAs[Double]("m")).toMap
+    val qVec = t.embeddings.where(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val art = qVec.indices.map { d =>
+      (d.toLong, u(d.toLong), m(d.toLong), qVec(d).toDouble - m(d.toLong))
+    }.toDF("d", "u", "m", "xq")
     def dsum(c: org.apache.spark.sql.Column) =
       sum(c.cast(DecimalType(28, 12))).cast("double")
-    val per = x.join(broadcast(u), "d").join(broadcast(qComps), "d")
+    val per = comps(spark, sfDir).join(broadcast(art), "d")
+      .withColumn("x", col("v") - col("m"))
       .groupBy(col("vec_id"), col("label"))
       .agg(dsum(col("x") * col("u")).as("b"),
         dsum(col("x") * col("x")).as("xx"),
         dsum(col("x") * col("xq")).as("xdq"))
-    val s = u.agg(dsum(col("u") * col("u")).as("s"))
+    val s = art.agg(dsum(col("u") * col("u")).as("s"))
     val qRow = per.where(col("vec_id") === 0)
       .select(col("b").as("bq"), col("xx").as("xxq"))
     val two = lit(2.0)
