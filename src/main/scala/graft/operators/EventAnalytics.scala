@@ -218,7 +218,169 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("session_start_es"))
   }
 
+  /** Markov-chain multi-touch attribution (removal effects) — the
+    * data-driven alternative to last-touch credit: model user journeys as
+    * a first-order Markov chain over channel states with absorbing `conv`
+    * (purchase) and `null` (journey ends unconverted), then credit each
+    * channel by how much the start→conv absorption probability DROPS when
+    * that channel is removed (its transitions redirected to null) —
+    * Anderl et al. 2016's removal-effect formulation.
+    *
+    * Journey construction: per user, events in (es, event_id) order are
+    * split into journeys at each purchase (the purchase row closes its
+    * journey with a →conv step; later events start fresh from `start`);
+    * a journey that never converts closes with a →null terminal step.
+    *
+    * Determinism: transition probabilities are exact integer-count
+    * ratios; absorption probabilities come from exactly [[MarkovRounds]]
+    * value-iteration rounds (v_{t+1}(s) = Σ P(s,s')·w(s'), w(conv)=1,
+    * w(null)=0, w(removed)=0) — both engines run the identical truncated
+    * iteration, and the 6-dp output rounding sits ~8 orders above the
+    * double sum-order wiggle (the power-iteration precedent).
+    *
+    * Scale shape: two windows partitioned on the HIGH-cardinality
+    * user_id, one (src, dst) count aggregate whose output is bounded by
+    * states² — the KB artifact the driver-side iteration consumes (the
+    * topDirection materialization pattern); the removal loop is
+    * channels × rounds × states², all domain-bounded. */
+  val MarkovRounds = 12
+  def markovAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("event_id").asc)
+    val ev = epochSeconds(spark, sfDir)
+      .withColumn("jid", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wj = Window.partitionBy(col("user_id"), col("jid"))
+      .orderBy(col("es").asc, col("event_id").asc)
+    val wjDesc = Window.partitionBy(col("user_id"), col("jid"))
+      .orderBy(col("es").desc, col("event_id").desc)
+    val steps = ev
+      .withColumn("src",
+        coalesce(lag(col("event_type"), 1).over(wj), lit("start")))
+      .withColumn("dst", when(col("event_type") === "purchase", "conv")
+        .otherwise(col("event_type")))
+      .withColumn("rnd", row_number().over(wjDesc))
+    val terminals = steps
+      .where(col("rnd") === 1 && col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"), lit("null").as("dst"))
+    val trans = steps.select(col("src"), col("dst"))
+      .unionByName(terminals)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+        r.getAs[Long]("n")))
+    val totals = trans.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val p = trans.map { case (s, d, n) => (s, d) -> n.toDouble / totals(s) }.toMap
+    val srcs = trans.map(_._1).distinct.sorted
+    val channels = trans.iterator.flatMap(t => Seq(t._1, t._2)).toSeq.distinct
+      .filterNot(Set("start", "conv", "null")).sorted
+    def absorb(removed: Option[String]): Double = {
+      var v = srcs.map(_ -> 0.0).toMap
+      (1 to MarkovRounds).foreach { _ =>
+        v = srcs.map { s =>
+          s -> trans.collect { case (`s`, d, _) =>
+            p((s, d)) * (d match {
+              case "conv" => 1.0
+              case "null" => 0.0
+              case c if removed.contains(c) => 0.0
+              case c => v.getOrElse(c, 0.0)
+            })
+          }.sum
+        }.toMap
+      }
+      v.getOrElse("start", 0.0)
+    }
+    val pBase = absorb(None)
+    val re = channels.map { c =>
+      c -> (if (pBase > 0) (pBase - absorb(Some(c))) / pBase else 0.0)
+    }
+    val sre = re.map(_._2).sum
+    re.map { case (c, r) =>
+      (c, pBase, r, if (sre > 0) r / sre else 0.0)
+    }.toDF("channel", "conv_prob", "removal_effect", "attribution")
+      // round through the engine (HALF_UP), matching the oracle's ROUND —
+      // driver-side rint would be HALF_EVEN
+      .select(col("channel"), round(col("conv_prob"), 6).as("conv_prob"),
+        round(col("removal_effect"), 6).as("removal_effect"),
+        round(col("attribution"), 6).as("attribution"))
+      .orderBy(col("channel"))
+  }
+
+  /** Oracle: identical journey windows, then the value iteration unrolled
+    * as [[MarkovRounds]] CTE rounds over the (removed, state) table — the
+    * PageRank/BPE pattern; rm carries '__none__' for the baseline chain. */
+  private def markovAttributionSql: String = {
+    val rounds = (1 to MarkovRounds).map { i =>
+      val prev = s"v${i - 1}"
+      s"""v$i AS (
+         |  SELECT r.c AS rc, p.src AS s,
+         |         SUM(p.pr * (CASE WHEN p.dst = 'conv' THEN 1.0
+         |                          WHEN p.dst = 'null' THEN 0.0
+         |                          WHEN p.dst = r.c THEN 0.0
+         |                          ELSE COALESCE(vv.v, 0.0) END)) AS v
+         |  FROM rm r CROSS JOIN p
+         |  LEFT JOIN $prev vv ON vv.rc = r.c AND vv.s = p.dst
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, event_type,
+       |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+       |  FROM events),
+       |j AS (
+       |  SELECT user_id, event_id, event_type, es,
+       |         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+       |                           ELSE 0 END) OVER (
+       |           PARTITION BY user_id ORDER BY es, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           AS jid
+       |  FROM e),
+       |s AS (
+       |  SELECT user_id, jid, event_type, es, event_id,
+       |         COALESCE(LAG(event_type) OVER (PARTITION BY user_id, jid
+       |                    ORDER BY es, event_id), 'start') AS src,
+       |         CASE WHEN event_type = 'purchase' THEN 'conv'
+       |              ELSE event_type END AS dst,
+       |         ROW_NUMBER() OVER (PARTITION BY user_id, jid
+       |                            ORDER BY es DESC, event_id DESC) AS rnd
+       |  FROM j),
+       |tr AS (
+       |  SELECT src, dst, COUNT(*) AS n
+       |  FROM (SELECT src, dst FROM s
+       |        UNION ALL
+       |        SELECT event_type AS src, 'null' AS dst FROM s
+       |        WHERE rnd = 1 AND event_type <> 'purchase')
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT src, SUM(n) AS nf FROM tr GROUP BY 1),
+       |p AS (SELECT tr.src, tr.dst, CAST(tr.n AS DOUBLE) / tot.nf AS pr
+       |      FROM tr JOIN tot USING (src)),
+       |ch AS (SELECT DISTINCT event_type AS c FROM e
+       |       WHERE event_type <> 'purchase'),
+       |rm AS (SELECT c FROM ch UNION ALL SELECT '__none__'),
+       |v0 AS (SELECT r.c AS rc, x.src AS s, 0.0 AS v
+       |       FROM rm r CROSS JOIN (SELECT DISTINCT src FROM p) x),
+       |$rounds,
+       |base AS (SELECT v FROM v$MarkovRounds
+       |         WHERE rc = '__none__' AND s = 'start'),
+       |re AS (
+       |  SELECT c.c AS channel, b.v AS pb,
+       |         CASE WHEN b.v > 0 THEN (b.v - COALESCE(cv.v, 0.0)) / b.v
+       |              ELSE 0.0 END AS re
+       |  FROM ch c CROSS JOIN base b
+       |  LEFT JOIN (SELECT rc, v FROM v$MarkovRounds WHERE s = 'start') cv
+       |    ON cv.rc = c.c),
+       |st AS (SELECT SUM(re) AS sre FROM re)
+       |SELECT r.channel, ROUND(r.pb, 6) AS conv_prob,
+       |       ROUND(r.re, 6) AS removal_effect,
+       |       ROUND(CASE WHEN st.sre > 0 THEN r.re / st.sre ELSE 0.0 END, 6)
+       |         AS attribution
+       |FROM re r CROSS JOIN st
+       |ORDER BY r.channel""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_events_attribution_markov", markovAttribution,
+      Some(markovAttributionSql)),
     NamedQuery("q_events_time_to_convert", timeToConvert, Some(
       """WITH e AS (
         |  SELECT user_id, event_type,

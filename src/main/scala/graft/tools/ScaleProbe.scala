@@ -57,7 +57,9 @@ object ScaleProbe {
     // windows), temperature sampling (two-phase quota pick)
     "q_embed_qc", "q_corpus_temperature_sample",
     // whitened retrieval: one posexplode pass + broadcast artifacts
-    "q_sim_whitened_topk")
+    "q_sim_whitened_topk",
+    // journey windows per user + states² artifact iteration
+    "q_events_attribution_markov")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -56,4 +56,62 @@ class EventAnalyticsSpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("Markov attribution equals an independent journey simulation") {
+    val rows = EventAnalytics.markovAttribution(spark, Sf).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Double]("conv_prob"), r.getAs[Double]("removal_effect"),
+          r.getAs[Double]("attribution"))).toMap
+
+    // Pure-Scala journey reconstruction from raw events.
+    val evs = events.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("es"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .sortBy { case (u, es, id, _) => (u, es, id) }
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    evs.groupBy(_._1).values.foreach { hist =>
+      var prev = "start"
+      hist.sortBy(h => (h._2, h._3)).foreach { case (_, _, _, t) =>
+        if (t == "purchase") { trans((prev, "conv")) += 1; prev = "start" }
+        else { trans((prev, t)) += 1; prev = t }
+      }
+      if (prev != "start") trans((prev, "null")) += 1
+    }
+    val totals = trans.toSeq.groupBy(_._1._1)
+      .map { case (s, xs) => s -> xs.map(_._2).sum }
+    val p = trans.map { case ((s, d), n) => (s, d) -> n.toDouble / totals(s) }
+    val srcs = trans.keys.map(_._1).toSeq.distinct.sorted
+    val channels = rows.keys.toSeq.sorted
+    def absorb(removed: Option[String]): Double = {
+      var v = srcs.map(_ -> 0.0).toMap
+      (1 to EventAnalytics.MarkovRounds).foreach { _ =>
+        v = srcs.map { s =>
+          s -> trans.keys.filter(_._1 == s).toSeq.map { case (_, d) =>
+            p((s, d)) * (d match {
+              case "conv" => 1.0
+              case "null" => 0.0
+              case c if removed.contains(c) => 0.0
+              case c => v.getOrElse(c, 0.0)
+            })
+          }.sum
+        }.toMap
+      }
+      v("start")
+    }
+    val pBase = absorb(None)
+    val re = channels.map(c => c -> (pBase - absorb(Some(c))) / pBase).toMap
+    val sre = re.values.sum
+    channels.foreach { c =>
+      val (gotP, gotRe, gotAt) = rows(c)
+      assert(math.abs(gotP - pBase) < 1e-5, s"$c conv_prob")
+      assert(math.abs(gotRe - re(c)) < 1e-5, s"$c removal_effect")
+      assert(math.abs(gotAt - re(c) / sre) < 1e-5, s"$c attribution")
+    }
+    // model invariants: removal cannot help conversion; credit is a
+    // distribution; some channel carries real credit
+    assert(rows.values.forall { case (_, r, _) => r >= 0.0 && r <= 1.0 })
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-4)
+    assert(rows.values.exists(_._2 > 0.0))
+  }
 }
