@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.NamedQuery
 import graft.sources.Tables.Tpch
@@ -307,6 +308,54 @@ object EventAnalytics {
       .orderBy(col("channel"))
   }
 
+  /** Heuristic attribution-model comparison — first-touch, last-touch,
+    * linear and position-based (40/20/40) credit per channel over the
+    * SAME purchase-split journeys the Markov query models, so the
+    * side-by-side against `q_events_attribution_markov`'s removal
+    * effects is apples-to-apples: where the heuristics and the causal
+    * credit disagree is exactly the readout a marketing mart exists for.
+    *
+    * Exactness: per-journey credit fractions (1, 1/2, 1/n, 0.4,
+    * 0.2/(n−2)) are identical IEEE divisions of integer-derived
+    * operands in both engines; channel totals are decimal-cast sums
+    * (order-free), rounded at 4.
+    *
+    * Scale shape: journey windows on the high-cardinality (user, jid)
+    * key, then one channel-domain-bounded aggregate — no self-join. */
+  def attributionModels(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("event_id").asc)
+    val ev = epochSeconds(spark, sfDir)
+      .withColumn("jid", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wj = Window.partitionBy(col("user_id"), col("jid"))
+    val converting = ev.withColumn("conv",
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wj))
+    val touches = converting
+      .where(col("event_type") =!= "purchase" && col("conv") === 1L)
+      .withColumn("idx", row_number().over(
+        wj.orderBy(col("es").asc, col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(wj))
+    val credited = touches
+      .withColumn("first_c", when(col("idx") === 1, 1.0).otherwise(0.0))
+      .withColumn("last_c", when(col("idx") === col("n"), 1.0).otherwise(0.0))
+      .withColumn("linear_c", lit(1.0) / col("n"))
+      .withColumn("position_c",
+        when(col("n") === 1, 1.0)
+          .when(col("n") === 2, 0.5)
+          .when(col("idx") === 1 || col("idx") === col("n"), 0.4)
+          .otherwise(lit(0.2) / (col("n") - 2)))
+    def dsum(c: Column) = sum(c.cast(DecimalType(28, 12))).cast("double")
+    credited.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("touches"),
+        round(dsum(col("first_c")), 4).as("first_touch"),
+        round(dsum(col("last_c")), 4).as("last_touch"),
+        round(dsum(col("linear_c")), 4).as("linear"),
+        round(dsum(col("position_c")), 4).as("position_based"))
+      .orderBy(col("channel"))
+  }
+
   /** Oracle: identical journey windows, then the value iteration unrolled
     * as [[MarkovRounds]] CTE rounds over the (removed, state) table — the
     * PageRank/BPE pattern; rm carries '__none__' for the baseline chain. */
@@ -381,6 +430,49 @@ object EventAnalytics {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_events_attribution_markov", markovAttribution,
       Some(markovAttributionSql)),
+    NamedQuery("q_events_attribution_models", attributionModels, Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events),
+        |j AS (
+        |  SELECT user_id, event_id, event_type, es,
+        |         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |                           ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY es, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS jid
+        |  FROM e),
+        |c AS (
+        |  SELECT *, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |                END) OVER (PARTITION BY user_id, jid) AS conv
+        |  FROM j),
+        |t AS (
+        |  SELECT user_id, jid, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, jid
+        |                            ORDER BY es, event_id) AS idx,
+        |         COUNT(*) OVER (PARTITION BY user_id, jid) AS n
+        |  FROM c WHERE event_type <> 'purchase' AND conv = 1),
+        |cr AS (
+        |  SELECT event_type,
+        |         CASE WHEN idx = 1 THEN 1.0 ELSE 0.0 END AS first_c,
+        |         CASE WHEN idx = n THEN 1.0 ELSE 0.0 END AS last_c,
+        |         1.0 / n AS linear_c,
+        |         CASE WHEN n = 1 THEN 1.0
+        |              WHEN n = 2 THEN 0.5
+        |              WHEN idx = 1 OR idx = n THEN 0.4
+        |              ELSE 0.2 / (n - 2) END AS position_c
+        |  FROM t)
+        |SELECT event_type AS channel, COUNT(*) AS touches,
+        |       ROUND(CAST(SUM(CAST(first_c AS DECIMAL(28,12))) AS DOUBLE), 4)
+        |         AS first_touch,
+        |       ROUND(CAST(SUM(CAST(last_c AS DECIMAL(28,12))) AS DOUBLE), 4)
+        |         AS last_touch,
+        |       ROUND(CAST(SUM(CAST(linear_c AS DECIMAL(28,12))) AS DOUBLE), 4)
+        |         AS linear,
+        |       ROUND(CAST(SUM(CAST(position_c AS DECIMAL(28,12))) AS DOUBLE), 4)
+        |         AS position_based
+        |FROM cr GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_events_time_to_convert", timeToConvert, Some(
       """WITH e AS (
         |  SELECT user_id, event_type,

@@ -57,6 +57,59 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("heuristic attribution models conserve one credit per converting journey") {
+    val rows = EventAnalytics.attributionModels(spark, Sf).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("touches"), r.getAs[Double]("first_touch"),
+          r.getAs[Double]("last_touch"), r.getAs[Double]("linear"),
+          r.getAs[Double]("position_based"))).toMap
+
+    // independent journey reconstruction
+    val evs = events.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("es"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .sortBy { case (u, es, id, _) => (u, es, id) }
+    var journeys = List.empty[List[String]]
+    evs.groupBy(_._1).values.foreach { hist =>
+      var cur = List.empty[String]
+      hist.sortBy(h => (h._2, h._3)).foreach { case (_, _, _, t) =>
+        if (t == "purchase") { journeys ::= cur.reverse; cur = Nil }
+        else cur ::= t
+      }
+      // trailing unconverted journey gets no credit
+    }
+    val touched = journeys.filter(_.nonEmpty)
+    val exp = scala.collection.mutable.Map
+      .empty[String, (Long, Double, Double, Double, Double)]
+      .withDefaultValue((0L, 0.0, 0.0, 0.0, 0.0))
+    touched.foreach { js =>
+      val n = js.length
+      js.zipWithIndex.foreach { case (ch, i) =>
+        val (t, f, l, li, p) = exp(ch)
+        val pos =
+          if (n == 1) 1.0 else if (n == 2) 0.5
+          else if (i == 0 || i == n - 1) 0.4 else 0.2 / (n - 2)
+        exp(ch) = (t + 1,
+          f + (if (i == 0) 1.0 else 0.0),
+          l + (if (i == n - 1) 1.0 else 0.0),
+          li + 1.0 / n, p + pos)
+      }
+    }
+    assert(rows.keySet == exp.keySet)
+    rows.foreach { case (ch, (t, f, l, li, p)) =>
+      val (et, ef, el, eli, ep) = exp(ch)
+      assert(t == et, s"$ch touches")
+      assert(math.abs(f - ef) < 1e-3 && math.abs(l - el) < 1e-3 &&
+        math.abs(li - eli) < 1e-3 && math.abs(p - ep) < 1e-3, s"$ch credits")
+    }
+    // conservation: every model hands out exactly one credit per journey
+    val k = touched.size.toDouble
+    Seq(rows.values.map(_._2).sum, rows.values.map(_._3).sum,
+      rows.values.map(_._4).sum, rows.values.map(_._5).sum).foreach { tot =>
+      assert(math.abs(tot - k) < 1e-2, s"$tot vs $k")
+    }
+  }
+
   test("Markov attribution equals an independent journey simulation") {
     val rows = EventAnalytics.markovAttribution(spark, Sf).collect()
       .map(r => r.getAs[String]("channel") ->
