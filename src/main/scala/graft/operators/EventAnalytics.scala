@@ -356,6 +356,126 @@ object EventAnalytics {
       .orderBy(col("channel"))
   }
 
+  /** Shapley-value attribution — the game-theoretic completion of the
+    * attribution trilogy (heuristics → Markov removal effects → Shapley):
+    * channels are players, the coalition value v(S) is the NUMBER of
+    * converting journeys whose touched-channel set ⊆ S (integer, monotone,
+    * v(∅) = 0), and each channel's credit is its exact Shapley value
+    * φᵢ = Σ_{S ⊆ N∖{i}} |S|!(n−|S|−1)!/n! · (v(S∪{i}) − v(S)).
+    * Efficiency gives the conservation law the spec pins:
+    * Σφᵢ = v(N) = total converting journeys with ≥1 touch.
+    *
+    * Exactness: v is integer counts; weights are factorial ratios taken
+    * as one IEEE division in both engines; the subset sums run over the
+    * 2ⁿ mask domain (n = #channels, a handful), far below the 6-dp
+    * rounding.
+    *
+    * Scale shape: one journey aggregate (bit_or of channel bits, keyed on
+    * the high-cardinality (user, jid)) reduces the corpus to ≤ 2ⁿ
+    * (mask, count) rows — the KB artifact; everything after is
+    * 2ⁿ × n driver arithmetic, engine-side only for the final rounding. */
+  def shapleyAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("es").asc, col("event_id").asc)
+    val ev = epochSeconds(spark, sfDir)
+      .withColumn("jid", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wj = Window.partitionBy(col("user_id"), col("jid"))
+    val touches = ev.withColumn("conv",
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).over(wj))
+      .where(col("event_type") =!= "purchase" && col("conv") === 1L)
+    // ONE action evaluates the window lineage once: the per-journey
+    // DISTINCT channel set reduces straight to ≤ 2ⁿ (set, count) rows;
+    // bit assignment and masks are derived in the driver.
+    val setCounts = touches.groupBy(col("user_id"), col("jid"))
+      .agg(sort_array(collect_set(col("event_type"))).as("chs"))
+      .groupBy(col("chs")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getSeq[String](0).toList -> r.getAs[Long]("cnt"))
+    val channels = setCounts.flatMap(_._1).distinct.sorted
+    val bit = channels.zipWithIndex.toMap
+    val masks = setCounts
+      .map { case (chs, c) => chs.map(ch => 1L << bit(ch)).sum -> c }
+      .groupBy(_._1).map { case (m, xs) => m -> xs.map(_._2).sum }
+    val n = channels.length
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    def v(s: Long): Long =
+      masks.collect { case (m, c) if (m & s) == m => c }.sum
+    val phi = channels.zipWithIndex.map { case (ch, b) =>
+      val others = (0L until (1L << n)).filter(s => (s & (1L << b)) == 0)
+      ch -> others.map { s =>
+        val size = java.lang.Long.bitCount(s)
+        val wgt = (fact(size) * fact(n - size - 1)).toDouble / fact(n).toDouble
+        wgt * (v(s | (1L << b)) - v(s))
+      }.sum
+    }
+    val total = v((1L << n) - 1)
+    phi.map { case (c, p) =>
+      (c, total, p, if (total > 0) p / total else 0.0)
+    }.toSeq.toDF("channel", "conversions", "shapley", "share")
+      .select(col("channel"), col("conversions"),
+        round(col("shapley"), 6).as("shapley"),
+        round(col("share"), 6).as("share"))
+      .orderBy(col("channel"))
+  }
+
+  private def shapleyAttributionSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS es
+      |  FROM events),
+      |j AS (
+      |  SELECT user_id, event_id, event_type, es,
+      |         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+      |                           ELSE 0 END) OVER (
+      |           PARTITION BY user_id ORDER BY es, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS jid
+      |  FROM e),
+      |c AS (
+      |  SELECT *, MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |                END) OVER (PARTITION BY user_id, jid) AS conv
+      |  FROM j),
+      |t AS (SELECT user_id, jid, event_type FROM c
+      |      WHERE event_type <> 'purchase' AND conv = 1),
+      |ch AS (
+      |  SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS b
+      |  FROM (SELECT DISTINCT event_type FROM t)),
+      |jm AS (
+      |  SELECT t.user_id, t.jid,
+      |         BIT_OR(CAST(1 AS BIGINT) << ch.b) AS mask
+      |  FROM t JOIN ch USING (event_type) GROUP BY 1, 2),
+      |mc AS (SELECT mask, COUNT(*) AS cnt FROM jm GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM ch),
+      |subsets AS (
+      |  SELECT CAST(UNNEST(range(0, 1 << n)) AS BIGINT) AS m FROM nn),
+      |v AS (
+      |  SELECT s.m, CAST(COALESCE(SUM(mc.cnt), 0) AS BIGINT) AS v
+      |  FROM subsets s LEFT JOIN mc ON (mc.mask & s.m) = mc.mask
+      |  GROUP BY 1),
+      |tot AS (SELECT v AS total FROM v, nn WHERE m = (1 << n) - 1),
+      |shap AS (
+      |  SELECT c.event_type AS channel,
+      |         SUM(CAST(factorial(CAST(bit_count(s.m) AS INTEGER)) *
+      |                  factorial(CAST(n.n - bit_count(s.m) - 1 AS INTEGER))
+      |                  AS DOUBLE) /
+      |             CAST(factorial(CAST(n.n AS INTEGER)) AS DOUBLE) *
+      |             (v2.v - v1.v)) AS phi
+      |  FROM ch c
+      |  CROSS JOIN nn n
+      |  JOIN subsets s ON (s.m & (CAST(1 AS BIGINT) << c.b)) = 0
+      |  JOIN v v1 ON v1.m = s.m
+      |  JOIN v v2 ON v2.m = (s.m | (CAST(1 AS BIGINT) << c.b))
+      |  GROUP BY 1)
+      |SELECT sh.channel, t.total AS conversions,
+      |       ROUND(sh.phi, 6) AS shapley,
+      |       ROUND(CASE WHEN t.total > 0 THEN sh.phi / t.total
+      |                  ELSE 0.0 END, 6) AS share
+      |FROM shap sh CROSS JOIN tot t
+      |ORDER BY sh.channel""".stripMargin
+
   /** Oracle: identical journey windows, then the value iteration unrolled
     * as [[MarkovRounds]] CTE rounds over the (removed, state) table — the
     * PageRank/BPE pattern; rm carries '__none__' for the baseline chain. */
@@ -430,6 +550,8 @@ object EventAnalytics {
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_events_attribution_markov", markovAttribution,
       Some(markovAttributionSql)),
+    NamedQuery("q_events_attribution_shapley", shapleyAttribution,
+      Some(shapleyAttributionSql)),
     NamedQuery("q_events_attribution_models", attributionModels, Some(
       """WITH e AS (
         |  SELECT user_id, event_id, event_type,

@@ -59,7 +59,8 @@ object ScaleProbe {
     // whitened retrieval: one posexplode pass + broadcast artifacts
     "q_sim_whitened_topk",
     // journey windows per user + states² artifact iteration
-    "q_events_attribution_markov", "q_events_attribution_models")
+    "q_events_attribution_markov", "q_events_attribution_models",
+    "q_events_attribution_shapley")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -110,6 +110,52 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("Shapley attribution satisfies efficiency and matches a subset recompute") {
+    val rows = EventAnalytics.shapleyAttribution(spark, Sf).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("conversions"), r.getAs[Double]("shapley"),
+          r.getAs[Double]("share"))).toMap
+
+    // independent journey → mask reconstruction
+    val evs = events.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("es"),
+        r.getAs[Long]("event_id"), r.getAs[String]("event_type")))
+      .sortBy { case (u, es, id, _) => (u, es, id) }
+    var sets = List.empty[Set[String]]
+    evs.groupBy(_._1).values.foreach { hist =>
+      var cur = Set.empty[String]
+      hist.sortBy(h => (h._2, h._3)).foreach { case (_, _, _, t) =>
+        if (t == "purchase") { if (cur.nonEmpty) sets ::= cur; cur = Set.empty }
+        else cur += t
+      }
+    }
+    val channels = rows.keys.toSeq.sorted
+    val n = channels.length
+    val bit = channels.zipWithIndex.toMap
+    val maskCnt = sets.groupBy(s => s.map(c => 1L << bit(c)).sum)
+      .map { case (m, xs) => m -> xs.size.toLong }
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    def v(s: Long): Long =
+      maskCnt.collect { case (m, c) if (m & s) == m => c }.sum
+    val total = v((1L << n) - 1)
+    channels.foreach { c =>
+      val b = bit(c)
+      val phi = (0L until (1L << n)).filter(s => (s & (1L << b)) == 0).map { s =>
+        val k = java.lang.Long.bitCount(s)
+        (fact(k) * fact(n - k - 1)).toDouble / fact(n) *
+          (v(s | (1L << b)) - v(s))
+      }.sum
+      val (gotTotal, gotPhi, gotShare) = rows(c)
+      assert(gotTotal == total, s"$c conversions")
+      assert(math.abs(gotPhi - phi) < 1e-4, s"$c phi: $gotPhi vs $phi")
+      assert(math.abs(gotShare - phi / total) < 1e-4, s"$c share")
+    }
+    // efficiency axiom: credits partition the converting-journey count
+    assert(math.abs(rows.values.map(_._2).sum - total) < 1e-3)
+    // monotone game → no negative credit
+    assert(rows.values.forall(_._2 >= -1e-9))
+  }
+
   test("Markov attribution equals an independent journey simulation") {
     val rows = EventAnalytics.markovAttribution(spark, Sf).collect()
       .map(r => r.getAs[String]("channel") ->
