@@ -55,6 +55,119 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** MMR (maximal marginal relevance) diversified re-ranking — Carbonell &
+    * Goldstein 1998: greedily pick 10 results trading relevance to the
+    * query against redundancy with what's already picked,
+    * mmr(c) = λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s), λ = 0.7. The
+    * near-dup screens REMOVE redundancy from the corpus; MMR removes it
+    * from a RESULT SET — the exemplar-selection step of a few-shot /
+    * eval-set builder, where ten near-identical top hits are worthless.
+    *
+    * Scale shape: ONE corpus scan (the codegen'd cosine top-k, same
+    * budget as `q_sim_cosine_topk`) reduces to a 50-candidate pool — a KB
+    * artifact; the greedy loop is 10 rounds × 50 candidates of driver
+    * arithmetic on cosines computed once. The pool size is the knob:
+    * re-ranking never touches the corpus again.
+    *
+    * Determinism: rel and pairwise cosines are rounded to 6 dp BEFORE the
+    * greedy loop (driver HALF_UP == DuckDB ROUND away-from-zero on these
+    * magnitudes), so the mmr arithmetic runs on identical doubles in both
+    * engines and ties break on vec_id. First pick's mmr is λ·rel (empty
+    * diversity term). */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val t = Tpch(spark, sfDir)
+    val pool = t.embeddings
+      .join(broadcast(queryVec(t)))
+      .withColumn("rel", expr("round(graft_cosine(embedding, q_vec), 6)"))
+      .select(col("vec_id"), col("label"), col("rel"), col("embedding"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(50)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label").toLong,
+        r.getAs[Double]("rel"),
+        r.getSeq[Float](3).map(_.toDouble).toArray))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      r6(dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+    }
+    val pcos = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    for (i <- pool.indices; j <- pool.indices if i < j) {
+      val c = cos(pool(i)._4, pool(j)._4)
+      pcos((pool(i)._1, pool(j)._1)) = c
+      pcos((pool(j)._1, pool(i)._1)) = c
+    }
+    val lambda = 0.7
+    var selected = List.empty[(Int, Long, Long, Double, Double)] // rank, id, label, rel, mmr
+    (1 to 10).foreach { rank =>
+      val chosen = pool
+        .filterNot(c => selected.exists(_._2 == c._1))
+        .map { case (id, lab, rel, _) =>
+          val div = if (selected.isEmpty) 0.0
+            else selected.map(s => pcos((id, s._2))).max
+          (id, lab, rel, lambda * rel - (1 - lambda) * div)
+        }
+        .maxBy { case (id, _, _, m) => (m, -id) }
+      selected ::= ((rank, chosen._1, chosen._2, chosen._3, chosen._4))
+    }
+    selected.reverse
+      .toDF("rank", "vec_id", "label", "rel", "mmr")
+      .select(col("rank"), col("vec_id"), col("label"), col("rel"),
+        round(col("mmr"), 6).as("mmr"))
+      .orderBy(col("rank"))
+  }
+
+  private def mmrRerankSql: String = {
+    val rounds = (2 to 10).map { k =>
+      val prev = s"sel${k - 1}"
+      s"""s$k AS MATERIALIZED (
+         |  SELECT c.vec_id, c.label, c.rel, $k AS rank,
+         |         0.7 * c.rel - 0.3 * (SELECT MAX(p.pcos) FROM pc p
+         |                              JOIN $prev s ON p.vb = s.vec_id
+         |                              WHERE p.va = c.vec_id) AS mmr
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1),
+         |sel$k AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM s$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qp AS (
+       |  SELECT e.vec_id, e.label,
+       |         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+       |         CAST(UNNEST(q.qe) AS DOUBLE) AS y
+       |  FROM embeddings e, q),
+       |cand AS MATERIALIZED (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS rel
+       |  FROM qp GROUP BY vec_id, label
+       |  ORDER BY rel DESC, vec_id ASC LIMIT 50),
+       |cp AS (
+       |  SELECT a.vec_id AS va, b.vec_id AS vb,
+       |         CAST(UNNEST(ea.embedding) AS DOUBLE) AS xa,
+       |         CAST(UNNEST(eb.embedding) AS DOUBLE) AS xb
+       |  FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |pc0 AS MATERIALIZED (
+       |  SELECT va, vb,
+       |         ROUND(SUM(xa*xb) / (SQRT(SUM(xa*xa)) * SQRT(SUM(xb*xb))), 6)
+       |           AS pcos
+       |  FROM cp GROUP BY 1, 2),
+       |pc AS MATERIALIZED (SELECT va, vb, pcos FROM pc0
+       |       UNION ALL SELECT vb AS va, va AS vb, pcos FROM pc0),
+       |s1 AS MATERIALIZED (SELECT vec_id, label, rel, 1 AS rank, 0.7 * rel AS mmr
+       |       FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+       |sel1 AS MATERIALIZED (SELECT * FROM s1),
+       |$rounds
+       |SELECT rank, vec_id, label, rel, ROUND(mmr, 6) AS mmr
+       |FROM sel10 ORDER BY rank""".stripMargin
+  }
+
   /** Embedding-cosine nearest candidate pairs via banded sign-LSH:
     * `nBands` bands of `nBits` hyperplane sign bits each; vectors agreeing
     * on any full band are candidates (classic banding — per-band collision
@@ -636,6 +749,10 @@ object SimilarityQueries {
     // list_cosine_similarity returns FLOAT (float32), which would diverge
     // from the engine's double math in the 8th decimal and break the exact
     // hash compare.
+    // Oracle: the greedy loop unrolled as 10 selection rounds over the
+    // 50-candidate pool (the PageRank pattern) — rel and pairwise cosines
+    // rounded at 6 before selection, identical to the engine's driver loop.
+    NamedQuery("q_sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
     NamedQuery("q_sim_cosine_topk", cosineTopK, Some(
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |     pairs AS (

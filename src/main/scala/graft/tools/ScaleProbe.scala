@@ -60,7 +60,9 @@ object ScaleProbe {
     "q_sim_whitened_topk",
     // journey windows per user + states² artifact iteration
     "q_events_attribution_markov", "q_events_attribution_models",
-    "q_events_attribution_shapley")
+    "q_events_attribution_shapley",
+    // pool-bounded greedy re-rank: one cosine scan + KB driver loop
+    "q_sim_mmr_rerank")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -185,4 +185,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("MMR re-rank: starts at top-1, no duplicates, and beats plain top-k on diversity") {
+    import org.apache.spark.sql.functions._
+    val mmr = SimilarityQueries.mmrRerank(spark, Sf).collect()
+    assert(mmr.length == 10)
+    assert(mmr.map(_.getAs[Int]("rank")).toSeq == (1 to 10))
+    val ids = mmr.map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids.distinct.length == 10, "selected set must be distinct")
+    val top = SimilarityQueries.cosineTopK(spark, Sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids.head == top.head, "first MMR pick is the cosine top-1")
+    // mmr score never exceeds λ·rel, and rel is non-increasing in rank
+    // only for the FIRST pick (later picks trade relevance away)
+    mmr.foreach { r =>
+      assert(r.getAs[Double]("mmr") <=
+        0.7 * r.getAs[Double]("rel") + 1e-9)
+    }
+    // diversity: the max pairwise cosine within the MMR set must not
+    // exceed the max within the plain top-10 (that is the whole point)
+    val vecs = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    def maxPair(s: Seq[Long]): Double =
+      (for (i <- s.indices; j <- s.indices if i < j)
+        yield cos(vecs(s(i)), vecs(s(j)))).max
+    assert(maxPair(ids) <= maxPair(top) + 1e-9,
+      s"MMR set is not more diverse: ${maxPair(ids)} vs ${maxPair(top)}")
+  }
 }
