@@ -15,7 +15,8 @@ object SparkEntry {
       TimeSeriesQueries.all ++ FuzzyJoin.all ++ SemanticDedup.all ++
       BloomScreen.all ++ BehaviorQueries.all ++ WarehouseQueries.all ++
       GraphQueries.all ++ QualityConstraints.all ++ CorpusStats.all ++
-      MixtureBalance.all ++ EmbeddingStats.all
+      MixtureBalance.all ++ EmbeddingStats.all ++ Retrieval.all ++
+      Clustering.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

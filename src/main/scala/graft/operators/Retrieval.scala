@@ -1,0 +1,436 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.functions.GraftFunctions
+import graft.sources.Tables.Tpch
+
+/** Retrieval operators — the query-serving face of the corpus the rest of
+  * the engine cleans, dedups and indexes (north-star §2-C): BM25 lexical
+  * ranking, lexical+dense hybrid fusion (reciprocal-rank fusion), and
+  * hard-negative mining for contrastive training pairs.
+  *
+  * BM25-R: the engine's deterministic BM25 variant. Robertson's
+  * tf-saturation term survives exactly — with k1 = 5/4 and b = 3/4,
+  * multiplying numerator and denominator by 16·L (L = corpus token count,
+  * N = doc count, so avgdl = L/N) turns
+  *     tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+  * into the integer-exact rational
+  *     36·tf·L / (16·L·tf + 5·L + 15·len·N).
+  * The idf factor uses the rational surrogate (N − df + 1)/(df + 1)
+  * instead of Robertson's log form: same role (rarer term ⇒ larger
+  * weight), steeper curve, and — the reason it's chosen — exactly
+  * computable in 64-bit integer arithmetic by BOTH engines, so the oracle
+  * hash-checks instead of hoping two libm `ln`s agree. Each factor is
+  * floored onto a 10^4 grid via integer division (DIV here, `//` in
+  * DuckDB — identical on non-negative operands), keeping every
+  * intermediate ≤ ~10^16 up to ~10^9-token corpora; beyond that the
+  * scale constant drops a digit.
+  *
+  * Scale shape (inverted-index probe, not a corpus scan per query): tokens
+  * are filtered to QUERY terms before the tf aggregation, so the keyed
+  * shuffle carries only candidate postings; df aggregates the tf rows; the
+  * corpus scalars (N, L) broadcast as a one-row frame; per-query top-k runs
+  * the two-phase shard trick so no single task ever sees one query's full
+  * posting list.
+  */
+object Retrieval {
+
+  private def toks = split(col("text"), " ")
+
+  /** The fixed evaluation query set: 4 queries × up to 3 terms. q1 carries
+    * a term absent from the corpus ("shuffle" — df = 0, contributes
+    * nothing); q2 mixes the one rare term ("dup", df ≈ 5% of docs) with a
+    * common one, so idf weighting decides the ranking. */
+  private val querySet: Seq[(Int, String)] = Seq(
+    1 -> "spark", 1 -> "shuffle", 1 -> "join",
+    2 -> "dup", 2 -> "scan",
+    3 -> "window", 3 -> "group", 3 -> "agg",
+    4 -> "stream", 4 -> "batch", 4 -> "value")
+
+  private def querySetValuesSql: String =
+    querySet.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** (q_id, doc_id, score) BM25-R scores for every candidate document
+    * (≥ 1 query-term hit) — shared by the standalone top-k and the hybrid
+    * fusion so the lexical scoring can never diverge between them. */
+  private[graft] def bm25Scored(t: Tpch): DataFrame = {
+    import t.spark.implicits._
+    val q = querySet.toDF("q_id", "term")
+    val tok = t.documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .where(col("term") =!= "")
+    val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val corpus = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("l_total"))
+    val qterms = querySet.map(_._2).distinct
+    val tf = tok.where(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(broadcast(q), "term")
+      .join(len, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf_i", expr("10000 * (n_docs - df + 1) DIV (df + 1)"))
+      .withColumn("tfn_i", expr(
+        "10000 * 36 * tf * l_total DIV (16 * l_total * tf + 5 * l_total + 15 * len * n_docs)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("idf_i") * col("tfn_i")).as("score"))
+  }
+
+  /** BM25-R top-10 per query. Per-query rank uses the two-phase shard
+    * trick (CorpusPrep's pattern): phase 1 ranks within (q_id, doc-shard)
+    * — high-cardinality partitions — keeping each shard's top 10, a
+    * superset of the global top 10 under the same (score desc, doc_id)
+    * order; phase 2 ranks the ≤ 10×64 survivors per query. */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = bm25Scored(Tpch(spark, sfDir))
+    val order = Seq(col("score").desc, col("doc_id").asc)
+    val sharded = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"), pmod(col("doc_id"), lit(64)))
+          .orderBy(order: _*)))
+      .where(col("rn") <= 10)
+      .drop("rn")
+    sharded
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(order: _*)))
+      .where(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Lexical + dense hybrid retrieval via reciprocal-rank fusion
+    * (Cormack, Clarke & Buettcher 2009): rrf(d) = Σ_lists 1/(60 + rank_d),
+    * here on the integer grid 10^9 DIV (60 + rank) so the fused score is
+    * exact in both engines. The two signals are query q2's BM25-R ranking
+    * (lexical) and the cosine ranking against the vec_id = 0 query vector
+    * (dense), fused over the EMBEDDED prefix of the corpus — the pipeline
+    * convention that `embeddings.vec_id` IS the doc_id of the documents
+    * that have been embedded (vec_id 0..1999 ↔ doc_id 0..1999 in the
+    * testdata). A document missing from one list simply contributes no
+    * term for it — standard RRF.
+    *
+    * Scale shape: each side reduces to a top-50 candidate list via
+    * TakeOrderedAndProject (no global sort, no bounded-key window over
+    * corpus-sized input); the rank windows and the full-outer fusion join
+    * run over ≤ 50 rows a side. At 100 TB each list would come from its
+    * own index (the inverted-index probe above; the IVF/PQ stack) — the
+    * fusion step is list-sized regardless of corpus size. */
+  def hybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val t = Tpch(spark, sfDir)
+    val lexTop = bm25Scored(t)
+      .where(col("q_id") === 2 && col("doc_id") < 2000)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(50)
+      .withColumn("r_lex", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("r_lex"))
+    val qv = t.embeddings.where(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"))
+    val denseTop = t.embeddings
+      .join(broadcast(qv))
+      .withColumn("cos", expr("round(graft_cosine(embedding, q_vec), 6)"))
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc)
+      .limit(50)
+      .withColumn("r_dense", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("r_dense"))
+    lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(expr("1000000000 DIV (60 + r_lex)"), lit(0L)) +
+          coalesce(expr("1000000000 DIV (60 + r_dense)"), lit(0L)))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(10)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col("doc_id").asc)))
+      .select(col("rank"), col("doc_id"), col("rrf_score"),
+        col("r_lex"), col("r_dense"))
+      .orderBy(col("rank"))
+  }
+
+  /** Hard-negative mining for contrastive training (the retrieval twin of
+    * the dedup screens): the 10 vectors MOST similar to the query vector
+    * (vec_id = 0) while carrying a DIFFERENT label — exactly the
+    * near-miss negatives a bi-encoder trains against, where random
+    * negatives are too easy to teach anything. One codegen'd corpus scan
+    * (same budget as `q_sim_cosine_topk`) with the label filter pushed
+    * into the scan; top-k via TakeOrderedAndProject. The query's own
+    * label travels inside the broadcast one-row frame — no driver-side
+    * action. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val t = Tpch(spark, sfDir)
+    val qv = t.embeddings.where(col("vec_id") === 0)
+      .select(col("embedding").as("q_vec"), col("label").as("q_label"))
+    t.embeddings
+      .join(broadcast(qv))
+      .where(col("label") =!= col("q_label"))
+      .withColumn("cos", expr("round(graft_cosine(embedding, q_vec), 6)"))
+      .select(col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** Retrieval-quality evaluation against deterministic conjunctive qrels.
+    * The relevance grade g(q, d) = number of DISTINCT terms of q present in
+    * d; a document is "fully relevant" when it carries ALL of q's terms —
+    * so partial lexical matches score the ranking like graded judgments
+    * and full conjunctive matches drive MRR/recall. q1 ("spark shuffle
+    * join") has an absent term, so n_full = 0 exercises the zero-relevant
+    * guards end to end.
+    *
+    * Metrics use the rational-discount surrogate 1/(rank+1) on the 10^6
+    * grid (DCG-R) in place of Burges' 1/log2(rank+1) — the same monotone
+    * decay, but exactly computable in 64-bit integer arithmetic by both
+    * engines (the BM25-R idf trick applied to the discount):
+    *   dcg_r  = Σ_top10 g · (10^6 DIV (rank+1))
+    *   ndcg_ppm = 10^6·dcg_r DIV idcg_r  (ideal = rank by g desc, doc_id)
+    *   mrr_ppm  = 10^6 DIV (first fully-relevant rank), 0 when none
+    *   recall_ppm = 10^6·hits_10 DIV n_full, 0 when n_full = 0.
+    *
+    * Scale shape: grades aggregate only query-term postings (same keyed
+    * shuffle budget as the BM25 probe); the ideal top-10 uses the same
+    * two-phase shard trick as the system ranking, so no window ever sees
+    * one query's full candidate list. */
+  def retrievalEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    import t.spark.implicits._
+    val q = querySet.toDF("q_id", "term")
+    val nTerms = q.groupBy("q_id").agg(count(lit(1)).as("n_terms"))
+    val qterms = querySet.map(_._2).distinct
+    val graded = t.documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .where(col("term").isin(qterms: _*))
+      .distinct()
+      .join(broadcast(q), "term")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("grade"))
+      .join(broadcast(nTerms), "q_id")
+      .withColumn("is_full", (col("grade") === col("n_terms")).cast("int"))
+    val sysAgg = bm25TopK(spark, sfDir)
+      .join(graded.select("q_id", "doc_id", "grade", "is_full"),
+        Seq("q_id", "doc_id"))
+      .groupBy("q_id").agg(
+        sum(expr("grade * (1000000 DIV (rank + 1))")).as("dcg_r"),
+        sum(col("is_full")).as("hits_10"),
+        min(when(col("is_full") === 1, col("rank"))).as("first_full"))
+    val order = Seq(col("grade").desc, col("doc_id").asc)
+    val idealAgg = graded
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"), pmod(col("doc_id"), lit(64)))
+          .orderBy(order: _*)))
+      .where(col("rn") <= 10).drop("rn")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(order: _*)))
+      .where(col("rank") <= 10)
+      .groupBy("q_id").agg(
+        sum(expr("grade * (1000000 DIV (rank + 1))")).as("idcg_r"))
+    val totals = graded.groupBy("q_id").agg(sum("is_full").as("n_full"))
+    sysAgg.join(idealAgg, "q_id").join(totals, "q_id")
+      .join(broadcast(nTerms), "q_id")
+      .select(
+        col("q_id"), col("n_terms"), col("n_full"),
+        col("dcg_r"), col("idcg_r"),
+        expr("CASE WHEN idcg_r > 0 THEN 1000000 * dcg_r DIV idcg_r " +
+          "ELSE CAST(0 AS BIGINT) END").as("ndcg_ppm"),
+        expr("CASE WHEN first_full IS NULL THEN CAST(0 AS BIGINT) " +
+          "ELSE 1000000 DIV first_full END").as("mrr_ppm"),
+        col("hits_10"),
+        expr("CASE WHEN n_full > 0 THEN 1000000 * hits_10 DIV n_full " +
+          "ELSE CAST(0 AS BIGINT) END").as("recall_ppm"))
+      .orderBy("q_id")
+  }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio/RM1 in spirit):
+    * the top-3 terms by feedback-set document frequency (ties: total tf,
+    * then term) among the BM25 top-10 documents of each query, original
+    * query terms excluded — the terms a second retrieval pass would add.
+    *
+    * Scale shape: the feedback set is 10 doc_ids per query — broadcast to
+    * the token scan (one corpus pass, semi-join pushdown), so the window
+    * ranks only the term vocabulary of ≤ 10 documents per query. */
+  def queryExpansion(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    import t.spark.implicits._
+    val q = querySet.toDF("q_id", "term")
+    val top10 = bm25TopK(spark, sfDir).select("q_id", "doc_id")
+    val tok = t.documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .where(col("term") =!= "")
+    broadcast(top10).join(tok, "doc_id")
+      .join(broadcast(q), Seq("q_id", "term"), "left_anti")
+      .groupBy("q_id", "term")
+      .agg(countDistinct("doc_id").as("df_f"), count(lit(1)).as("tf_f"))
+      .withColumn("exp_rank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("df_f").desc, col("tf_f").desc, col("term").asc)))
+      .where(col("exp_rank") <= 3)
+      .select(col("q_id"), col("exp_rank"), col("term"),
+        col("df_f"), col("tf_f"))
+      .orderBy("q_id", "exp_rank")
+  }
+
+  private val bm25CoreSql: String =
+    s"""q(q_id, term) AS (VALUES $querySetValuesSql),
+       |tok AS (
+       |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+       |tok2 AS (SELECT * FROM tok WHERE term <> ''),
+       |len AS (SELECT doc_id, COUNT(*) AS len FROM tok2 GROUP BY 1),
+       |corpus AS (SELECT COUNT(*) AS n_docs, SUM(len) AS l_total FROM len),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+       |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT qq.q_id, t.doc_id,
+       |         CAST(SUM((10000 * (c.n_docs - d.df + 1) // (d.df + 1)) *
+       |                  (10000 * 36 * t.tf * c.l_total //
+       |                   (16 * c.l_total * t.tf + 5 * c.l_total +
+       |                    15 * l.len * c.n_docs))) AS BIGINT) AS score
+       |  FROM tf t
+       |  JOIN df d USING (term)
+       |  JOIN q qq USING (term)
+       |  JOIN len l USING (doc_id), corpus c
+       |  GROUP BY 1, 2)""".stripMargin
+
+  def all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_bm25_topk", bm25TopK, Some(
+      s"""WITH $bm25CoreSql,
+        |r AS (
+        |  SELECT q_id, doc_id, score,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+        |FROM r WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+    NamedQuery("q_sim_hybrid_rrf", hybridRrf, Some(
+      s"""WITH $bm25CoreSql,
+        |lex AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+        |  FROM (SELECT doc_id, score FROM scored
+        |        WHERE q_id = 2 AND doc_id < 2000
+        |        ORDER BY score DESC, doc_id ASC LIMIT 50)),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+        |         CAST(UNNEST(qv.qe) AS DOUBLE) AS y
+        |  FROM embeddings e, qv),
+        |cosed AS (
+        |  SELECT vec_id AS doc_id,
+        |         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+        |  FROM pairs GROUP BY 1),
+        |dense AS (
+        |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id ASC) AS r_dense
+        |  FROM (SELECT doc_id, cos FROM cosed
+        |        ORDER BY cos DESC, doc_id ASC LIMIT 50)),
+        |fused AS (
+        |  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |         l.r_lex AS r_lex, d.r_dense AS r_dense,
+        |         CAST(COALESCE(1000000000 // (60 + l.r_lex), 0) +
+        |              COALESCE(1000000000 // (60 + d.r_dense), 0) AS BIGINT)
+        |           AS rrf_score
+        |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id),
+        |topf AS (
+        |  SELECT * FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC)
+        |            AS INTEGER) AS rank,
+        |       doc_id, rrf_score, CAST(r_lex AS INTEGER) AS r_lex,
+        |       CAST(r_dense AS INTEGER) AS r_dense
+        |FROM topf ORDER BY rank""".stripMargin)),
+    NamedQuery("q_text_retrieval_eval", retrievalEval, Some(
+      s"""WITH $bm25CoreSql,
+        |r AS (
+        |  SELECT q_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored),
+        |top10 AS (SELECT q_id, doc_id, rank FROM r WHERE rank <= 10),
+        |nt AS (SELECT q_id, COUNT(*) AS n_terms FROM q GROUP BY 1),
+        |graded AS (
+        |  SELECT g.q_id, g.doc_id, g.grade,
+        |         CASE WHEN g.grade = nt.n_terms THEN 1 ELSE 0 END AS is_full
+        |  FROM (SELECT qq.q_id, t.doc_id, COUNT(*) AS grade
+        |        FROM (SELECT DISTINCT doc_id, term FROM tok2
+        |              WHERE term IN (SELECT term FROM q)) t
+        |        JOIN q qq USING (term) GROUP BY 1, 2) g
+        |  JOIN nt USING (q_id)),
+        |sys AS (
+        |  SELECT t.q_id,
+        |         CAST(SUM(g.grade * (1000000 // (t.rank + 1))) AS BIGINT)
+        |           AS dcg_r,
+        |         CAST(SUM(g.is_full) AS BIGINT) AS hits_10,
+        |         MIN(CASE WHEN g.is_full = 1 THEN t.rank END) AS first_full
+        |  FROM top10 t JOIN graded g USING (q_id, doc_id) GROUP BY 1),
+        |idl AS (
+        |  SELECT q_id,
+        |         CAST(SUM(grade * (1000000 // (rank + 1))) AS BIGINT)
+        |           AS idcg_r
+        |  FROM (SELECT q_id, grade,
+        |               ROW_NUMBER() OVER (PARTITION BY q_id
+        |                 ORDER BY grade DESC, doc_id ASC) AS rank
+        |        FROM graded)
+        |  WHERE rank <= 10 GROUP BY 1),
+        |tot AS (SELECT q_id, CAST(SUM(is_full) AS BIGINT) AS n_full
+        |        FROM graded GROUP BY 1)
+        |SELECT s.q_id, CAST(nt.n_terms AS BIGINT) AS n_terms, tot.n_full,
+        |       s.dcg_r, idl.idcg_r,
+        |       CAST(CASE WHEN idl.idcg_r > 0
+        |                 THEN 1000000 * s.dcg_r // idl.idcg_r
+        |                 ELSE 0 END AS BIGINT) AS ndcg_ppm,
+        |       CAST(CASE WHEN s.first_full IS NULL THEN 0
+        |                 ELSE 1000000 // s.first_full END AS BIGINT)
+        |         AS mrr_ppm,
+        |       s.hits_10,
+        |       CAST(CASE WHEN tot.n_full > 0
+        |                 THEN 1000000 * s.hits_10 // tot.n_full
+        |                 ELSE 0 END AS BIGINT) AS recall_ppm
+        |FROM sys s
+        |JOIN idl USING (q_id) JOIN tot USING (q_id) JOIN nt USING (q_id)
+        |ORDER BY q_id""".stripMargin)),
+    NamedQuery("q_text_query_expansion", queryExpansion, Some(
+      s"""WITH $bm25CoreSql,
+        |r AS (
+        |  SELECT q_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored),
+        |top10 AS (SELECT q_id, doc_id FROM r WHERE rank <= 10),
+        |fb AS (
+        |  SELECT t.q_id, k.doc_id, k.term
+        |  FROM top10 t JOIN tok2 k USING (doc_id)),
+        |cand AS (
+        |  SELECT f.q_id, f.doc_id, f.term FROM fb f
+        |  WHERE NOT EXISTS (SELECT 1 FROM q
+        |                    WHERE q.q_id = f.q_id AND q.term = f.term)),
+        |agg AS (
+        |  SELECT q_id, term, COUNT(DISTINCT doc_id) AS df_f,
+        |         COUNT(*) AS tf_f
+        |  FROM cand GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT q_id, term, df_f, tf_f,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |           ORDER BY df_f DESC, tf_f DESC, term ASC) AS exp_rank
+        |  FROM agg)
+        |SELECT q_id, CAST(exp_rank AS INTEGER) AS exp_rank, term,
+        |       CAST(df_f AS BIGINT) AS df_f, CAST(tf_f AS BIGINT) AS tf_f
+        |FROM rk WHERE exp_rank <= 3 ORDER BY q_id, exp_rank""".stripMargin)),
+    NamedQuery("q_sim_hard_negatives", hardNegatives, Some(
+      """WITH qv AS (
+        |  SELECT embedding AS qe, label AS q_label FROM embeddings
+        |  WHERE vec_id = 0),
+        |pairs AS (
+        |  SELECT e.vec_id, e.label, qv.q_label,
+        |         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+        |         CAST(UNNEST(qv.qe) AS DOUBLE) AS y
+        |  FROM embeddings e, qv
+        |  WHERE e.label <> qv.q_label)
+        |SELECT vec_id, label,
+        |       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+        |FROM pairs GROUP BY vec_id, label
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin)))
+}

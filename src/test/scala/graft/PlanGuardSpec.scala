@@ -42,7 +42,13 @@ class PlanGuardSpec extends SparkSpec {
     "q_events_time_to_convert", // broadcast one-row conversion-count frame
     "q_audit_freshness",   // broadcast one-row global-max-day frame
     "q_corpus_temperature_sample", // broadcast one-row Σmass + leftover frames
-    "q_sim_whitened_topk"  // broadcast one-row query-scalars + u·u frames
+    "q_sim_whitened_topk", // broadcast one-row query-scalars + u·u frames
+    "q_text_bm25_topk",    // broadcast one-row corpus-totals (N, L) frame
+    "q_sim_hybrid_rrf",    // broadcast corpus-totals + query-vector one-row frames
+    "q_sim_hard_negatives", // broadcast one-row query-vector frame
+    "q_text_retrieval_eval",  // BM25 probe's one-row corpus-totals frame
+    "q_text_query_expansion", // BM25 probe's one-row corpus-totals frame
+    "q_sim_kmeans"         // broadcast K=4-row centroid frame per round
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -67,7 +73,7 @@ class PlanGuardSpec extends SparkSpec {
     "lang", "source", "event_type", "status", "split", "kind", "label",
     "o_orderstatus", "l_returnflag", "l_linestatus", "c_mktsegment",
     "account_type", "currency", "txn_type", "r_name", "cust_nation",
-    "key_col", "tbl")
+    "key_col", "tbl", "q_id")
 
   /** Queries whose bounded-key (or global) windows run over inputs that
     * are provably SMALL — not the raw table — so the funnel is bounded by
@@ -113,7 +119,18 @@ class PlanGuardSpec extends SparkSpec {
     // quota apportionment windows over the #languages frame; the pick is
     // the two-phase shard trick (phase-2 rank over quota survivors)
     "q_corpus_temperature_sample" ->
-      "quota frame = languages; phase-2 rank over per-shard quota survivors")
+      "quota frame = languages; phase-2 rank over per-shard quota survivors",
+    // BM25 phase-2 ranks the ≤ 10×64 per-shard survivors per query
+    "q_text_bm25_topk" -> "phase-2 rank over per-shard top-k survivors",
+    // every rank window runs AFTER a TakeOrderedAndProject top-50/top-10
+    // cut — list-sized input regardless of corpus size
+    "q_sim_hybrid_rrf" -> "rank windows over ≤50-row fused candidate lists",
+    // system + ideal rankings both two-phase; metric joins are 4-row frames
+    "q_text_retrieval_eval" ->
+      "phase-2 rank over per-shard survivors (system + ideal lists)",
+    // the ranked input is the term vocabulary of a 10-doc feedback set
+    "q_text_query_expansion" ->
+      "rank over terms of the 10-doc feedback set per query")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+
+/** Retrieval operators: BM25-R two-phase shard ranking must equal the
+  * brute-force global ranking; RRF fusion must reward documents present in
+  * both lists; hard negatives must exclude the query's own label and agree
+  * with a driver-side brute-force ranking. */
+class RetrievalSpec extends SparkSpec {
+
+  test("bm25 two-phase shard top-k == brute-force global top-k") {
+    val got = Retrieval.bm25TopK(spark, Sf)
+      .select("q_id", "rank", "doc_id", "score")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+
+    // Brute force: one global window per q_id over ALL scored docs.
+    import org.apache.spark.sql.expressions.Window
+    val scored = Retrieval.bm25Scored(graft.sources.Tables.Tpch(spark, Sf))
+    val brute = scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .where(col("rank") <= 10)
+      .select("q_id", "rank", "doc_id", "score")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+
+    assert(got.nonEmpty)
+    assert(got.toSeq == brute.toSeq)
+  }
+
+  test("bm25 ranks the rare term's docs above common-term-only docs (q2 idf)") {
+    // q2 = {dup, scan}: "dup" is rare (~5% df), "scan" common. Every top-10
+    // doc for q2 must contain "dup" — idf weighting dominating tf.
+    val top = Retrieval.bm25TopK(spark, Sf).where(col("q_id") === 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top.nonEmpty)
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .where(col("doc_id").isin(top.toSeq: _*))
+      .select("doc_id", "text").collect()
+    assert(docs.forall(_.getString(1).split(" ").contains("dup")))
+  }
+
+  test("rrf fusion: a doc in both lists outranks equal-rank single-list docs") {
+    val rows = Retrieval.hybridRrf(spark, Sf)
+      .select("rank", "doc_id", "rrf_score", "r_lex", "r_dense").collect()
+    assert(rows.length == 10)
+    // Scores strictly follow the declared order and match the grid formula.
+    val scores = rows.sortBy(_.getInt(0)).map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val lex = Option(r.get(3)).map(_.asInstanceOf[Int])
+      val den = Option(r.get(4)).map(_.asInstanceOf[Int])
+      val expected = lex.map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        den.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getLong(2) == expected)
+    }
+  }
+
+  test("hard negatives: none carry the query label; ranking == brute force") {
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    val qRow = t.embeddings.where(col("vec_id") === 0)
+      .select("embedding", "label").collect().head
+    val qVec = qRow.getSeq[Float](0).toArray
+    val qLabel = qRow.getInt(1)
+
+    val got = Retrieval.hardNegatives(spark, Sf)
+      .select("vec_id", "label", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.length == 10)
+    assert(got.forall(_._2 != qLabel))
+
+    // Brute force on the driver with the same round-6 grid.
+    val all = t.embeddings.where(col("label") =!= lit(qLabel))
+      .select("vec_id", "label", "embedding").collect()
+      .map { r =>
+        val v = r.getSeq[Float](2).toArray
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < v.length) {
+          dot += v(i).toDouble * qVec(i).toDouble
+          na += v(i).toDouble * v(i).toDouble
+          nb += qVec(i).toDouble * qVec(i).toDouble
+          i += 1
+        }
+        val cos = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), r.getInt(1), cos)
+      }
+      .sortBy(t => (-t._3, t._1)).take(10)
+    assert(got.sortBy(t => (-t._3, t._1)).toSeq == all.toSeq)
+  }
+}
