@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Grid-quantized Lloyd clustering over the embedding corpus — the
+  * training-data organization step between dedup and mixture balancing
+  * (cluster-balanced sampling, per-cluster quality cuts), and the exact
+  * batch twin of the IVF coarse quantizer the ANN stack trains.
+  *
+  * Determinism contract (what makes this oracle-checkable where the IVF
+  * centroids are a trained artifact): every coordinate is floored onto the
+  * integer grid g = ⌊256·x⌋ + 4096 (the +4096 shift keeps the grid
+  * non-negative so integer division floors identically in both engines —
+  * Spark `DIV` truncates toward zero, DuckDB `//` floors; they agree only
+  * on non-negative operands. Distances are translation-invariant, so the
+  * shift changes nothing else). Centroid updates floor the per-dimension
+  * mean onto the same grid (sum DIV count), assignments break distance
+  * ties on the smaller centroid id, and K = 4 seeds are the grid vectors
+  * of vec_id 0..3 — so both engines walk the identical finite state
+  * sequence and the result hash-checks.
+  *
+  * Scale shape: each round is one broadcast of K centroid rows against a
+  * codegen'd corpus scan (zip_with/aggregate squared distance — same
+  * budget as `q_sim_cosine_topk` per round), one argmin window keyed by
+  * vec_id (high cardinality), and one (cid, dim)-keyed partial-agg
+  * shuffle bounded by K·dim rows. Rounds are a fixed small constant (2);
+  * at 100 TB the same plan runs with K in the thousands — the broadcast
+  * is K·dim longs, not corpus-sized. */
+object Clustering {
+
+  private val K = 4
+  private val Rounds = 2
+
+  private def gridVec: Column =
+    expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT) + 4096)")
+
+  /** (vec_id, cid, dist) — each vector assigned to its nearest centroid
+    * under squared grid distance, ties to the smaller cid. */
+  private def assign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(xg, cg, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("dist").asc, col("cid").asc)))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("xg"), col("cid"), col("dist"))
+
+  /** Floor-mean centroid update: cg[d] = (Σ xg[d]) DIV n per dimension. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("xg")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(expr("sum(v) DIV count(1)").as("cv"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)")
+        .as("cg"))
+
+  /** Final per-cluster summary after `Rounds` assign+update cycles:
+    * size, grid inertia of the last assignment, and the checksum of the
+    * last updated centroid (Σ over dimensions). */
+  def kmeansSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val vecs = t.embeddings.select(col("vec_id"), gridVec.as("xg"))
+    var centroids = vecs.where(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cid"), col("xg").as("cg"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to Rounds) {
+      assigned = assign(vecs, centroids)
+      centroids = update(assigned)
+    }
+    val stats = assigned.groupBy(col("cid")).agg(
+      count(lit(1)).as("n_assigned"),
+      sum(col("dist")).as("inertia"))
+    val sums = centroids.select(col("cid"),
+      expr("aggregate(cg, CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+        .as("centroid_sum"))
+    stats.join(sums, "cid").orderBy(col("cid"))
+  }
+
+  /** DuckDB twin: the two Lloyd rounds unrolled as materialized CTEs (the
+    * PageRank/BPE pattern); parallel UNNEST zips vector against centroid
+    * positionally, generate_subscripts carries the dimension index for the
+    * floor-mean update. */
+  private val kmeansSql: String =
+    """WITH g AS MATERIALIZED (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT) + 4096)
+      |           AS xg
+      |  FROM embeddings),
+      |c0 AS MATERIALIZED (
+      |  SELECT CAST(vec_id AS INTEGER) AS cid, xg AS cg
+      |  FROM g WHERE vec_id < 4),
+      |d1 AS MATERIALIZED (
+      |  SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS dist
+      |  FROM (SELECT g.vec_id, c0.cid, UNNEST(g.xg) AS x, UNNEST(c0.cg) AS c
+      |        FROM g, c0)
+      |  GROUP BY 1, 2),
+      |s1 AS MATERIALIZED (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                              ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |c1 AS MATERIALIZED (
+      |  SELECT cid, list(cv ORDER BY dim) AS cg FROM (
+      |    SELECT s1.cid, dim, CAST(SUM(v) // COUNT(*) AS BIGINT) AS cv
+      |    FROM (SELECT vec_id, UNNEST(xg) AS v,
+      |                 generate_subscripts(xg, 1) AS dim FROM g) e
+      |    JOIN s1 USING (vec_id) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |d2 AS MATERIALIZED (
+      |  SELECT vec_id, cid, CAST(SUM((x - c) * (x - c)) AS BIGINT) AS dist
+      |  FROM (SELECT g.vec_id, c1.cid, UNNEST(g.xg) AS x, UNNEST(c1.cg) AS c
+      |        FROM g, c1)
+      |  GROUP BY 1, 2),
+      |s2 AS MATERIALIZED (
+      |  SELECT vec_id, cid, dist FROM (
+      |    SELECT vec_id, cid, dist,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                              ORDER BY dist ASC, cid ASC) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |c2 AS MATERIALIZED (
+      |  SELECT cid, list(cv ORDER BY dim) AS cg FROM (
+      |    SELECT s2.cid, dim, CAST(SUM(v) // COUNT(*) AS BIGINT) AS cv
+      |    FROM (SELECT vec_id, UNNEST(xg) AS v,
+      |                 generate_subscripts(xg, 1) AS dim FROM g) e
+      |    JOIN s2 USING (vec_id) GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT s.cid, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+      |       CAST(SUM(s.dist) AS BIGINT) AS inertia,
+      |       (SELECT CAST(SUM(v) AS BIGINT)
+      |        FROM (SELECT UNNEST(c2.cg) AS v FROM c2 WHERE c2.cid = s.cid))
+      |         AS centroid_sum
+      |FROM s2 s GROUP BY s.cid ORDER BY s.cid""".stripMargin
+
+  def all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sim_kmeans", kmeansSummary, Some(kmeansSql)))
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Clustering
+
+/** Grid-quantized Lloyd must equal a driver-side replay of the identical
+  * finite-state recurrence (grid, floor-mean update, smaller-cid ties). */
+class ClusteringSpec extends SparkSpec {
+
+  test("kmeans summary == driver-side replay of the grid recurrence") {
+    val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val grid = rows.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 256).toLong + 4096L))
+    }
+    var centroids: Map[Int, Array[Long]] =
+      grid.filter(_._1 < 4).map { case (id, g) => (id.toInt, g) }.toMap
+
+    def dist(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var assigned: Array[(Long, Int, Long)] = null
+    for (_ <- 1 to 2) {
+      assigned = grid.map { case (id, g) =>
+        val (cid, d) = centroids.toSeq.sortBy(_._1)
+          .map { case (c, cg) => (c, dist(g, cg)) }
+          .minBy { case (c, d) => (d, c) }
+        (id, cid, d)
+      }
+      centroids = assigned.groupBy(_._2).map { case (cid, members) =>
+        val vecs = members.map(m => grid(m._1.toInt)._2)
+        val dim = vecs.head.length
+        val cg = Array.tabulate(dim) { d =>
+          // Non-negative grid: floorDiv == truncating DIV, matches Spark.
+          Math.floorDiv(vecs.map(_(d)).sum, vecs.length.toLong)
+        }
+        (cid, cg)
+      }
+    }
+    val expected = assigned.groupBy(_._2).map { case (cid, ms) =>
+      (cid, ms.length.toLong, ms.map(_._3).sum, centroids(cid).sum)
+    }.toSeq.sortBy(_._1)
+
+    val got = Clustering.kmeansSummary(spark, Sf)
+      .select("cid", "n_assigned", "inertia", "centroid_sum").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+    assert(got.map(_._2).sum == rows.length.toLong)
+    assert(got.toSeq == expected)
+  }
+}
