@@ -314,6 +314,47 @@ object TextQueries {
       .orderBy(col("n").desc, col("bigram"))
       .limit(20)
 
+  /** Collocation / phrase mining by the word2vec phrase score (Mikolov et
+    * al. 2013): score(a,b) = (c_ab − δ)/(c_a·c_b) with discount δ = 5, on
+    * the 10^9 integer grid — rare-but-strongly-associated pairs outrank
+    * the raw-frequency winners `topBigrams` reports, which is exactly the
+    * phrase-merge decision a tokenizer/phrase pass makes. The c_ab ≥ 5
+    * floor keeps the numerator non-negative (integer DIV and DuckDB //
+    * agree only there).
+    *
+    * Scale shape: bigram and unigram counts are map-side-combined keyed
+    * aggregates over the shared bigram view / one token scan; the unigram
+    * frame is vocabulary-bounded (broadcast dim — at web scale still MB,
+    * not corpus-sized); final pick is TakeOrderedAndProject, ranked after
+    * the 20-row cut. */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val uni = t.documents
+      .select(explode(toks).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val bi = docBigrams(spark, sfDir)
+      .groupBy(col("bigram")).agg(sum(col("n")).as("n"))
+      .where(col("n") >= 5)
+    val ua = uni.select(col("term").as("term_a"), col("c").as("c_a"))
+    val ub = uni.select(col("term").as("term_b"), col("c").as("c_b"))
+    bi
+      .withColumn("term_a", substring_index(col("bigram"), " ", 1))
+      .withColumn("term_b", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(ua), "term_a")
+      .join(broadcast(ub), "term_b")
+      .withColumn("score_e9",
+        expr("1000000000 * (n - 5) DIV (c_a * c_b)"))
+      .orderBy(col("score_e9").desc, col("n").desc, col("bigram").asc)
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e9").desc, col("n").desc, col("bigram").asc)))
+      .select(col("rank"), col("bigram"), col("n"),
+        col("c_a"), col("c_b"), col("score_e9"))
+      .orderBy(col("rank"))
+  }
+
   /** Rolling-hash document fingerprints (Rabin–Karp polynomial fold) via
     * the native codegen'd [[graft.functions.PolyHash]] expression — the
     * fingerprint family whose O(1) slide update underlies substring
@@ -654,6 +695,33 @@ object TextQueries {
         |  FROM a WHERE len(toks) >= 2)
         |SELECT bigram, COUNT(*) AS n
         |FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+    NamedQuery("q_text_collocations", collocations, Some(
+      """WITH a AS (
+        |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |uc AS (
+        |  SELECT term, COUNT(*) AS c
+        |  FROM (SELECT UNNEST(toks) AS term FROM a) GROUP BY 1),
+        |bc AS (
+        |  SELECT bigram, COUNT(*) AS n
+        |  FROM (SELECT UNNEST(list_transform(range(1, len(toks)),
+        |                      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |        FROM a WHERE len(toks) >= 2)
+        |  GROUP BY 1 HAVING COUNT(*) >= 5),
+        |s AS (
+        |  SELECT bc.bigram, CAST(bc.n AS BIGINT) AS n,
+        |         CAST(ua.c AS BIGINT) AS c_a, CAST(ub.c AS BIGINT) AS c_b,
+        |         CAST(1000000000 * (bc.n - 5) // (ua.c * ub.c) AS BIGINT)
+        |           AS score_e9
+        |  FROM bc
+        |  JOIN uc ua ON ua.term = split_part(bc.bigram, ' ', 1)
+        |  JOIN uc ub ON ub.term = split_part(bc.bigram, ' ', 2))
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e9 DESC, n DESC,
+        |                               bigram ASC) AS INTEGER) AS rank,
+        |       bigram, n, c_a, c_b, score_e9
+        |FROM (SELECT * FROM s
+        |      ORDER BY score_e9 DESC, n DESC, bigram ASC LIMIT 20)
+        |ORDER BY rank""".stripMargin)),
     NamedQuery("q_text_source_overlap", sourceOverlap, Some(
       """WITH a0 AS (
         |  SELECT source,

@@ -62,7 +62,11 @@ object ScaleProbe {
     "q_events_attribution_markov", "q_events_attribution_models",
     "q_events_attribution_shapley",
     // pool-bounded greedy re-rank: one cosine scan + KB driver loop
-    "q_sim_mmr_rerank")
+    "q_sim_mmr_rerank",
+    // round 10: query-term-filtered postings probe (BM25 + eval + PRF),
+    // list-sized fusion, corpus-scan negatives, K-broadcast Lloyd rounds
+    "q_text_bm25_topk", "q_text_retrieval_eval", "q_text_query_expansion",
+    "q_sim_hybrid_rrf", "q_sim_hard_negatives", "q_sim_kmeans")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -130,7 +130,9 @@ class PlanGuardSpec extends SparkSpec {
       "phase-2 rank over per-shard survivors (system + ideal lists)",
     // the ranked input is the term vocabulary of a 10-doc feedback set
     "q_text_query_expansion" ->
-      "rank over terms of the 10-doc feedback set per query")
+      "rank over terms of the 10-doc feedback set per query",
+    // rank runs after the global TakeOrderedAndProject 20-row cut
+    "q_text_collocations" -> "rank after the 20-row top-k cut")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan
