@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.TextQueries
+
+/** Collocation mining: the integer-grid word2vec phrase score must equal a
+  * driver-side brute-force recompute, and PMI-style ranking must differ
+  * from raw-frequency ranking exactly where association beats frequency. */
+class CollocationsSpec extends SparkSpec {
+
+  test("phrase scores == driver brute force; top-20 order exact") {
+    val texts = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(_.split(" ").filter(_.nonEmpty))
+    val uni = toks.flatten.groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val bi = toks.flatMap(ts => ts.zip(ts.tail).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).map { case (g, xs) => (g, xs.length.toLong) }
+      .filter(_._2 >= 5)
+    val expected = bi.toSeq.map { case (g, n) =>
+      val Array(a, b) = g.split(" ")
+      val score = 1000000000L * (n - 5) / (uni(a) * uni(b))
+      (g, n, uni(a), uni(b), score)
+    }.sortBy { case (g, n, _, _, s) => (-s, -n, g) }.take(20)
+
+    val got = TextQueries.collocations(spark, Sf)
+      .select("bigram", "n", "c_a", "c_b", "score_e9").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+
+    assert(got.length == expected.length)
+    assert(got.toSeq == expected)
+  }
+
+  test("association ranking is not the frequency ranking") {
+    val byScore = TextQueries.collocations(spark, Sf)
+      .select("bigram").collect().map(_.getString(0)).toSeq
+    val byFreq = TextQueries.topBigrams(spark, Sf)
+      .select("bigram").collect().map(_.getString(0)).toSeq
+    assert(byScore != byFreq)
+  }
+}
