@@ -57,17 +57,25 @@ object Retrieval {
   /** (q_id, doc_id, score) BM25-R scores for every candidate document
     * (≥ 1 query-term hit) — shared by the standalone top-k and the hybrid
     * fusion so the lexical scoring can never diverge between them. */
-  private[graft] def bm25Scored(t: Tpch): DataFrame = {
-    import t.spark.implicits._
-    val q = querySet.toDF("q_id", "term")
+  /** BM25-R scores for an arbitrary (q_id, term) query frame against the
+    * corpus — the batch registry pins `literalTerms` so the term filter
+    * pushes into the token scan; the streaming serving leg passes None and
+    * probes via a broadcast semi-join (terms only known per micro-batch). */
+  private[graft] def bm25ScoredFor(
+      t: Tpch, q: DataFrame,
+      literalTerms: Option[Seq[String]]): DataFrame = {
     val tok = t.documents
       .select(col("doc_id"), explode(toks).as("term"))
       .where(col("term") =!= "")
     val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
     val corpus = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("l_total"))
-    val qterms = querySet.map(_._2).distinct
-    val tf = tok.where(col("term").isin(qterms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cand = literalTerms match {
+      case Some(ts) => tok.where(col("term").isin(ts: _*))
+      case None =>
+        tok.join(broadcast(q.select(col("term")).distinct()),
+          Seq("term"), "left_semi")
+    }
+    val tf = cand.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")
       .join(broadcast(q), "term")
@@ -80,27 +88,37 @@ object Retrieval {
       .agg(sum(col("idf_i") * col("tfn_i")).as("score"))
   }
 
+  private[graft] def bm25Scored(t: Tpch): DataFrame = {
+    import t.spark.implicits._
+    bm25ScoredFor(t, querySet.toDF("q_id", "term"),
+      Some(querySet.map(_._2).distinct))
+  }
+
+  /** Per-query top-k over (q_id, doc_id, score) via the two-phase shard
+    * trick — shared by the batch registry query and the streaming serving
+    * leg so the ranking rule cannot diverge between them. */
+  private[graft] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val order = Seq(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"), pmod(col("doc_id"), lit(64)))
+          .orderBy(order: _*)))
+      .where(col("rn") <= k)
+      .drop("rn")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(order: _*)))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** BM25-R top-10 per query. Per-query rank uses the two-phase shard
     * trick (CorpusPrep's pattern): phase 1 ranks within (q_id, doc-shard)
     * — high-cardinality partitions — keeping each shard's top 10, a
     * superset of the global top 10 under the same (score desc, doc_id)
     * order; phase 2 ranks the ≤ 10×64 survivors per query. */
-  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = bm25Scored(Tpch(spark, sfDir))
-    val order = Seq(col("score").desc, col("doc_id").asc)
-    val sharded = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id"), pmod(col("doc_id"), lit(64)))
-          .orderBy(order: _*)))
-      .where(col("rn") <= 10)
-      .drop("rn")
-    sharded
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(order: _*)))
-      .where(col("rank") <= 10)
-      .select(col("q_id"), col("rank"), col("doc_id"), col("score"))
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame =
+    topKPerQuery(bm25Scored(Tpch(spark, sfDir)), 10)
       .orderBy(col("q_id"), col("rank"))
-  }
 
   /** Lexical + dense hybrid retrieval via reciprocal-rank fusion
     * (Cormack, Clarke & Buettcher 2009): rrf(d) = Σ_lists 1/(60 + rank_d),

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Retrieval
+import graft.sources.Tables.Tpch
+
+/** Streaming query serving over the frozen lexical index — the serving
+  * twin of [[graft.operators.Retrieval.bm25TopK]]: the corpus-side
+  * artifacts (full postings list, per-doc lengths, corpus totals) are
+  * built ONCE and pinned in memory; each arriving micro-batch of
+  * (q_id, term) query rows probes them with a broadcast semi-join and
+  * gets BM25-R top-k answers appended to the serving store.
+  *
+  * Scale contract: per-batch work is bounded by the PROBED postings —
+  * only rows whose term appears in the batch cross the keyed shuffle; the
+  * corpus is scanned exactly once at index-freeze time, never per batch.
+  * The scoring and ranking code paths are the SAME methods the batch
+  * registry query runs ([[Retrieval.bm25ScoredFor]] /
+  * [[Retrieval.topKPerQuery]]), so serving can never diverge from the
+  * certified batch semantics.
+  *
+  * StreamingRetrievalSpec drives query batches from a MemoryStream and
+  * pins stream == batch answer parity.
+  */
+object StreamingRetrieval {
+
+  def answersPath(root: String) = s"$root/answers"
+
+  /** Answers served so far: (batch_id, q_id, rank, doc_id, score). */
+  def answersSoFar(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(answersPath(root))
+
+  /** The frozen index: (postings, lengths, totals), each persisted so
+    * batch N > 0 pays probe cost only. */
+  private[graft] case class Index(
+      postings: DataFrame, lengths: DataFrame, totals: DataFrame)
+
+  private[graft] def freezeIndex(spark: SparkSession, sfDir: String): Index = {
+    val t = Tpch(spark, sfDir)
+    val tok = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(col("term") =!= "")
+    val postings = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lengths = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = lengths
+      .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("l_total"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings.count(); lengths.count(); totals.count()
+    Index(postings, lengths, totals)
+  }
+
+  /** Score one micro-batch of (q_id, term) queries against the frozen
+    * index — the same BM25-R arithmetic as the batch path, restated over
+    * the probed postings instead of a fresh corpus scan. */
+  private[graft] def serveBatch(index: Index, queries: DataFrame,
+                                k: Int): DataFrame = {
+    val q = queries.select(col("q_id"), col("term"))
+    val probed = index.postings
+      .join(broadcast(q.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val df = probed.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = probed
+      .join(broadcast(df), "term")
+      .join(broadcast(q), "term")
+      .join(index.lengths, "doc_id")
+      .crossJoin(broadcast(index.totals))
+      .withColumn("idf_i", expr("10000 * (n_docs - df + 1) DIV (df + 1)"))
+      .withColumn("tfn_i", expr(
+        "10000 * 36 * tf * l_total DIV (16 * l_total * tf + 5 * l_total + 15 * len * n_docs)"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("idf_i") * col("tfn_i")).as("score"))
+    Retrieval.topKPerQuery(scored, k)
+  }
+
+  /** Wire a streaming (q_id, term) source through the server. The index
+    * freezes at start time; a rebuilt index is a new `start`. */
+  def start(queries: DataFrame, sfDir: String, root: String,
+            checkpoint: String, k: Int = 10): StreamingQuery = {
+    val index = freezeIndex(queries.sparkSession, sfDir)
+    queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          serveBatch(index, batch, k)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(answersPath(root))
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+}

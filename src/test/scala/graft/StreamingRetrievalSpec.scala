@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingRetrieval
+
+/** Streaming BM25 serving: answers for micro-batched queries over the
+  * frozen index must equal the batch registry query's certified ranking
+  * for the same query set. */
+class StreamingRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream-served top-k == batch bm25TopK, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("ret_serve").toString
+    val ckpt = Files.createTempDirectory("ret_ckpt").toString
+
+    // The registry's evaluation query set, split over two micro-batches.
+    val q12 = Seq(1 -> "spark", 1 -> "shuffle", 1 -> "join",
+      2 -> "dup", 2 -> "scan")
+    val q34 = Seq(3 -> "window", 3 -> "group", 3 -> "agg",
+      4 -> "stream", 4 -> "batch", 4 -> "value")
+
+    val mem = MemoryStream[(Int, String)]
+    val stream = mem.toDF().toDF("q_id", "term")
+    Seq(q12, q34).foreach { rows =>
+      mem.addData(rows: _*)
+      val sq = StreamingRetrieval.start(stream, Sf, root, ckpt)
+      sq.processAllAvailable(); sq.stop()
+    }
+
+    val served = StreamingRetrieval.answersSoFar(spark, root)
+      .select("q_id", "rank", "doc_id", "score").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val batch = graft.operators.Retrieval.bm25TopK(spark, Sf)
+      .select("q_id", "rank", "doc_id", "score").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+
+    assert(served.nonEmpty)
+    assert(served.toSeq == batch.toSeq,
+      "stream-served ranking diverged from the certified batch ranking")
+
+    // Batch boundaries respected: queries answered in the batch they
+    // arrived in, and never re-answered later.
+    val byBatch = StreamingRetrieval.answersSoFar(spark, root)
+      .select("batch_id", "q_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._2)
+    assert(byBatch.forall(_._2.length == 1), "a query was answered twice")
+  }
+}
