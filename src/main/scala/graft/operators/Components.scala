@@ -86,7 +86,7 @@ object Components {
     * CTE. */
   private val labelCache = FrameCache.empty
 
-  private[operators] def sharedLabels(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def sharedLabels(spark: SparkSession, sfDir: String): DataFrame =
     FrameCache.cached(labelCache, spark, sfDir) {
       val pairs = DedupQueries.portableNearDups(spark, sfDir)
         .select(col("doc_a").as("a"), col("doc_b").as("b"))

@@ -162,7 +162,57 @@ object Sampling {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Dedup-aware weighted sampling — the step that keeps a sampled
+    * training mix from over-representing replicated content: each document
+    * is weighted 1/|near-dup cluster| (singletons weigh 1), so every
+    * CLUSTER contributes expected mass ~1 draw regardless of how many
+    * copies of it crawled in. The cluster map is the session-cached
+    * [[Components.sharedLabels]] closure — the same labels the dedup
+    * pipeline certifies — and the draw is the md5-portable
+    * Efraimidis–Spirakis priority u^(1/w) of [[weightedSample]].
+    *
+    * Exponent portability: w = 1/size is computed as a double and
+    * re-inverted inside `priority` (u^(1/w)), so the oracle restates the
+    * DOUBLE ROUND-TRIP 1.0/(1.0/size) verbatim — writing the
+    * mathematically-equal integer exponent instead would diverge in the
+    * last ulp for sizes like 3.
+    *
+    * Scale shape: cluster labels are one row per CLUSTERED doc (a small
+    * fraction of the corpus) joined back by doc_id; the priority is a
+    * per-row codegen'd expression; the pick is TakeOrderedAndProject. */
+  def dedupWeightedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val labels = Components.sharedLabels(spark, sfDir)
+    val sizes = labels.groupBy(col("component")).agg(count(lit(1)).as("sz"))
+    val labeled = labels.join(sizes, "component")
+      .select(col("id").as("doc_id"), col("sz"))
+    val docs = t.documents.join(labeled, Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("sz"), lit(1L)))
+    weightedSample(docs, col("doc_id"),
+      lit(1.0) / col("cluster_size").cast("double"), k = 100)
+      .select(col("doc_id"), col("lang"), col("source"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_corpus_dedup_weighted_sample", dedupWeightedSample, Some(
+      Components.portableClosureSql +
+        """,
+          |csz AS (SELECT component, COUNT(*) AS n FROM comp GROUP BY 1),
+          |lab AS (SELECT c.id AS doc_id, s.n
+          |        FROM comp c JOIN csz s USING (component)),
+          |d AS (SELECT doc_id, lang, source,
+          |             COALESCE(l.n, 1) AS cluster_size
+          |      FROM documents LEFT JOIN lab l USING (doc_id)),
+          |p AS (
+          |  SELECT *,
+          |         POW((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 15))::BIGINT
+          |              % 1000000007 + 1.0) / 1000000007.0,
+          |             1.0 / (1.0 / CAST(cluster_size AS DOUBLE))) AS pr
+          |  FROM d)
+          |SELECT doc_id, lang, source, CAST(cluster_size AS BIGINT) AS cluster_size
+          |FROM (SELECT * FROM p ORDER BY pr DESC, doc_id ASC LIMIT 100)
+          |ORDER BY doc_id""".stripMargin)),
     // Oracle (graduated round 10): the md5-portable priority lets DuckDB
     // regenerate the identical draw per doc and take the same top-100.
     // POW/division agree across engines to well under the ~1/n priority

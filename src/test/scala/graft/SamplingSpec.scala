@@ -27,6 +27,37 @@ class SamplingSpec extends SparkSpec {
     assert(gotRepart == expected, "sample changed under repartitioning")
   }
 
+  test("dedup-weighted sample: cluster weights correct, draw reproducible") {
+    val rows = Sampling.dedupWeightedSample(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_size")))
+    assert(rows.length == 100)
+    assert(rows.map(_._1).distinct.length == 100)
+
+    // Cluster sizes must match the shared component labels exactly.
+    val labels = graft.operators.Components.sharedLabels(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("component")))
+    val size: Map[Long, Long] = labels.groupBy(_._2).toSeq.flatMap {
+      case (_, ms) => ms.map(m => m._1 -> ms.length.toLong)
+    }.toMap
+    rows.foreach { case (id, sz) =>
+      assert(sz == size.getOrElse(id, 1L), s"doc $id cluster size")
+    }
+
+    // Driver replay of the Efraimidis–Spirakis pick with the same weights.
+    val allDocs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val withW = allDocs.map(id => (id, 1.0 / size.getOrElse(id, 1L).toDouble))
+    val t2 = Tpch(spark, Sf)
+    import org.apache.spark.sql.functions.typedLit
+    val wMap = typedLit(withW.toMap)
+    val replay = t2.documents
+      .withColumn("p", Sampling.priority(col("doc_id"),
+        wMap(col("doc_id")), 42L))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("p")))
+      .sortBy { case (id, p) => (-p, id) }.take(100).map(_._1).sorted.toSeq
+    assert(rows.map(_._1).sorted.toSeq == replay)
+  }
+
   test("heavier rows win more often across seeds (weight monotonicity)") {
     val t = Tpch(spark, Sf)
     val df = t.documents.limit(200)
