@@ -293,6 +293,22 @@ object Retrieval {
       .orderBy("q_id", "exp_rank")
   }
 
+  /** The PRF loop CLOSED: re-run BM25-R with each query's term set
+    * augmented by its top-3 feedback terms ([[queryExpansion]]) — the
+    * Rocchio second pass. Runs the scorer through the DYNAMIC-terms path
+    * (broadcast semi-join) since the expanded term set is data-dependent —
+    * the same code path the streaming serving leg uses, so the batch
+    * registry certifies it too. */
+  def prfRetrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    import t.spark.implicits._
+    val q = querySet.toDF("q_id", "term")
+    val exp = queryExpansion(spark, sfDir).select(col("q_id"), col("term"))
+    val q2 = q.union(exp).distinct()
+    topKPerQuery(bm25ScoredFor(t, q2, None), 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   private val bm25CoreSql: String =
     s"""q(q_id, term) AS (VALUES $querySetValuesSql),
        |tok AS (
@@ -437,6 +453,56 @@ object Retrieval {
         |SELECT q_id, CAST(exp_rank AS INTEGER) AS exp_rank, term,
         |       CAST(df_f AS BIGINT) AS df_f, CAST(tf_f AS BIGINT) AS tf_f
         |FROM rk WHERE exp_rank <= 3 ORDER BY q_id, exp_rank""".stripMargin)),
+    NamedQuery("q_text_prf_retrieval", prfRetrieval, Some(
+      s"""WITH $bm25CoreSql,
+        |r AS (
+        |  SELECT q_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored),
+        |top10 AS (SELECT q_id, doc_id FROM r WHERE rank <= 10),
+        |fb AS (
+        |  SELECT t.q_id, k.doc_id, k.term
+        |  FROM top10 t JOIN tok2 k USING (doc_id)),
+        |cand AS (
+        |  SELECT f.q_id, f.doc_id, f.term FROM fb f
+        |  WHERE NOT EXISTS (SELECT 1 FROM q
+        |                    WHERE q.q_id = f.q_id AND q.term = f.term)),
+        |agg AS (
+        |  SELECT q_id, term, COUNT(DISTINCT doc_id) AS df_f,
+        |         COUNT(*) AS tf_f
+        |  FROM cand GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT q_id, term,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |           ORDER BY df_f DESC, tf_f DESC, term ASC) AS exp_rank
+        |  FROM agg),
+        |q2 AS (
+        |  SELECT q_id, term FROM q
+        |  UNION
+        |  SELECT q_id, term FROM rk WHERE exp_rank <= 3),
+        |tf2 AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tok2
+        |  WHERE term IN (SELECT DISTINCT term FROM q2) GROUP BY 1, 2),
+        |df2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY 1),
+        |scored2 AS (
+        |  SELECT qq.q_id, t.doc_id,
+        |         CAST(SUM((10000 * (c.n_docs - d.df + 1) // (d.df + 1)) *
+        |                  (10000 * 36 * t.tf * c.l_total //
+        |                   (16 * c.l_total * t.tf + 5 * c.l_total +
+        |                    15 * l.len * c.n_docs))) AS BIGINT) AS score
+        |  FROM tf2 t
+        |  JOIN df2 d USING (term)
+        |  JOIN q2 qq USING (term)
+        |  JOIN len l USING (doc_id), corpus c
+        |  GROUP BY 1, 2),
+        |r2 AS (
+        |  SELECT q_id, doc_id, score,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored2)
+        |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, score
+        |FROM r2 WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
     NamedQuery("q_sim_hard_negatives", hardNegatives, Some(
       """WITH qv AS (
         |  SELECT embedding AS qe, label AS q_label FROM embeddings

@@ -355,6 +355,42 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  /** Lexical-index health audit — the postings-skew profile of the
+    * inverted index the BM25 probe and streaming server rely on: document
+    * frequencies bucketed by decimal magnitude (digit count — the
+    * engine-portable stand-in for a log histogram), with each bucket's
+    * term count, total postings mass, and its heaviest term. The top
+    * bucket's terms are the de-facto stopword list (candidates for
+    * postings-list skipping / impact-ordered truncation at serving time);
+    * a fat tail of df=1 terms flags tokenizer noise.
+    *
+    * Scale shape: df is one distinct + one keyed count over the token
+    * scan (map-side combined); everything after runs on the
+    * vocabulary-sized frame. The per-bucket heaviest term resolves by
+    * max-df join-back, not a bounded-key window. */
+  def indexStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val df = t.documents
+      .select(col("doc_id"), explode(toks).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val hist = df
+      .withColumn("df_digits", length(col("df").cast("string")))
+      .groupBy(col("df_digits"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("postings"),
+        max(col("df")).as("max_df"))
+    val top = df
+      .withColumn("df_digits", length(col("df").cast("string")))
+      .join(hist.select(col("df_digits"), col("max_df")), "df_digits")
+      .where(col("df") === col("max_df"))
+      .groupBy(col("df_digits")).agg(min(col("term")).as("top_term"))
+    hist.join(top, "df_digits")
+      .select(col("df_digits"), col("n_terms"), col("postings"),
+        col("max_df"), col("top_term"))
+      .orderBy(col("df_digits"))
+  }
+
   /** Rolling-hash document fingerprints (Rabin–Karp polynomial fold) via
     * the native codegen'd [[graft.functions.PolyHash]] expression — the
     * fingerprint family whose O(1) slide update underlies substring
@@ -695,6 +731,29 @@ object TextQueries {
         |  FROM a WHERE len(toks) >= 2)
         |SELECT bigram, COUNT(*) AS n
         |FROM b GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin)),
+    NamedQuery("q_text_index_stats", indexStats, Some(
+      """WITH d AS (
+        |  SELECT term, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term
+        |        FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        |              FROM documents)
+        |        WHERE term <> '')
+        |  GROUP BY 1),
+        |h AS (
+        |  SELECT length(CAST(df AS VARCHAR)) AS df_digits,
+        |         CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |         CAST(SUM(df) AS BIGINT) AS postings,
+        |         CAST(MAX(df) AS BIGINT) AS max_df
+        |  FROM d GROUP BY 1),
+        |t AS (
+        |  SELECT length(CAST(d.df AS VARCHAR)) AS df_digits,
+        |         MIN(d.term) AS top_term
+        |  FROM d JOIN h ON length(CAST(d.df AS VARCHAR)) = h.df_digits
+        |              AND d.df = h.max_df
+        |  GROUP BY 1)
+        |SELECT CAST(h.df_digits AS INTEGER) AS df_digits, h.n_terms,
+        |       h.postings, h.max_df, t.top_term
+        |FROM h JOIN t USING (df_digits) ORDER BY df_digits""".stripMargin)),
     NamedQuery("q_text_collocations", collocations, Some(
       """WITH a AS (
         |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks

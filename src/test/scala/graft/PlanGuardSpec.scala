@@ -48,7 +48,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_hard_negatives", // broadcast one-row query-vector frame
     "q_text_retrieval_eval",  // BM25 probe's one-row corpus-totals frame
     "q_text_query_expansion", // BM25 probe's one-row corpus-totals frame
-    "q_sim_kmeans"         // broadcast K=4-row centroid frame per round
+    "q_sim_kmeans",        // broadcast K=4-row centroid frame per round
+    "q_text_prf_retrieval" // BM25 probe's one-row corpus-totals frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -132,7 +133,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_query_expansion" ->
       "rank over terms of the 10-doc feedback set per query",
     // rank runs after the global TakeOrderedAndProject 20-row cut
-    "q_text_collocations" -> "rank after the 20-row top-k cut")
+    "q_text_collocations" -> "rank after the 20-row top-k cut",
+    // first pass + expansion + second pass all two-phase / feedback-bounded
+    "q_text_prf_retrieval" ->
+      "phase-2 rank over per-shard survivors; expansion over 10-doc sets")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan

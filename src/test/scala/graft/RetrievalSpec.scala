@@ -60,6 +60,43 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("prf second pass: valid ranking, and expansion actually moves it") {
+    val first = Retrieval.bm25TopK(spark, Sf)
+      .select("q_id", "rank", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val second = Retrieval.prfRetrieval(spark, Sf)
+      .select("q_id", "rank", "doc_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(second.nonEmpty)
+    // ranks 1..k contiguous per query
+    second.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted == (1 to rs.length).toList, s"q$q ranks")
+    }
+    // the expanded term set must change at least one query's top-10
+    assert(first != second, "PRF expansion changed nothing")
+  }
+
+  test("index stats: postings histogram == driver brute force") {
+    val texts = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val df = texts.flatMap { case (id, tx) =>
+      tx.split(" ").filter(_.nonEmpty).distinct.map(t => (t, id))
+    }.groupBy(_._1).map { case (t, xs) => (t, xs.length.toLong) }
+    val buckets = df.groupBy { case (_, d) => d.toString.length }
+    val expected = buckets.toSeq.map { case (dig, ts) =>
+      val maxDf = ts.map(_._2).max
+      (dig, ts.size.toLong, ts.map(_._2).sum, maxDf,
+        ts.filter(_._2 == maxDf).map(_._1).min)
+    }.sortBy(_._1)
+    val got = graft.operators.TextQueries.indexStats(spark, Sf)
+      .select("df_digits", "n_terms", "postings", "max_df", "top_term")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == expected)
+  }
+
   test("hard negatives: none carry the query label; ranking == brute force") {
     val t = graft.sources.Tables.Tpch(spark, Sf)
     val qRow = t.embeddings.where(col("vec_id") === 0)
