@@ -309,6 +309,91 @@ object Retrieval {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** The phrase evaluation set: 3 present phrases + 1 absent ("spark
+    * shuffle" — its second term never follows its first), exercising the
+    * zero-hit lane end to end. */
+  private val phraseSet: Seq[(Int, String)] = Seq(
+    1 -> "stream batch", 2 -> "group agg", 3 -> "order fast",
+    4 -> "spark shuffle")
+
+  /** Exact phrase search over positional postings — the operator an
+    * inverted index grows positions FOR: tokens of a phrase must appear
+    * at ADJACENT positions in the same document, found by joining the
+    * first-word postings against the second-word postings on
+    * (doc, pos+1). Emits per-phrase document and occurrence counts, zero
+    * rows included (left join from the phrase table).
+    *
+    * Scale shape: both posting streams are filtered to the phrase
+    * vocabulary BEFORE the positional join (pushed scans), so the keyed
+    * (doc_id, pos) shuffle carries only candidate postings — the BM25
+    * probe's budget argument applied to positions. */
+  def phraseSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    import t.spark.implicits._
+    val ph = phraseSet.toDF("phrase_id", "phrase")
+      .withColumn("a", substring_index(col("phrase"), " ", 1))
+      .withColumn("b", substring_index(col("phrase"), " ", -1))
+    val ftoks = expr("filter(split(text, ' '), x -> x <> '')")
+    val tok = t.documents
+      .select(col("doc_id"), posexplode(ftoks).as(Seq("pos0", "term")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val firsts = phraseSet.map(_._2.split(" ")(0)).distinct
+    val seconds = phraseSet.map(_._2.split(" ")(1)).distinct
+    val xs = tok.where(col("term").isin(firsts: _*))
+      .select(col("doc_id"), col("pos"), col("term").as("a"))
+    val ys = tok.where(col("term").isin(seconds: _*))
+      .select(col("doc_id").as("doc_y"), col("pos").as("pos_y"),
+        col("term").as("b"))
+    val occ = xs
+      .join(ys, col("doc_y") === col("doc_id") &&
+        col("pos_y") === col("pos") + 1)
+      .join(broadcast(ph), Seq("a", "b"))
+      .groupBy(col("phrase_id"))
+      .agg(countDistinct(col("doc_id")).as("h_docs"),
+        count(lit(1)).as("h_occ"))
+    ph.select(col("phrase_id"), col("phrase"))
+      .join(occ, Seq("phrase_id"), "left")
+      .select(col("phrase_id"), col("phrase"),
+        coalesce(col("h_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("h_occ"), lit(0L)).as("n_occurrences"))
+      .orderBy(col("phrase_id"))
+  }
+
+  /** KWIC snippet generation — the last step of the serving path: for each
+    * query's TOP document (rank 1 of the certified BM25 ranking), the ±2
+    * token window around the first query-term hit. Positions index the
+    * empty-filtered token array in BOTH engines (Spark 1-based via pos+1,
+    * DuckDB generate_subscripts), so the emitted snippet strings
+    * hash-match. One positional pass over only the top documents — the
+    * corpus never re-scans for display. */
+  def snippets(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    import t.spark.implicits._
+    val q = querySet.toDF("q_id", "term")
+    val top1 = bm25TopK(spark, sfDir).where(col("rank") === 1)
+      .select(col("q_id"), col("doc_id"))
+    val arr = t.documents
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+    val ptok = arr
+      .join(broadcast(top1.select("doc_id").distinct()), "doc_id")
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos0", "term")))
+      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val hit = broadcast(top1).join(ptok, "doc_id")
+      .join(broadcast(q), Seq("q_id", "term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(min(col("pos")).as("hit_pos"))
+    hit.join(arr, "doc_id")
+      .withColumn("s", greatest(lit(1), col("hit_pos") - 2))
+      .withColumn("e", least(size(col("t")), col("hit_pos") + 2))
+      .select(col("q_id"), col("doc_id"), col("hit_pos"),
+        expr("array_join(slice(t, s, e - s + 1), ' ')").as("snippet"))
+      .orderBy(col("q_id"))
+  }
+
+  private def phraseSetValuesSql: String =
+    phraseSet.map { case (p, s) => s"($p, '$s')" }.mkString(", ")
+
   private val bm25CoreSql: String =
     s"""q(q_id, term) AS (VALUES $querySetValuesSql),
        |tok AS (
@@ -503,6 +588,62 @@ object Retrieval {
         |  FROM scored2)
         |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, score
         |FROM r2 WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+    NamedQuery("q_text_phrase_search", phraseSearch, Some(
+      s"""WITH ph(phrase_id, phrase) AS (VALUES $phraseSetValuesSql),
+        |arr AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |           AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, UNNEST(t) AS term,
+        |         generate_subscripts(t, 1) AS pos
+        |  FROM arr),
+        |p2 AS (
+        |  SELECT phrase_id, phrase,
+        |         split_part(phrase, ' ', 1) AS fa,
+        |         split_part(phrase, ' ', 2) AS fb
+        |  FROM ph),
+        |hit AS (
+        |  SELECT p.phrase_id, x.doc_id
+        |  FROM tok x
+        |  JOIN tok y ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+        |  JOIN p2 p ON p.fa = x.term AND p.fb = y.term),
+        |agg AS (
+        |  SELECT phrase_id, COUNT(DISTINCT doc_id) AS n_docs,
+        |         COUNT(*) AS n_occurrences
+        |  FROM hit GROUP BY 1)
+        |SELECT p.phrase_id, p.phrase,
+        |       CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
+        |       CAST(COALESCE(a.n_occurrences, 0) AS BIGINT) AS n_occurrences
+        |FROM p2 p LEFT JOIN agg a USING (phrase_id)
+        |ORDER BY phrase_id""".stripMargin)),
+    NamedQuery("q_text_snippets", snippets, Some(
+      s"""WITH $bm25CoreSql,
+        |r AS (
+        |  SELECT q_id, doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY q_id
+        |                            ORDER BY score DESC, doc_id ASC) AS rank
+        |  FROM scored),
+        |top1 AS (SELECT q_id, doc_id FROM r WHERE rank = 1),
+        |arr AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+        |           AS t
+        |  FROM documents),
+        |ptok AS (
+        |  SELECT doc_id, UNNEST(t) AS term,
+        |         generate_subscripts(t, 1) AS pos
+        |  FROM arr WHERE doc_id IN (SELECT doc_id FROM top1)),
+        |hit AS (
+        |  SELECT t1.q_id, t1.doc_id, MIN(p.pos) AS hit_pos
+        |  FROM top1 t1
+        |  JOIN ptok p USING (doc_id)
+        |  JOIN q ON q.q_id = t1.q_id AND q.term = p.term
+        |  GROUP BY 1, 2)
+        |SELECT h.q_id, h.doc_id, CAST(h.hit_pos AS INTEGER) AS hit_pos,
+        |       array_to_string(
+        |         a.t[GREATEST(1, h.hit_pos - 2):LEAST(len(a.t), h.hit_pos + 2)],
+        |         ' ') AS snippet
+        |FROM hit h JOIN arr a USING (doc_id) ORDER BY h.q_id""".stripMargin)),
     NamedQuery("q_sim_hard_negatives", hardNegatives, Some(
       """WITH qv AS (
         |  SELECT embedding AS qe, label AS q_label FROM embeddings

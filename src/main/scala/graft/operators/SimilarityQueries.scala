@@ -55,6 +55,37 @@ object SimilarityQueries {
       .limit(10)
   }
 
+  /** Batched multi-query top-k — the serving shape a real ANN tier runs:
+    * ONE corpus scan answers a whole BATCH of query vectors (vec_id 0..3
+    * as the query set), amortizing the scan across queries instead of
+    * rescanning per query. Per-query ranking uses the two-phase shard
+    * trick, so no single task ever funnels one query's full candidate
+    * list. At 100 TB the same plan holds with thousands of queries: the
+    * broadcast is |batch|·dim floats and the scan cost is paid once. */
+  def batchTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    GraftFunctions.register(spark)
+    val t = Tpch(spark, sfDir)
+    val qs = t.embeddings.where(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("q_vec_id"),
+        col("embedding").as("q_vec"))
+    val scored = t.embeddings
+      .crossJoin(broadcast(qs))
+      .withColumn("cos", expr("round(graft_cosine(embedding, q_vec), 6)"))
+      .select(col("q_vec_id"), col("vec_id"), col("cos"))
+    val order = Seq(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_vec_id"), pmod(col("vec_id"), lit(64)))
+          .orderBy(order: _*)))
+      .where(col("rn") <= 10).drop("rn")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_vec_id")).orderBy(order: _*)))
+      .where(col("rank") <= 10)
+      .select(col("q_vec_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("q_vec_id"), col("rank"))
+  }
+
   /** MMR (maximal marginal relevance) diversified re-ranking — Carbonell &
     * Goldstein 1998: greedily pick 10 results trading relevance to the
     * query against redundancy with what's already picked,
@@ -753,6 +784,26 @@ object SimilarityQueries {
     // 50-candidate pool (the PageRank pattern) — rel and pairwise cosines
     // rounded at 6 before selection, identical to the engine's driver loop.
     NamedQuery("q_sim_mmr_rerank", mmrRerank, Some(mmrRerankSql)),
+    NamedQuery("q_sim_batch_topk", batchTopK, Some(
+      """WITH q AS (
+        |  SELECT CAST(vec_id AS INTEGER) AS q_vec_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 4),
+        |pairs AS (
+        |  SELECT q.q_vec_id, e.vec_id,
+        |         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+        |         CAST(UNNEST(q.qe) AS DOUBLE) AS y
+        |  FROM embeddings e, q),
+        |cosed AS (
+        |  SELECT q_vec_id, vec_id,
+        |         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+        |  FROM pairs GROUP BY 1, 2),
+        |r AS (
+        |  SELECT q_vec_id, vec_id, cos,
+        |         ROW_NUMBER() OVER (PARTITION BY q_vec_id
+        |                            ORDER BY cos DESC, vec_id ASC) AS rank
+        |  FROM cosed)
+        |SELECT q_vec_id, CAST(rank AS INTEGER) AS rank, vec_id, cos
+        |FROM r WHERE rank <= 10 ORDER BY q_vec_id, rank""".stripMargin)),
     NamedQuery("q_sim_cosine_topk", cosineTopK, Some(
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |     pairs AS (

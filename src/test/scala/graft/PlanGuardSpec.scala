@@ -49,7 +49,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_retrieval_eval",  // BM25 probe's one-row corpus-totals frame
     "q_text_query_expansion", // BM25 probe's one-row corpus-totals frame
     "q_sim_kmeans",        // broadcast K=4-row centroid frame per round
-    "q_text_prf_retrieval" // BM25 probe's one-row corpus-totals frame
+    "q_text_prf_retrieval", // BM25 probe's one-row corpus-totals frame
+    "q_sim_batch_topk",    // broadcast 4-row query-vector batch vs the scan
+    "q_text_snippets"      // BM25 probe's one-row corpus-totals frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -74,7 +76,7 @@ class PlanGuardSpec extends SparkSpec {
     "lang", "source", "event_type", "status", "split", "kind", "label",
     "o_orderstatus", "l_returnflag", "l_linestatus", "c_mktsegment",
     "account_type", "currency", "txn_type", "r_name", "cust_nation",
-    "key_col", "tbl", "q_id")
+    "key_col", "tbl", "q_id", "q_vec_id")
 
   /** Queries whose bounded-key (or global) windows run over inputs that
     * are provably SMALL — not the raw table — so the funnel is bounded by
@@ -136,7 +138,11 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_collocations" -> "rank after the 20-row top-k cut",
     // first pass + expansion + second pass all two-phase / feedback-bounded
     "q_text_prf_retrieval" ->
-      "phase-2 rank over per-shard survivors; expansion over 10-doc sets")
+      "phase-2 rank over per-shard survivors; expansion over 10-doc sets",
+    // batched ANN: phase-2 rank over ≤ 10×64 per-shard survivors per query
+    "q_sim_batch_topk" -> "phase-2 rank over per-shard top-k survivors",
+    // snippet positions ride the certified BM25 two-phase ranking
+    "q_text_snippets" -> "phase-2 rank over per-shard top-k survivors")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan

@@ -97,6 +97,53 @@ class RetrievalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("phrase search == driver positional scan; absent phrase rows zero") {
+    val texts = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+    val phrases = Seq(1 -> "stream batch", 2 -> "group agg",
+      3 -> "order fast", 4 -> "spark shuffle")
+    val expected = phrases.map { case (pid, p) =>
+      val Array(a, b) = p.split(" ")
+      val hits = texts.map { case (id, ts) =>
+        (id, ts.zip(ts.tail).count { case (x, y) => x == a && y == b })
+      }.filter(_._2 > 0)
+      (pid, p, hits.length.toLong, hits.map(_._2.toLong).sum)
+    }
+    val got = Retrieval.phraseSearch(spark, Sf)
+      .select("phrase_id", "phrase", "n_docs", "n_occurrences").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "no phrase hit at all — bad fixture")
+    assert(got.find(_._1 == 4).get._3 == 0L, "absent phrase must read zero")
+  }
+
+  test("snippets: window brackets the first hit of the top document") {
+    val rows = Retrieval.snippets(spark, Sf)
+      .select("q_id", "doc_id", "hit_pos", "snippet").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
+    assert(rows.length == 4)
+    val top1 = Retrieval.bm25TopK(spark, Sf)
+      .where(org.apache.spark.sql.functions.col("rank") === 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").filter(_.nonEmpty)))
+      .toMap
+    val qterms = Map(
+      1 -> Set("spark", "shuffle", "join"), 2 -> Set("dup", "scan"),
+      3 -> Set("window", "group", "agg"), 4 -> Set("stream", "batch", "value"))
+    rows.foreach { case (q, d, p, snip) =>
+      assert(top1(q) == d, s"q$q snippet not from the top doc")
+      val ts = docs(d)
+      val expP = ts.indexWhere(qterms(q).contains) + 1
+      assert(p == expP, s"q$q first-hit position")
+      val s = math.max(1, p - 2); val e = math.min(ts.length, p + 2)
+      assert(snip == ts.slice(s - 1, e).mkString(" "), s"q$q window")
+    }
+  }
+
   test("hard negatives: none carry the query label; ranking == brute force") {
     val t = graft.sources.Tables.Tpch(spark, Sf)
     val qRow = t.embeddings.where(col("vec_id") === 0)

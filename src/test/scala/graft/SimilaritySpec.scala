@@ -36,6 +36,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("batched top-k: each query's list == its own brute force; q0 self-ranks first") {
+    val t = Tpch(spark, Sf)
+    val rows = t.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val got = SimilarityQueries.batchTopK(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got.keySet == Set(0, 1, 2, 3))
+    (0 to 3).foreach { qid =>
+      val q = rows(qid.toLong)
+      val expected = rows.toSeq
+        .map { case (id, v) =>
+          val c = BigDecimal(cos(v, q))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (id, c)
+        }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      assert(got(qid) == expected, s"query $qid diverged from brute force")
+      assert(got(qid).head == qid.toLong, s"query $qid must self-rank first")
+    }
+  }
+
   test("LSH near-dup candidates carry exact cosine scores") {
     val t = Tpch(spark, Sf)
     val rows = t.embeddings.select("vec_id", "embedding").collect()
