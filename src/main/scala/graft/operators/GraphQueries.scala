@@ -87,6 +87,84 @@ object GraphQueries {
       .orderBy(col("rank").desc, col("nation"))
   }
 
+  /** Personalized (topic-sensitive) PageRank — Haveliwala 2002: the same
+    * fixed-point recurrence as [[nationPagerank]], but ALL teleport mass
+    * restarts at a seed set (the ASIA-region nations) instead of spreading
+    * uniformly — "trade influence as seen from Asia". Non-seed nations
+    * accumulate rank only through actual trade paths from the seeds, so
+    * the ordering answers a different question than the global rank.
+    * Identical integer grid (10^12 fixed-point, 17/20 damping), identical
+    * shared edge artifact, seeds differ. */
+  def personalizedPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val edges = tradeEdges(spark, sfDir)
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val seeds = t.nation
+      .join(broadcast(t.region.where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("node"), lit(1).as("is_seed"))
+    val seeded = t.nation.select(col("n_nationkey").as("node"))
+      .join(seeds, Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(0)).as("is_seed"))
+    var ranks = seeded
+      .select(col("node"),
+        (col("is_seed").cast("long") * lit(Scale)).as("rank"))
+    for (_ <- 1 to Iters) {
+      val contrib = edges
+        .join(outdeg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"),
+          expr(s"rank * 17L div (20L * d)").as("c"))
+      ranks = seeded
+        .join(contrib.groupBy(col("node")).agg(sum(col("c")).as("in_sum")),
+          Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (col("is_seed").cast("long") * lit(BaseShare) +
+            coalesce(col("in_sum"), lit(0L))).as("rank"))
+    }
+    ranks
+      .join(broadcast(t.nation), col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("is_seed"), col("rank"))
+      .orderBy(col("rank").desc, col("nation"))
+  }
+
+  private def personalizedPagerankOracle: String = {
+    val steps = (1 to Iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |         SUM((r${i - 1}.rank * 17) // (20 * o.d)) AS in_sum
+         |  FROM edges e
+         |  JOIN outdeg o ON e.src = o.src
+         |  JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT n.node,
+         |         CAST(n.is_seed * 150000000000 + COALESCE(c$i.in_sum, 0)
+         |              AS BIGINT) AS rank
+         |  FROM seeded n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
+       |seeded AS (
+       |  SELECT n.n_nationkey AS node,
+       |         CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END AS is_seed
+       |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+       |r0 AS (SELECT node, CAST(is_seed * 1000000000000 AS BIGINT) AS rank
+       |       FROM seeded),
+       |$steps
+       |SELECT n.n_name AS nation, s.is_seed, r$Iters.rank
+       |FROM r$Iters
+       |JOIN seeded s ON s.node = r$Iters.node
+       |JOIN nation n ON r$Iters.node = n.n_nationkey
+       |ORDER BY rank DESC, nation""".stripMargin
+  }
+
   /** Oracle: the identical recurrence as unrolled CTE steps (r0…r5), with
     * every per-step rank re-cast to BIGINT (DuckDB SUM(BIGINT) widens to
     * HUGEINT; the recurrence itself never leaves 64 bits: rank < |V|·10¹²,
@@ -235,6 +313,8 @@ object GraphQueries {
         |FROM nation n LEFT JOIN best b ON b.node = n.n_nationkey
         |ORDER BY hops, nation""".stripMargin)),
     NamedQuery("q_graph_pagerank", nationPagerank, Some(pagerankOracle)),
+    NamedQuery("q_graph_personalized_pagerank", personalizedPagerank,
+      Some(personalizedPagerankOracle)),
     NamedQuery("q_graph_triangles", tradeTriangles, Some(
       """WITH directed AS (
         |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst

@@ -66,7 +66,15 @@ object ScaleProbe {
     // round 10: query-term-filtered postings probe (BM25 + eval + PRF),
     // list-sized fusion, corpus-scan negatives, K-broadcast Lloyd rounds
     "q_text_bm25_topk", "q_text_retrieval_eval", "q_text_query_expansion",
-    "q_sim_hybrid_rrf", "q_sim_hard_negatives", "q_sim_kmeans")
+    "q_sim_hybrid_rrf", "q_sim_hard_negatives", "q_sim_kmeans",
+    // round 10: PRF second pass, positional phrase join, vocab-frame index
+    // audit + PMI mining, cluster-weighted draw, batched ANN, KWIC slice
+    "q_text_prf_retrieval", "q_text_phrase_search", "q_text_index_stats",
+    "q_text_collocations", "q_corpus_dedup_weighted_sample",
+    "q_sim_batch_topk", "q_text_snippets",
+    // seeded-restart variant shares the pagerank edge artifact; the probe
+    // confirms the second fixed-point rides the same cold build
+    "q_graph_personalized_pagerank")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -49,6 +49,44 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("personalized pagerank equals the driver recurrence; mass flows from seeds") {
+    val edges = edgeList()
+    import spark.implicits._
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    val nodes = t.nation
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    val seeds = t.nation
+      .join(t.region.where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").cast("long")).as[Long].collect().toSet
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var rank: Map[Long, Long] = nodes.keys
+      .map(n => n -> (if (seeds(n)) 1000000000000L else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) =>
+          rank(src) * 17L / (20L * outdeg(src))
+        }.sum
+      }
+      rank = nodes.keys.map { n =>
+        n -> ((if (seeds(n)) 150000000000L else 0L) + in.getOrElse(n, 0L))
+      }.toMap
+    }
+    val expected = nodes.toSeq.map { case (k, name) =>
+      (name, if (seeds(k)) 1 else 0, rank(k))
+    }.sortBy { case (name, _, r) => (-r, name) }
+
+    val got = GraphQueries.personalizedPagerank(spark, Sf)
+      .select("nation", "is_seed", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // Seeds hold teleport mass; at least one non-seed accumulates rank
+    // through trade paths only.
+    assert(got.filter(_._2 == 0).exists(_._3 > 0L),
+      "no mass flowed out of the seed set")
+  }
+
   test("trade triangles equal brute-force enumeration") {
     val und = edgeList()
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.toSet
