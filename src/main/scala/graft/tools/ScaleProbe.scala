@@ -74,7 +74,11 @@ object ScaleProbe {
     "q_sim_batch_topk", "q_text_snippets",
     // seeded-restart variant shares the pagerank edge artifact; the probe
     // confirms the second fixed-point rides the same cold build
-    "q_graph_personalized_pagerank")
+    "q_graph_personalized_pagerank",
+    // backbone structure pack: weighted-pair build + node-domain rounds
+    "q_graph_kcore", "q_graph_communities",
+    // multi-source BFS: (root, node) state, O(diameter) rounds
+    "q_graph_closeness")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -87,6 +87,135 @@ class GraphQueriesSpec extends SparkSpec {
       "no mass flowed out of the seed set")
   }
 
+  /** Per-lineitem (cust nation, supp nation) rows — NOT distinct: the
+    * backbone weighs edges by trade volume. */
+  private def rawPairs(): Seq[(Long, Long)] = {
+    import spark.implicits._
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey").as("sn")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long"), col("sn").cast("long"))
+      .where(col("c_nationkey") =!= col("sn"))
+      .as[(Long, Long)].collect().toSeq
+  }
+
+  /** Lower median, rank-picked: smallest v with 2·(#values ≤ v) ≥ n. */
+  private def lowerMedian(vs: Seq[Long]): Long = {
+    val sorted = vs.sorted
+    sorted((sorted.size + 1) / 2 - 1)
+  }
+
+  /** Driver-side backbone: canonical a<b pair weights, keep w ≥ median. */
+  private def driverBackbone(): (Map[(Long, Long), Long], Map[Long, Set[Long]]) = {
+    val weights = rawPairs()
+      .map { case (c, s) => (math.min(c, s), math.max(c, s)) }
+      .groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val thr = lowerMedian(weights.values.toSeq)
+    val backbone = weights.filter(_._2 >= thr)
+    val adj = backbone.keys.toSeq
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    (backbone, adj)
+  }
+
+  test("backbone k-core equals a run-to-convergence driver peel") {
+    val (backbone, adj) = driverBackbone()
+    val deg0 = adj.map { case (n, ns) => n -> ns.size.toLong }
+    import spark.implicits._
+    val names = graft.sources.Tables.Tpch(spark, Sf).nation
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    // k = floor(m/n): half the average degree — the degeneracy lower
+    // bound, so the core is provably non-empty
+    val k = backbone.size.toLong / names.size
+    // run the synchronous peel to convergence; the 6-round query must land
+    // on the same fixed point (assert it converges within 6 at this SF)
+    var alive = adj.keySet
+    var rounds = 0
+    var stable = false
+    while (!stable) {
+      val next = alive.filter(n => adj(n).count(alive).toLong >= k)
+      stable = next == alive
+      if (!stable) { alive = next; rounds += 1 }
+    }
+    assert(rounds <= 6, s"peel needed $rounds rounds; raise PeelRounds")
+    // fixed-point invariant: every survivor keeps >= k surviving partners
+    assert(alive.forall(n => adj(n).count(alive) >= k))
+
+    val expected = names.toSeq.map { case (id, nm) =>
+      (nm, deg0.getOrElse(id, 0L), if (alive(id)) 1 else 0)
+    }.sortBy { case (nm, d, c) => (-c, -d, nm) }
+    val got = GraphQueries.tradeKCore(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 == 1), "empty core — threshold degenerate")
+  }
+
+  test("label-propagation communities equal the driver synchronous rounds") {
+    val (_, adj) = driverBackbone()
+    import spark.implicits._
+    val names = graft.sources.Tables.Tpch(spark, Sf).nation
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    var lab: Map[Long, Long] = names.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lab = lab.map { case (n, own) =>
+        val nbrs = adj.getOrElse(n, Set.empty)
+        if (nbrs.isEmpty) n -> own
+        else {
+          // plurality label among neighbors, ties to the smallest label
+          val counts = nbrs.toSeq.map(lab).groupBy(identity)
+            .map { case (l, xs) => l -> xs.size }
+          val best = counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+          n -> best
+        }
+      }
+    }
+    val sizes = lab.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val expected = lab.toSeq.map { case (n, l) =>
+      (names(n), names(l), sizes(l))
+    }.sortBy { case (nm, cm, _) => (cm, nm) }
+    val got = GraphQueries.tradeCommunities(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // communities partition the node set: every nation appears exactly once
+    assert(got.map(_._1).distinct.size == names.size)
+  }
+
+  test("closeness centrality equals per-root driver BFS") {
+    val edges = edgeList()
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    import spark.implicits._
+    val names = graft.sources.Tables.Tpch(spark, Sf).nation
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    def bfs(root: Long): Map[Long, Long] = {
+      var dist = Map(root -> 0L)
+      var frontier = Set(root)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+          .diff(dist.keySet)
+        val h = dist(frontier.head) + 1
+        dist = dist ++ next.map(_ -> h)
+        frontier = next
+      }
+      dist
+    }
+    val expected = names.keys.toSeq.map { root =>
+      val d = bfs(root) - root
+      val (nr, th) = (d.size.toLong, d.values.sum)
+      val ppm = if (th > 0) nr * 1000000L / th else 0L
+      (names(root), nr, th, ppm)
+    }.sortBy { case (nm, _, _, p) => (-p, nm) }
+    val got = GraphQueries.tradeCloseness(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected)
+  }
+
   test("trade triangles equal brute-force enumeration") {
     val und = edgeList()
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct.toSet

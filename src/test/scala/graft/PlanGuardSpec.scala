@@ -51,7 +51,9 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_kmeans",        // broadcast K=4-row centroid frame per round
     "q_text_prf_retrieval", // BM25 probe's one-row corpus-totals frame
     "q_sim_batch_topk",    // broadcast 4-row query-vector batch vs the scan
-    "q_text_snippets"      // BM25 probe's one-row corpus-totals frame
+    "q_text_snippets",     // BM25 probe's one-row corpus-totals frame
+    "q_graph_kcore",       // broadcast one-row median-weight + k frames
+    "q_graph_communities"  // backbone artifact's one-row threshold frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -142,7 +144,14 @@ class PlanGuardSpec extends SparkSpec {
     // batched ANN: phase-2 rank over ≤ 10×64 per-shard survivors per query
     "q_sim_batch_topk" -> "phase-2 rank over per-shard top-k survivors",
     // snippet positions ride the certified BM25 two-phase ranking
-    "q_text_snippets" -> "phase-2 rank over per-shard top-k survivors")
+    "q_text_snippets" -> "phase-2 rank over per-shard top-k survivors",
+    // median thresholds ride weight/degree VALUE histograms — rows
+    // bounded by the ≤|nations|² pair domain, never the fact
+    // the shared backbone artifact's median-threshold cumsum (weight-VALUE
+    // histogram, ≤|nations|² rows); visible only through kcore's plan —
+    // communities' final frame is rebased LogicalRDD leaves, so the
+    // artifact (and its window) never appears in its lineage
+    "q_graph_kcore" -> "global cumsum over the weight-value histogram")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan
@@ -152,8 +161,13 @@ class PlanGuardSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.expressions.Expression
 
     // plan.collect alone is blind here: AQE wraps the real tree inside
-    // AdaptiveSparkPlanExec and persisted frames hide theirs behind
-    // InMemoryTableScan — descend through both or the sweep sees nothing
+    // AdaptiveSparkPlanExec, persisted frames hide theirs behind
+    // InMemoryTableScan, and a MATERIALIZED cache's AQE plan collapses to
+    // QueryStageExec wrappers whose wrapped plan is a field, not a child
+    // (the blind spot that silently hid every window living inside a
+    // session-cached artifact once a prior test materialized it) —
+    // descend through all three or the sweep sees nothing
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
     def partitionSpecs(p: SparkPlan): Seq[Seq[Expression]] = {
       val here = p match {
         case w: WindowExec => Seq(w.partitionSpec)
@@ -163,6 +177,7 @@ class PlanGuardSpec extends SparkSpec {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+        case s: QueryStageExec => Seq(s.plan)
         case _ => p.children
       }
       here ++ kids.flatMap(partitionSpecs)
