@@ -39,16 +39,18 @@ object GraphQueries {
   private val BaseShare = 150000000000L // floor(0.15 * Scale)
   private val Iters = 5
 
-  /** Distinct directed cross-nation trade edges (cust nation → supp
-    * nation) from one pass over the fact: two fact shuffles (orderkey,
-    * suppkey) then a distinct over ≤ |nations|² pairs. All three graph
-    * queries consume the SAME edge list, so it is built once per
-    * (session, sf) and persisted — the [[FrameCache]] lifecycle the
-    * dedup signature views use (at 100 TB: the materialized daily
-    * counterparty edge table every graph job reads). */
-  private val edgeCache = FrameCache.empty
-  private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame =
-    FrameCache.cached(edgeCache, spark, sfDir) {
+  /** Directed cross-nation trade pair WEIGHTS (cust nation → supp nation,
+    * weight = lineitem count) from ONE pass over the fact: two fact
+    * shuffles (orderkey, suppkey) into a ≤ |nations|² aggregate. This is
+    * the single corpus-sized stage the whole graph pack shares — the
+    * distinct edge list ([[tradeEdges]]) and the weighted undirected
+    * backbone ([[backboneEdges]]) are both domain-bounded projections of
+    * it, so the fact is scanned once per (session, sf) no matter how many
+    * graph queries run (at 100 TB: the materialized daily counterparty
+    * pair table every graph job reads). */
+  private val pairCache = FrameCache.empty
+  private def directedPairWeights(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(pairCache, spark, sfDir) {
       val t = Tpch(spark, sfDir)
       t.lineitem
         .join(t.orders, col("l_orderkey") === col("o_orderkey"))
@@ -58,7 +60,17 @@ object GraphQueries {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("c_nationkey").as("src"), col("supp_nation").as("dst"))
         .where(col("src") =!= col("dst"))
-        .distinct()
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Distinct directed cross-nation trade edges — a projection of the
+    * shared pair-weight artifact (≤ |nations|² rows in, no fact touch). */
+  private val edgeCache = FrameCache.empty
+  private def tradeEdges(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(edgeCache, spark, sfDir) {
+      directedPairWeights(spark, sfDir)
+        .select(col("src"), col("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -412,17 +424,13 @@ object GraphQueries {
   private val backboneCache = FrameCache.empty
   private def backboneEdges(spark: SparkSession, sfDir: String): DataFrame =
     FrameCache.cached(backboneCache, spark, sfDir) {
-      val t = Tpch(spark, sfDir)
-      val pairs = t.lineitem
-        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-        .join(t.customer, col("o_custkey") === col("c_custkey"))
-        .join(broadcast(t.supplier.select(col("s_suppkey"),
-          col("s_nationkey").as("supp_nation"))),
-          col("l_suppkey") === col("s_suppkey"))
-        .where(col("c_nationkey") =!= col("supp_nation"))
-        .select(least(col("c_nationkey"), col("supp_nation")).as("a"),
-          greatest(col("c_nationkey"), col("supp_nation")).as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      // canonical-merge of the shared DIRECTED pair weights: both
+      // orientations of a pair sum into one undirected weight — a
+      // ≤|nations|²-row aggregate, the fact is never re-touched
+      val pairs = directedPairWeights(spark, sfDir)
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), col("w"))
+        .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
       val ord = Window.orderBy(col("w").asc)
       val full = ord.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing)
