@@ -39,7 +39,34 @@ import graft.sources.Tables.Tpch
   */
 object Retrieval {
 
-  private def toks = split(col("text"), " ")
+  /** Positional postings (doc_id, pos, term) — pos is 1-based over the
+    * empty-filtered token array. The ONE tokenize pass the whole retrieval
+    * pack shares: BM25 scoring, phrase search, snippets, query expansion
+    * and the eval qrels are all projections/aggregates of this artifact,
+    * so the corpus text is split once per (session, sf) no matter how many
+    * retrieval queries run (at 100 TB: the materialized positional
+    * inverted-index table every serving job reads — the batch twin of
+    * [[graft.streaming.StreamingRetrieval.freezeIndex]]). */
+  private val postingsCache = FrameCache.empty
+  private[graft] def posToks(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(postingsCache, spark, sfDir) {
+      Tpch(spark, sfDir).documents
+        .select(col("doc_id"),
+          posexplode(expr("filter(split(text, ' '), x -> x <> '')"))
+            .as(Seq("pos0", "term")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Per-document token lengths — a keyed aggregate of [[posToks]], cached
+    * because every BM25 pass joins it (the doc-norm side of the index). */
+  private val lenCache = FrameCache.empty
+  private def docLens(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(lenCache, spark, sfDir) {
+      posToks(spark, sfDir)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** The fixed evaluation query set: 4 queries × up to 3 terms. q1 carries
     * a term absent from the corpus ("shuffle" — df = 0, contributes
@@ -64,10 +91,8 @@ object Retrieval {
   private[graft] def bm25ScoredFor(
       t: Tpch, q: DataFrame,
       literalTerms: Option[Seq[String]]): DataFrame = {
-    val tok = t.documents
-      .select(col("doc_id"), explode(toks).as("term"))
-      .where(col("term") =!= "")
-    val len = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val tok = posToks(t.spark, t.sfDir).select(col("doc_id"), col("term"))
+    val len = docLens(t.spark, t.sfDir)
     val corpus = len.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("l_total"))
     val cand = literalTerms match {
       case Some(ts) => tok.where(col("term").isin(ts: _*))
@@ -88,11 +113,18 @@ object Retrieval {
       .agg(sum(col("idf_i") * col("tfn_i")).as("score"))
   }
 
-  private[graft] def bm25Scored(t: Tpch): DataFrame = {
-    import t.spark.implicits._
-    bm25ScoredFor(t, querySet.toDF("q_id", "term"),
-      Some(querySet.map(_._2).distinct))
-  }
+  /** BM25-R scores for the FIXED evaluation query set — cached per
+    * (session, sf) because five registry queries consume this exact frame
+    * (standalone top-k, hybrid fusion, eval, expansion, snippets): the
+    * candidate-postings shuffle runs once, not once per query. */
+  private val scoredCache = FrameCache.empty
+  private[graft] def bm25Scored(t: Tpch): DataFrame =
+    FrameCache.cached(scoredCache, t.spark, t.sfDir) {
+      import t.spark.implicits._
+      bm25ScoredFor(t, querySet.toDF("q_id", "term"),
+        Some(querySet.map(_._2).distinct))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Per-query top-k over (q_id, doc_id, score) via the two-phase shard
     * trick — shared by the batch registry query and the streaming serving
@@ -221,8 +253,8 @@ object Retrieval {
     val q = querySet.toDF("q_id", "term")
     val nTerms = q.groupBy("q_id").agg(count(lit(1)).as("n_terms"))
     val qterms = querySet.map(_._2).distinct
-    val graded = t.documents
-      .select(col("doc_id"), explode(toks).as("term"))
+    val graded = posToks(spark, sfDir)
+      .select(col("doc_id"), col("term"))
       .where(col("term").isin(qterms: _*))
       .distinct()
       .join(broadcast(q), "term")
@@ -277,9 +309,7 @@ object Retrieval {
     import t.spark.implicits._
     val q = querySet.toDF("q_id", "term")
     val top10 = bm25TopK(spark, sfDir).select("q_id", "doc_id")
-    val tok = t.documents
-      .select(col("doc_id"), explode(toks).as("term"))
-      .where(col("term") =!= "")
+    val tok = posToks(spark, sfDir).select(col("doc_id"), col("term"))
     broadcast(top10).join(tok, "doc_id")
       .join(broadcast(q), Seq("q_id", "term"), "left_anti")
       .groupBy("q_id", "term")
@@ -333,10 +363,7 @@ object Retrieval {
     val ph = phraseSet.toDF("phrase_id", "phrase")
       .withColumn("a", substring_index(col("phrase"), " ", 1))
       .withColumn("b", substring_index(col("phrase"), " ", -1))
-    val ftoks = expr("filter(split(text, ' '), x -> x <> '')")
-    val tok = t.documents
-      .select(col("doc_id"), posexplode(ftoks).as(Seq("pos0", "term")))
-      .withColumn("pos", col("pos0") + 1).drop("pos0")
+    val tok = posToks(spark, sfDir)
     val firsts = phraseSet.map(_._2.split(" ")(0)).distinct
     val seconds = phraseSet.map(_._2.split(" ")(1)).distinct
     val xs = tok.where(col("term").isin(firsts: _*))
@@ -375,10 +402,8 @@ object Retrieval {
     val arr = t.documents
       .select(col("doc_id"),
         expr("filter(split(text, ' '), x -> x <> '')").as("t"))
-    val ptok = arr
+    val ptok = posToks(spark, sfDir)
       .join(broadcast(top1.select("doc_id").distinct()), "doc_id")
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("pos0", "term")))
-      .withColumn("pos", col("pos0") + 1).drop("pos0")
     val hit = broadcast(top1).join(ptok, "doc_id")
       .join(broadcast(q), Seq("q_id", "term"))
       .groupBy(col("q_id"), col("doc_id"))
