@@ -24,29 +24,33 @@ object StageProbe {
     }
 
     import org.apache.spark.sql.functions._
-    import graft.operators.DedupQueries
-    // warm the shared caches through the full query once
-    time("full q_dedup_prefix_jaccard") {
-      DedupQueries.prefixJaccardDups(spark, sfDir).count()
+    import graft.operators.Retrieval
+    import graft.sources.Tables.Tpch
+    val t = Tpch(spark, sfDir)
+    time("full q_text_prf_retrieval") {
+      Retrieval.prfRetrieval(spark, sfDir).count()
     }
-    val prefix = DedupQueries.sharedPrefix(spark, sfDir)
-    time("prefix postings count") { prefix.count() }
-    val cand = prefix.as("x").join(prefix.as("y"), "h")
-      .where(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    time("expansion alone") {
+      Retrieval.queryExpansion(spark, sfDir).count()
+    }
+    // second pass with a LITERAL q2 (no expansion subtree): isolates the
+    // dynamic-semi-join + scoring + topk cost from the q2 recompute cost
+    import spark.implicits._
+    val q2lit = Seq((1, "spark"), (1, "shuffle"), (1, "join"), (1, "scan"),
+      (2, "dup"), (2, "scan"), (2, "window"), (3, "window"), (3, "group"),
+      (3, "agg"), (4, "stream"), (4, "batch"), (4, "value"))
+      .toDF("q_id", "term")
+    time("second pass, literal q2, dynamic path") {
+      Retrieval.topKPerQuery(
+        Retrieval.bm25ScoredFor(t, q2lit, None), 10).count()
+    }
+    val q2dyn = q2lit.union(
+      Retrieval.queryExpansion(spark, sfDir).select(col("q_id"), col("term")))
       .distinct()
-    time("candidates") { cand.count() }
-    val docs = DedupQueries.sharedShingled(spark, sfDir)
-    time("verify (with size prefilter)") {
-      DedupQueries.verifiedJaccardPairs(cand, docs, 4, 5).count()
+    time("second pass, computed q2, dynamic path") {
+      Retrieval.topKPerQuery(
+        Retrieval.bm25ScoredFor(t, q2dyn, None), 10).count()
     }
-    val sizes = docs.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val compat = cand
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
-      .where(least(col("sz_a"), col("sz_b")) * 5 >=
-        greatest(col("sz_a"), col("sz_b")) * 4)
-    time("size-compatible candidates") { compat.count() }
     spark.stop()
   }
 }
