@@ -78,7 +78,9 @@ object ScaleProbe {
     // backbone structure pack: weighted-pair build + node-domain rounds
     "q_graph_kcore", "q_graph_communities",
     // multi-source BFS: (root, node) state, O(diameter) rounds
-    "q_graph_closeness")
+    "q_graph_closeness",
+    // wedge join over the sparsified backbone, pair-domain top-k
+    "q_graph_link_prediction")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

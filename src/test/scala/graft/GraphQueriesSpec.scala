@@ -261,4 +261,29 @@ class GraphQueriesSpec extends SparkSpec {
       assert(got(name) === dist.getOrElse(k, -1L), s"node $name")
     }
   }
+
+  test("link prediction equals driver CN/RA scoring of pruned pairs") {
+    val (backbone, adj) = driverBackbone()
+    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    // every candidate = a non-backbone pair with >= 1 common neighbor
+    val nodes = adj.keys.toSeq.sorted
+    val expectedAll = for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      a = nodes(i); b = nodes(j)
+      if !backbone.contains((a, b))
+      common = adj(a) & adj(b)
+      if common.nonEmpty
+    } yield (a, b, common.size.toLong,
+      common.toSeq.map(z => 1000000L / deg(z)).sum)
+    val expected = expectedAll
+      .sortBy { case (a, b, cn, ra) => (-ra, -cn, a, b) }
+      .take(10)
+    val got = GraphQueries.tradeLinkPrediction(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+      .toSeq
+    assert(got == expected)
+    // candidates are PRUNED pairs, never retained edges
+    assert(got.forall { case (a, b, _, _) => !backbone.contains((a, b)) })
+    assert(got.nonEmpty, "no pruned pair scored — sparsifier degenerate")
+  }
 }

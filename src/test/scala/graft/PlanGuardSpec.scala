@@ -53,7 +53,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_batch_topk",    // broadcast 4-row query-vector batch vs the scan
     "q_text_snippets",     // BM25 probe's one-row corpus-totals frame
     "q_graph_kcore",       // broadcast one-row median-weight + k frames
-    "q_graph_communities"  // backbone artifact's one-row threshold frame
+    "q_graph_communities", // backbone artifact's one-row threshold frame
+    "q_graph_link_prediction" // backbone artifact's one-row threshold frame
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -151,7 +152,9 @@ class PlanGuardSpec extends SparkSpec {
     // histogram, ≤|nations|² rows); visible only through kcore's plan —
     // communities' final frame is rebased LogicalRDD leaves, so the
     // artifact (and its window) never appears in its lineage
-    "q_graph_kcore" -> "global cumsum over the weight-value histogram")
+    "q_graph_kcore" -> "global cumsum over the weight-value histogram",
+    "q_graph_link_prediction" ->
+      "backbone threshold cumsum over the weight-value histogram")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan
