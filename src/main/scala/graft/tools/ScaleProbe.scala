@@ -80,7 +80,9 @@ object ScaleProbe {
     // multi-source BFS: (root, node) state, O(diameter) rounds
     "q_graph_closeness",
     // wedge join over the sparsified backbone, pair-domain top-k
-    "q_graph_link_prediction")
+    "q_graph_link_prediction",
+    // cached Lloyd labels x shared postings -> (cluster, vocab) aggregate
+    "q_text_cluster_topics")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -54,4 +54,69 @@ class ClusteringSpec extends SparkSpec {
     assert(got.map(_._2).sum == rows.length.toLong)
     assert(got.toSeq == expected)
   }
+
+  test("cluster topics == driver c-TF-IDF over the replayed labels") {
+    // replay the identical recurrence to get final labels
+    val rows = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val grid = rows.map { case (id, v) =>
+      (id, v.map(x => math.floor(x.toDouble * 256).toLong + 4096L))
+    }
+    var centroids: Map[Int, Array[Long]] =
+      grid.filter(_._1 < 4).map { case (id, g) => (id.toInt, g) }.toMap
+    def dist(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var labels: Map[Long, Int] = Map.empty
+    for (r <- 1 to 2) {
+      val assigned = grid.map { case (id, g) =>
+        val (cid, d) = centroids.toSeq.sortBy(_._1)
+          .map { case (c, cg) => (c, dist(g, cg)) }
+          .minBy { case (c, d) => (d, c) }
+        (id, cid, d)
+      }
+      labels = assigned.map { case (id, cid, _) => id -> cid }.toMap
+      if (r < 2) centroids = assigned.groupBy(_._2).map { case (cid, ms) =>
+        val vecs = ms.map(m => grid(m._1.toInt)._2)
+        (cid, Array.tabulate(vecs.head.length) { d =>
+          Math.floorDiv(vecs.map(_(d)).sum, vecs.length.toLong)
+        })
+      }
+    }
+    // driver c-TF-IDF over the embedded-prefix documents
+    val texts = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, _) => labels.contains(id) }
+    val tf = texts.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (labels(id), w))
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val tot = tf.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val dfc = tf.keys.groupBy(_._2).map { case (w, cs) => w -> cs.size.toLong }
+    val expected = tf.toSeq.map { case ((c, w), f) =>
+      val score = (1000000000L * f / tot(c)) *
+        (10000L * (4 - dfc(w) + 1) / (dfc(w) + 1))
+      (c, w, f, dfc(w), score)
+    }.groupBy(_._1).toSeq.flatMap { case (c, xs) =>
+      xs.sortBy { case (_, w, _, _, s) => (-s, w) }.take(5).zipWithIndex
+        .map { case ((_, w, f, d, s), i) => (c, i + 1, w, f, d, s) }
+    }.sortBy(x => (x._1, x._2))
+    val got = Clustering.clusterTopics(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // structural invariants: ranks contiguous from 1, scores non-increasing
+    // within a cluster, df within [1, K]
+    got.groupBy(_._1).foreach { case (c, xs) =>
+      val sorted = xs.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.size), s"ranks of cluster $c")
+      assert(sorted.map(_._6) == sorted.map(_._6).sorted.reverse,
+        s"scores of cluster $c not non-increasing")
+    }
+    assert(got.forall(x => x._5 >= 1 && x._5 <= 4))
+  }
 }

@@ -49,6 +49,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_retrieval_eval",  // BM25 probe's one-row corpus-totals frame
     "q_text_query_expansion", // BM25 probe's one-row corpus-totals frame
     "q_sim_kmeans",        // broadcast K=4-row centroid frame per round
+    "q_text_cluster_topics", // Lloyd artifact's K-row centroid broadcasts
     "q_text_prf_retrieval", // BM25 probe's one-row corpus-totals frame
     "q_sim_batch_topk",    // broadcast 4-row query-vector batch vs the scan
     "q_text_snippets",     // BM25 probe's one-row corpus-totals frame
