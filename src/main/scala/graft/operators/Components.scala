@@ -268,7 +268,66 @@ object Components {
       .orderBy(col("band"))
   }
 
+  /** Per-source duplication rate with a Wilson-style 95% interval — the
+    * statistical readout a curation team acts on: "source X is 12–19%
+    * duplicated" is a decision; a bare point rate from 40 docs is not.
+    * Uses z = 2 (not 1.96) so the interval is the RATIONAL form
+    * (d + 2 ± 2·√(d(n−d)/n + 1)) / (n + 4): the center is exact in one
+    * IEEE division, and the half-width is a single-IEEE-op chain
+    * (integer product → one divide → +1 → correctly-rounded sqrt →
+    * ×2 → divide) whose every step both engines evaluate bit-identically
+    * — which is what lets a CONFIDENCE INTERVAL hash-check cross-engine.
+    *
+    * Scale: one left semi-shaped join of the corpus against the cached
+    * component members, one source-keyed aggregate; the interval math is
+    * per-GROUP driver-free arithmetic on the ≤|sources| result rows. */
+  def dedupRateCi(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = graft.sources.Tables.Tpch(spark, sfDir)
+    val members = sharedLabels(spark, sfDir)
+      .select(col("id").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    t.documents.join(members, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .withColumn("rate_ppm", expr("1000000 * n_dup DIV n_docs"))
+      .withColumn("center",
+        (col("n_dup").cast("double") + lit(2.0)) /
+          (col("n_docs").cast("double") + lit(4.0)))
+      .withColumn("half", lit(2.0) * sqrt(
+        (col("n_dup") * (col("n_docs") - col("n_dup"))).cast("double") /
+          col("n_docs").cast("double") + lit(1.0)) /
+        (col("n_docs").cast("double") + lit(4.0)))
+      .select(col("source"), col("n_docs"), col("n_dup"), col("rate_ppm"),
+        round(greatest(lit(0.0), col("center") - col("half")), 6).as("lo95"),
+        round(least(lit(1.0), col("center") + col("half")), 6).as("hi95"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_dedup_rate_ci", dedupRateCi, Some(
+      portableClosureSql +
+        """,
+          |mem AS (SELECT DISTINCT id FROM comp),
+          |agg AS (
+          |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |         CAST(SUM(CASE WHEN mem.id IS NOT NULL THEN 1 ELSE 0 END)
+          |           AS BIGINT) AS n_dup
+          |  FROM documents d LEFT JOIN mem ON mem.id = d.doc_id
+          |  GROUP BY 1),
+          |w AS (
+          |  SELECT source, n_docs, n_dup,
+          |         CAST(1000000 * n_dup // n_docs AS BIGINT) AS rate_ppm,
+          |         (CAST(n_dup AS DOUBLE) + 2.0)
+          |           / (CAST(n_docs AS DOUBLE) + 4.0) AS center,
+          |         2.0 * sqrt(CAST(n_dup * (n_docs - n_dup) AS DOUBLE)
+          |                    / CAST(n_docs AS DOUBLE) + 1.0)
+          |           / (CAST(n_docs AS DOUBLE) + 4.0) AS half
+          |  FROM agg)
+          |SELECT source, n_docs, n_dup, rate_ppm,
+          |       ROUND(GREATEST(0.0, center - half), 6) AS lo95,
+          |       ROUND(LEAST(1.0, center + half), 6) AS hi95
+          |FROM w ORDER BY source""".stripMargin)),
     NamedQuery("q_corpus_quality_dup_rate", qualityDupCalibration, Some(
       portableClosureSql +
         """,

@@ -82,7 +82,9 @@ object ScaleProbe {
     // wedge join over the sparsified backbone, pair-domain top-k
     "q_graph_link_prediction",
     // cached Lloyd labels x shared postings -> (cluster, vocab) aggregate
-    "q_text_cluster_topics")
+    "q_text_cluster_topics",
+    // member join over the cached closure + source-keyed aggregate
+    "q_dedup_rate_ci")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -78,4 +78,35 @@ class ComponentsSpec extends SparkSpec {
     val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
     assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
   }
+
+  test("dedup-rate CI equals driver Wilson math; interval covers the rate") {
+    import org.apache.spark.sql.functions._
+    val members = graft.operators.Components.sharedLabels(spark, Sf)
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    val bySource = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (s, xs) =>
+        (s, xs.length.toLong, xs.count(x => members(x._2)).toLong)
+      }
+    val rows = graft.operators.Components.dedupRateCi(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(x => (x._1, x._2, x._3)).toSet ==
+      bySource.map(x => (x._1, x._2, x._3)).toSet)
+    rows.foreach { case (s, n, d, ppm, lo, hi) =>
+      assert(ppm == 1000000L * d / n)
+      val center = (d.toDouble + 2.0) / (n.toDouble + 4.0)
+      val half = 2.0 * math.sqrt((d * (n - d)).toDouble / n.toDouble + 1.0) /
+        (n.toDouble + 4.0)
+      assert(lo == BigDecimal(math.max(0.0, center - half))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"lo of $s")
+      assert(hi == BigDecimal(math.min(1.0, center + half))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, s"hi of $s")
+      // coverage: the interval must bracket the observed rate
+      assert(lo <= d.toDouble / n && d.toDouble / n <= hi + 1e-9, s"cover $s")
+    }
+    // the fixture has duplicates, so at least one source's lo bound > 0
+    assert(rows.exists(_._3 > 0))
+  }
 }
