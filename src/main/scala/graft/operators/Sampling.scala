@@ -162,6 +162,56 @@ object Sampling {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Mixture ANNEALING schedule — the multi-epoch data-mixing plan a
+    * pretraining run executes: early epochs sample sources proportionally
+    * (α = 1, the data as it comes), later epochs flatten toward the
+    * low-resource-upweighted mix (α = 3/4, then the α = 1/2 temperature
+    * mix the sampler ships) — the "anneal onto the curated mix" schedule
+    * of late-stage pretraining. Per (epoch, lang): the share grid value,
+    * the share in ppm, and the Hamilton largest-remainder apportionment of
+    * the per-epoch document budget (same quota machinery
+    * [[temperatureSample]] certifies).
+    *
+    * Exponent portability: n^(1/2) rides the ⌊√(n·10⁶)⌋ grid; n^(3/4) is
+    * TWO correctly-rounded sqrts — ⌊√(n·⌊√(n·10⁶)⌋·10³)⌋ ≈ n^¾·10³ —
+    * every intermediate an exact integer-valued double below 2^53, so
+    * both engines walk identical values (at ~10⁹-doc languages the grid
+    * constant drops a digit, same note as BM25-R). α = 1 is n itself.
+    *
+    * Scale: ONE corpus aggregate feeds all epochs; everything after is
+    * |languages|-domain arithmetic — the schedule for a 100 TB corpus is
+    * computed from its source histogram, not its rows. */
+  def annealSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val k = 100
+    val mass = t.documents.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val halfGrid =
+      floor(sqrt(col("n").cast("double") * lit(1000000.0))).cast("long")
+    val epochs: Seq[(Int, Int, org.apache.spark.sql.Column)] = Seq(
+      (1, 100, col("n")),
+      (2, 75, floor(sqrt(col("n").cast("double") *
+        halfGrid.cast("double") * lit(1000.0))).cast("long")),
+      (3, 50, halfGrid))
+    epochs.map { case (e, a, sExpr) =>
+      val m = mass.withColumn("s", sExpr)
+      val totals = m.agg(sum(col("s")).as("big_s"))
+      val q0 = m.crossJoin(broadcast(totals))
+        .withColumn("base", expr(s"$k * s DIV big_s"))
+        .withColumn("rem", expr(s"($k * s) % big_s"))
+      val leftover = q0.agg((lit(k.toLong) - sum(col("base"))).as("leftover"))
+      q0.withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang").asc)))
+        .crossJoin(broadcast(leftover))
+        .withColumn("quota",
+          col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+        .withColumn("share_ppm", expr("1000000 * s DIV big_s"))
+        .select(lit(e).as("epoch"), lit(a.toLong).as("alpha_pct"),
+          col("lang"), col("n").as("lang_docs"), col("s"),
+          col("share_ppm"), col("quota"))
+    }.reduce(_.unionByName(_)).orderBy(col("epoch"), col("lang"))
+  }
+
   /** Dedup-aware weighted sampling — the step that keeps a sampled
     * training mix from over-representing replicated content: each document
     * is weighted 1/|near-dup cluster| (singletons weigh 1), so every
@@ -267,6 +317,43 @@ object Sampling {
         |       CAST(quota AS BIGINT) AS quota, doc_id, source
         |FROM r WHERE rn <= quota
         |ORDER BY lang, doc_id""".stripMargin)),
+    NamedQuery("q_corpus_anneal_schedule", annealSchedule, Some(
+      """WITH mass AS (
+        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |g AS (
+        |  SELECT lang, n,
+        |         CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0)) AS BIGINT)
+        |           AS s_half
+        |  FROM mass),
+        |e AS (
+        |  SELECT 1 AS epoch, 100 AS alpha_pct, lang, n, CAST(n AS BIGINT) AS s
+        |  FROM g
+        |  UNION ALL
+        |  SELECT 2, 75, lang, n,
+        |         CAST(FLOOR(SQRT(CAST(n AS DOUBLE)
+        |                         * CAST(s_half AS DOUBLE) * 1000.0))
+        |           AS BIGINT)
+        |  FROM g
+        |  UNION ALL
+        |  SELECT 3, 50, lang, n, s_half FROM g),
+        |tot AS (SELECT epoch, SUM(s) AS big_s FROM e GROUP BY 1),
+        |q0 AS (
+        |  SELECT e.epoch, e.alpha_pct, e.lang, e.n, e.s, t.big_s,
+        |         100 * e.s // t.big_s AS base,
+        |         (100 * e.s) % t.big_s AS rem
+        |  FROM e JOIN tot t USING (epoch)),
+        |lo AS (SELECT epoch, 100 - SUM(base) AS leftover
+        |       FROM q0 GROUP BY 1)
+        |SELECT q0.epoch, CAST(q0.alpha_pct AS BIGINT) AS alpha_pct, q0.lang,
+        |       CAST(q0.n AS BIGINT) AS lang_docs, q0.s,
+        |       CAST(1000000 * q0.s // q0.big_s AS BIGINT) AS share_ppm,
+        |       CAST(q0.base + CASE WHEN ROW_NUMBER() OVER
+        |                             (PARTITION BY q0.epoch
+        |                              ORDER BY q0.rem DESC, q0.lang ASC)
+        |                           <= lo.leftover THEN 1 ELSE 0 END
+        |         AS BIGINT) AS quota
+        |FROM q0 JOIN lo USING (epoch)
+        |ORDER BY epoch, lang""".stripMargin)),
     NamedQuery("q_stratified_sample", stratifiedSampleDocuments, Some(
       """SELECT lang, doc_id, source
         |FROM (SELECT lang, doc_id, source,

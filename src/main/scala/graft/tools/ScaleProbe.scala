@@ -84,7 +84,9 @@ object ScaleProbe {
     // cached Lloyd labels x shared postings -> (cluster, vocab) aggregate
     "q_text_cluster_topics",
     // member join over the cached closure + source-keyed aggregate
-    "q_dedup_rate_ci")
+    "q_dedup_rate_ci",
+    // one corpus histogram feeds |languages|-domain epoch arithmetic
+    "q_corpus_anneal_schedule")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

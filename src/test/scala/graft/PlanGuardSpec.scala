@@ -42,6 +42,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_events_time_to_convert", // broadcast one-row conversion-count frame
     "q_audit_freshness",   // broadcast one-row global-max-day frame
     "q_corpus_temperature_sample", // broadcast one-row Σmass + leftover frames
+    "q_corpus_anneal_schedule", // per-epoch one-row Σmass + leftover frames
     "q_sim_whitened_topk", // broadcast one-row query-scalars + u·u frames
     "q_text_bm25_topk",    // broadcast one-row corpus-totals (N, L) frame
     "q_sim_hybrid_rrf",    // broadcast corpus-totals + query-vector one-row frames
@@ -127,6 +128,8 @@ class PlanGuardSpec extends SparkSpec {
     // the two-phase shard trick (phase-2 rank over quota survivors)
     "q_corpus_temperature_sample" ->
       "quota frame = languages; phase-2 rank over per-shard quota survivors",
+    "q_corpus_anneal_schedule" ->
+      "largest-remainder rank over the |languages| quota frame per epoch",
     // BM25 phase-2 ranks the ≤ 10×64 per-shard survivors per query
     "q_text_bm25_topk" -> "phase-2 rank over per-shard top-k survivors",
     // every rank window runs AFTER a TakeOrderedAndProject top-50/top-10

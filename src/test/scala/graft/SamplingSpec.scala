@@ -120,4 +120,56 @@ class SamplingSpec extends SparkSpec {
     assert(again == rows.map(r =>
       (r.getAs[String]("lang"), r.getAs[Long]("doc_id"))).toSeq)
   }
+
+  test("anneal schedule equals driver Hamilton per epoch; shares flatten") {
+    import org.apache.spark.sql.functions._
+    val counts = spark.read.parquet(s"$Sf/documents.parquet")
+      .groupBy(col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    def hamilton(grid: Map[String, Long]): Map[String, (Long, Long)] = {
+      val bigS = grid.values.sum
+      val base = grid.map { case (l, s) => l -> (100L * s / bigS) }
+      val leftover = (100L - base.values.sum).toInt
+      val order = grid.toSeq
+        .sortBy { case (l, s) => (-(100L * s % bigS), l) }.map(_._1)
+      val bumped = order.take(leftover).toSet
+      grid.map { case (l, s) =>
+        l -> (1000000L * s / bigS,
+          base(l) + (if (bumped(l)) 1L else 0L))
+      }
+    }
+    val grids = Map(
+      1 -> counts.map { case (l, n) => l -> n }.toMap,
+      2 -> counts.map { case (l, n) =>
+        val half = math.floor(math.sqrt(n.toDouble * 1000000.0)).toLong
+        l -> math.floor(
+          math.sqrt(n.toDouble * half.toDouble * 1000.0)).toLong
+      }.toMap,
+      3 -> counts.map { case (l, n) =>
+        l -> math.floor(math.sqrt(n.toDouble * 1000000.0)).toLong
+      }.toMap)
+    val got = Sampling.annealSchedule(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getAs[String]("lang"),
+        r.getAs[Long]("s"), r.getAs[Long]("share_ppm"),
+        r.getAs[Long]("quota")))
+    assert(got.length == 3 * counts.length)
+    got.foreach { case (e, l, s, ppm, q) =>
+      assert(s == grids(e)(l), s"grid of epoch $e lang $l")
+      val (expPpm, expQ) = hamilton(grids(e))(l)
+      assert(ppm == expPpm, s"share of epoch $e lang $l")
+      assert(q == expQ, s"quota of epoch $e lang $l")
+    }
+    // per-epoch quotas spend exactly the budget
+    (1 to 3).foreach { e =>
+      assert(got.filter(_._1 == e).map(_._5).sum == 100L)
+    }
+    // annealing flattens: the biggest language's share never increases,
+    // the smallest's never decreases
+    val maxLang = counts.maxBy(_._2)._1
+    val minLang = counts.minBy(_._2)._1
+    def shares(l: String) =
+      got.filter(_._2 == l).sortBy(_._1).map(_._4).toSeq
+    assert(shares(maxLang) == shares(maxLang).sorted.reverse)
+    assert(shares(minLang) == shares(minLang).sorted)
+  }
 }
