@@ -218,7 +218,81 @@ object SketchQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** ENGINE-PORTABLE HyperLogLog — the md5-portable pattern (which
+    * graduated the minhash/simhash screens in round 9) applied to the one
+    * sketch family that can graduate: where Spark's
+    * `approx_count_distinct` registers come from opaque internal hashing
+    * (`q_approx_distinct_customers` stays rows-only for exactly that
+    * reason), THIS variant derives its m = 32 registers from md5 —
+    * bucket = first hash byte mod 32, rank = leading zeros of the next
+    * 60 bits + 1 (capped at 45 so the register sum Σ 2^(45−r) stays in
+    * BIGINT) — and fixes the bias constant to the 10⁻⁴-grid rational
+    * 6978/10⁴ (≈ α₃₂ = 0.7213/(1 + 1.079/32)), so the ENTIRE estimate
+    * pipeline is integer arithmetic a second engine replays exactly:
+    * estimate = 6978·m²·2⁴⁵ DIV (10⁴·Σ 2^(45−rⱼ)). Emits the register
+    * checksum, the raw estimate, the exact count, and the realized error
+    * — the estimator's quality rides the driver's hash compare.
+    *
+    * Scale: one pass, m registers of map-side-combinable MAX state —
+    * mergeable executor→driver like every sketch here, but oracle-exact. */
+  def portableHll(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val hashed = t.orders
+      .select(md5(concat(col("o_custkey").cast("string"), lit(":hll"))).as("x"))
+      .select(
+        (expr("CAST(conv(substring(x, 1, 2), 16, 10) AS INT)") % 32).as("bucket"),
+        expr("CAST(conv(substring(x, 3, 15), 16, 10) AS BIGINT)").as("v"))
+      .withColumn("r", expr(
+        "LEAST(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END, 45)"))
+    val regs = hashed.groupBy(col("bucket")).agg(max(col("r")).as("rmax"))
+    val spine = spark.range(0, 32).select(col("id").cast("int").as("bucket"))
+    val reg = spine.join(regs, Seq("bucket"), "left")
+      .withColumn("rmax", coalesce(col("rmax"), lit(0)))
+    val agg = reg.agg(
+      sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 45 - rmax) AS DECIMAL(38,0))"))
+        .as("s45"),
+      sum(expr("CAST((bucket + 1) * rmax AS BIGINT)")).as("registers_checksum"))
+    val exact = t.orders.agg(countDistinct(col("o_custkey")).as("n_exact"))
+    agg.crossJoin(broadcast(exact))
+      .withColumn("estimate", expr(
+        "CAST(CAST(7145472 AS DECIMAL(38,0)) * CAST(35184372088832 AS DECIMAL(38,0))" +
+          " DIV (CAST(10000 AS DECIMAL(38,0)) * s45) AS BIGINT)"))
+      .select(lit(32L).as("m"), col("n_exact"), col("registers_checksum"),
+        col("estimate"),
+        expr("abs(estimate - n_exact) * 1000000 DIV n_exact").as("err_ppm"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sketch_portable_hll", portableHll, Some(
+      """WITH h AS (
+        |  SELECT md5(CAST(o_custkey AS VARCHAR) || ':hll') AS x FROM orders),
+        |v AS (
+        |  SELECT CAST(('0x' || substr(x, 1, 2))::BIGINT % 32 AS INT) AS bucket,
+        |         ('0x' || substr(x, 3, 15))::BIGINT AS v
+        |  FROM h),
+        |r AS (
+        |  SELECT bucket,
+        |         MAX(LEAST(CASE WHEN v = 0 THEN 61
+        |                        ELSE 61 - length(bin(v)) END, 45)) AS rmax
+        |  FROM v GROUP BY 1),
+        |sp AS (SELECT CAST(i AS INT) AS bucket FROM range(0, 32) t(i)),
+        |reg AS (SELECT sp.bucket, COALESCE(r.rmax, 0) AS rmax
+        |        FROM sp LEFT JOIN r USING (bucket)),
+        |agg AS (
+        |  SELECT SUM((CAST(1 AS BIGINT) << (45 - rmax))) AS s45,
+        |         CAST(SUM((bucket + 1) * rmax) AS BIGINT)
+        |           AS registers_checksum
+        |  FROM reg),
+        |ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+        |       FROM orders),
+        |est AS (
+        |  SELECT CAST((7145472::HUGEINT * 35184372088832::HUGEINT)
+        |              // (10000::HUGEINT * s45) AS BIGINT) AS estimate,
+        |         registers_checksum
+        |  FROM agg)
+        |SELECT CAST(32 AS BIGINT) AS m, n_exact, registers_checksum, estimate,
+        |       abs(estimate - n_exact) * 1000000 // n_exact AS err_ppm
+        |FROM est, ex""".stripMargin)),
     NamedQuery("q_sketch_theta_overlap", thetaAudienceOverlap, None),
     NamedQuery("q_sketch_hll_union", hllDailyUnion, None),
     NamedQuery("q_sketch_token_counts", cmsTokenCounts, None),

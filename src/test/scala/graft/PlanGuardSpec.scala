@@ -43,6 +43,7 @@ class PlanGuardSpec extends SparkSpec {
     "q_audit_freshness",   // broadcast one-row global-max-day frame
     "q_corpus_temperature_sample", // broadcast one-row Σmass + leftover frames
     "q_corpus_anneal_schedule", // per-epoch one-row Σmass + leftover frames
+    "q_sketch_portable_hll", // one-row exact-count frame beside the sketch row
     "q_sim_whitened_topk", // broadcast one-row query-scalars + u·u frames
     "q_text_bm25_topk",    // broadcast one-row corpus-totals (N, L) frame
     "q_sim_hybrid_rrf",    // broadcast corpus-totals + query-vector one-row frames
