@@ -262,7 +262,137 @@ object SketchQueries {
         expr("abs(estimate - n_exact) * 1000000 DIV n_exact").as("err_ppm"))
   }
 
+  /** ENGINE-PORTABLE KMV (k-minimum-values) set-overlap sketch — the
+    * md5-portable graduation of the theta-sketch family: per event-type
+    * audience keep the K = 64 smallest md5-derived 60-bit user hashes;
+    * for each audience pair the union sketch is the K smallest of the
+    * merged value sets, estimating |A∪B| = (K−1)·2⁶⁰ DIV h_(K) (EXACT
+    * when the merge holds < K values), and |A∩B| = shared·|A∪B| DIV K
+    * where `shared` counts union-sketch values present in BOTH input
+    * sketches (Beyer et al. 2007). Every step is integer arithmetic on
+    * md5-derived values, so — unlike the DataSketches theta twin
+    * (`q_sketch_theta_overlap`, rows-only by necessity) — the sketch,
+    * both estimates and the realized error all hash-check cross-engine.
+    *
+    * Scale: per-audience k-smallest runs the two-phase shard trick (no
+    * window sees a full audience); everything after is sketch-sized
+    * (≤ 2K rows per pair). Same mergeable-MAX/MIN state story as every
+    * sketch here — executors ship K values, never audiences. */
+  def portableKmvOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 64
+    val t = Tpch(spark, sfDir)
+    val uv = t.events.select(col("event_type"), col("user_id")).distinct()
+      .withColumn("h", expr(
+        "CAST(conv(substring(md5(concat(CAST(user_id AS STRING), ':kmv'))" +
+          ", 1, 15), 16, 10) AS BIGINT)"))
+    val p1 = uv.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"), pmod(col("user_id"), lit(64)))
+          .orderBy(col("h"), col("user_id"))))
+      .where(col("rn") <= K).drop("rn")
+    val sk = p1.withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("h"), col("user_id"))))
+      .where(col("rn") <= K)
+      .select(col("event_type"), col("h"))
+    // pair spine + exact intersections (the same equi-join the theta twin
+    // reports against)
+    val exact = uv.as("x")
+      .join(uv.select(col("event_type").as("type_b"),
+        col("user_id")).as("y"), "user_id")
+      .where(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(countDistinct(col("user_id")).as("exact_inter"))
+    val sa = sk.select(col("event_type").as("type_a"), col("h"))
+    val sb = sk.select(col("event_type").as("type_b"), col("h"))
+    val merged = exact.join(sa, "type_a")
+      .select(col("type_a"), col("type_b"), col("h"))
+      .unionByName(exact.join(sb, "type_b")
+        .select(col("type_a"), col("type_b"), col("h")))
+      .distinct()
+    val ranked = merged.withColumn("rn", row_number().over(
+      Window.partitionBy(col("type_a"), col("type_b")).orderBy(col("h"))))
+    val topU = ranked.where(col("rn") <= K)
+      .join(sa.withColumn("in_a", lit(1L)), Seq("type_a", "h"), "left")
+      .join(sb.withColumn("in_b", lit(1L)), Seq("type_b", "h"), "left")
+    val agg = topU.groupBy(col("type_a"), col("type_b")).agg(
+      count(lit(1)).as("cnt"),
+      max(when(col("rn") === K, col("h"))).as("kth"),
+      sum(coalesce(col("in_a"), lit(0L)) * coalesce(col("in_b"), lit(0L)))
+        .as("shared"))
+    exact.join(agg, Seq("type_a", "type_b"))
+      .withColumn("est_union", expr(
+        s"CASE WHEN cnt < $K THEN cnt ELSE CAST(CAST(${K - 1} AS DECIMAL(38,0))" +
+          s" * CAST(1152921504606846976 AS DECIMAL(38,0)) DIV kth AS BIGINT) END"))
+      // divide by the KEPT sketch size (cnt = min(K, |A∪B|)): when the
+      // merge holds fewer than K values the sketch IS the union and
+      // shared IS the exact intersection — shared·cnt DIV cnt returns it
+      .withColumn("est_inter", expr("shared * est_union DIV cnt"))
+      .select(col("type_a"), col("type_b"), col("exact_inter"),
+        col("est_inter"), col("est_union"),
+        expr("abs(est_inter - exact_inter) * 1000000 DIV " +
+          "greatest(est_union, CAST(1 AS BIGINT))").as("err_ppm_of_union"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sketch_portable_kmv", portableKmvOverlap, Some(
+      """WITH uv AS (
+        |  SELECT DISTINCT event_type, user_id FROM events),
+        |hv AS (
+        |  SELECT event_type, user_id,
+        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':kmv'),
+        |                         1, 15))::BIGINT AS h
+        |  FROM uv),
+        |sk AS (
+        |  SELECT event_type, h FROM (
+        |    SELECT event_type, h,
+        |           ROW_NUMBER() OVER (PARTITION BY event_type
+        |                              ORDER BY h, user_id) AS rn
+        |    FROM hv) WHERE rn <= 64),
+        |ex AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |         CAST(COUNT(DISTINCT x.user_id) AS BIGINT) AS exact_inter
+        |  FROM uv x JOIN uv y ON x.user_id = y.user_id
+        |   AND x.event_type < y.event_type
+        |  GROUP BY 1, 2),
+        |merged AS (
+        |  SELECT DISTINCT m.type_a, m.type_b, s.h FROM ex m
+        |  JOIN sk s ON s.event_type = m.type_a
+        |  UNION
+        |  SELECT DISTINCT m.type_a, m.type_b, s.h FROM ex m
+        |  JOIN sk s ON s.event_type = m.type_b),
+        |rk AS (
+        |  SELECT type_a, type_b, h,
+        |         ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+        |                            ORDER BY h) AS rn
+        |  FROM merged),
+        |top_u AS (
+        |  SELECT r.type_a, r.type_b, r.h, r.rn,
+        |         CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+        |         CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+        |  FROM rk r
+        |  LEFT JOIN sk a ON a.event_type = r.type_a AND a.h = r.h
+        |  LEFT JOIN sk b ON b.event_type = r.type_b AND b.h = r.h
+        |  WHERE r.rn <= 64),
+        |agg AS (
+        |  SELECT type_a, type_b,
+        |         COUNT(*) AS cnt,
+        |         MAX(CASE WHEN rn = 64 THEN h END) AS kth,
+        |         CAST(SUM(in_a * in_b) AS BIGINT) AS shared
+        |  FROM top_u GROUP BY 1, 2),
+        |est AS (
+        |  SELECT e.type_a, e.type_b, e.exact_inter,
+        |         CASE WHEN a.cnt < 64 THEN CAST(a.cnt AS BIGINT)
+        |              ELSE CAST((63::HUGEINT * 1152921504606846976::HUGEINT)
+        |                        // a.kth AS BIGINT) END AS est_union,
+        |         a.shared, a.cnt
+        |  FROM ex e JOIN agg a USING (type_a, type_b))
+        |SELECT type_a, type_b, exact_inter,
+        |       shared * est_union // cnt AS est_inter, est_union,
+        |       abs(shared * est_union // cnt - exact_inter) * 1000000
+        |         // greatest(est_union, 1) AS err_ppm_of_union
+        |FROM est ORDER BY type_a, type_b""".stripMargin)),
     NamedQuery("q_sketch_portable_hll", portableHll, Some(
       """WITH h AS (
         |  SELECT md5(CAST(o_custkey AS VARCHAR) || ':hll') AS x FROM orders),

@@ -131,6 +131,8 @@ class PlanGuardSpec extends SparkSpec {
       "quota frame = languages; phase-2 rank over per-shard quota survivors",
     "q_corpus_anneal_schedule" ->
       "largest-remainder rank over the |languages| quota frame per epoch",
+    "q_sketch_portable_kmv" ->
+      "phase-2 rank over per-shard KMV survivors; pair merges are sketch-sized",
     // BM25 phase-2 ranks the ≤ 10×64 per-shard survivors per query
     "q_text_bm25_topk" -> "phase-2 rank over per-shard top-k survivors",
     // every rank window runs AFTER a TakeOrderedAndProject top-50/top-10

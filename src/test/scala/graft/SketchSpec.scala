@@ -100,4 +100,53 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("estimate") - exact) * 100 <= 30 * exact,
       s"estimate ${row.getAs[Long]("estimate")} vs exact $exact")
   }
+
+  test("portable KMV overlap equals a driver recompute of the sketch math") {
+    val K = 64
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(u: Long): Long = {
+      val x = md.digest(s"$u:kmv".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(x.substring(0, 15), 16)
+    }
+    val uv = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val byType = uv.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).distinct.toSet
+    }
+    def kmv(users: Set[Long]): Seq[Long] =
+      users.toSeq.map(h).sorted.take(K)
+    val expected = (for {
+      a <- byType.keys.toSeq; b <- byType.keys.toSeq
+      if a < b
+      inter = byType(a) & byType(b)
+      if inter.nonEmpty
+    } yield {
+      val (ka, kb) = (kmv(byType(a)).toSet, kmv(byType(b)).toSet)
+      val union = (ka ++ kb).toSeq.sorted.take(K)
+      val cnt = union.size.toLong
+      val estU = if (cnt < K) cnt
+      else (BigInt(K - 1) * (BigInt(1) << 60) / BigInt(union.last)).toLong
+      val shared = union.count(v => ka(v) && kb(v)).toLong
+      val estI = shared * estU / cnt
+      (a, b, inter.size.toLong, estI, estU)
+    }).sortBy(x => (x._1, x._2))
+    val got = graft.operators.SketchQueries.portableKmvOverlap(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected)
+    // planted partial-overlap audiences through the SAME driver math:
+    // A = 0..199, B = 100..299 — union 300 > K exercises the estimate
+    // branch with a true Jaccard of 1/3
+    val pa = (0L until 200L).toSet
+    val pb = (100L until 300L).toSet
+    val (ka, kb) = (kmv(pa).toSet, kmv(pb).toSet)
+    val union = (ka ++ kb).toSeq.sorted.take(K)
+    val estU = (BigInt(K - 1) * (BigInt(1) << 60) / BigInt(union.last)).toLong
+    val shared = union.count(v => ka(v) && kb(v)).toLong
+    val estI = shared * estU / union.size
+    assert(math.abs(estU - 300) * 100 <= 40 * 300, s"union est $estU")
+    assert(math.abs(estI - 100) * 100 <= 60 * 100, s"inter est $estI")
+  }
 }
