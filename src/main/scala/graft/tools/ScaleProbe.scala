@@ -86,7 +86,9 @@ object ScaleProbe {
     // member join over the cached closure + source-keyed aggregate
     "q_dedup_rate_ci",
     // one corpus histogram feeds |languages|-domain epoch arithmetic
-    "q_corpus_anneal_schedule")
+    "q_corpus_anneal_schedule",
+    // mergeable md5-register sketches: one pass, sketch-sized everything
+    "q_sketch_portable_hll", "q_sketch_portable_kmv")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
