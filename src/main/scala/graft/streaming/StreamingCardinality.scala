@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming cardinality monitor — the portable-HLL register math
+  * ([[graft.operators.SketchQueries.portableHll]]) run as a STATEFUL
+  * streaming aggregation: each micro-batch folds its keys into the m = 32
+  * md5-derived registers (state = one MAX per register — bounded, mergeable,
+  * exactly the sketch contract), so the running distinct-key estimate is
+  * queryable after every trigger without ever storing the keys themselves.
+  * The ingest-monitoring leg of the sketch family: "how many distinct users
+  * has this stream seen" at any traffic, in 32 longs of state.
+  *
+  * The register derivation is CHARACTER-IDENTICAL to the batch sketch (the
+  * same bucket/rank SQL), so stream state == batch registers after the same
+  * rows — StreamingCardinalitySpec pins that parity, which is what makes
+  * the streaming estimate as trustworthy as the oracle-checked batch one.
+  *
+  * Scale: the shuffled state is 32 rows whatever the traffic; updates are
+  * map-side partial MAX. Estimate finalization is the same integer
+  * arithmetic as the batch query (6978·m²·2⁴⁵ DIV (10⁴·Σ 2^(45−r))).
+  */
+object StreamingCardinality {
+
+  /** Register rows (bucket, rmax) for a streaming frame with a `key`
+    * column. Complete-mode aggregation: 32 result rows, MAX-merged state. */
+  def registers(keys: DataFrame): DataFrame =
+    keys
+      .select(md5(concat(col("key").cast("string"), lit(":hll"))).as("x"))
+      .select(
+        (expr("CAST(conv(substring(x, 1, 2), 16, 10) AS INT)") % 32)
+          .as("bucket"),
+        expr("CAST(conv(substring(x, 3, 15), 16, 10) AS BIGINT)").as("v"))
+      .withColumn("r", expr(
+        "LEAST(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END, 45)"))
+      .groupBy(col("bucket")).agg(max(col("r")).as("rmax"))
+
+  /** Fold register rows (any subset of the 32 buckets present) into the
+    * one-row estimate frame — the same integer arithmetic as the batch
+    * sketch; absent buckets contribute 2^45 each (rank 0). */
+  def estimate(registers: DataFrame): DataFrame =
+    registers
+      .agg(
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 45 - rmax) AS DECIMAL(38,0))"))
+          .as("s_present"),
+        count(lit(1)).as("n_present"))
+      .select(expr(
+        "CAST(CAST(7145472 AS DECIMAL(38,0)) * CAST(35184372088832 AS DECIMAL(38,0))" +
+          " DIV (CAST(10000 AS DECIMAL(38,0)) *" +
+          " (s_present + CAST((32 - n_present) AS DECIMAL(38,0))" +
+          " * CAST(35184372088832 AS DECIMAL(38,0)))) AS BIGINT)")
+        .as("estimate"))
+
+  /** Wire a streaming keyed source into the register aggregation
+    * (complete mode — 32 rows, the sketch IS the result table). */
+  def start(keys: DataFrame): DataStreamWriter[org.apache.spark.sql.Row] =
+    registers(keys)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+}

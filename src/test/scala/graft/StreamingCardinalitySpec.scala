@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.StreamingCardinality
+
+/** The streaming cardinality monitor must hold EXACTLY the batch sketch's
+  * registers after the same keys (character-identical register SQL), keep
+  * bounded state (≤ 32 rows at any traffic), and finalize to the same
+  * integer estimate the driver's BigInt math produces. */
+class StreamingCardinalitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def driverRegisters(keys: Seq[Long]): Map[Int, Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    keys.foldLeft(Map.empty[Int, Long]) { (regs, k) =>
+      val x = md.digest(s"$k:hll".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = (java.lang.Long.parseLong(x.substring(0, 2), 16) % 32).toInt
+      val v = java.lang.Long.parseLong(x.substring(2, 17), 16)
+      val r = math.min(
+        if (v == 0L) 61L else 61L - java.lang.Long.toBinaryString(v).length,
+        45L)
+      regs.updated(bucket, math.max(regs.getOrElse(bucket, 0L), r))
+    }
+  }
+
+  private def driverEstimate(regs: Map[Int, Long]): Long = {
+    val s45 = (0 until 32)
+      .map(b => BigInt(1) << (45 - regs.getOrElse(b, 0L).toInt)).sum
+    (BigInt(7145472) * BigInt("35184372088832") / (BigInt(10000) * s45)).toLong
+  }
+
+  test("stream registers == driver md5 recompute across batches; state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = StreamingCardinality.registers(mem.toDF().toDF("key"))
+      .writeStream.format("memory").queryName("card_regs")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def feed(keys: Long*): Unit = {
+      fed ++= keys; mem.addData(keys); q.processAllAvailable()
+    }
+    def got: Map[Int, Long] = spark.table("card_regs").collect()
+      .map(r => r.getInt(0) -> r.getInt(1).toLong).toMap
+    try {
+      feed(1L to 40L: _*)
+      assert(got == driverRegisters(fed.toSeq))
+      // a later batch can only RAISE registers (max-merge), never lower
+      val before = got
+      feed(1000L to 1500L: _*)
+      val after = got
+      assert(after == driverRegisters(fed.toSeq))
+      before.foreach { case (b, r) => assert(after(b) >= r, s"bucket $b") }
+      // bounded state: never more than 32 register rows
+      assert(after.size <= 32)
+      // duplicate keys change nothing (the whole point of the sketch)
+      feed(1L to 40L: _*)
+      assert(got == after)
+      // the finalized estimate equals the driver BigInt arithmetic and
+      // lands near the true cardinality (541 distinct keys fed)
+      val est = StreamingCardinality.estimate(
+        spark.table("card_regs")).collect().head.getLong(0)
+      assert(est == driverEstimate(after))
+      val exact = fed.distinct.size
+      assert(math.abs(est - exact) * 100 <= 40 * exact, s"est $est vs $exact")
+    } finally q.stop()
+  }
+}
