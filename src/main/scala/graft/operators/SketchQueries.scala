@@ -335,7 +335,199 @@ object SketchQueries {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** ENGINE-PORTABLE Count-Min frequency sketch — the md5-portable twin of
+    * `q_sketch_token_counts` (whose Spark `count_min_sketch` bytes are
+    * opaque internal hashing, rows-only by necessity): d = 4 rows × w = 256
+    * columns of counters, column j of a token = its md5(token ∥ ':cms' ∥ j)
+    * prefix mod w, estimate = min over the 4 addressed counters. The cell
+    * table, the estimates for the exact top-20 tokens, the dominance flag
+    * (CMS never undercounts) and the ε·N bound flag (ε ≈ e/w on the
+    * integer grid: 11·N DIV 1000 + 1) are ALL integer arithmetic — the
+    * sketch's error contract itself hash-checks cross-engine.
+    *
+    * Scale: the d hash computations run per DISTINCT token (the word-cache
+    * amortization the BPE encoder uses — md5 work is vocabulary-sized, not
+    * corpus-sized; probed at 10×: 13.8 s → token-count-weighted build),
+    * then one weighted aggregate into d·w = 1024 cells (map-side combine;
+    * mergeable by cell addition); the probe joins 20 rows against the cell
+    * table. */
+  def portableCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val tokens = t.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+    val counts = tokens.groupBy(col("token")).agg(count(lit(1)).as("occ"))
+    val cells = counts
+      .select(col("token"), col("occ"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("j"), col("occ"), expr(
+        "CAST(conv(substring(md5(concat(token, ':cms', CAST(j AS STRING)))" +
+          ", 1, 8), 16, 10) AS BIGINT) % 256").as("c"))
+      .groupBy(col("j"), col("c")).agg(sum(col("occ")).as("n"))
+    val totals = counts.agg(sum(col("occ")).as("total"))
+    val top = counts.select(col("token"), col("occ").as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token")).limit(20)
+    top
+      .select(col("token"), col("exact_n"),
+        explode(expr("sequence(0, 3)")).as("j"))
+      .withColumn("c", expr(
+        "CAST(conv(substring(md5(concat(token, ':cms', CAST(j AS STRING)))" +
+          ", 1, 8), 16, 10) AS BIGINT) % 256"))
+      .join(cells, Seq("j", "c"))
+      .groupBy(col("token"), col("exact_n"))
+      .agg(min(col("n")).as("cms_n"))
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("exact_n"), col("cms_n"),
+        (col("cms_n") >= col("exact_n")).as("dominates"),
+        (col("cms_n") - col("exact_n") <=
+          expr("11 * total DIV 1000 + 1")).as("within_bound"))
+      .orderBy(col("exact_n").desc, col("token"))
+  }
+
+  /** ENGINE-PORTABLE Bloom membership screen — the md5-portable twin of
+    * `q_dedup_bloom_screen` (Spark's BloomFilterAggregate blob is opaque;
+    * rows-only): m = 2¹⁸ bits packed as 8192 × 32-bit words (32-bit so
+    * neither engine's left-shift can overflow; m ≈ 17·n at sf0.1 keeps the
+    * realized fp rate in the per-mille band), k = 4 md5-derived bit
+    * positions per key. Built over the customers SEEN in orders; probed
+    * with every customer PLUS a +10⁶-shifted synthetic batch that is
+    * guaranteed unseen — so the confusion ledger has real negatives to
+    * screen. Emits the word-table checksum and the full ledger vs the
+    * exact anti-join ground truth; `no_false_negatives` is the Bloom
+    * guarantee and rides the hash compare (a single mis-set bit flips
+    * it), and the realized `false_positives` count is deterministic.
+    *
+    * Scale: the filter is 128 mergeable OR-words whatever the corpus; the
+    * probe is a 128-row broadcast against a projection — the join-free
+    * ingest-screen shape of [[graft.operators.BloomScreen]], made
+    * oracle-exact. */
+  def portableBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    def positions(keyCol: String): org.apache.spark.sql.Column = expr(
+      s"CAST(conv(substring(md5(concat(CAST($keyCol AS STRING), ':bf', " +
+        "CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 262144")
+    val words = t.orders
+      .select(col("o_custkey"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(positions("o_custkey").as("pos"))
+      .select((col("pos") / 32).cast("int").as("word"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)) AS BIGINT)")
+          .as("bit"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bit)").as("w"))
+    val probeKeys = t.customer.select(col("c_custkey"))
+      .unionByName(t.customer.select((col("c_custkey") + 1000000L).as("c_custkey")))
+    val probes = probeKeys
+      .select(col("c_custkey"), explode(expr("sequence(0, 3)")).as("j"))
+      .select(col("c_custkey"), positions("c_custkey").as("pos"))
+      .select(col("c_custkey"), (col("pos") / 32).cast("int").as("word"),
+        expr("CAST(pos % 32 AS INT)").as("bit"))
+    // LEFT join: a probe hash landing in a word with no bits set at all
+    // must read as "bit unset", not silently vanish from the min — an
+    // inner join here inflated false positives 5 orders of magnitude
+    val flagged = probes.join(broadcast(words), Seq("word"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(min(expr("CASE WHEN (coalesce(w, CAST(0 AS BIGINT)) " +
+        "& shiftleft(CAST(1 AS BIGINT), bit)) <> 0 " +
+        "THEN 1 ELSE 0 END")).as("hit"))
+      .where(col("hit") === 1)
+      .select(col("c_custkey"))
+    val seen = t.orders.select(col("o_custkey").as("c_custkey")).distinct()
+    val truth = probeKeys
+      .join(seen.withColumn("is_seen", lit(1L)), Seq("c_custkey"), "left")
+      .join(flagged.withColumn("is_flagged", lit(1L)), Seq("c_custkey"), "left")
+      .select(coalesce(col("is_seen"), lit(0L)).as("s"),
+        coalesce(col("is_flagged"), lit(0L)).as("f"))
+    val checksum = words.agg(
+      sum(expr("CAST((word + 1) AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))"))
+        .as("cs"))
+    truth.agg(
+      count(lit(1)).as("n_probes"),
+      sum(col("s")).as("n_truly_seen"),
+      sum(col("f")).as("n_flagged"),
+      sum(expr("CASE WHEN f = 1 AND s = 0 THEN 1 ELSE 0 END"))
+        .as("false_positives"),
+      (sum(expr("CASE WHEN s = 1 AND f = 0 THEN 1 ELSE 0 END")) === 0)
+        .as("no_false_negatives"))
+      .crossJoin(broadcast(checksum))
+      .select(col("n_probes"), col("n_truly_seen"), col("n_flagged"),
+        col("false_positives"), col("no_false_negatives"),
+        col("cs").cast("double").as("word_checksum"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_sketch_portable_cms", portableCms, Some(
+      """WITH tok AS (
+        |  SELECT UNNEST(string_split(text, ' ')) AS token FROM documents),
+        |tok2 AS (SELECT token FROM tok WHERE token <> ''),
+        |counts AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS occ FROM tok2 GROUP BY 1),
+        |cells AS (
+        |  SELECT j, ('0x' || substr(md5(token || ':cms' || CAST(j AS VARCHAR)),
+        |                            1, 8))::BIGINT % 256 AS c,
+        |         SUM(occ) AS n
+        |  FROM counts, range(0, 4) u(j) GROUP BY 1, 2),
+        |tot AS (SELECT SUM(occ) AS total FROM counts),
+        |top AS (
+        |  SELECT token, occ AS exact_n FROM counts
+        |  ORDER BY exact_n DESC, token LIMIT 20),
+        |probe AS (
+        |  SELECT t.token, t.exact_n, u.j,
+        |         ('0x' || substr(md5(t.token || ':cms' || CAST(u.j AS VARCHAR)),
+        |                         1, 8))::BIGINT % 256 AS c
+        |  FROM top t, range(0, 4) u(j)),
+        |est AS (
+        |  SELECT p.token, p.exact_n, CAST(MIN(c1.n) AS BIGINT) AS cms_n
+        |  FROM probe p JOIN cells c1 ON c1.j = p.j AND c1.c = p.c
+        |  GROUP BY 1, 2)
+        |SELECT e.token, e.exact_n, e.cms_n,
+        |       e.cms_n >= e.exact_n AS dominates,
+        |       e.cms_n - e.exact_n <= 11 * t.total // 1000 + 1 AS within_bound
+        |FROM est e, tot t
+        |ORDER BY exact_n DESC, token""".stripMargin)),
+    NamedQuery("q_sketch_portable_bloom", portableBloom, Some(
+      """WITH built AS (
+        |  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':bf'
+        |                             || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+        |           % 262144 AS pos
+        |  FROM orders, range(0, 4) u(j)),
+        |words AS (
+        |  SELECT CAST(pos // 32 AS INT) AS word,
+        |         bit_or((1::BIGINT << CAST(pos % 32 AS INT))) AS w
+        |  FROM built GROUP BY 1),
+        |pk AS (
+        |  SELECT c_custkey FROM customer
+        |  UNION ALL SELECT c_custkey + 1000000 FROM customer),
+        |probes AS (
+        |  SELECT c_custkey,
+        |         ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':bf'
+        |                             || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+        |           % 262144 AS pos
+        |  FROM pk, range(0, 4) u(j)),
+        |flagged AS (
+        |  SELECT c_custkey FROM (
+        |    SELECT p.c_custkey,
+        |           MIN(CASE WHEN (COALESCE(w.w, 0)
+        |                          & (1::BIGINT << CAST(p.pos % 32 AS INT)))
+        |                         <> 0 THEN 1 ELSE 0 END) AS hit
+        |    FROM probes p LEFT JOIN words w ON w.word = CAST(p.pos // 32 AS INT)
+        |    GROUP BY 1) WHERE hit = 1),
+        |seen AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+        |truth AS (
+        |  SELECT CASE WHEN s.c_custkey IS NULL THEN 0 ELSE 1 END AS s,
+        |         CASE WHEN f.c_custkey IS NULL THEN 0 ELSE 1 END AS f
+        |  FROM pk c
+        |  LEFT JOIN seen s ON s.c_custkey = c.c_custkey
+        |  LEFT JOIN flagged f ON f.c_custkey = c.c_custkey),
+        |cs AS (
+        |  SELECT SUM((word + 1)::HUGEINT * w::HUGEINT) AS cs FROM words)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |       CAST(SUM(s) AS BIGINT) AS n_truly_seen,
+        |       CAST(SUM(f) AS BIGINT) AS n_flagged,
+        |       CAST(SUM(CASE WHEN f = 1 AND s = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS false_positives,
+        |       SUM(CASE WHEN s = 1 AND f = 0 THEN 1 ELSE 0 END) = 0
+        |         AS no_false_negatives,
+        |       CAST((SELECT cs FROM cs) AS DOUBLE) AS word_checksum
+        |FROM truth""".stripMargin)),
     NamedQuery("q_sketch_portable_kmv", portableKmvOverlap, Some(
       """WITH uv AS (
         |  SELECT DISTINCT event_type, user_id FROM events),

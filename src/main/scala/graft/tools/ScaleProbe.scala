@@ -88,7 +88,8 @@ object ScaleProbe {
     // one corpus histogram feeds |languages|-domain epoch arithmetic
     "q_corpus_anneal_schedule",
     // mergeable md5-register sketches: one pass, sketch-sized everything
-    "q_sketch_portable_hll", "q_sketch_portable_kmv")
+    "q_sketch_portable_hll", "q_sketch_portable_kmv",
+    "q_sketch_portable_cms", "q_sketch_portable_bloom")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

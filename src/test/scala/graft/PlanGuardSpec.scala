@@ -44,6 +44,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_corpus_temperature_sample", // broadcast one-row Σmass + leftover frames
     "q_corpus_anneal_schedule", // per-epoch one-row Σmass + leftover frames
     "q_sketch_portable_hll", // one-row exact-count frame beside the sketch row
+    "q_sketch_portable_cms", // one-row token-total frame beside the probe rows
+    "q_sketch_portable_bloom", // one-row word-checksum frame beside the ledger
     "q_sim_whitened_topk", // broadcast one-row query-scalars + u·u frames
     "q_text_bm25_topk",    // broadcast one-row corpus-totals (N, L) frame
     "q_sim_hybrid_rrf",    // broadcast corpus-totals + query-vector one-row frames

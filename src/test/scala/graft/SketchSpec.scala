@@ -149,4 +149,68 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(estU - 300) * 100 <= 40 * 300, s"union est $estU")
     assert(math.abs(estI - 100) * 100 <= 60 * 100, s"inter est $estI")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("portable CMS equals a driver cell recompute; dominance exact") {
+    val tokens = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ")).filter(_.nonEmpty)
+    def cell(tok: String, j: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"$tok:cms$j").substring(0, 8), 16) % 256
+    val cells = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    tokens.foreach { tok =>
+      (0 until 4).foreach { j =>
+        val k = (j, cell(tok, j)); cells(k) = cells.getOrElse(k, 0L) + 1
+      }
+    }
+    val exact = tokens.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val top = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+    val rows = graft.operators.SketchQueries.portableCms(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.map(x => (x._1, x._2)).toSeq == top)
+    rows.foreach { case (tok, n, est, dom, bound) =>
+      val expEst = (0 until 4).map(j => cells((j, cell(tok, j)))).min
+      assert(est == expEst, s"cms of $tok")
+      assert(dom && est >= n, s"dominance of $tok")
+      assert(bound, s"bound of $tok")
+    }
+  }
+
+  test("portable bloom: driver word recompute, zero false negatives") {
+    def pos(key: Long, j: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"$key:bf$j").substring(0, 8), 16) % 262144
+    val seen = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey")).collect().map(_.getLong(0))
+    val words = scala.collection.mutable.Map.empty[Int, Long]
+    seen.foreach { k =>
+      (0 until 4).foreach { j =>
+        val p = pos(k, j); val w = (p / 32).toInt
+        words(w) = words.getOrElse(w, 0L) | (1L << (p % 32).toInt)
+      }
+    }
+    val custs = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val probes = custs ++ custs.map(_ + 1000000L)
+    val seenSet = seen.toSet
+    def member(k: Long): Boolean = (0 until 4).forall { j =>
+      val p = pos(k, j)
+      (words.getOrElse((p / 32).toInt, 0L) & (1L << (p % 32).toInt)) != 0
+    }
+    val expFlagged = probes.count(member)
+    val expFp = probes.count(k => member(k) && !seenSet(k))
+    val row = graft.operators.SketchQueries.portableBloom(spark, Sf)
+      .collect().head
+    assert(row.getAs[Long]("n_probes") == probes.length.toLong)
+    assert(row.getAs[Long]("n_truly_seen") == probes.count(seenSet).toLong)
+    assert(row.getAs[Long]("n_flagged") == expFlagged.toLong)
+    assert(row.getAs[Long]("false_positives") == expFp.toLong)
+    assert(row.getAs[Boolean]("no_false_negatives"),
+      "a seen key was not flagged — the Bloom guarantee is broken")
+    val expCs = words.toSeq.map { case (w, v) => BigInt(w + 1) * BigInt(v) }.sum
+    assert(row.getAs[Double]("word_checksum") == expCs.toDouble)
+  }
 }
