@@ -81,13 +81,13 @@ object Retrieval {
   private def querySetValuesSql: String =
     querySet.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
 
-  /** (q_id, doc_id, score) BM25-R scores for every candidate document
-    * (≥ 1 query-term hit) — shared by the standalone top-k and the hybrid
-    * fusion so the lexical scoring can never diverge between them. */
-  /** BM25-R scores for an arbitrary (q_id, term) query frame against the
-    * corpus — the batch registry pins `literalTerms` so the term filter
-    * pushes into the token scan; the streaming serving leg passes None and
-    * probes via a broadcast semi-join (terms only known per micro-batch). */
+  /** BM25-R scores (q_id, doc_id, score) for an arbitrary (q_id, term)
+    * query frame against the corpus — tokens come from the shared
+    * [[posToks]] artifact (one tokenize pass per session). The batch
+    * registry pins `literalTerms` so the term filter is a codegen'd
+    * predicate over the cached postings; the streaming serving leg passes
+    * None and probes via a broadcast semi-join (terms only known per
+    * micro-batch). */
   private[graft] def bm25ScoredFor(
       t: Tpch, q: DataFrame,
       literalTerms: Option[Seq[String]]): DataFrame = {
