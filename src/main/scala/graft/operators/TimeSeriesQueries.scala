@@ -240,7 +240,65 @@ object TimeSeriesQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Sweep-line interval counting — the occupancy query every logistics /
+    * connection-pool / concurrency dashboard runs: how many order-lines
+    * are OPEN (ordered, not yet shipped — the half-open interval
+    * [orderdate, shipdate)) on each calendar day. The classic +1/−1 delta
+    * sweep: one +1 per order day, one −1 per ship day, cumulative-summed
+    * over the calendar — never an intervals × days join, which is the
+    * quadratic trap interval stabbing usually falls into.
+    *
+    * Scale: the corpus-sized work is one equi-join (the fact's natural
+    * key) and ONE keyed day aggregate (map-side combine); the cumulative
+    * sum runs over per-day delta rows — time-domain-bounded, the same
+    * justification as the CUSUM screen. At 100 TB: the sweep is how you
+    * count concurrent intervals without materializing interval × day
+    * fan-out. */
+  def inflightPerDay(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    // validity gate first (the C4-style CHECK a real pipeline applies):
+    // ~10% of the synthetic lineitems ship BEFORE their order date —
+    // an inverted interval would silently push the sweep negative
+    val li = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") >= col("o_orderdate"))
+    val deltas = li
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        lit(1L).as("d"))
+      .unionByName(li.select(
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("day"),
+        lit(-1L).as("d")))
+      .groupBy(col("day"))
+      .agg(sum(col("d")).as("delta"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("starts"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("ends"))
+    deltas
+      .withColumn("in_flight", sum(col("delta")).over(Window.orderBy(col("day"))))
+      .select(col("day"), col("starts"), col("ends"), col("in_flight"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ts_inflight_per_day", inflightPerDay, Some(
+      """WITH li AS (
+        |  SELECT o.o_orderdate, l.l_shipdate
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate >= o.o_orderdate),
+        |d AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day, 1 AS dd FROM li
+        |  UNION ALL
+        |  SELECT strftime(l_shipdate, '%Y-%m-%d'), -1 FROM li),
+        |agg AS (
+        |  SELECT day, CAST(SUM(dd) AS BIGINT) AS delta,
+        |         CAST(SUM(CASE WHEN dd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS starts,
+        |         CAST(SUM(CASE WHEN dd = -1 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS ends
+        |  FROM d GROUP BY 1)
+        |SELECT day, starts, ends,
+        |       CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS in_flight
+        |FROM agg ORDER BY day""".stripMargin)),
     NamedQuery("q_ts_seasonal_naive", seasonalNaive, Some(
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n

@@ -89,7 +89,9 @@ object ScaleProbe {
     "q_corpus_anneal_schedule",
     // mergeable md5-register sketches: one pass, sketch-sized everything
     "q_sketch_portable_hll", "q_sketch_portable_kmv",
-    "q_sketch_portable_cms", "q_sketch_portable_bloom")
+    "q_sketch_portable_cms", "q_sketch_portable_bloom",
+    // +1/-1 day deltas -> time-domain-bounded cumsum
+    "q_ts_inflight_per_day")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -116,6 +116,7 @@ class PlanGuardSpec extends SparkSpec {
     // CUSUM runs entirely over the per-day revenue aggregate — rows =
     // days, time-domain-bounded
     "q_ts_cusum_changepoint" -> "global cumsum over per-day revenue aggregates",
+    "q_ts_inflight_per_day" -> "sweep-line cumsum over per-day delta aggregates",
     // KS CDFs: per-source + global cumsums over the LENGTH-VALUE histogram
     // (rows = sources × distinct lengths, domain-bounded — never docs)
     "q_text_ks_drift" -> "CDF cumsums over length-value histograms",

@@ -74,4 +74,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(m.getOrElse("both", 0L) + m.getOrElse("orders_only", 0L) == oKeys)
     assert(m.getOrElse("both", 0L) + m.getOrElse("events_only", 0L) == eKeys)
   }
+
+  test("sweep-line occupancy equals a driver interval count; closes at 0") {
+    import org.apache.spark.sql.functions._
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    val intervals = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") >= col("o_orderdate"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val rows = graft.operators.TimeSeriesQueries.inflightPerDay(spark, Sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // brute-force stab: open on `day` iff orderdate <= day < shipdate
+    rows.foreach { case (day, starts, ends, inFlight) =>
+      assert(starts == intervals.count(_._1 == day).toLong, s"starts $day")
+      assert(ends == intervals.count(_._2 == day).toLong, s"ends $day")
+      val expected =
+        intervals.count { case (o, s) => o <= day && day < s }.toLong
+      assert(inFlight == expected, s"occupancy on $day")
+      assert(inFlight >= 0L)
+    }
+    // the sweep must close: every opened interval eventually ships
+    assert(rows.last._4 == 0L, "sweep did not return to zero")
+    assert(rows.map(_._4).max > 0L, "no day ever had an open line")
+  }
 }
