@@ -186,7 +186,136 @@ object AuditQueries {
       .orderBy(col("tbl"))
   }
 
+  /** Sensitive-attribute band shared by the l-diversity and t-closeness
+    * audits: account balance coarsened to $2000 bands. One IEEE division
+    * + floor on identical operands in both engines — exact cross-engine
+    * (the double idiom every profiling query uses). */
+  private def acctBand: org.apache.spark.sql.Column =
+    floor(col("c_acctbal") / 2000).cast("long")
+
+  private val acctBandSql = "CAST(FLOOR(c_acctbal / 2000) AS BIGINT)"
+
+  /** l-diversity curve — k-anonymity's sensitive-attribute refinement
+    * (Machanavajjhala et al. 2007): a class of 50 rows is still exposed
+    * if all 50 share one sensitive value. Per candidate l, equivalence
+    * classes over the (c_mktsegment, c_nationkey) quasi-identifier whose
+    * DISTINCT sensitive-band count falls below l, the rows sitting in
+    * them, and the exposure cost in permille. Same shape as the k-curve:
+    * one keyed aggregate builds the class table (QI-domain-bounded), the
+    * l-curve is a narrow explode over CLASS rows — one shuffle at any
+    * scale, exact integers throughout. */
+  def lDiversityCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val classes = t.customer
+      .select(col("c_mktsegment"), col("c_nationkey"), acctBand.as("band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("band")).as("l_distinct"))
+    classes
+      .select(col("n"), col("l_distinct"),
+        explode(array(lit(2), lit(3), lit(5))).as("l"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("l_distinct") < col("l"), 1L).otherwise(0L))
+          .as("classes_below"),
+        sum(when(col("l_distinct") < col("l"), col("n")).otherwise(0L))
+          .as("rows_at_risk"),
+        sum(col("n")).as("n_rows"))
+      .select(col("l").cast("long").as("l"), col("n_classes"),
+        col("classes_below").cast("long").as("classes_below"),
+        col("rows_at_risk").cast("long").as("rows_at_risk"),
+        expr("(rows_at_risk * 1000) div n_rows").cast("long")
+          .as("exposure_permille"))
+      .orderBy(col("l"))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    * distributional refinement: a class can be l-diverse yet still leak
+    * if its sensitive distribution skews far from the corpus's. Per QI
+    * class, the exact total-variation distance between the class's
+    * sensitive-band distribution and the global one, as the integer
+    * cross-multiplication TVnum = Σ_seen |cnt·N − g·n_c| + n_c·(N − Σ_seen g)
+    * over 2·n_c·N (never-seen bands folded in closed form — the source-
+    * drift idiom), reported in permille with the t = 1/3 breach flag.
+    * All frames are bounded by the QI × band domain after the first
+    * aggregate; one fact-table shuffle at any scale. */
+  def tClosenessAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val banded = t.customer
+      .select(col("c_mktsegment"), col("c_nationkey"), acctBand.as("band"))
+    val cells = banded
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("band"))
+      .agg(count(lit(1)).as("cnt"))
+    val global = banded.groupBy(col("band")).agg(count(lit(1)).as("g"))
+    val totals = banded.agg(count(lit(1)).as("big_n"))
+    val classTotals = cells
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(sum(col("cnt")).as("n_c"))
+    cells
+      .join(broadcast(global), Seq("band"))
+      .join(broadcast(classTotals), Seq("c_mktsegment", "c_nationkey"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(first(col("n_c")).as("n_c"), first(col("big_n")).as("big_n"),
+        sum(abs(col("cnt") * col("big_n") - col("g") * col("n_c")))
+          .as("seen_abs"),
+        sum(col("g")).as("seen_g"))
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nationkey"),
+        col("n_c").cast("long").as("n_rows"),
+        expr("""((seen_abs + n_c * (big_n - seen_g)) * 1000)
+               | div (2 * n_c * big_n)""".stripMargin).cast("long")
+          .as("tv_permille"))
+      .withColumn("breaches_third", col("tv_permille") > 333)
+      .orderBy(col("segment"), col("nationkey"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_audit_l_diversity", lDiversityCurve, Some(
+      s"""WITH b AS (
+         |  SELECT c_mktsegment, c_nationkey, $acctBandSql AS band
+         |  FROM customer),
+         |classes AS (
+         |  SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+         |         COUNT(DISTINCT band) AS l_distinct
+         |  FROM b GROUP BY 1, 2),
+         |ls AS (SELECT UNNEST([2, 3, 5]) AS l)
+         |SELECT CAST(ls.l AS BIGINT) AS l,
+         |       COUNT(*) AS n_classes,
+         |       CAST(SUM(CASE WHEN c.l_distinct < ls.l THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS classes_below,
+         |       CAST(SUM(CASE WHEN c.l_distinct < ls.l THEN c.n ELSE 0 END)
+         |         AS BIGINT) AS rows_at_risk,
+         |       CAST((SUM(CASE WHEN c.l_distinct < ls.l THEN c.n ELSE 0 END)
+         |         * 1000) // SUM(c.n) AS BIGINT) AS exposure_permille
+         |FROM classes c CROSS JOIN ls
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_audit_t_closeness", tClosenessAudit, Some(
+      s"""WITH b AS (
+         |  SELECT c_mktsegment, c_nationkey, $acctBandSql AS band
+         |  FROM customer),
+         |cells AS (
+         |  SELECT c_mktsegment, c_nationkey, band, COUNT(*) AS cnt
+         |  FROM b GROUP BY 1, 2, 3),
+         |g AS (SELECT band, COUNT(*) AS g FROM b GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS big_n FROM b),
+         |ct AS (SELECT c_mktsegment, c_nationkey, SUM(cnt) AS n_c
+         |       FROM cells GROUP BY 1, 2)
+         |SELECT c.c_mktsegment AS segment,
+         |       CAST(c.c_nationkey AS BIGINT) AS nationkey,
+         |       CAST(ct.n_c AS BIGINT) AS n_rows,
+         |       CAST(((SUM(ABS(c.cnt * n.big_n - g.g * ct.n_c))
+         |              + ct.n_c * (n.big_n - SUM(g.g))) * 1000)
+         |         // (2 * ct.n_c * n.big_n) AS BIGINT) AS tv_permille,
+         |       CAST(((SUM(ABS(c.cnt * n.big_n - g.g * ct.n_c))
+         |              + ct.n_c * (n.big_n - SUM(g.g))) * 1000)
+         |         // (2 * ct.n_c * n.big_n) > 333 AS BOOLEAN)
+         |         AS breaches_third
+         |FROM cells c
+         |JOIN g USING (band)
+         |JOIN ct USING (c_mktsegment, c_nationkey)
+         |CROSS JOIN n
+         |GROUP BY 1, 2, ct.n_c, n.big_n
+         |ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_audit_freshness", freshnessAudit, Some(
       """WITH m AS (
         |  SELECT 'orders' AS tbl, MAX(CAST(o_orderdate AS DATE)) AS max_day FROM orders

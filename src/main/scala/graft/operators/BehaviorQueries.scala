@@ -170,7 +170,80 @@ object BehaviorQueries {
       .limit(50)
   }
 
+  /** Item-item collaborative filtering (Sarwar et al. 2001 / the Amazon
+    * item-to-item algorithm): "customers whose orders contained X also
+    * bought Y", scored by co-occurrence cosine over order baskets —
+    * squared onto the integer grid (cooc²·10⁶ div (n_a·n_b)), which
+    * preserves the cosine RANKING for non-negative counts while keeping
+    * every score hash-exact cross-engine. Where q_market_basket reports
+    * corpus-level brand lift, this emits per-ITEM neighbor lists — the
+    * serving artifact a recommender reads.
+    *
+    * Scale shape: recommendations are computed for the top-10 most
+    * co-purchasable target items, so the pair space is (orders containing
+    * a target) × basket width — the target semi-join lands BEFORE the
+    * pair aggregate, never a corpus self-join; popularity marginals are
+    * one keyed aggregate of the distinct (order, part) projection. The
+    * rank window partitions on target item id (unbounded key domain). */
+  def itemItemRecs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val op = t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val pop = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val targets = pop.orderBy(col("n").desc, col("pk")).limit(10)
+      .select(col("pk").as("tpk"), col("n").as("n_t"))
+    val pairs = op.join(broadcast(targets), col("pk") === col("tpk"))
+      .select(col("ok"), col("tpk"), col("n_t"))
+      .join(op.select(col("ok"), col("pk").as("opk")), Seq("ok"))
+      .where(col("opk") =!= col("tpk"))
+      .groupBy(col("tpk"), col("n_t"), col("opk"))
+      .agg(count(lit(1)).as("cooc"))
+    val scored = pairs
+      .join(pop.select(col("pk").as("opk"), col("n").as("n_o")), Seq("opk"))
+      .select(col("tpk"), col("opk"), col("cooc"),
+        expr("(CAST(cooc AS DECIMAL(38,0)) * cooc * 1000000)" +
+          " div (n_t * n_o)").as("cos2_ppm"))
+    val w = Window.partitionBy(col("tpk"))
+      .orderBy(col("cos2_ppm").desc, col("opk"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .select(col("tpk").cast("long").as("target_part"),
+        col("rnk").cast("long").as("rnk"),
+        col("opk").cast("long").as("rec_part"),
+        col("cooc").cast("long").as("cooc"),
+        col("cos2_ppm").cast("long").as("cos2_ppm"))
+      .orderBy(col("target_part"), col("rnk"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_itemitem_recs", itemItemRecs, Some(
+      """WITH op AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pop AS MATERIALIZED (SELECT pk, COUNT(*) AS n FROM op GROUP BY 1),
+        |targets AS (SELECT pk AS tpk, n AS n_t FROM pop
+        |            ORDER BY n DESC, pk LIMIT 10),
+        |pairs AS (
+        |  SELECT t.tpk, t.n_t, o2.pk AS opk, COUNT(*) AS cooc
+        |  FROM op o1
+        |  JOIN targets t ON o1.pk = t.tpk
+        |  JOIN op o2 ON o2.ok = o1.ok AND o2.pk <> t.tpk
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT p.tpk, p.opk, p.cooc,
+        |         CAST((CAST(p.cooc AS HUGEINT) * p.cooc * 1000000)
+        |              // (p.n_t * pop.n) AS BIGINT) AS cos2_ppm
+        |  FROM pairs p JOIN pop ON pop.pk = p.opk),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (
+        |         PARTITION BY tpk ORDER BY cos2_ppm DESC, opk) AS rnk
+        |       FROM scored)
+        |SELECT CAST(tpk AS BIGINT) AS target_part,
+        |       CAST(rnk AS BIGINT) AS rnk,
+        |       CAST(opk AS BIGINT) AS rec_part,
+        |       CAST(cooc AS BIGINT) AS cooc, cos2_ppm
+        |FROM rk WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin)),
     NamedQuery("q_cohort_retention", cohortRetention, Some(
       """WITH fo AS (SELECT o_custkey AS ck,
         |                   MIN(YEAR(o_orderdate)*12 + MONTH(o_orderdate) - 1) AS cm

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.NamedQuery
 import graft.sources.Tables.Tpch
@@ -741,7 +742,97 @@ object GraphQueries {
        |        JOIN nation nb ON nb.n_nationkey = sc.b
        |ORDER BY ra_ppm DESC, cn DESC, a, b LIMIT 10""".stripMargin
 
+  private val HitsRounds = 4
+
+  /** Weighted HITS (Kleinberg 1999) over the directed trade graph — the
+    * two-sided influence readout PageRank can't give: a nation is a good
+    * HUB if its customers buy from authoritative supplier nations, a good
+    * AUTHORITY if authoritative hubs buy from it (import-side vs
+    * export-side trade centrality). The mutual recursion a = Aᵀh, h = Aa
+    * runs on the 10¹² fixed-point grid with SUM-normalization each half-
+    * round: raw_i = Σ w·score (exact, weights from the shared pair-weight
+    * artifact), then score'_i = (raw_i·10¹²) div Σraw — products reach
+    * ~10²⁸, so they ride DECIMAL(38,0) here and HUGEINT in the oracle;
+    * every operand is non-negative, so Spark `div` == DuckDB `//`. Four
+    * rounds unroll as CTE pairs in the oracle (the PageRank pattern).
+    * Scale: the fact is touched only through the cached pair-weight
+    * artifact; each half-round is one domain-bounded join + keyed
+    * aggregate + one-row total broadcast. */
+  def nationHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val pw = directedPairWeights(spark, sfDir)
+    val nodes = t.nation.select(col("n_nationkey").as("node"))
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(sum(col("raw")).as("tot"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"(coalesce(raw, CAST(0 AS DECIMAL(38,0))) * 1000000000000)" +
+            s" div tot").cast("long").as(out))
+    }
+    var hub = nodes.withColumn("h", lit(Scale))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to HitsRounds) {
+      auth = normalize(
+        pw.join(hub, col("src") === col("node"))
+          .select(col("dst"),
+            (col("w").cast(DecimalType(38, 0)) * col("h")).as("c"))
+          .groupBy(col("dst").as("node")).agg(sum(col("c")).as("raw")),
+        "a")
+      hub = normalize(
+        pw.join(auth, col("dst") === col("node"))
+          .select(col("src"),
+            (col("w").cast(DecimalType(38, 0)) * col("a")).as("c"))
+          .groupBy(col("src").as("node")).agg(sum(col("c")).as("raw")),
+        "h")
+    }
+    hub.join(auth, Seq("node"))
+      .join(broadcast(t.nation), col("node") === col("n_nationkey"))
+      .select(col("n_name").as("nation"), col("h").as("hub"),
+        col("a").as("authority"))
+      .orderBy(col("authority").desc, col("nation"))
+  }
+
+  private def hitsOracle: String = {
+    def half(i: Int, prev: String, joinOn: String, outKey: String,
+             out: String): String =
+      s"""${out}${i}raw AS MATERIALIZED (
+         |  SELECT e.$outKey AS node,
+         |         SUM(CAST(e.w AS HUGEINT) * $prev.v) AS raw
+         |  FROM pw e JOIN $prev ON $prev.node = e.$joinOn
+         |  GROUP BY 1),
+         |$out$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |         CAST((COALESCE(r.raw, 0) * 1000000000000)
+         |              // (SELECT SUM(raw) FROM ${out}${i}raw) AS BIGINT) AS v
+         |  FROM nodes n LEFT JOIN ${out}${i}raw r ON r.node = n.node)"""
+        .stripMargin
+    val steps = (1 to HitsRounds).map { i =>
+      val prevHub = if (i == 1) "h0" else s"h${i - 1}"
+      half(i, prevHub, "src", "dst", "a") + ",\n" +
+        half(i, s"a$i", "dst", "src", "h")
+    }.mkString(",\n")
+    s"""WITH pw AS MATERIALIZED (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT n_nationkey AS node FROM nation),
+       |h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS v FROM nodes),
+       |$steps
+       |SELECT n.n_name AS nation,
+       |       h$HitsRounds.v AS hub, a$HitsRounds.v AS authority
+       |FROM h$HitsRounds
+       |JOIN a$HitsRounds ON a$HitsRounds.node = h$HitsRounds.node
+       |JOIN nation n ON h$HitsRounds.node = n.n_nationkey
+       |ORDER BY authority DESC, nation""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_graph_hits", nationHits, Some(hitsOracle)),
     NamedQuery("q_graph_link_prediction", tradeLinkPrediction,
       Some(linkPredictionOracle)),
     NamedQuery("q_graph_closeness", tradeCloseness, Some(closenessOracle)),

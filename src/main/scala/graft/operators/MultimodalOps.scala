@@ -297,6 +297,63 @@ object MultimodalOps {
       }
       (r.media_id, nFrames, nKey, dSum, dMax)
     }
+
+    /** 4×4 DCT-II basis, pinned to the integer grid ⌊cos(π(2k+1)u/8)·10⁴⌉
+      * — irrational cosines never cross the engine boundary, the
+      * coefficient TABLE does (the literal-pinning idiom the Benford
+      * shares use). */
+    private val DctT = Array(
+      Array(10000L, 10000L, 10000L, 10000L),
+      Array(9239L, 3827L, -3827L, -9239L),
+      Array(7071L, -7071L, -7071L, 7071L),
+      Array(3827L, -9239L, 9239L, -3827L))
+
+    /** 15-bit perceptual hash (the pHash recipe on the thumbnail grid):
+      * 4×4 block SUMS over the raster (image widths and heights are both
+      * multiples of 4, so blocks are uniform) → exact-integer 2-D DCT-II
+      * via [[DctT]] → each of the 15 AC coefficients compared against
+      * their LOWER median (rank-8 of 15 — an element of the data, never
+      * interpolated) → bit (idx−1) set iff coefficient > median. Block
+      * sums instead of means: every block has the same pixel count, so
+      * the DCT of sums is n× the DCT of means — signs and the median
+      * comparison are unchanged and no division ever happens. Exact
+      * integers end to end (|coef| ≤ 16·10⁸·blockSum ≈ 10¹³), so the
+      * hash — and every hamming distance — is recomputable in ANSI SQL. */
+    def phashBits(w: Int, h: Int, raster: Array[Byte]): Long = {
+      val g = 4
+      val s = Array.ofDim[Long](g, g)
+      var r = 0
+      while (r < h) {
+        val bi = r * g / h
+        var c = 0
+        while (c < w) {
+          s(bi)(c * g / w) += (raster(r * w + c) & 0xff)
+          c += 1
+        }
+        r += 1
+      }
+      val d = Array.ofDim[Long](g, g)
+      var u = 0
+      while (u < g) {
+        var v = 0
+        while (v < g) {
+          var acc = 0L; var i = 0
+          while (i < g) {
+            var j = 0
+            while (j < g) { acc += DctT(u)(i) * DctT(v)(j) * s(i)(j); j += 1 }
+            i += 1
+          }
+          d(u)(v) = acc; v += 1
+        }
+        u += 1
+      }
+      val ac = (1 until 16).map(idx => d(idx / 4)(idx % 4))
+      val med = ac.sorted.apply(7)
+      var hash = 0L
+      for (idx <- 1 until 16)
+        if (d(idx / 4)(idx % 4) > med) hash |= 1L << (idx - 1)
+      hash
+    }
   }
 
   /** Synthesize the media table from `documents`: body = UTF-8 text bytes
@@ -615,7 +672,107 @@ object MultimodalOps {
       .orderBy(col("media_id"))
   }
 
+  /** Perceptual-hash image near-dup pairs — the IMAGE twin of the simhash
+    * text screen: every image's 15-bit DCT pHash ([[Codec.phashBits]]),
+    * banded 3×5 bits (pigeonhole: ≤ 2 differing bits leave ≥ 1 band
+    * intact, so the screen is COMPLETE at hamming ≤ 2), candidates from
+    * per-band equi-joins, verified by exact `bit_count(xor)`. Re-encoded
+    * crops/recompressions of the same image move few DCT signs — the
+    * dedup rule image corpora actually need, where byte fingerprints
+    * (q_multimodal_features' md5) only catch bit-identical copies.
+    * Scale: hashing is an embarrassingly parallel per-row codec pass;
+    * banding is the LSH shape (candidates track true near-dups, never
+    * the corpus square); the verify touches 8-byte hashes, not pixels. */
+  def multimodalPhashDups(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val hashes = mediaFromDocuments(spark, sfDir)
+      .filter(_.kind == "image")
+      .mapPartitions(_.map { r =>
+        val (w, h, raster) = Codec.imageRaster(r)
+        (r.media_id, Codec.phashBits(w, h, raster))
+      })
+      .toDF("media_id", "phash")
+    val bands = hashes.select(col("media_id"), col("phash"),
+      posexplode(expr(
+        "array(phash & 31, shiftright(phash, 5) & 31, shiftright(phash, 10) & 31)"))
+        .as(Seq("b", "k")))
+      .select(col("media_id"), (col("b") * 32 + col("k")).as("band"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("media_id").as("a"), col("phash").as("ha")), Seq("a"))
+      .join(hashes.select(col("media_id").as("b"), col("phash").as("hb")), Seq("b"))
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .where(col("hamming") <= 2)
+      .select(col("a").as("media_a"), col("b").as("media_b"), col("hamming"))
+      .orderBy(col("media_a"), col("media_b"))
+  }
+
+  private def phashOracle: String = {
+    val tValues = (0 until 4).flatMap { u =>
+      val row = u match {
+        case 0 => Seq(10000L, 10000L, 10000L, 10000L)
+        case 1 => Seq(9239L, 3827L, -3827L, -9239L)
+        case 2 => Seq(7071L, -7071L, -7071L, 7071L)
+        case 3 => Seq(3827L, -9239L, 9239L, -3827L)
+      }
+      row.zipWithIndex.map { case (c, k) => s"($u, $k, $c)" }
+    }.mkString(", ")
+    s"""WITH img AS (SELECT doc_id, text,
+       |                    octet_length(CAST(text AS BLOB)) AS len,
+       |                    CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS h
+       |             FROM documents WHERE doc_id % 3 = 0),
+       |px AS (SELECT doc_id, h, CAST(p AS BIGINT) AS p,
+       |              CASE WHEN p < len
+       |                   THEN ascii(substr(text, CAST(p AS INT) + 1, 1))
+       |                   ELSE 0 END AS byte
+       |       FROM img, UNNEST(range(0, 32 * h)) u(p)),
+       |cell AS MATERIALIZED (
+       |  SELECT doc_id, (p // 32) // (h // 4) AS bi, (p % 32) // 8 AS bj,
+       |         SUM(byte) AS s
+       |  FROM px GROUP BY 1, 2, 3),
+       |t(u, k, c) AS (VALUES $tValues),
+       |coef AS MATERIALIZED (
+       |  SELECT cl.doc_id, tu.u AS u, tv.u AS v,
+       |         SUM(tu.c * tv.c * cl.s) AS d
+       |  FROM cell cl
+       |  JOIN t tu ON tu.k = cl.bi
+       |  JOIN t tv ON tv.k = cl.bj
+       |  GROUP BY 1, 2, 3),
+       |ac AS (SELECT doc_id, u * 4 + v AS idx, d,
+       |              ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d) AS rk
+       |       FROM coef WHERE NOT (u = 0 AND v = 0)),
+       |med AS (SELECT doc_id, d AS med FROM ac WHERE rk = 8),
+       |hash AS MATERIALIZED (
+       |  SELECT a.doc_id,
+       |         SUM(CASE WHEN a.d > m.med
+       |                  THEN CAST(1 AS BIGINT) << (a.idx - 1)
+       |                  ELSE 0 END) AS phash
+       |  FROM ac a JOIN med m USING (doc_id) GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id,
+       |         b.b * 32 + CASE b.b WHEN 0 THEN phash & 31
+       |                             WHEN 1 THEN (phash >> 5) & 31
+       |                             ELSE (phash >> 10) & 31 END AS band
+       |  FROM hash, UNNEST([0, 1, 2]) b(b)),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |         FROM bands x
+       |         JOIN bands y ON x.band = y.band AND x.doc_id < y.doc_id)
+       |SELECT c.a AS media_a, c.b AS media_b,
+       |       CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN hash ha ON ha.doc_id = c.a
+       |JOIN hash hb ON hb.doc_id = c.b
+       |WHERE bit_count(xor(ha.phash, hb.phash)) <= 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_multimodal_phash_dups", multimodalPhashDups, Some(phashOracle)),
     // Video width is 32 + 2*16 = 64; bins are byte // 32 (ASCII corpus →
     // bins 0..3); the LAG-over-(doc, bin) grid recomputes every
     // inter-frame L1 delta; keyframe rule: frame 0, plus delta ≥ 16.

@@ -270,46 +270,61 @@ object SimilarityQueries {
     * the rank window partitions on the SOURCE VECTOR id — corpus-scale
     * cardinality, no funnel. Recall inherits the banding trade and its
     * nBits knob. */
-  def bitextMarginPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    GraftFunctions.register(spark)
-    graft.functions.HyperplaneSigs.register(spark)
-    val t = Tpch(spark, sfDir)
-    val vecs = t.embeddings
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val banded = vecs
-      .select(col("vec_id"),
-        posexplode(expr("graft_hyperplane_sigs(embedding, 4, 8)"))
-          .as(Seq("band_id", "band_sig")))
-    val cands = banded
-      .groupBy(col("band_id"), col("band_sig"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(expr(
-        "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS vec_a, b AS vec_b))))"))
-        .as("p"))
-      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
-      .distinct()
-    val scored = cands
-      .join(vecs.select(col("vec_id").as("vec_a"), col("label").as("lab_a"),
-        col("embedding").as("e_a")), "vec_a")
-      .join(vecs.select(col("vec_id").as("vec_b"), col("label").as("lab_b"),
-        col("embedding").as("e_b")), "vec_b")
-      .withColumn("cos", expr("round(graft_cosine(e_a, e_b), 6)"))
-    // both directions, cross-label only: each vector ranks ITS candidates
-    val directional = scored
-      .select(col("vec_a").as("src"), col("vec_b").as("dst"),
-        col("lab_a").as("src_label"), col("lab_b").as("dst_label"), col("cos"))
-      .unionByName(scored.select(col("vec_b").as("src"), col("vec_a").as("dst"),
-        col("lab_b").as("src_label"), col("lab_a").as("dst_label"), col("cos")))
-      .where(col("src_label") =!= col("dst_label"))
-    val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
-    val ranked = directional
-      .withColumn("rn", row_number().over(w))
-      .withColumn("second_cos", lead(col("cos"), 1).over(w))
-      .where(col("rn") === 1)
-    ranked
+  /** Cross-label best-match frame shared by the margin-scored bitext miner
+    * and the mutual-NN filter: LSH candidates (the same banded chain as
+    * the near-dup screen) scored with rounded exact cosine, both
+    * directions ranked per source vector, each source's best row kept
+    * along with its runner-up cosine. Cached per (session, sf) — the two
+    * consumers certify the same candidate generation, and the chain runs
+    * once. */
+  private val bestMatchCache = FrameCache.empty
+  private def crossLabelBest(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(bestMatchCache, spark, sfDir) {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(spark)
+      graft.functions.HyperplaneSigs.register(spark)
+      val t = Tpch(spark, sfDir)
+      val vecs = t.embeddings
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val banded = vecs
+        .select(col("vec_id"),
+          posexplode(expr("graft_hyperplane_sigs(embedding, 4, 8)"))
+            .as(Seq("band_id", "band_sig")))
+      val cands = banded
+        .groupBy(col("band_id"), col("band_sig"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        .where(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, a -> transform(filter(ids, b -> b > a), b -> struct(a AS vec_a, b AS vec_b))))"))
+          .as("p"))
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+        .distinct()
+      val scored = cands
+        .join(vecs.select(col("vec_id").as("vec_a"), col("label").as("lab_a"),
+          col("embedding").as("e_a")), "vec_a")
+        .join(vecs.select(col("vec_id").as("vec_b"), col("label").as("lab_b"),
+          col("embedding").as("e_b")), "vec_b")
+        .withColumn("cos", expr("round(graft_cosine(e_a, e_b), 6)"))
+      // both directions, cross-label only: each vector ranks ITS candidates
+      val directional = scored
+        .select(col("vec_a").as("src"), col("vec_b").as("dst"),
+          col("lab_a").as("src_label"), col("lab_b").as("dst_label"), col("cos"))
+        .unionByName(scored.select(col("vec_b").as("src"), col("vec_a").as("dst"),
+          col("lab_b").as("src_label"), col("lab_a").as("dst_label"), col("cos")))
+        .where(col("src_label") =!= col("dst_label"))
+      val w = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("dst").asc)
+      directional
+        .withColumn("rn", row_number().over(w))
+        .withColumn("second_cos", lead(col("cos"), 1).over(w))
+        .where(col("rn") === 1)
+        .select(col("src"), col("dst"), col("src_label"), col("dst_label"),
+          col("cos"), col("second_cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def bitextMarginPairs(spark: SparkSession, sfDir: String): DataFrame =
+    crossLabelBest(spark, sfDir)
       .select(col("src"), col("dst"), col("src_label"), col("dst_label"),
         col("cos").as("best_cos"),
         // margin only when the runner-up is a positive match — a zero or
@@ -319,6 +334,28 @@ object SimilarityQueries {
           .as("margin"))
       .orderBy(col("margin").desc_nulls_last, col("src").asc)
       .limit(20)
+
+  /** Mutual nearest neighbors — the reciprocal-best-match filter that
+    * turns directional best matches into alignment-grade pairs (the
+    * bitext-mining acceptance rule: a is b's best cross-label match AND
+    * b is a's; one-sided hubs that attract many queries but point
+    * elsewhere are dropped). A self-join of the shared [[crossLabelBest]]
+    * frame on the reversed key — per-vector work is one row, so the
+    * filter is free at any corpus size once the best-match frame exists.
+    * Each vector appears in at most one mutual pair (its best is unique),
+    * so the output is a partial matching. */
+  def mutualNnPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val best = crossLabelBest(spark, sfDir)
+    val fwd = best.select(col("src"), col("dst"),
+      col("src_label"), col("dst_label"), col("cos"))
+    val rev = best.select(col("src").as("r_src"), col("dst").as("r_dst"))
+    fwd
+      .join(rev, col("src") === col("r_dst") && col("dst") === col("r_src"))
+      .where(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+        col("src_label").as("label_a"), col("dst_label").as("label_b"),
+        col("cos"))
+      .orderBy(col("cos").desc, col("vec_a"))
   }
 
   /** Label centroids — the IVF coarse-quantizer build step: mean vector per
@@ -842,6 +879,40 @@ object SimilarityQueries {
     // Oracle: the SAME candidate chain as the near-dup screen (shared
     // lshCandSql), labels carried through, both directions ranked per
     // source vector, ratio margin from the identically-rounded cosines.
+    // Oracle: the same best-match chain as the bitext miner, self-joined
+    // on the reversed (src, dst) key — reciprocity stated relationally.
+    NamedQuery("q_sim_mutual_nn", mutualNnPairs, Some(
+      s"""WITH $lshCandSql,
+        |pr AS (
+        |  SELECT c.vec_a, c.vec_b, ea.label AS lab_a, eb.label AS lab_b,
+        |         CAST(UNNEST(ea.embedding) AS DOUBLE) AS x,
+        |         CAST(UNNEST(eb.embedding) AS DOUBLE) AS y
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b),
+        |sc AS (
+        |  SELECT vec_a, vec_b, lab_a, lab_b,
+        |         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+        |  FROM pr GROUP BY 1, 2, 3, 4),
+        |dirn AS (
+        |  SELECT vec_a AS src, vec_b AS dst, lab_a AS src_label,
+        |         lab_b AS dst_label, cos FROM sc
+        |  UNION ALL
+        |  SELECT vec_b, vec_a, lab_b, lab_a, cos FROM sc),
+        |crossl AS (SELECT * FROM dirn WHERE src_label <> dst_label),
+        |rk AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (PARTITION BY src
+        |                            ORDER BY cos DESC, dst ASC) AS rn
+        |  FROM crossl),
+        |best AS MATERIALIZED (
+        |  SELECT src, dst, src_label, dst_label, cos FROM rk WHERE rn = 1)
+        |SELECT b1.src AS vec_a, b1.dst AS vec_b,
+        |       b1.src_label AS label_a, b1.dst_label AS label_b, b1.cos
+        |FROM best b1
+        |JOIN best b2 ON b1.src = b2.dst AND b1.dst = b2.src
+        |WHERE b1.src < b1.dst
+        |ORDER BY b1.cos DESC, vec_a""".stripMargin)),
     NamedQuery("q_sim_bitext_margin", bitextMarginPairs, Some(
       s"""WITH $lshCandSql,
         |pr AS (

@@ -559,7 +559,92 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004) — corpus-level
+    * keywords as the stationary weights of a random walk on the word
+    * co-occurrence graph, where raw frequency (q_text_top_tokens) ranks
+    * "the" first and association scoring (q_text_collocations) ranks
+    * PAIRS: TextRank ranks single words by the company they keep. Nodes =
+    * tokens, undirected edges = adjacent-token pairs weighted by corpus
+    * adjacency count (both directions of the shared [[docBigrams]]
+    * artifact folded together), five weighted-PageRank rounds on the 10¹²
+    * integer grid — contribution ⌊rank·17·w / (20·strength)⌋, damping
+    * 17/20, products ride DECIMAL(38,0)/HUGEINT — so the whole walk is
+    * the exact fixed-point recurrence the oracle unrolls as MATERIALIZED
+    * CTE rounds (the PageRank pattern on a vocabulary-sized graph).
+    * Scale: the only corpus-sized pass is the shared bigram artifact;
+    * every round is a vocab-bounded join + keyed aggregate. */
+  def textrankKeywords(spark: SparkSession, sfDir: String): DataFrame = {
+    val dp = docBigrams(spark, sfDir)
+      .groupBy(col("bigram")).agg(sum(col("n")).as("c"))
+      .select(split(col("bigram"), " ").getItem(0).as("t1"),
+        split(col("bigram"), " ").getItem(1).as("t2"), col("c"))
+      .where(col("t1") =!= col("t2"))
+    val und = dp.select(col("t1").as("u"), col("t2").as("v"), col("c"))
+      .unionByName(dp.select(col("t2").as("u"), col("t1").as("v"), col("c")))
+      .groupBy(col("u"), col("v")).agg(sum(col("c")).as("w"))
+    val strength = und.groupBy(col("u")).agg(sum(col("w")).as("s"))
+    val nodes = strength.select(col("u").as("node"))
+    var ranks = nodes.withColumn("rank", lit(1000000000000L))
+    for (_ <- 1 to 5) {
+      val contrib = und
+        .join(strength, "u")
+        .join(ranks, col("u") === col("node"))
+        .select(col("v").as("node"),
+          expr("(CAST(rank AS DECIMAL(38,0)) * 17 * w) div (20 * s)")
+            .as("cb"))
+      ranks = nodes
+        .join(contrib.groupBy(col("node")).agg(sum(col("cb")).as("in_sum")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000000000L) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+    }
+    ranks
+      .select(col("node").as("term"), col("rank"))
+      .orderBy(col("rank").desc, col("term"))
+      .limit(20)
+  }
+
+  private def textrankOracle: String = {
+    val rounds = (1 to 5).map { i =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.v AS node,
+         |         SUM((CAST(r.rank AS HUGEINT) * 17 * e.w) // (20 * st.s))
+         |           AS in_sum
+         |  FROM und e
+         |  JOIN st ON st.u = e.u
+         |  JOIN r${i - 1} r ON r.node = e.u
+         |  GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT n.node, 150000000000 + COALESCE(c$i.in_sum, 0) AS rank
+         |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a AS (
+       |  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |b AS (
+       |  SELECT UNNEST(list_transform(range(1, len(toks)),
+       |                               i -> toks[i] || ' ' || toks[i + 1])) AS bg
+       |  FROM a WHERE len(toks) >= 2),
+       |dp AS MATERIALIZED (
+       |  SELECT string_split(bg, ' ')[1] AS t1,
+       |         string_split(bg, ' ')[2] AS t2, COUNT(*) AS c
+       |  FROM b GROUP BY 1, 2),
+       |und AS MATERIALIZED (
+       |  SELECT u, v, SUM(c) AS w FROM (
+       |    SELECT t1 AS u, t2 AS v, c FROM dp WHERE t1 <> t2
+       |    UNION ALL
+       |    SELECT t2, t1, c FROM dp WHERE t1 <> t2)
+       |  GROUP BY 1, 2),
+       |st AS MATERIALIZED (SELECT u, SUM(w) AS s FROM und GROUP BY 1),
+       |nodes AS MATERIALIZED (SELECT u AS node FROM st),
+       |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT node AS term, CAST(rank AS BIGINT) AS rank
+       |FROM r5 ORDER BY rank DESC, term LIMIT 20""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_textrank", textrankKeywords, Some(textrankOracle)),
     NamedQuery("q_text_boilerplate", boilerplateBlocks, Some(
       """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
         |              FROM documents),

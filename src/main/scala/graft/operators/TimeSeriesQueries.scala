@@ -279,7 +279,126 @@ object TimeSeriesQueries {
       .orderBy(col("day"))
   }
 
+  /** Daily order-revenue series in exact cents with a dense 1-based day
+    * index — the shared input of the ACF and EWMA screens. The global
+    * row_number runs over per-day AGGREGATE rows (time-domain-bounded,
+    * the CUSUM justification). o_totalprice is 2-decimal money: the
+    * decimal cast + ×100 keeps every series value an exact long. */
+  private def dailyRevenueSeries(spark: SparkSession, sfDir: String): DataFrame =
+    Tpch(spark, sfDir).orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("x"))
+      .withColumn("i", row_number().over(Window.orderBy(col("d"))))
+
+  private val dailySeriesSql =
+    """daily AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS d,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+      |           AS x
+      |  FROM orders GROUP BY 1),
+      |ser AS (SELECT d, x, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily)"""
+      .stripMargin
+
+  /** Sample autocorrelation function at lags 1–7 over daily revenue — the
+    * seasonality detector that tells a forecaster WHICH lag the seasonal-
+    * naive baseline should use (a weekly cycle shows as a lag-7 peak).
+    * Exact integers end to end: centering is cross-multiplied by n
+    * (c_i = n·x_i − S, so no mean division), ACF_k = Σc_i·c_{i+k} / Σc_i²
+    * is reported on the milli grid via the floor-div-safe shift
+    * ((num+den)·1000) div den − 1000 — num ≥ −den because |ACF| ≤ 1, so
+    * both engines floor-divide a non-negative value (the Clustering
+    * non-negativity rule). Products reach ~10²⁶: DECIMAL(38,0) here,
+    * HUGEINT in the oracle.
+    * Scale: the one corpus-sized pass is the per-day aggregate; lagged
+    * pairs are an equi-join over days × 7 rows (time-domain-bounded). */
+  def autocorrelation(spark: SparkSession, sfDir: String): DataFrame = {
+    val ser = dailyRevenueSeries(spark, sfDir)
+    val stats = ser.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val cent = ser.crossJoin(broadcast(stats))
+      .select(col("i"),
+        (col("x") * col("n") - col("s")).cast(DecimalType(20, 0)).as("c"))
+    val den = cent.agg(sum(col("c") * col("c")).as("den"))
+    cent
+      .select(col("i"), col("c"),
+        explode(sequence(lit(1), lit(7))).as("lag"))
+      .select((col("i") + col("lag")).as("j"), col("lag"), col("c").as("c_a"))
+      .join(cent.select(col("i").as("j"), col("c").as("c_b")), Seq("j"))
+      .groupBy(col("lag"))
+      .agg(sum(col("c_a") * col("c_b")).as("num"), count(lit(1)).as("pairs"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast("long").as("lag"), col("pairs"),
+        (expr("((num + den) * 1000) div den") - 1000).cast("long")
+          .as("acf_milli"))
+      .orderBy(col("lag"))
+  }
+
+  /** EWMA control chart (truncated exponential smoothing, α = 1/2): each
+    * day's revenue is scored against the exponentially-weighted mean of
+    * the 20 STRICTLY PRIOR days — weight 2^(20−age) — and days breaking
+    * the 1.5×/0.5× control band are flagged. α = 1/2 makes every weight a
+    * power of two, so the weighted sum is an exact long (x·2¹⁹ ≈ 7·10¹⁴)
+    * and the whole chart hash-checks; the 20-term truncation (residual
+    * mass 2⁻²⁰) is the definition of the statistic, not an approximation
+    * of something else. No recurrence crosses the engines — the window is
+    * unrolled as an explode-into-target-day equi-join (the band-join
+    * idiom), fan-out exactly 20, so the op is one keyed aggregate at any
+    * scale. Day 1 has no history and drops out of the inner join. */
+  def ewmaAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
+    val ser = dailyRevenueSeries(spark, sfDir)
+    val pred = ser
+      .select(col("i"), col("x"), explode(sequence(lit(1), lit(20))).as("age"))
+      .select((col("i") + col("age")).as("tgt"),
+        expr("x * shiftleft(CAST(1 AS BIGINT), 20 - age)").as("wx"),
+        expr("shiftleft(CAST(1 AS BIGINT), 20 - age)").as("w"))
+      .groupBy(col("tgt"))
+      .agg(sum(col("wx")).as("sw"), sum(col("w")).as("norm"))
+    ser.join(pred, col("i") === col("tgt"))
+      .where(col("x") * 2 * col("norm") > col("sw") * 3 ||
+        col("x") * 2 * col("norm") < col("sw"))
+      .select(col("d").as("day"), col("x").as("revenue_cents"),
+        expr("(sw * 1000) div norm").cast("long").as("ewma_milli"),
+        expr("(x * 1000 * norm) div sw").cast("long").as("ratio_milli"),
+        when(col("x") * 2 * col("norm") > col("sw") * 3, "high")
+          .otherwise("low").as("direction"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_ts_acf", autocorrelation, Some(
+      s"""WITH $dailySeriesSql,
+         |st AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM ser),
+         |cent AS (SELECT i, CAST(x * n - s AS HUGEINT) AS c
+         |         FROM ser CROSS JOIN st),
+         |den AS (SELECT SUM(c * c) AS den FROM cent),
+         |lags AS (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag)
+         |SELECT CAST(l.lag AS BIGINT) AS lag,
+         |       COUNT(*) AS pairs,
+         |       CAST(((SUM(a.c * b.c) + MAX(den.den)) * 1000) // MAX(den.den)
+         |            - 1000 AS BIGINT) AS acf_milli
+         |FROM cent a
+         |CROSS JOIN lags l
+         |JOIN cent b ON b.i = a.i + l.lag
+         |CROSS JOIN den
+         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_ts_ewma_anomaly", ewmaAnomalies, Some(
+      s"""WITH $dailySeriesSql,
+         |contrib AS (
+         |  SELECT s.i + a.age AS tgt,
+         |         s.x * (CAST(1 AS BIGINT) << (20 - a.age)) AS wx,
+         |         CAST(1 AS BIGINT) << (20 - a.age) AS w
+         |  FROM ser s
+         |  CROSS JOIN (SELECT UNNEST(range(1, 21)) AS age) a),
+         |pred AS (SELECT tgt, SUM(wx) AS sw, SUM(w) AS norm
+         |         FROM contrib GROUP BY 1)
+         |SELECT ser.d AS day, ser.x AS revenue_cents,
+         |       CAST((p.sw * 1000) // p.norm AS BIGINT) AS ewma_milli,
+         |       CAST((ser.x * 1000 * p.norm) // p.sw AS BIGINT) AS ratio_milli,
+         |       CASE WHEN ser.x * 2 * p.norm > p.sw * 3 THEN 'high'
+         |            ELSE 'low' END AS direction
+         |FROM ser JOIN pred p ON ser.i = p.tgt
+         |WHERE ser.x * 2 * p.norm > p.sw * 3 OR ser.x * 2 * p.norm < p.sw
+         |ORDER BY 1""".stripMargin)),
     NamedQuery("q_ts_inflight_per_day", inflightPerDay, Some(
       """WITH li AS (
         |  SELECT o.o_orderdate, l.l_shipdate

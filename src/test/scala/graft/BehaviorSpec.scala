@@ -88,4 +88,33 @@ class BehaviorSpec extends SparkSpec {
         math.rint(nab.toDouble * nOrders / (na.toDouble * nb) * 1e4) / 1e4)
     }
   }
+
+  test("item-item recommendations equal driver-side cosine-squared scoring") {
+    import scala.collection.mutable
+    val op = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pop = op.groupBy(_._2).map { case (p, xs) => p -> xs.size.toLong }
+    val targets = pop.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    val byOrder = op.groupBy(_._1).map { case (o, xs) => o -> xs.map(_._2).toSet }
+    val expected = targets.flatMap { case (t, nT) =>
+      val cooc = mutable.Map.empty[Long, Long]
+      for ((_, parts) <- byOrder if parts(t); p <- parts if p != t)
+        cooc(p) = cooc.getOrElse(p, 0L) + 1
+      cooc.toSeq
+        .map { case (p, c) =>
+          (p, c, (BigInt(c) * c * 1000000 / (BigInt(nT) * pop(p))).toLong)
+        }
+        .sortBy { case (p, _, s) => (-s, p) }.take(5).zipWithIndex
+        .map { case ((p, c, s), i) => (t, (i + 1).toLong, p, c, s) }
+    }.sortBy(x => (x._1, x._2))
+    val got = BehaviorQueries.itemItemRecs(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+    // neighbor lists: exactly <= 5 recs per target, ranks contiguous from 1
+    got.groupBy(_._1).values.foreach { recs =>
+      assert(recs.map(_._2).sorted === (1 to recs.size).map(_.toLong))
+    }
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+import graft.operators.AuditQueries
+import graft.sources.Tables.Tpch
+
+/** Ground truth for the governance-audit refinements (l-diversity,
+  * t-closeness): both recomputed driver-side from the raw sf0.001
+  * customer rows with plain Scala collections — no Spark expressions
+  * shared with the implementations under test. */
+class GovernanceSpec extends SparkSpec {
+
+  // (segment, nationkey, band) triples exactly as the queries band them.
+  private lazy val rows: Seq[(String, Int, Long)] =
+    Tpch(spark, Sf).customer
+      .select("c_mktsegment", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        math.floor(r.getDouble(2) / 2000).toLong)).toSeq
+
+  test("q_audit_l_diversity equals a driver-side class scan") {
+    val classes = rows.groupBy(r => (r._1, r._2)).toSeq.map { case (_, rs) =>
+      (rs.size.toLong, rs.map(_._3).distinct.size.toLong)
+    }
+    val expected = Seq(2L, 3L, 5L).map { l =>
+      val below = classes.filter(_._2 < l)
+      val atRisk = below.map(_._1).sum
+      val nRows = classes.map(_._1).sum
+      (l, classes.size.toLong, below.size.toLong, atRisk,
+        atRisk * 1000 / nRows)
+    }
+    val got = AuditQueries.lDiversityCurve(spark, Sf).collect().map {
+      case Row(l: Long, nc: Long, cb: Long, rar: Long, ep: Long) =>
+        (l, nc, cb, rar, ep)
+    }.toSeq
+    assert(got === expected)
+  }
+
+  test("q_audit_t_closeness equals a driver-side TV computation") {
+    val bigN = rows.size.toLong
+    val global = rows.groupBy(_._3).map { case (b, rs) => b -> rs.size.toLong }
+    val expected = rows.groupBy(r => (r._1, r._2)).toSeq.map {
+      case ((seg, nat), rs) =>
+        val nC = rs.size.toLong
+        val cellCnt = rs.groupBy(_._3).map { case (b, xs) => b -> xs.size.toLong }
+        // TV·2·n_c·N = Σ_bands |cnt_b·N − g_b·n_c| with cnt_b = 0 for
+        // bands the class never saw (the closed-form fold the queries use).
+        val tvNum = global.map { case (b, g) =>
+          math.abs(cellCnt.getOrElse(b, 0L) * bigN - g * nC)
+        }.sum
+        val tvPermille = tvNum * 1000 / (2 * nC * bigN)
+        (seg, nat.toLong, nC, tvPermille, tvPermille > 333)
+    }.sortBy(x => (x._1, x._2))
+    val got = AuditQueries.tClosenessAudit(spark, Sf).collect().map {
+      case Row(s: String, n: Long, nr: Long, tv: Long, br: Boolean) =>
+        (s, n, nr, tv, br)
+    }.toSeq
+    assert(got === expected)
+    // TV is a distance on distributions: always within [0, 1000] permille.
+    assert(got.forall(x => x._4 >= 0 && x._4 <= 1000))
+  }
+}

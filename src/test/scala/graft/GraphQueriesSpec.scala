@@ -286,4 +286,48 @@ class GraphQueriesSpec extends SparkSpec {
     assert(got.forall { case (a, b, _, _) => !backbone.contains((a, b)) })
     assert(got.nonEmpty, "no pruned pair scored — sparsifier degenerate")
   }
+
+  test("weighted HITS equals the driver-side normalized recurrence") {
+    import spark.implicits._
+    val t = graft.sources.Tables.Tpch(spark, Sf)
+    val weights = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey").as("sn")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long"), col("sn").cast("long"))
+      .where(col("c_nationkey") =!= col("sn"))
+      .groupBy("c_nationkey", "sn").count()
+      .as[(Long, Long, Long)].collect().toSeq
+    val nodes = t.nation
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)].collect().toMap
+    val scale = BigInt(1000000000000L)
+    def normalize(raw: Map[Long, BigInt]): Map[Long, Long] = {
+      val tot = raw.values.sum
+      nodes.keys.map(n => n -> ((raw.getOrElse(n, BigInt(0)) * scale) / tot)
+        .toLong).toMap
+    }
+    var hub: Map[Long, Long] = nodes.keys.map(_ -> scale.toLong).toMap
+    var auth: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 4) {
+      auth = normalize(weights.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => BigInt(w) * hub(src) }.sum
+      })
+      hub = normalize(weights.groupBy(_._1).map { case (src, es) =>
+        src -> es.map { case (_, dst, w) => BigInt(w) * auth(dst) }.sum
+      })
+    }
+    val expected = nodes.map { case (k, name) =>
+      (name, hub(k), auth(k))
+    }.toSeq.sortBy { case (name, _, a) => (-a, name) }
+    val got = GraphQueries.nationHits(spark, Sf)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === expected)
+    // sum-normalization: each score vector sums to ~10^12 (floor losses
+    // bounded by the node count), and scores are non-negative
+    assert(got.map(_._2).sum > scale.toLong - nodes.size &&
+      got.map(_._2).sum <= scale.toLong)
+    assert(got.forall(g => g._2 >= 0 && g._3 >= 0))
+  }
 }

@@ -245,6 +245,53 @@ class MultimodalSpec extends SparkSpec {
     assert(MultimodalOps.Codec.keyframeStats(partial) == ((1L, 2L, 1L, 8L, 8L)))
   }
 
+  test("phash near-dups equal brute-force hamming <= 2 over independent hashes") {
+    // fully independent recompute: raw text bytes -> uniform 4x4 block
+    // sums -> integer DCT -> sign-vs-median bits (never through the
+    // container or Codec.phashBits)
+    val T = Array(
+      Array(10000L, 10000L, 10000L, 10000L),
+      Array(9239L, 3827L, -3827L, -9239L),
+      Array(7071L, -7071L, -7071L, 7071L),
+      Array(3827L, -9239L, 9239L, -3827L))
+    def phash(id: Long, text: String): Long = {
+      val w = 32; val h = 16 + (id % 5).toInt * 8
+      val bytes = text.getBytes("UTF-8")
+      val s = Array.ofDim[Long](4, 4)
+      for (r <- 0 until h; c <- 0 until w) {
+        val p = r * w + c
+        val b = if (p < bytes.length) bytes(p) & 0xff else 0
+        s(r * 4 / h)(c * 4 / w) += b
+      }
+      val d = Array.tabulate(4, 4) { (u, v) =>
+        (for (i <- 0 until 4; j <- 0 until 4)
+          yield T(u)(i) * T(v)(j) * s(i)(j)).sum
+      }
+      val ac = (1 until 16).map(idx => d(idx / 4)(idx % 4))
+      val med = ac.sorted.apply(7)
+      (1 until 16).foldLeft(0L) { (acc, idx) =>
+        if (d(idx / 4)(idx % 4) > med) acc | (1L << (idx - 1)) else acc
+      }
+    }
+    val hashes = graft.sources.Tables.Tpch(spark, Sf).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(_._1 % 3 == 0)
+      .map { case (id, text) => (id, phash(id, text)) }
+      .sortBy(_._1)
+    val expected = (for {
+      i <- hashes.indices; j <- (i + 1) until hashes.length
+      ham = java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2).toLong
+      if ham <= 2
+    } yield (hashes(i)._1, hashes(j)._1, ham)).sortBy(x => (x._1, x._2))
+    val got = MultimodalOps.multimodalPhashDups(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // banding is COMPLETE at hamming <= 2 (pigeonhole over 3x5-bit bands),
+    // so the screen equals the brute-force pair set exactly
+    assert(got === expected)
+    assert(got.nonEmpty, "no near-dup image pairs — planted replicas missing")
+  }
+
   test("keyframes query matches a textbook driver-side recompute on sf0.001") {
     val got = MultimodalOps.multimodalKeyframes(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

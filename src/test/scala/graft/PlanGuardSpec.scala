@@ -57,6 +57,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_prf_retrieval", // BM25 probe's one-row corpus-totals frame
     "q_sim_batch_topk",    // broadcast 4-row query-vector batch vs the scan
     "q_text_snippets",     // BM25 probe's one-row corpus-totals frame
+    "q_ts_acf",            // broadcast one-row (n, S) + denominator frames
+    "q_graph_hits",        // broadcast one-row Σraw normalizer per half-round
     "q_graph_kcore",       // broadcast one-row median-weight + k frames
     "q_graph_communities", // backbone artifact's one-row threshold frame
     "q_graph_link_prediction" // backbone artifact's one-row threshold frame
@@ -116,6 +118,8 @@ class PlanGuardSpec extends SparkSpec {
     // CUSUM runs entirely over the per-day revenue aggregate — rows =
     // days, time-domain-bounded
     "q_ts_cusum_changepoint" -> "global cumsum over per-day revenue aggregates",
+    "q_ts_acf" -> "day-index row_number over per-day revenue aggregates",
+    "q_ts_ewma_anomaly" -> "day-index row_number over per-day revenue aggregates",
     "q_ts_inflight_per_day" -> "sweep-line cumsum over per-day delta aggregates",
     // KS CDFs: per-source + global cumsums over the LENGTH-VALUE histogram
     // (rows = sources × distinct lengths, domain-bounded — never docs)

@@ -213,6 +213,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mutual NN pairs form a reciprocal cross-label partial matching") {
+    import org.apache.spark.sql.functions._
+    val rows = SimilarityQueries.mutualNnPairs(spark, Sf).collect()
+    assert(rows.nonEmpty, "no mutual pair — banding degenerate")
+    // partial matching: each vector's best is unique, so no vector can
+    // sit in two mutual pairs
+    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+    assert(ids.distinct.length == ids.length)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label_a") != r.getAs[Int]("label_b"))
+      assert(r.getLong(0) < r.getLong(1), "pairs must be canonical a < b")
+    }
+    // the emitted cosine is the real rounded cosine of the pair
+    val vecs = graft.sources.Tables.load(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    rows.foreach { r =>
+      val (a, b) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val c = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(c - r.getAs[Double]("cos")) < 2e-6, s"$r")
+    }
+  }
+
   test("MMR re-rank: starts at top-1, no duplicates, and beats plain top-k on diversity") {
     import org.apache.spark.sql.functions._
     val mmr = SimilarityQueries.mmrRerank(spark, Sf).collect()

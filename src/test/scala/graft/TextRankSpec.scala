@@ -1,0 +1,57 @@
+package graft
+
+import scala.collection.mutable
+
+import graft.operators.TextQueries
+import graft.sources.Tables.Tpch
+
+/** Ground truth for TextRank keyword extraction: the co-occurrence graph
+  * and the five weighted fixed-point rounds replayed driver-side with
+  * BigInt arithmetic over the raw sf0.001 texts — fully independent of
+  * the Spark joins and the shared bigram artifact. */
+class TextRankSpec extends SparkSpec {
+
+  test("q_text_textrank equals a driver-side weighted-PageRank replay") {
+    val texts = Tpch(spark, Sf).documents.select("text")
+      .collect().map(_.getString(0))
+    // directed adjacency counts, self-pairs dropped
+    val pairs = mutable.Map.empty[(String, String), Long]
+    for {
+      t <- texts
+      toks = t.split(" ").filter(_.nonEmpty)
+      i <- 0 until toks.length - 1
+      if toks(i) != toks(i + 1)
+    } pairs((toks(i), toks(i + 1))) =
+      pairs.getOrElse((toks(i), toks(i + 1)), 0L) + 1
+    // undirected: fold both orientations
+    val und = mutable.Map.empty[(String, String), Long]
+    for (((a, b), c) <- pairs) {
+      und((a, b)) = und.getOrElse((a, b), 0L) + c
+      und((b, a)) = und.getOrElse((b, a), 0L) + c
+    }
+    val strength = und.groupBy(_._1._1).map { case (u, es) =>
+      u -> es.values.sum
+    }
+    val nodes = strength.keySet
+    var rank: Map[String, BigInt] =
+      nodes.map(_ -> BigInt(1000000000000L)).toMap
+    for (_ <- 1 to 5) {
+      val in = mutable.Map.empty[String, BigInt]
+      for (((u, v), w) <- und) {
+        val c = rank(u) * 17 * w / (BigInt(20) * strength(u))
+        in(v) = in.getOrElse(v, BigInt(0)) + c
+      }
+      rank = nodes.map(n =>
+        n -> (BigInt(150000000000L) + in.getOrElse(n, BigInt(0)))).toMap
+    }
+    val expected = rank.toSeq
+      .sortBy { case (t, r) => (-r, t) }.take(20)
+      .map { case (t, r) => (t, r.toLong) }
+    val got = TextQueries.textrankKeywords(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    // keywording, not frequency counting: every keyword's rank exceeds
+    // the teleport floor (it must have earned in-links)
+    assert(got.forall(_._2 > 150000000000L))
+  }
+}

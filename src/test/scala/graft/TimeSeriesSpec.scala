@@ -100,4 +100,61 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rows.last._4 == 0L, "sweep did not return to zero")
     assert(rows.map(_._4).max > 0L, "no day ever had an open line")
   }
+
+  /** Shared driver-side daily revenue series: day-ordered exact cents,
+    * recomputed with BigDecimal from the raw rows. */
+  private lazy val dailyCents: Seq[Long] = {
+    import org.apache.spark.sql.functions._
+    graft.sources.Tables.Tpch(spark, Sf).orders
+      .select(date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, vs) => (vs.map(_._2).sum * 100).toLongExact }
+  }
+
+  test("q_ts_acf equals a driver-side exact autocorrelation") {
+    val x = dailyCents.map(BigInt(_))
+    val n = BigInt(x.size); val s = x.sum
+    val c = x.map(v => v * n - s)
+    val den = c.map(v => v * v).sum
+    val expected = (1 to 7).map { lag =>
+      val num = (0 until c.size - lag).map(i => c(i) * c(i + lag)).sum
+      (lag.toLong, (c.size - lag).toLong,
+        (((num + den) * 1000) / den - 1000).toLong)
+    }
+    val got = TimeSeriesQueries.autocorrelation(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // a daily business series is positively correlated at short lags or
+    // at least bounded: |ACF| <= 1 on the milli grid
+    assert(got.forall(g => g._3 >= -1000 && g._3 <= 1000))
+  }
+
+  test("q_ts_ewma_anomaly equals a driver-side truncated-EWMA replay") {
+    val x = dailyCents
+    val days = {
+      import org.apache.spark.sql.functions._
+      graft.sources.Tables.Tpch(spark, Sf).orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .distinct().collect().map(_.getString(0)).sorted.toSeq
+    }
+    val expected = x.indices.drop(1).flatMap { i =>
+      val ages = (1 to 20).filter(a => i - a >= 0)
+      val sw = ages.map(a => x(i - a) * (1L << (20 - a))).sum
+      val norm = ages.map(a => 1L << (20 - a)).sum
+      val xi = x(i)
+      val high = 2L * xi * norm > 3L * sw
+      val low = 2L * xi * norm < sw
+      if (high || low)
+        Some((days(i), xi, sw * 1000 / norm, xi * 1000 * norm / sw,
+          if (high) "high" else "low"))
+      else None
+    }
+    val got = TimeSeriesQueries.ewmaAnomalies(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+  }
 }
