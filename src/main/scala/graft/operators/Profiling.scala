@@ -342,7 +342,109 @@ object Profiling {
       .orderBy(col("column_name"))
   }
 
+  /** Zone-map / data-skipping advisor — the min-max-pruning readout that
+    * decides whether a table's physical layout lets range predicates skip
+    * I/O (parquet row-group stats, Delta/Iceberg file stats, ClickHouse
+    * marks: all the same mechanism). Two candidate zonings of lineitem
+    * are profiled against three ship-date range predicates: `arrival`
+    * zones (4096 consecutive orderkeys — the order data lands in) and
+    * `time` zones (calendar month of the ship date — what re-clustering
+    * by event time would give). Per (layout, predicate): zones scanned
+    * after min/max pruning, rows read vs rows actually matching, and the
+    * skip rate in permille — the read-amplification evidence a
+    * re-cluster decision needs. Day strings compare lexicographically,
+    * so min/max/bounds are engine-portable; everything else is exact
+    * integers.
+    * Scale: one keyed aggregate per layout over the fact (map-side
+    * combine, zone-domain-bounded output); the predicate fan-out is a
+    * 3-way union over ZONE rows. */
+  def zoneMapAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val f = t.lineitem.select(col("l_orderkey"),
+      date_format(col("l_shipdate"), "yyyy-MM-dd").as("d"))
+    val preds = Seq(
+      ("1997-01 month", "1997-01-01", "1997-01-31"),
+      ("1997-H1 half", "1997-01-01", "1997-06-30"),
+      ("1997 year", "1997-01-01", "1997-12-31"))
+    def layout(name: String, zone: Column): DataFrame = {
+      val aggs = Seq(min(col("d")).as("lo"), max(col("d")).as("hi"),
+        count(lit(1)).as("n")) ++
+        preds.zipWithIndex.map { case ((_, a, b), i) =>
+          sum(when(col("d").between(a, b), 1L).otherwise(0L)).as(s"m$i")
+        }
+      val zones = f.groupBy(zone.as("z")).agg(aggs.head, aggs.tail: _*)
+      // predicate fan-out over ZONE rows (domain-bounded) — the fact is
+      // aggregated exactly once per layout
+      val perPred = zones.select(col("lo"), col("hi"), col("n"),
+        posexplode(array(col("m0"), col("m1"), col("m2")))
+          .as(Seq("pi", "m")))
+        .withColumn("predicate",
+          element_at(array(preds.map(p => lit(p._1)): _*), col("pi") + 1))
+        .withColumn("pa",
+          element_at(array(preds.map(p => lit(p._2)): _*), col("pi") + 1))
+        .withColumn("pb",
+          element_at(array(preds.map(p => lit(p._3)): _*), col("pi") + 1))
+        .withColumn("scanned", !(col("hi") < col("pa") || col("lo") > col("pb")))
+      perPred.groupBy(col("predicate"))
+        .agg(count(lit(1)).as("zones_total"),
+          sum(when(col("scanned"), 1L).otherwise(0L)).as("zones_scanned"),
+          sum(col("n")).as("rows_total"),
+          sum(when(col("scanned"), col("n")).otherwise(0L)).as("rows_scanned"),
+          sum(col("m")).as("rows_matching"))
+        .select(lit(name).as("layout"), col("predicate"),
+          col("zones_total"), col("zones_scanned"), col("rows_total"),
+          col("rows_scanned"), col("rows_matching"),
+          expr("((zones_total - zones_scanned) * 1000) div zones_total")
+            .cast("long").as("skip_permille"))
+    }
+    layout("arrival_orderkey", expr("l_orderkey div 512"))
+      .unionByName(layout("time_month", substring(col("d"), 1, 7)))
+      .orderBy(col("layout"), col("predicate"))
+  }
+
+  private def zoneMapOracle: String = {
+    val preds = Seq(
+      ("1997-01 month", "1997-01-01", "1997-01-31"),
+      ("1997-H1 half", "1997-01-01", "1997-06-30"),
+      ("1997 year", "1997-01-01", "1997-12-31"))
+    def zoneCte(name: String, zoneExpr: String): String = {
+      val ms = preds.zipWithIndex.map { case ((_, a, b), i) =>
+        s"SUM(CASE WHEN d BETWEEN '$a' AND '$b' THEN 1 ELSE 0 END) AS m$i"
+      }.mkString(", ")
+      s"""z_$name AS MATERIALIZED (
+         |  SELECT $zoneExpr AS z, MIN(d) AS lo, MAX(d) AS hi, COUNT(*) AS n,
+         |         $ms
+         |  FROM f GROUP BY 1)""".stripMargin
+    }
+    def sels(name: String): String =
+      preds.zipWithIndex.map { case ((p, a, b), i) =>
+        s"""SELECT '$name' AS layout, '$p' AS predicate,
+           |       COUNT(*) AS zones_total,
+           |       CAST(SUM(CASE WHEN NOT (hi < '$a' OR lo > '$b')
+           |                     THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+           |       CAST(SUM(n) AS BIGINT) AS rows_total,
+           |       CAST(SUM(CASE WHEN NOT (hi < '$a' OR lo > '$b')
+           |                     THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+           |       CAST(SUM(m$i) AS BIGINT) AS rows_matching,
+           |       CAST(((COUNT(*) - SUM(CASE WHEN NOT (hi < '$a' OR lo > '$b')
+           |                                  THEN 1 ELSE 0 END)) * 1000)
+           |            // COUNT(*) AS BIGINT) AS skip_permille
+           |FROM z_$name""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (
+       |  SELECT l_orderkey, strftime(l_shipdate, '%Y-%m-%d') AS d
+       |  FROM lineitem),
+       |${zoneCte("arrival_orderkey", "l_orderkey // 512")},
+       |${zoneCte("time_month", "substr(d, 1, 7)")}
+       |SELECT * FROM (
+       |${sels("arrival_orderkey")}
+       |UNION ALL
+       |${sels("time_month")})
+       |ORDER BY layout, predicate""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_profile_zonemap", zoneMapAdvisor, Some(zoneMapOracle)),
     NamedQuery("q_profile_clustering_factor", clusteringFactor, Some {
       val cols = Seq("l_returnflag", "l_linestatus", "l_partkey", "l_shipdate")
       val lags = cols.map(c => s"LAG($c) OVER w AS p_$c").mkString(",\n|         ")

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profiling
+import graft.sources.Tables.Tpch
+
+/** Ground truth for the zone-map advisor: both layouts' min/max pruning
+  * simulated driver-side from the raw sf0.001 rows, plus the soundness
+  * invariant that pruning can never skip a matching row. */
+class ZoneMapSpec extends SparkSpec {
+
+  private val preds = Seq(
+    ("1997-01 month", "1997-01-01", "1997-01-31"),
+    ("1997-H1 half", "1997-01-01", "1997-06-30"),
+    ("1997 year", "1997-01-01", "1997-12-31"))
+
+  test("q_profile_zonemap equals a driver-side pruning simulation") {
+    val rows = Tpch(spark, Sf).lineitem
+      .select(col("l_orderkey"), date_format(col("l_shipdate"), "yyyy-MM-dd"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    def sim(name: String, zoneOf: ((Long, String)) => String) = {
+      val zones = rows.groupBy(zoneOf).toSeq.map { case (_, rs) =>
+        (rs.map(_._2).min, rs.map(_._2).max, rs.size.toLong,
+          preds.map { case (_, a, b) =>
+            rs.count(r => r._2 >= a && r._2 <= b).toLong
+          })
+      }
+      preds.zipWithIndex.map { case ((p, a, b), i) =>
+        val scanned = zones.filter(z => !(z._2 < a || z._1 > b))
+        (name, p, zones.size.toLong, scanned.size.toLong,
+          zones.map(_._3).sum, scanned.map(_._3).sum,
+          zones.map(_._4(i)).sum,
+          (zones.size - scanned.size).toLong * 1000 / zones.size)
+      }
+    }
+    val expected =
+      (sim("arrival_orderkey", r => (r._1 / 512).toString) ++
+        sim("time_month", r => r._2.substring(0, 7)))
+        .sortBy(x => (x._1, x._2))
+    val got = Profiling.zoneMapAdvisor(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expected)
+    // pruning soundness: a skipped zone can contain no matching row, so
+    // matches are always a subset of what gets scanned
+    got.foreach { g => assert(g._7 <= g._6, s"unsound pruning: $g") }
+    // the advisor's point: time-clustered zones skip, arrival zones do not
+    val skipByLayout = got.groupBy(_._1).view.mapValues(_.map(_._8).max)
+    assert(skipByLayout("time_month") > skipByLayout("arrival_orderkey"))
+  }
+}
