@@ -683,20 +683,35 @@ object MultimodalOps {
     * Scale: hashing is an embarrassingly parallel per-row codec pass;
     * banding is the LSH shape (candidates track true near-dups, never
     * the corpus square); the verify touches 8-byte hashes, not pixels. */
-  def multimodalPhashDups(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (media_id, phash) frame for GRFT1 image rows of a (media_id, payload)
+    * input — the codec pass the batch screen and the streaming ingest
+    * filter ([[graft.streaming.StreamingImagePhash]]) share, so the two
+    * legs cannot disagree on the hash. */
+  private[graft] def phashFrame(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
-    val hashes = mediaFromDocuments(spark, sfDir)
-      .filter(_.kind == "image")
-      .mapPartitions(_.map { r =>
-        val (w, h, raster) = Codec.imageRaster(r)
-        (r.media_id, Codec.phashBits(w, h, raster))
-      })
-      .toDF("media_id", "phash")
-    val bands = hashes.select(col("media_id"), col("phash"),
+    rows.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (_, w, h, _, body) = Grft1.unpack(payload)
+        val raster = java.util.Arrays.copyOf(body, w * h)
+        (id, Codec.phashBits(w, h, raster))
+      }).toDF("media_id", "phash")
+  }
+
+  /** 3×5-bit pigeonhole bands of a (media_id, phash) frame — complete for
+    * hamming ≤ 2 (two flipped bits leave at least one band intact). */
+  private[graft] def phashBands(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"),
       posexplode(expr(
         "array(phash & 31, shiftright(phash, 5) & 31, shiftright(phash, 10) & 31)"))
         .as(Seq("b", "k")))
       .select(col("media_id"), (col("b") * 32 + col("k")).as("band"))
+
+  def multimodalPhashDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashes = phashFrame(
+      mediaFromDocuments(spark, sfDir).filter(_.kind == "image").toDF()
+        .select(col("media_id"), col("payload")))
+    val bands = phashBands(hashes)
     val cand = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") &&

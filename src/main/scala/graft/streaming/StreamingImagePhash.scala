@@ -1,0 +1,101 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{Components, MultimodalOps}
+
+/** Streaming image ingestion with an inline perceptual-duplicate filter —
+  * the multimodal twin of [[StreamingIngestDedup]]: each arriving
+  * micro-batch of GRFT1 image containers is pHashed (the SAME
+  * [[MultimodalOps.phashFrame]] codec pass as the batch screen
+  * `q_multimodal_phash_dups`, so ingest and backfill cannot disagree),
+  * banded 3×5 bits, probed against the HASH STORE of every image kept so
+  * far plus itself, and only perceptually novel images land.
+  *
+  * Rules (the crawl-ingest membership semantics of the text twin):
+  *  - a batch image within hamming ≤ 2 of any STORED keeper is dropped —
+  *    dropped images never enter the store, so a later copy of a dropped
+  *    image still matches the ORIGINAL keeper, not the ghost;
+  *  - batch images within hamming ≤ 2 of each other (both surviving the
+  *    store screen) form components; the lowest media_id per component is
+  *    kept — the batch screen's canonical-keeper rule.
+  *
+  * Scale contract: per-batch work scales with |batch| · band fan-in — the
+  * store is probed by band equi-join (at 100 TB a table bucketed by band)
+  * and the verify touches 8-byte hashes, never pixels. Appends are
+  * per-batch parquet writes (at-least-once; a replayed batch re-appends
+  * hashes the store's own screen absorbs semantically — the text twin's
+  * documented residue).
+  */
+object StreamingImagePhash {
+
+  def hashesPath(root: String) = s"$root/hashes"
+  def keptPath(root: String) = s"$root/kept"
+
+  /** Kept (landed) images so far. */
+  def keptImages(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.parquet(keptPath(root))
+
+  /** Wire a streaming (media_id, payload) source through the filter. */
+  def start(images: DataFrame, root: String, checkpoint: String): StreamingQuery =
+    images.writeStream
+      .foreachBatch((batch: DataFrame, _: Long) => processBatch(batch, root))
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch through the filter: hash → probe store → in-batch
+    * components → land keepers + append their hashes. Static-DataFrame
+    * logic (testable, backfill-reusable); stage outputs are
+    * localCheckpointed for the same lineage-truncation reasons as the
+    * text twin — the streaming checkpoint is the recovery contract. */
+  def processBatch(batch: DataFrame, root: String): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readOr(path: String, template: DataFrame): DataFrame =
+      if (fs.exists(new Path(path))) spark.read.parquet(path)
+      else template.limit(0)
+
+    val hashes = MultimodalOps.phashFrame(batch).localCheckpoint(true)
+    val bands = MultimodalOps.phashBands(hashes)
+    val store = readOr(hashesPath(root), hashes)
+    val storeBands = MultimodalOps.phashBands(store)
+
+    // 1. store screen: batch images perceptually matching a stored keeper
+    val dropped = bands.withColumnRenamed("media_id", "a")
+      .join(storeBands.withColumnRenamed("media_id", "b"), Seq("band"))
+      .select(col("a"), col("b")).distinct()
+      .join(hashes.select(col("media_id").as("a"), col("phash").as("ha")), Seq("a"))
+      .join(store.select(col("media_id").as("b"), col("phash").as("hb")), Seq("b"))
+      .where(expr("bit_count(ha ^ hb) <= 2"))
+      .select(col("a").as("media_id")).distinct()
+    val survivors = hashes.select(col("media_id"))
+      .join(dropped, Seq("media_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // 2. in-batch screen: components over verified pairs BETWEEN survivors,
+    // lowest media_id per component kept
+    val sBands = bands.join(survivors, Seq("media_id"), "left_semi")
+    val edges = sBands.as("x")
+      .join(sBands.as("y"), col("x.band") === col("y.band") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a"), col("y.media_id").as("b")).distinct()
+      .join(hashes.select(col("media_id").as("a"), col("phash").as("ha")), Seq("a"))
+      .join(hashes.select(col("media_id").as("b"), col("phash").as("hb")), Seq("b"))
+      .where(expr("bit_count(ha ^ hb) <= 2"))
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val nonCanonical = Components.connectedComponents(edges)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as("media_id"))
+    val kept = survivors.join(nonCanonical, Seq("media_id"), "left_anti")
+
+    // 3. land keepers + append their hashes to the store
+    batch.join(kept, Seq("media_id"), "left_semi")
+      .write.mode("append").parquet(keptPath(root))
+    hashes.join(kept, Seq("media_id"), "left_semi")
+      .write.mode("append").parquet(hashesPath(root))
+  }
+}

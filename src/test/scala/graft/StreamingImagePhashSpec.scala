@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.MultimodalOps.{Codec, Grft1}
+import graft.streaming.StreamingImagePhash
+
+/** The streaming image-ingest perceptual-dup filter's rule set over real
+  * micro-batches: exact and near (hamming ≤ 2) copies of STORED images
+  * drop; in-batch duplicate groups keep the lowest id; dropped images
+  * never enter the store (a copy of a dropped image still matches the
+  * original keeper); the hash store grows with keepers only. */
+class StreamingImagePhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val W = 32; private val H = 16
+  private def pay(text: String): Array[Byte] =
+    Grft1.pack(0, W, H, 8000, text.getBytes("UTF-8"))
+  private def hashOf(text: String): Long = {
+    val bytes = text.getBytes("UTF-8")
+    Codec.phashBits(W, H, java.util.Arrays.copyOf(bytes, W * H))
+  }
+  private def ham(a: String, b: String): Int =
+    java.lang.Long.bitCount(hashOf(a) ^ hashOf(b))
+
+  // fixtures with pairwise-far pHashes, picked greedily from a
+  // deterministic pool (15-bit hashes make hand-built "different" rasters
+  // collide surprisingly often — exactly why the screen works)
+  private val textA = "the quick brown fox jumps over the lazy dog " * 12
+  private val farPicks: Seq[String] = {
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(s => s * 6364136223846793005L + 1442695040888963407L)
+    val pool = (1 to 40).map { k =>
+      lcg(k.toLong).take(W * H).map(v => (32 + Math.floorMod(v >> 33, 90)).toChar)
+        .mkString
+    }
+    val picked = pool.foldLeft(Seq(textA)) { (acc, cand) =>
+      if (acc.size < 4 && acc.forall(p => ham(p, cand) > 2)) acc :+ cand
+      else acc
+    }.tail
+    if (picked.size != 3) fail(s"only ${picked.size} far-apart rasters in pool")
+    picked
+  }
+  private val textB = farPicks(0)
+  private val textC = farPicks(1)
+  private val textD = farPicks(2)
+  // a small edit of A whose pHash stays within the hamming-2 screen
+  private val textNear = (0 until 60).iterator
+    .map(i => textA.updated(i * 7 % textA.length, 'Q'))
+    .find(t => t != textA && ham(t, textA) <= 2 &&
+      Seq(textB, textC, textD).forall(o => ham(t, o) > 2))
+    .getOrElse(fail("no suitable hamming<=2 edit of textA found"))
+
+  test("micro-batches land only perceptually novel images") {
+    // preconditions: the distinct rasters really are far apart
+    for ((x, y) <- Seq((textA, textB), (textA, textC), (textA, textD),
+      (textB, textC), (textB, textD), (textC, textD),
+      (textNear, textB), (textNear, textC), (textNear, textD)))
+      require(ham(x, y) > 2, s"fixture rasters too close: ${ham(x, y)}")
+
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("phash_ingest").toString
+    val ckpt = Files.createTempDirectory("phash_ckpt").toString
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val images = mem.toDF().toDF("media_id", "payload")
+
+    def runBatch(rows: (Long, Array[Byte])*): Unit = {
+      mem.addData(rows: _*)
+      val q = StreamingImagePhash.start(images, root, ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    def keptIds: Set[Long] = StreamingImagePhash.keptImages(spark, root)
+      .select("media_id").as[Long].collect().toSet
+
+    // batch 1: 1 novel, 2 = exact copy of 1 (in-batch dup, lower id wins),
+    // 3 novel
+    runBatch(1L -> pay(textA), 2L -> pay(textA), 3L -> pay(textB))
+    assert(keptIds == Set(1L, 3L))
+
+    // batch 2: 4 = near-copy of STORED 1 (hamming <= 2, drop), 5 novel
+    runBatch(4L -> pay(textNear), 5L -> pay(textC))
+    assert(keptIds == Set(1L, 3L, 5L))
+
+    // batch 3: 6 = copy of DROPPED 4 — must still drop by matching the
+    // original keeper 1 (4 never entered the store); 7 novel
+    runBatch(6L -> pay(textNear), 7L -> pay(textD))
+    assert(keptIds == Set(1L, 3L, 5L, 7L))
+
+    // the store holds hashes for keepers only, and they equal the codec's
+    val stored = spark.read.parquet(StreamingImagePhash.hashesPath(root))
+      .as[(Long, Long)].collect().toMap
+    assert(stored.keySet == keptIds)
+    assert(stored(1L) == hashOf(textA) && stored(3L) == hashOf(textB) &&
+      stored(5L) == hashOf(textC) && stored(7L) == hashOf(textD))
+  }
+}
