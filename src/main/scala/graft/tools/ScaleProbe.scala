@@ -91,7 +91,17 @@ object ScaleProbe {
     "q_sketch_portable_hll", "q_sketch_portable_kmv",
     "q_sketch_portable_cms", "q_sketch_portable_bloom",
     // +1/-1 day deltas -> time-domain-bounded cumsum
-    "q_ts_inflight_per_day")
+    "q_ts_inflight_per_day",
+    // round 11: per-row codec hash + 3x5-bit banding (candidates track
+    // perceptual dups); vocab-graph fixed-point over the shared bigram
+    // artifact; reciprocal filter over the cached best-match frame
+    "q_multimodal_phash_dups", "q_text_textrank", "q_sim_mutual_nn",
+    // round 11 warehouse: target-semi-joined basket pairs; day-indexed
+    // series ops (per-day aggregate + bounded fan-out join); normalized
+    // fixed-point over the shared pair-weight artifact; QI-domain
+    // governance aggregates; zone-stat aggregate + zone-row fan-out
+    "q_itemitem_recs", "q_ts_acf", "q_ts_ewma_anomaly", "q_graph_hits",
+    "q_audit_t_closeness", "q_profile_zonemap")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
