@@ -752,44 +752,47 @@ object GraphQueries {
     * runs on the 10¹² fixed-point grid with SUM-normalization each half-
     * round: raw_i = Σ w·score (exact, weights from the shared pair-weight
     * artifact), then score'_i = (raw_i·10¹²) div Σraw — products reach
-    * ~10²⁸, so they ride DECIMAL(38,0) here and HUGEINT in the oracle;
-    * every operand is non-negative, so Spark `div` == DuckDB `//`. Four
-    * rounds unroll as CTE pairs in the oracle (the PageRank pattern).
-    * Scale: the fact is touched only through the cached pair-weight
-    * artifact; each half-round is one domain-bounded join + keyed
-    * aggregate + one-row total broadcast. */
+    * ~10²⁸, so they ride BigInt here and HUGEINT in the oracle; every
+    * operand is non-negative, so floor-division agrees cross-engine. Four
+    * rounds unroll as MATERIALIZED CTE pairs in the oracle (the PageRank
+    * pattern). */
   def nationHits(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val t = Tpch(spark, sfDir)
-    val pw = directedPairWeights(spark, sfDir)
-    val nodes = t.nation.select(col("n_nationkey").as("node"))
-    def normalize(raw: DataFrame, out: String): DataFrame = {
-      val tot = raw.agg(sum(col("raw")).as("tot"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(tot))
-        .select(col("node"),
-          expr(s"(coalesce(raw, CAST(0 AS DECIMAL(38,0))) * 1000000000000)" +
-            s" div tot").cast("long").as(out))
+    // ONE distributed pass (the shared pair-weight artifact reduces the
+    // fact to ≤ |nations|² rows); the mutual recursion then iterates on
+    // the driver over that KB-scale table — the EmbeddingStats/Markov
+    // "artifact-sized driver math" pattern. The node domain is FIXED
+    // (nations), so this stays KB-scale at any corpus size; a
+    // billion-node HITS would instead rebase each half-round on a
+    // LogicalRDD leaf (the Components plan-cut), because each half-round
+    // references its predecessor twice and an un-cut plan tree doubles
+    // per half-round — the probe measured 38 s of pure planning on the
+    // distributed form of THIS 25-node graph.
+    val pw = directedPairWeights(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("src"), r.getAs[Int]("dst"), r.getAs[Long]("w")))
+    val nodes = t.nation.select(col("n_nationkey"))
+      .collect().map(_.getInt(0)).toSeq
+    val scale = BigInt(Scale)
+    def normalize(raw: Map[Int, BigInt]): Map[Int, Long] = {
+      val tot = raw.values.sum
+      nodes.map(n =>
+        n -> ((raw.getOrElse(n, BigInt(0)) * scale) / tot).toLong).toMap
     }
-    var hub = nodes.withColumn("h", lit(Scale))
-    var auth = nodes.withColumn("a", lit(0L))
+    var hub: Map[Int, Long] = nodes.map(_ -> Scale).toMap
+    var auth: Map[Int, Long] = Map.empty
     for (_ <- 1 to HitsRounds) {
-      auth = normalize(
-        pw.join(hub, col("src") === col("node"))
-          .select(col("dst"),
-            (col("w").cast(DecimalType(38, 0)) * col("h")).as("c"))
-          .groupBy(col("dst").as("node")).agg(sum(col("c")).as("raw")),
-        "a")
-      hub = normalize(
-        pw.join(auth, col("dst") === col("node"))
-          .select(col("src"),
-            (col("w").cast(DecimalType(38, 0)) * col("a")).as("c"))
-          .groupBy(col("src").as("node")).agg(sum(col("c")).as("raw")),
-        "h")
+      auth = normalize(pw.groupBy(_._2).map { case (d, es) =>
+        d -> es.map(e => BigInt(e._3) * hub(e._1)).sum
+      })
+      hub = normalize(pw.groupBy(_._1).map { case (s, es) =>
+        s -> es.map(e => BigInt(e._3) * auth(e._2)).sum
+      })
     }
-    hub.join(auth, Seq("node"))
+    nodes.map(n => (n, hub(n), auth(n)))
+      .toDF("node", "hub", "authority")
       .join(broadcast(t.nation), col("node") === col("n_nationkey"))
-      .select(col("n_name").as("nation"), col("h").as("hub"),
-        col("a").as("authority"))
+      .select(col("n_name").as("nation"), col("hub"), col("authority"))
       .orderBy(col("authority").desc, col("nation"))
   }
 

@@ -707,10 +707,22 @@ object MultimodalOps {
         .as(Seq("b", "k")))
       .select(col("media_id"), (col("b") * 32 + col("k")).as("band"))
 
+  /** Corpus image pHashes, cached per (session, sf): the pack+decode+DCT
+    * codec pass is the expensive leg of the screen (pixels touched once);
+    * banding, candidate joins and the verify all read this 16-byte-row
+    * frame (at 100 TB: the materialized per-image hash column every
+    * perceptual-dedup job reads). */
+  private val phashCache = FrameCache.empty
+  private def corpusPhashes(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(phashCache, spark, sfDir) {
+      phashFrame(
+        mediaFromDocuments(spark, sfDir).filter(_.kind == "image").toDF()
+          .select(col("media_id"), col("payload")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def multimodalPhashDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val hashes = phashFrame(
-      mediaFromDocuments(spark, sfDir).filter(_.kind == "image").toDF()
-        .select(col("media_id"), col("payload")))
+    val hashes = corpusPhashes(spark, sfDir)
     val bands = phashBands(hashes)
     val cand = bands.as("x")
       .join(bands.as("y"),

@@ -573,21 +573,34 @@ object TextQueries {
     * CTE rounds (the PageRank pattern on a vocabulary-sized graph).
     * Scale: the only corpus-sized pass is the shared bigram artifact;
     * every round is a vocab-bounded join + keyed aggregate. */
+  /** Undirected word co-occurrence graph with per-source strength —
+    * (u, v, w, s) rows folded from the shared [[docBigrams]] artifact and
+    * cached per (session, sf): five fixed-point rounds (and any future
+    * graph-on-text consumer) read ONE vocabulary-sized edge table instead
+    * of re-aggregating the corpus bigrams per round (the probe caught the
+    * un-cached form re-running the fold five times: 11.7 s → ~1 s). */
+  private val wordGraphCache = FrameCache.empty
+  private def wordCooccurrence(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(wordGraphCache, spark, sfDir) {
+      val dp = docBigrams(spark, sfDir)
+        .groupBy(col("bigram")).agg(sum(col("n")).as("c"))
+        .select(split(col("bigram"), " ").getItem(0).as("t1"),
+          split(col("bigram"), " ").getItem(1).as("t2"), col("c"))
+        .where(col("t1") =!= col("t2"))
+      val und = dp.select(col("t1").as("u"), col("t2").as("v"), col("c"))
+        .unionByName(dp.select(col("t2").as("u"), col("t1").as("v"), col("c")))
+        .groupBy(col("u"), col("v")).agg(sum(col("c")).as("w"))
+      val strength = und.groupBy(col("u")).agg(sum(col("w")).as("s"))
+      und.join(strength, "u")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def textrankKeywords(spark: SparkSession, sfDir: String): DataFrame = {
-    val dp = docBigrams(spark, sfDir)
-      .groupBy(col("bigram")).agg(sum(col("n")).as("c"))
-      .select(split(col("bigram"), " ").getItem(0).as("t1"),
-        split(col("bigram"), " ").getItem(1).as("t2"), col("c"))
-      .where(col("t1") =!= col("t2"))
-    val und = dp.select(col("t1").as("u"), col("t2").as("v"), col("c"))
-      .unionByName(dp.select(col("t2").as("u"), col("t1").as("v"), col("c")))
-      .groupBy(col("u"), col("v")).agg(sum(col("c")).as("w"))
-    val strength = und.groupBy(col("u")).agg(sum(col("w")).as("s"))
-    val nodes = strength.select(col("u").as("node"))
+    val g = wordCooccurrence(spark, sfDir)
+    val nodes = g.select(col("u").as("node")).distinct()
     var ranks = nodes.withColumn("rank", lit(1000000000000L))
     for (_ <- 1 to 5) {
-      val contrib = und
-        .join(strength, "u")
+      val contrib = g
         .join(ranks, col("u") === col("node"))
         .select(col("v").as("node"),
           expr("(CAST(rank AS DECIMAL(38,0)) * 17 * w) div (20 * s)")

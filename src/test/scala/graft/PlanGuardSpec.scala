@@ -59,7 +59,6 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_snippets",     // BM25 probe's one-row corpus-totals frame
     "q_ts_acf",            // broadcast one-row (n, S) + denominator frames
     "q_audit_t_closeness", // broadcast one-row corpus-total (N) frame
-    "q_graph_hits",        // broadcast one-row Σraw normalizer per half-round
     "q_graph_kcore",       // broadcast one-row median-weight + k frames
     "q_graph_communities", // backbone artifact's one-row threshold frame
     "q_graph_link_prediction" // backbone artifact's one-row threshold frame
