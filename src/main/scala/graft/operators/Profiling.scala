@@ -443,7 +443,83 @@ object Profiling {
        |ORDER BY layout, predicate""".stripMargin
   }
 
+  /** CBO join-cardinality estimation audit — the textbook equi-join
+    * estimate |L⋈R| ≈ |L|·|R| / max(ndv_L, ndv_R) (Selinger 1979, what
+    * every cost-based optimizer computes from ANALYZE stats) scored
+    * against the TRUE join cardinality for the schema's three FK joins.
+    * The error column is the calibration readout: ~1000 permille means
+    * the uniformity assumption holds and NDV stats alone would plan this
+    * join correctly; a large error flags the join where a planner needs
+    * histograms instead. Estimates cross-multiply on DECIMAL(38,0)/
+    * HUGEINT (|L|·|R| overflows a long at warehouse scale).
+    * Scale: per join, two single-pass stat aggregates + one keyed join
+    * count — exactly the work ANALYZE + one calibration query costs. */
+  def joinCardinalityEstimates(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    def probe(name: String, left: DataFrame, lk: String,
+              right: DataFrame, rk: String): DataFrame = {
+      val ls = left.agg(count(lit(1)).as("n_left"),
+        countDistinct(col(lk)).as("ndv_left"))
+      val rs = right.agg(count(lit(1)).as("n_right"),
+        countDistinct(col(rk)).as("ndv_right"))
+      val actual = left.select(col(lk).as("k"))
+        .join(right.select(col(rk).as("k")), Seq("k"))
+        .agg(count(lit(1)).as("actual_rows"))
+      ls.crossJoin(rs).crossJoin(actual)
+        .withColumn("est_rows",
+          expr("""CAST(CAST(n_left AS DECIMAL(38,0)) * n_right
+                 | div greatest(ndv_left, ndv_right) AS BIGINT)""".stripMargin))
+        .select(lit(name).as("join_name"), col("n_left"), col("ndv_left"),
+          col("n_right"), col("ndv_right"), col("est_rows"),
+          col("actual_rows"),
+          expr("(est_rows * 1000) div actual_rows").cast("long")
+            .as("err_permille"))
+    }
+    // the three FK joins calibrate exactly (PK side distinct, FK side
+    // fully matched ⇒ est == actual == |FK side|); the nation join is the
+    // many-to-many case where the uniformity assumption actually gets
+    // tested — its error IS the non-uniformity of the nation mix
+    probe("lineitem_orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey")
+      .unionByName(
+        probe("orders_customer", t.orders, "o_custkey", t.customer, "c_custkey"))
+      .unionByName(
+        probe("lineitem_part", t.lineitem, "l_partkey", t.part, "p_partkey"))
+      .unionByName(probe("customer_supplier_nation",
+        t.customer, "c_nationkey", t.supplier, "s_nationkey"))
+      .orderBy(col("join_name"))
+  }
+
+  private def joinCardinalityOracle: String = {
+    def one(name: String, lt: String, lk: String, rt: String,
+            rk: String): String =
+      s"""SELECT '$name' AS join_name, n_left, ndv_left, n_right, ndv_right,
+         |       est_rows, actual_rows,
+         |       CAST((est_rows * 1000) // actual_rows AS BIGINT)
+         |         AS err_permille
+         |FROM (
+         |  SELECT n_left, ndv_left, n_right, ndv_right, actual_rows,
+         |         CAST(CAST(n_left AS HUGEINT) * n_right
+         |              // GREATEST(ndv_left, ndv_right) AS BIGINT) AS est_rows
+         |  FROM (
+         |    SELECT (SELECT COUNT(*) FROM $lt) AS n_left,
+         |           (SELECT COUNT(DISTINCT $lk) FROM $lt) AS ndv_left,
+         |           (SELECT COUNT(*) FROM $rt) AS n_right,
+         |           (SELECT COUNT(DISTINCT $rk) FROM $rt) AS ndv_right,
+         |           (SELECT COUNT(*) FROM $lt l JOIN $rt r ON l.$lk = r.$rk)
+         |             AS actual_rows))""".stripMargin
+    Seq(
+      one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("customer_supplier_nation",
+        "customer", "c_nationkey", "supplier", "s_nationkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        ")\nORDER BY join_name")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_profile_join_cardinality", joinCardinalityEstimates,
+      Some(joinCardinalityOracle)),
     NamedQuery("q_profile_zonemap", zoneMapAdvisor, Some(zoneMapOracle)),
     NamedQuery("q_profile_clustering_factor", clusteringFactor, Some {
       val cols = Seq("l_returnflag", "l_linestatus", "l_partkey", "l_shipdate")

@@ -244,7 +244,74 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Word2vec negative-sampling table (Mikolov et al. 2013): sampling
+    * weight ∝ count^¾ — the unigram flattening that keeps frequent tokens
+    * from dominating negative draws. count^¾ rides the anneal schedule's
+    * TWO correctly-rounded sqrts (⌊√(n·⌊√(n·10⁶)⌋·10³)⌋ ≈ n^¾·10³ —
+    * every intermediate an exact integer-valued double), and the 10 000
+    * table slots are Hamilton largest-remainder apportioned, so the whole
+    * TABLE — the artifact a trainer mmaps — hash-checks cross-engine.
+    * Table = the top-256 head of the vocabulary (the domain a real
+    * sampling table truncates to); the head cut is a TakeOrdered top-k,
+    * the remainder rank runs over those 256 rows only.
+    * Scale: one keyed unigram aggregate over the shared postings artifact;
+    * everything after is head-domain arithmetic. */
+  def negativeSamplingTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 10000L
+    val counts = Retrieval.posToks(spark, sfDir)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val head = counts.orderBy(col("n").desc, col("term")).limit(256)
+    val sHalf =
+      floor(sqrt(col("n").cast("double") * lit(1000000.0))).cast("long")
+    val m = head.withColumn("s",
+      floor(sqrt(col("n").cast("double") * sHalf.cast("double") * lit(1000.0)))
+        .cast("long"))
+    val totals = m.agg(sum(col("s")).as("big_s"))
+    val q0 = m.crossJoin(broadcast(totals))
+      .withColumn("base", expr(s"$k * s DIV big_s"))
+      .withColumn("rem", expr(s"($k * s) % big_s"))
+    val leftover = q0.agg((lit(k) - sum(col("base"))).as("leftover"))
+    q0.withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("term").asc)))
+      .crossJoin(broadcast(leftover))
+      .withColumn("slots",
+        col("base") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("term"), col("n").as("n_occurrences"), col("s").as("w34"),
+        expr("1000000 * s DIV big_s").cast("long").as("share_ppm"),
+        col("slots").cast("long").as("slots"))
+      .orderBy(col("slots").desc, col("term"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_negative_table", negativeSamplingTable, Some(
+      """WITH cnt AS (
+        |  SELECT term, COUNT(*) AS n
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS term
+        |        FROM documents)
+        |  WHERE term <> '' GROUP BY 1),
+        |head AS MATERIALIZED (
+        |  SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT 256),
+        |g AS (
+        |  SELECT term, n,
+        |         CAST(FLOOR(SQRT(CAST(n AS DOUBLE) *
+        |              CAST(CAST(FLOOR(SQRT(CAST(n AS DOUBLE) * 1000000.0))
+        |                   AS BIGINT) AS DOUBLE) * 1000.0)) AS BIGINT) AS s
+        |  FROM head),
+        |tot AS (SELECT SUM(s) AS big_s FROM g),
+        |q0 AS (SELECT g.term, g.n, g.s, t.big_s,
+        |              10000 * g.s // t.big_s AS base,
+        |              (10000 * g.s) % t.big_s AS rem
+        |       FROM g CROSS JOIN tot t),
+        |lo AS (SELECT 10000 - SUM(base) AS leftover FROM q0)
+        |SELECT q0.term, CAST(q0.n AS BIGINT) AS n_occurrences, q0.s AS w34,
+        |       CAST(1000000 * q0.s // q0.big_s AS BIGINT) AS share_ppm,
+        |       CAST(q0.base + CASE WHEN ROW_NUMBER() OVER
+        |                             (ORDER BY q0.rem DESC, q0.term ASC)
+        |                           <= lo.leftover THEN 1 ELSE 0 END
+        |         AS BIGINT) AS slots
+        |FROM q0 CROSS JOIN lo
+        |ORDER BY slots DESC, term""".stripMargin)),
     NamedQuery("q_corpus_dedup_weighted_sample", dedupWeightedSample, Some(
       Components.portableClosureSql +
         """,

@@ -59,6 +59,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_text_snippets",     // BM25 probe's one-row corpus-totals frame
     "q_ts_acf",            // broadcast one-row (n, S) + denominator frames
     "q_audit_t_closeness", // broadcast one-row corpus-total (N) frame
+    "q_text_negative_table",       // one-row Σmass + leftover frames
+    "q_profile_join_cardinality",  // one-row stat frames per probed join
     "q_graph_kcore",       // broadcast one-row median-weight + k frames
     "q_graph_communities", // backbone artifact's one-row threshold frame
     "q_graph_link_prediction" // backbone artifact's one-row threshold frame
@@ -138,6 +140,8 @@ class PlanGuardSpec extends SparkSpec {
       "quota frame = languages; phase-2 rank over per-shard quota survivors",
     "q_corpus_anneal_schedule" ->
       "largest-remainder rank over the |languages| quota frame per epoch",
+    "q_text_negative_table" ->
+      "largest-remainder rank over the 256-token head vocabulary",
     "q_sketch_portable_kmv" ->
       "phase-2 rank over per-shard KMV survivors; pair merges are sketch-sized",
     // BM25 phase-2 ranks the ≤ 10×64 per-shard survivors per query

@@ -172,4 +172,36 @@ class SamplingSpec extends SparkSpec {
     assert(shares(maxLang) == shares(maxLang).sorted.reverse)
     assert(shares(minLang) == shares(minLang).sorted)
   }
+
+  test("negative-sampling table equals driver Hamilton over the head vocab") {
+    import graft.sources.Tables.Tpch
+    val counts = Tpch(spark, Sf).documents.select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val head = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(256)
+    def s34(n: Long): Long = {
+      val half = math.floor(math.sqrt(n.toDouble * 1000000.0)).toLong
+      math.floor(math.sqrt(n.toDouble * half.toDouble * 1000.0)).toLong
+    }
+    val withS = head.map { case (t, n) => (t, n, s34(n)) }
+    val bigS = withS.map(_._3).sum
+    val base = withS.map { case (t, n, s) =>
+      (t, n, s, 10000 * s / bigS, (10000 * s) % bigS) }
+    val leftover = 10000 - base.map(_._4).sum
+    val ranked = base.sortBy { case (t, _, _, _, rem) => (-rem, t) }.zipWithIndex
+    val expected = ranked.map { case ((t, n, s, b, _), i) =>
+      (t, n, s, 1000000 * s / bigS, b + (if (i < leftover) 1L else 0L))
+    }.sortBy { case (t, _, _, _, slots) => (-slots, t) }
+    val got = graft.operators.Sampling.negativeSamplingTable(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expected)
+    // apportionment conserves the table size exactly
+    assert(got.map(_._5).sum == 10000L)
+    // flattening: the most frequent token's slot share is below its
+    // raw-frequency share (that is what the 3/4 power is for)
+    val top = got.maxBy(_._2)
+    val headN = got.map(_._2).sum
+    assert(top._5.toDouble / 10000 < top._2.toDouble / headN)
+  }
 }

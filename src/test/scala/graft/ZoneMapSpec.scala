@@ -49,4 +49,35 @@ class ZoneMapSpec extends SparkSpec {
     val skipByLayout = got.groupBy(_._1).view.mapValues(_.map(_._8).max)
     assert(skipByLayout("time_month") > skipByLayout("arrival_orderkey"))
   }
+
+  test("join-cardinality estimates equal driver stats; FK joins calibrate exactly") {
+    def keys(table: String, k: String): Seq[Long] =
+      graft.sources.Tables.load(spark, Sf, table)
+        .selectExpr(s"CAST($k AS BIGINT)").collect().map(_.getLong(0)).toSeq
+    def sim(name: String, l: Seq[Long], r: Seq[Long]) = {
+      val rCnt = r.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+      val actual = l.map(k => rCnt.getOrElse(k, 0L)).sum
+      val est = (BigInt(l.size) * r.size /
+        BigInt(math.max(l.distinct.size, r.distinct.size))).toLong
+      (name, l.size.toLong, l.distinct.size.toLong, r.size.toLong,
+        r.distinct.size.toLong, est, actual, est * 1000 / actual)
+    }
+    val expected = Seq(
+      sim("lineitem_orders", keys("lineitem", "l_orderkey"),
+        keys("orders", "o_orderkey")),
+      sim("orders_customer", keys("orders", "o_custkey"),
+        keys("customer", "c_custkey")),
+      sim("lineitem_part", keys("lineitem", "l_partkey"),
+        keys("part", "p_partkey")),
+      sim("customer_supplier_nation", keys("customer", "c_nationkey"),
+        keys("supplier", "s_nationkey"))).sortBy(_._1)
+    val got = Profiling.joinCardinalityEstimates(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got === expected)
+    // PK-FK joins with full referential integrity calibrate EXACTLY
+    // (est == actual == |FK side|): the uniformity assumption is vacuous
+    for (n <- Seq("lineitem_orders", "orders_customer", "lineitem_part"))
+      assert(got.find(_._1 == n).get._8 == 1000L, n)
+  }
 }
