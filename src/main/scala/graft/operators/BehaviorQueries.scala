@@ -218,7 +218,71 @@ object BehaviorQueries {
       .orderBy(col("target_part"), col("rnk"))
   }
 
+  /** Sequential next-brand recommendation — the first-order Markov
+    * companion to [[itemItemRecs]]: co-occurrence asks "what sits in the
+    * same basket", this asks "what do customers buy NEXT". Each order's
+    * representative brand (deterministic min over its lines) forms the
+    * per-customer purchase sequence; adjacent pairs aggregate into the
+    * brand-domain transition matrix, and each brand emits its top-3
+    * successors with integer-permille probabilities.
+    * Scale: the sequence window partitions on customer (high-cardinality
+    * key); transitions and the rank window live on the ≤|brands|²
+    * aggregate. */
+  def nextBrandRecs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tpch(spark, sfDir)
+    val repBrand = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey")).agg(min(col("p_brand")).as("brand"))
+    val seqs = t.orders
+      .join(repBrand, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("brand"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val trans = seqs.withColumn("nxt", lead(col("brand"), 1).over(w))
+      .where(col("nxt").isNotNull)
+      .groupBy(col("brand").as("brand_from"), col("nxt").as("brand_to"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("brand_from")).agg(sum(col("n")).as("total"))
+    val rw = Window.partitionBy(col("brand_from"))
+      .orderBy(col("n").desc, col("brand_to"))
+    trans.join(totals, "brand_from")
+      .withColumn("rnk", row_number().over(rw))
+      .where(col("rnk") <= 3)
+      .select(col("brand_from"), col("rnk").cast("long").as("rnk"),
+        col("brand_to"), col("n").cast("long").as("n_transitions"),
+        expr("(n * 1000) div total").cast("long").as("prob_permille"))
+      .orderBy(col("brand_from"), col("rnk"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_next_brand_recs", nextBrandRecs, Some(
+      """WITH rep AS (
+        |  SELECT l_orderkey, MIN(p_brand) AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |sq AS (
+        |  SELECT o.o_custkey, o.o_orderdate, o.o_orderkey, r.brand
+        |  FROM orders o JOIN rep r ON o.o_orderkey = r.l_orderkey),
+        |tr AS (
+        |  SELECT brand AS brand_from,
+        |         LEAD(brand) OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate, o_orderkey)
+        |           AS brand_to
+        |  FROM sq),
+        |cnt AS (SELECT brand_from, brand_to, COUNT(*) AS n
+        |        FROM tr WHERE brand_to IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT brand_from, SUM(n) AS total FROM cnt GROUP BY 1),
+        |rk AS (
+        |  SELECT c.brand_from, c.brand_to, c.n, t.total,
+        |         ROW_NUMBER() OVER (PARTITION BY c.brand_from
+        |                            ORDER BY c.n DESC, c.brand_to) AS rnk
+        |  FROM cnt c JOIN tot t USING (brand_from))
+        |SELECT brand_from, CAST(rnk AS BIGINT) AS rnk, brand_to,
+        |       CAST(n AS BIGINT) AS n_transitions,
+        |       CAST((n * 1000) // total AS BIGINT) AS prob_permille
+        |FROM rk WHERE rnk <= 3 ORDER BY brand_from, rnk""".stripMargin)),
     NamedQuery("q_itemitem_recs", itemItemRecs, Some(
       """WITH op AS MATERIALIZED (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -517,7 +517,77 @@ object Profiling {
         ")\nORDER BY join_name")
   }
 
+  /** Approximate functional-dependency discovery (TANE-style g3 error,
+    * Huhtala et al. 1999): for each candidate FD X → Y, the minimum
+    * number of rows whose removal makes the dependency hold exactly —
+    * g3 = Σ_x (n_x − max_y n_{x,y}) — plus the violating-key count and
+    * the error in permille. Zero g3 = a real constraint the schema never
+    * declared (the profiler's "you could enforce this" output); large g3
+    * = a spurious candidate. Candidates mix two TRUE FDs recovered
+    * through joins (orderkey → orderdate, partkey → brand) with two
+    * false ones (partkey → suppkey, nationkey → mktsegment).
+    * Scale: per candidate, one (X, Y) keyed aggregate with map-side
+    * combine, then an X-keyed fold — the standard two-level stratified
+    * count, no windows, exact integers. */
+  def fdDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    def g3(name: String, df: DataFrame, x: String, y: String): DataFrame =
+      df.groupBy(col(x).as("x"), col(y).as("y"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("x"))
+        .agg(sum(col("n")).as("nx"), max(col("n")).as("mx"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("nx")).as("n_rows"),
+          sum(when(col("nx") =!= col("mx"), 1L).otherwise(0L))
+            .as("violating_keys"),
+          sum(col("nx") - col("mx")).as("g3_rows"))
+        .select(lit(name).as("fd"), col("n_rows").cast("long").as("n_rows"),
+          col("n_keys"), col("violating_keys").cast("long")
+            .as("violating_keys"),
+          col("g3_rows").cast("long").as("g3_rows"),
+          expr("(g3_rows * 1000) div n_rows").cast("long").as("g3_permille"))
+    val liOrders = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+    val liPart = t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+    g3("l_orderkey->o_orderdate", liOrders, "l_orderkey", "o_orderdate")
+      .unionByName(g3("l_partkey->p_brand", liPart, "l_partkey", "p_brand"))
+      .unionByName(g3("l_partkey->l_suppkey", t.lineitem,
+        "l_partkey", "l_suppkey"))
+      .unionByName(g3("c_nationkey->c_mktsegment", t.customer,
+        "c_nationkey", "c_mktsegment"))
+      .orderBy(col("fd"))
+  }
+
+  private def fdOracle: String = {
+    def one(name: String, from: String, x: String, y: String): String =
+      s"""SELECT '$name' AS fd,
+         |       CAST(SUM(nx) AS BIGINT) AS n_rows,
+         |       COUNT(*) AS n_keys,
+         |       CAST(SUM(CASE WHEN nx <> mx THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS violating_keys,
+         |       CAST(SUM(nx - mx) AS BIGINT) AS g3_rows,
+         |       CAST((SUM(nx - mx) * 1000) // SUM(nx) AS BIGINT)
+         |         AS g3_permille
+         |FROM (SELECT x, SUM(n) AS nx, MAX(n) AS mx
+         |      FROM (SELECT $x AS x, $y AS y, COUNT(*) AS n
+         |            FROM $from GROUP BY 1, 2)
+         |      GROUP BY 1)""".stripMargin
+    Seq(
+      one("l_orderkey->o_orderdate",
+        "lineitem JOIN orders ON l_orderkey = o_orderkey",
+        "l_orderkey", "o_orderdate"),
+      one("l_partkey->p_brand",
+        "lineitem JOIN part ON l_partkey = p_partkey",
+        "l_partkey", "p_brand"),
+      one("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+      one("c_nationkey->c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", ")\nORDER BY fd")
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_profile_fd_discovery", fdDiscovery, Some(fdOracle)),
     NamedQuery("q_profile_join_cardinality", joinCardinalityEstimates,
       Some(joinCardinalityOracle)),
     NamedQuery("q_profile_zonemap", zoneMapAdvisor, Some(zoneMapOracle)),

@@ -117,4 +117,38 @@ class BehaviorSpec extends SparkSpec {
       assert(recs.map(_._2).sorted === (1 to recs.size).map(_.toLong))
     }
   }
+
+  test("next-brand transitions equal a driver-side Markov recount") {
+    val brandOf = spark.read.parquet(s"$Sf/part.parquet")
+      .selectExpr("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rep = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .selectExpr("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), brandOf(r.getLong(1))))
+      .groupBy(_._1).map { case (ok, xs) => ok -> xs.map(_._2).min }
+    val seqs = spark.read.parquet(s"$Sf/orders.parquet")
+      .selectExpr("o_custkey", "CAST(o_orderdate AS STRING)", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(o => rep.contains(o._3))
+      .groupBy(_._1).values
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+    for (cust <- seqs) {
+      val ordered = cust.sortBy(o => (o._2, o._3)).map(o => rep(o._3))
+      for (w <- ordered.sliding(2) if w.size == 2)
+        trans((w(0), w(1))) = trans.getOrElse((w(0), w(1)), 0L) + 1
+    }
+    val totals = trans.groupBy(_._1._1).map { case (f, xs) =>
+      f -> xs.values.sum }
+    val expected = trans.toSeq.groupBy(_._1._1).toSeq.flatMap {
+      case (from, xs) =>
+        xs.map { case ((_, to), n) => (to, n) }
+          .sortBy { case (to, n) => (-n, to) }.take(3).zipWithIndex
+          .map { case ((to, n), i) =>
+            (from, (i + 1).toLong, to, n, n * 1000 / totals(from)) }
+    }.sortBy(x => (x._1, x._2))
+    val got = BehaviorQueries.nextBrandRecs(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === expected)
+  }
 }

@@ -80,4 +80,42 @@ class ZoneMapSpec extends SparkSpec {
     for (n <- Seq("lineitem_orders", "orders_customer", "lineitem_part"))
       assert(got.find(_._1 == n).get._8 == 1000L, n)
   }
+
+  test("FD discovery g3 equals driver stratified counts; true FDs read zero") {
+    import graft.sources.Tables.Tpch
+    val t = Tpch(spark, Sf)
+    def pairs(df: org.apache.spark.sql.DataFrame, x: String, y: String) =
+      df.selectExpr(s"CAST($x AS STRING)", s"CAST($y AS STRING)")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def sim(name: String, ps: Seq[(String, String)]) = {
+      val byX = ps.groupBy(_._1)
+      val nRows = ps.size.toLong
+      val g3 = byX.values.map { xs =>
+        xs.size.toLong - xs.groupBy(_._2).values.map(_.size).max
+      }.sum
+      val viol = byX.values.count(xs => xs.map(_._2).distinct.size > 1).toLong
+      (name, nRows, byX.size.toLong, viol, g3, g3 * 1000 / nRows)
+    }
+    val liOrders = t.lineitem.join(t.orders,
+      org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+    val liPart = t.lineitem.join(t.part,
+      org.apache.spark.sql.functions.col("l_partkey") ===
+        org.apache.spark.sql.functions.col("p_partkey"))
+    val expected = Seq(
+      sim("l_orderkey->o_orderdate", pairs(liOrders, "l_orderkey", "o_orderdate")),
+      sim("l_partkey->p_brand", pairs(liPart, "l_partkey", "p_brand")),
+      sim("l_partkey->l_suppkey", pairs(t.lineitem, "l_partkey", "l_suppkey")),
+      sim("c_nationkey->c_mktsegment",
+        pairs(t.customer, "c_nationkey", "c_mktsegment"))).sortBy(_._1)
+    val got = Profiling.fdDiscovery(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+    // joins recover the two REAL dependencies exactly
+    assert(got.find(_._1 == "l_orderkey->o_orderdate").get._5 == 0L)
+    assert(got.find(_._1 == "l_partkey->p_brand").get._5 == 0L)
+    // a nation spans segments: the false FD must show real error
+    assert(got.find(_._1 == "c_nationkey->c_mktsegment").get._5 > 0L)
+  }
 }
