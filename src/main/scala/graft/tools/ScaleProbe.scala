@@ -101,7 +101,11 @@ object ScaleProbe {
     // fixed-point over the shared pair-weight artifact; QI-domain
     // governance aggregates; zone-stat aggregate + zone-row fan-out
     "q_itemitem_recs", "q_ts_acf", "q_ts_ewma_anomaly", "q_graph_hits",
-    "q_audit_t_closeness", "q_profile_zonemap")
+    "q_audit_t_closeness", "q_profile_zonemap",
+    // round 11 late wave: head-vocab Hamilton table (one postings
+    // aggregate); stratified FD counts (two keyed aggregates each);
+    // per-customer sequence window into a brand-domain matrix
+    "q_text_negative_table", "q_profile_fd_discovery", "q_next_brand_recs")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
