@@ -186,22 +186,22 @@ object BpeTrainer {
   private def bpeOracle: String = {
     val rounds = (1 to Merges).map { c =>
       val p = c - 1
-      s"""pc$c AS (SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b,
+      s"""pc$c AS MATERIALIZED (SELECT s[CAST(i AS INT)] AS a, s[CAST(i AS INT) + 1] AS b,
          |               SUM(cnt) AS weight
          |        FROM t$p, UNNEST(range(1, len(s))) u(i) GROUP BY 1, 2),
          |m$c AS MATERIALIZED (SELECT a, b, CAST(weight AS BIGINT) AS weight
          |        FROM pc$c ORDER BY weight DESC, a ASC, b ASC LIMIT 1),
-         |p$c AS (SELECT t.w, t.cnt, CAST(u.i AS INT) AS i,
+         |p$c AS MATERIALIZED (SELECT t.w, t.cnt, CAST(u.i AS INT) AS i,
          |               s[CAST(u.i AS INT)] AS sym,
          |               COALESCE(s[CAST(u.i AS INT)] = m.a
          |                        AND s[CAST(u.i AS INT) + 1] = m.b, false) AS mt,
          |               m.a || m.b AS ab
          |        FROM t$p t, UNNEST(range(1, len(s) + 1)) u(i), m$c m),
-         |i$c AS (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY i) AS isl
+         |i$c AS MATERIALIZED (SELECT *, i - ROW_NUMBER() OVER (PARTITION BY w, mt ORDER BY i) AS isl
          |        FROM p$c),
-         |g$c AS (SELECT *, (mt AND (i - MIN(i) OVER (PARTITION BY w, mt, isl)) % 2 = 0) AS mg
+         |g$c AS MATERIALIZED (SELECT *, (mt AND (i - MIN(i) OVER (PARTITION BY w, mt, isl)) % 2 = 0) AS mg
          |        FROM i$c),
-         |l$c AS (SELECT *, COALESCE(LAG(mg) OVER (PARTITION BY w ORDER BY i), false) AS pm
+         |l$c AS MATERIALIZED (SELECT *, COALESCE(LAG(mg) OVER (PARTITION BY w ORDER BY i), false) AS pm
          |        FROM g$c),
          |t$c AS MATERIALIZED (
          |  SELECT w, cnt, list(CASE WHEN mg THEN ab ELSE sym END ORDER BY i) AS s

@@ -284,10 +284,10 @@ object CdcQueries {
         |  SELECT c_custkey, c_acctbal, op, lsn AS valid_from,
         |         LEAD(lsn) OVER (PARTITION BY c_custkey ORDER BY lsn) AS valid_to
         |  FROM ch),
-        |s1 AS (SELECT c_custkey, c_acctbal FROM v
+        |s1 AS MATERIALIZED (SELECT c_custkey, c_acctbal FROM v
         |       WHERE op <> 'd' AND valid_from <= 1
         |         AND (valid_to IS NULL OR valid_to > 1)),
-        |s3 AS (SELECT c_custkey, c_acctbal FROM v
+        |s3 AS MATERIALIZED (SELECT c_custkey, c_acctbal FROM v
         |       WHERE op <> 'd' AND valid_from <= 3
         |         AND (valid_to IS NULL OR valid_to > 3)),
         |d AS (

@@ -117,37 +117,37 @@ object EmbeddingStats {
   /** Oracle: identical decimal-summed covariance, five unrolled rounds. */
   private def topDirectionSql: String = {
     def round(i: Int, prev: String): String =
-      s"""w$i AS (SELECT c.d1, SUM(c.c * v.vv) AS w
+      s"""w$i AS MATERIALIZED (SELECT c.d1, SUM(c.c * v.vv) AS w
          |       FROM cov c JOIN $prev v ON c.d2 = v.d GROUP BY 1),
-         |n$i AS (SELECT SQRT(SUM(w * w)) AS nrm FROM w$i),
-         |v$i AS (SELECT w.d1 AS d, w.w / n.nrm AS vv FROM w$i w, n$i n)"""
+         |n$i AS MATERIALIZED (SELECT SQRT(SUM(w * w)) AS nrm FROM w$i),
+         |v$i AS MATERIALIZED (SELECT w.d1 AS d, w.w / n.nrm AS vv FROM w$i w, n$i n)"""
         .stripMargin
-    s"""WITH comps AS (
+    s"""WITH comps AS MATERIALIZED (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS d,
        |         CAST(UNNEST(embedding) AS DOUBLE) AS v
        |  FROM embeddings),
-       |means AS (
+       |means AS MATERIALIZED (
        |  SELECT d, CAST(SUM(CAST(v AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS m
        |  FROM comps GROUP BY 1),
-       |cent AS (
+       |cent AS MATERIALIZED (
        |  SELECT c.vec_id, c.d, c.v - m.m AS x
        |  FROM comps c JOIN means m USING (d)),
-       |cov AS (
+       |cov AS MATERIALIZED (
        |  SELECT a.d AS d1, b.d AS d2,
        |         CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) /
        |              COUNT(DISTINCT a.vec_id) AS DOUBLE) AS c
        |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id
        |  GROUP BY 1, 2),
-       |v0 AS (SELECT DISTINCT d1 AS d,
+       |v0 AS MATERIALIZED (SELECT DISTINCT d1 AS d,
        |              CASE WHEN d1 = 0 THEN 1.0 ELSE 0.0 END AS vv
        |       FROM cov),
        |${(1 to 5).map(i => round(i, s"v${i - 1}")).mkString(",\n")},
-       |ray AS (
+       |ray AS MATERIALIZED (
        |  SELECT SUM(c.c * va.vv * vb.vv) AS lambda1
        |  FROM cov c
        |  JOIN v5 va ON va.d = c.d1
        |  JOIN v5 vb ON vb.d = c.d2),
-       |tr AS (SELECT SUM(c) AS tr FROM cov WHERE d1 = d2)
+       |tr AS MATERIALIZED (SELECT SUM(c) AS tr FROM cov WHERE d1 = d2)
        |SELECT v.d, ROUND(v.vv, 6) AS component,
        |       ROUND(r.lambda1, 6) AS lambda1,
        |       ROUND(r.lambda1 / t.tr, 4) AS variance_share
@@ -251,19 +251,20 @@ object EmbeddingStats {
     val chain = topDirectionSql
     val withBody = chain.substring(0, chain.lastIndexOf("SELECT v.d"))
     s"""${withBody.trim.stripSuffix(",")},
-       |u AS (SELECT d, ROUND(vv, 6) AS u FROM v5),
-       |su AS (SELECT CAST(SUM(CAST(u * u AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |u AS MATERIALIZED (SELECT d, ROUND(vv, 6) AS u FROM v5),
+       |su AS MATERIALIZED (
+       |       SELECT CAST(SUM(CAST(u * u AS DECIMAL(28,12))) AS DOUBLE) AS s
        |       FROM u),
-       |x AS (SELECT c.vec_id, c.d, c.v - m.m AS x
+       |x AS MATERIALIZED (SELECT c.vec_id, c.d, c.v - m.m AS x
        |      FROM comps c JOIN means m USING (d)),
-       |qc AS (SELECT d, x AS xq FROM x WHERE vec_id = 0),
-       |per AS (
+       |qc AS MATERIALIZED (SELECT d, x AS xq FROM x WHERE vec_id = 0),
+       |per AS MATERIALIZED (
        |  SELECT x.vec_id,
        |         CAST(SUM(CAST(x.x * u.u AS DECIMAL(28,12))) AS DOUBLE) AS b,
        |         CAST(SUM(CAST(x.x * x.x AS DECIMAL(28,12))) AS DOUBLE) AS xx,
        |         CAST(SUM(CAST(x.x * qc.xq AS DECIMAL(28,12))) AS DOUBLE) AS xdq
        |  FROM x JOIN u USING (d) JOIN qc USING (d) GROUP BY 1),
-       |qr AS (SELECT b AS bq, xx AS xxq FROM per WHERE vec_id = 0)
+       |qr AS MATERIALIZED (SELECT b AS bq, xx AS xxq FROM per WHERE vec_id = 0)
        |SELECT p.vec_id, CAST(e.label AS BIGINT) AS label,
        |       ROUND((p.xdq - p.b * qr.bq * (2.0 - su.s)) /
        |             SQRT((p.xx - p.b * p.b * (2.0 - su.s)) *

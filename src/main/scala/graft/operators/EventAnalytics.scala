@@ -482,7 +482,7 @@ object EventAnalytics {
   private def markovAttributionSql: String = {
     val rounds = (1 to MarkovRounds).map { i =>
       val prev = s"v${i - 1}"
-      s"""v$i AS (
+      s"""v$i AS MATERIALIZED (
          |  SELECT r.c AS rc, p.src AS s,
          |         SUM(p.pr * (CASE WHEN p.dst = 'conv' THEN 1.0
          |                          WHEN p.dst = 'null' THEN 0.0
@@ -492,11 +492,11 @@ object EventAnalytics {
          |  LEFT JOIN $prev vv ON vv.rc = r.c AND vv.s = p.dst
          |  GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
        |  SELECT user_id, event_id, event_type,
        |         CAST(floor(epoch(ts)) AS BIGINT) AS es
        |  FROM events),
-       |j AS (
+       |j AS MATERIALIZED (
        |  SELECT user_id, event_id, event_type, es,
        |         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
        |                           ELSE 0 END) OVER (
@@ -504,7 +504,7 @@ object EventAnalytics {
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |           AS jid
        |  FROM e),
-       |s AS (
+       |s AS MATERIALIZED (
        |  SELECT user_id, jid, event_type, es, event_id,
        |         COALESCE(LAG(event_type) OVER (PARTITION BY user_id, jid
        |                    ORDER BY es, event_id), 'start') AS src,
@@ -513,32 +513,32 @@ object EventAnalytics {
        |         ROW_NUMBER() OVER (PARTITION BY user_id, jid
        |                            ORDER BY es DESC, event_id DESC) AS rnd
        |  FROM j),
-       |tr AS (
+       |tr AS MATERIALIZED (
        |  SELECT src, dst, COUNT(*) AS n
        |  FROM (SELECT src, dst FROM s
        |        UNION ALL
        |        SELECT event_type AS src, 'null' AS dst FROM s
        |        WHERE rnd = 1 AND event_type <> 'purchase')
        |  GROUP BY 1, 2),
-       |tot AS (SELECT src, SUM(n) AS nf FROM tr GROUP BY 1),
-       |p AS (SELECT tr.src, tr.dst, CAST(tr.n AS DOUBLE) / tot.nf AS pr
+       |tot AS MATERIALIZED (SELECT src, SUM(n) AS nf FROM tr GROUP BY 1),
+       |p AS MATERIALIZED (SELECT tr.src, tr.dst, CAST(tr.n AS DOUBLE) / tot.nf AS pr
        |      FROM tr JOIN tot USING (src)),
-       |ch AS (SELECT DISTINCT event_type AS c FROM e
+       |ch AS MATERIALIZED (SELECT DISTINCT event_type AS c FROM e
        |       WHERE event_type <> 'purchase'),
-       |rm AS (SELECT c FROM ch UNION ALL SELECT '__none__'),
-       |v0 AS (SELECT r.c AS rc, x.src AS s, 0.0 AS v
+       |rm AS MATERIALIZED (SELECT c FROM ch UNION ALL SELECT '__none__'),
+       |v0 AS MATERIALIZED (SELECT r.c AS rc, x.src AS s, 0.0 AS v
        |       FROM rm r CROSS JOIN (SELECT DISTINCT src FROM p) x),
        |$rounds,
-       |base AS (SELECT v FROM v$MarkovRounds
+       |base AS MATERIALIZED (SELECT v FROM v$MarkovRounds
        |         WHERE rc = '__none__' AND s = 'start'),
-       |re AS (
+       |re AS MATERIALIZED (
        |  SELECT c.c AS channel, b.v AS pb,
        |         CASE WHEN b.v > 0 THEN (b.v - COALESCE(cv.v, 0.0)) / b.v
        |              ELSE 0.0 END AS re
        |  FROM ch c CROSS JOIN base b
        |  LEFT JOIN (SELECT rc, v FROM v$MarkovRounds WHERE s = 'start') cv
        |    ON cv.rc = c.c),
-       |st AS (SELECT SUM(re) AS sre FROM re)
+       |st AS MATERIALIZED (SELECT SUM(re) AS sre FROM re)
        |SELECT r.channel, ROUND(r.pb, 6) AS conv_prob,
        |       ROUND(r.re, 6) AS removal_effect,
        |       ROUND(CASE WHEN st.sre > 0 THEN r.re / st.sre ELSE 0.0 END, 6)
@@ -676,12 +676,12 @@ object EventAnalytics {
       """WITH e AS (
         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es
         |  FROM events),
-        |s1 AS (SELECT user_id, MIN(es) AS t1 FROM e
+        |s1 AS MATERIALIZED (SELECT user_id, MIN(es) AS t1 FROM e
         |       WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.es) AS t2
+        |s2 AS MATERIALIZED (SELECT e.user_id, MIN(e.es) AS t2
         |       FROM e JOIN s1 USING (user_id)
         |       WHERE e.event_type = 'click' AND e.es > s1.t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.es) AS t3
+        |s3 AS MATERIALIZED (SELECT e.user_id, MIN(e.es) AS t3
         |       FROM e JOIN s2 USING (user_id)
         |       WHERE e.event_type = 'purchase' AND e.es > s2.t2 GROUP BY 1)
         |SELECT step, users FROM (

@@ -144,14 +144,14 @@ object GraphQueries {
 
   private def personalizedPagerankOracle: String = {
     val steps = (1 to Iters).map { i =>
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |         SUM((r${i - 1}.rank * 17) // (20 * o.d)) AS in_sum
          |  FROM edges e
          |  JOIN outdeg o ON e.src = o.src
          |  JOIN r${i - 1} ON r${i - 1}.node = e.src
          |  GROUP BY 1),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT n.node,
          |         CAST(n.is_seed * 150000000000 + COALESCE(c$i.in_sum, 0)
          |              AS BIGINT) AS rank
@@ -169,7 +169,7 @@ object GraphQueries {
        |  SELECT n.n_nationkey AS node,
        |         CASE WHEN r.r_name = 'ASIA' THEN 1 ELSE 0 END AS is_seed
        |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
-       |r0 AS (SELECT node, CAST(is_seed * 1000000000000 AS BIGINT) AS rank
+       |r0 AS MATERIALIZED (SELECT node, CAST(is_seed * 1000000000000 AS BIGINT) AS rank
        |       FROM seeded),
        |$steps
        |SELECT n.n_name AS nation, s.is_seed, r$Iters.rank
@@ -185,14 +185,14 @@ object GraphQueries {
     * ×17 ≲ 4·10¹⁴·|V|). */
   private def pagerankOracle: String = {
     val steps = (1 to Iters).map { i =>
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT e.dst AS node,
          |         SUM((r${i - 1}.rank * 17) // (20 * o.d)) AS in_sum
          |  FROM edges e
          |  JOIN outdeg o ON e.src = o.src
          |  JOIN r${i - 1} ON r${i - 1}.node = e.src
          |  GROUP BY 1),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT n.node,
          |         CAST(150000000000 + COALESCE(c$i.in_sum, 0) AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
@@ -206,7 +206,7 @@ object GraphQueries {
        |  WHERE c.c_nationkey <> s.s_nationkey),
        |outdeg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1),
        |nodes AS (SELECT n_nationkey AS node FROM nation),
-       |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes),
        |$steps
        |SELECT n.n_name AS nation, r$Iters.rank
        |FROM r$Iters JOIN nation n ON r$Iters.node = n.n_nationkey
@@ -520,7 +520,7 @@ object GraphQueries {
 
   private def kcoreOracle: String = {
     val rounds = (1 to PeelRounds).map { i =>
-      s"""d$i AS (
+      s"""d$i AS MATERIALIZED (
          |  SELECT s.src AS node, COUNT(*) AS d FROM sym s
          |  JOIN a${i - 1} x ON s.src = x.node
          |  JOIN a${i - 1} y ON s.dst = y.node
@@ -612,7 +612,7 @@ object GraphQueries {
 
   private def communitiesOracle: String = {
     val rounds = (1 to LpaRounds).map { i =>
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT src AS node, lbl FROM (
          |    SELECT s.src, p.lbl,
          |           ROW_NUMBER() OVER (PARTITION BY s.src
@@ -824,7 +824,7 @@ object GraphQueries {
        |  WHERE c.c_nationkey <> s.s_nationkey
        |  GROUP BY 1, 2),
        |nodes AS (SELECT n_nationkey AS node FROM nation),
-       |h0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS v FROM nodes),
+       |h0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS HUGEINT) AS v FROM nodes),
        |$steps
        |SELECT n.n_name AS nation,
        |       h$HitsRounds.v AS hub, a$HitsRounds.v AS authority

@@ -124,29 +124,29 @@ object MixtureBalance {
   private def ipfSql: String = {
     def round(i: Int): String = {
       val p = if (i == 1) "i0" else s"c${i - 1}"
-      s"""r$i AS (SELECT source, SUM(w * n) AS src_mass FROM $p GROUP BY 1),
-         |rs$i AS (SELECT p.source, p.lang, p.n, p.src_target, p.lang_target,
+      s"""r$i AS MATERIALIZED (SELECT source, SUM(w * n) AS src_mass FROM $p GROUP BY 1),
+         |rs$i AS MATERIALIZED (SELECT p.source, p.lang, p.n, p.src_target, p.lang_target,
          |               p.n_src, p.w * p.src_target / r.src_mass AS w
          |        FROM $p p JOIN r$i r USING (source)),
-         |l$i AS (SELECT lang, SUM(w * n) AS lang_mass FROM rs$i GROUP BY 1),
-         |c$i AS (SELECT p.source, p.lang, p.n, p.src_target, p.lang_target,
+         |l$i AS MATERIALIZED (SELECT lang, SUM(w * n) AS lang_mass FROM rs$i GROUP BY 1),
+         |c$i AS MATERIALIZED (SELECT p.source, p.lang, p.n, p.src_target, p.lang_target,
          |               p.n_src, p.w * p.lang_target / l.lang_mass AS w
          |        FROM rs$i p JOIN l$i l USING (lang))""".stripMargin
     }
-    s"""WITH cells AS (
+    s"""WITH cells AS MATERIALIZED (
        |  SELECT source, lang, CAST(COUNT(*) AS DOUBLE) AS n
        |  FROM documents GROUP BY 1, 2),
-       |tot AS (SELECT SUM(n) AS grand,
+       |tot AS MATERIALIZED (SELECT SUM(n) AS grand,
        |               COUNT(DISTINCT source) AS n_src,
        |               COUNT(DISTINCT lang) AS n_lang
        |        FROM cells),
-       |i0 AS (SELECT c.source, c.lang, c.n,
+       |i0 AS MATERIALIZED (SELECT c.source, c.lang, c.n,
        |              t.grand / t.n_src AS src_target,
        |              t.grand / t.n_lang AS lang_target,
        |              t.n_src, 1.0 AS w
        |       FROM cells c, tot t),
        |${(1 to 5).map(round).mkString(",\n")},
-       |ach AS (SELECT source, SUM(w * n) AS src_ach FROM c5 GROUP BY 1)
+       |ach AS MATERIALIZED (SELECT source, SUM(w * n) AS src_ach FROM c5 GROUP BY 1)
        |SELECT c.source, c.lang, CAST(c.n AS BIGINT) AS n_docs,
        |       ROUND(c.w, 6) AS weight,
        |       ROUND(c.w * c.n, 2) AS weighted_mass,

@@ -879,18 +879,18 @@ object MultimodalOps {
         |                CAST(hh * 16384 + ii AS BIGINT) AS k0
         |         FROM range(0, 4) t1(hh), range(0, 16) t2(ii)),
         |
-        |s1 AS (SELECT hb, i, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
-        |s2 AS (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),
-        |s3 AS (SELECT * REPLACE(CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k) FROM s2),
-        |s4 AS (SELECT *, xor(42, k) AS hv FROM s3),
-        |s5 AS (SELECT * REPLACE((((hv << 13) | (hv >> 19)) % 4294967296) AS hv) FROM s4),
-        |s6 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hv) FROM s5),
-        |s7 AS (SELECT * REPLACE(xor(hv, 4) AS hv) FROM s6),
-        |s8 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s7),
-        |s9 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS hv) FROM s8),
-        |s10 AS (SELECT * REPLACE(xor(hv, hv >> 13) AS hv) FROM s9),
-        |s11 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS hv) FROM s10),
-        |s12 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s11),
+        |s1 AS MATERIALIZED (SELECT hb, i, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
+        |s2 AS MATERIALIZED (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),
+        |s3 AS MATERIALIZED (SELECT * REPLACE(CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k) FROM s2),
+        |s4 AS MATERIALIZED (SELECT *, xor(42, k) AS hv FROM s3),
+        |s5 AS MATERIALIZED (SELECT * REPLACE((((hv << 13) | (hv >> 19)) % 4294967296) AS hv) FROM s4),
+        |s6 AS MATERIALIZED (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hv) FROM s5),
+        |s7 AS MATERIALIZED (SELECT * REPLACE(xor(hv, 4) AS hv) FROM s6),
+        |s8 AS MATERIALIZED (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s7),
+        |s9 AS MATERIALIZED (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS hv) FROM s8),
+        |s10 AS MATERIALIZED (SELECT * REPLACE(xor(hv, hv >> 13) AS hv) FROM s9),
+        |s11 AS MATERIALIZED (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS hv) FROM s10),
+        |s12 AS MATERIALIZED (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s11),
         |planes AS (SELECT hb, i,
         |                  (CASE WHEN hv < 2147483648 THEN hv % 2001
         |                        ELSE ((hv - 4294967296) % 2001 + 2001) % 2001 END) - 1000 AS w
@@ -937,18 +937,18 @@ object MultimodalOps {
         |                CAST(hh * 16384 + ii AS BIGINT) AS k0
         |         FROM range(0, 4) t1(hh), range(0, 16) t2(ii)),
         |
-        |s1 AS (SELECT hb, i, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
-        |s2 AS (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),
-        |s3 AS (SELECT * REPLACE(CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k) FROM s2),
-        |s4 AS (SELECT *, xor(42, k) AS hv FROM s3),
-        |s5 AS (SELECT * REPLACE((((hv << 13) | (hv >> 19)) % 4294967296) AS hv) FROM s4),
-        |s6 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hv) FROM s5),
-        |s7 AS (SELECT * REPLACE(xor(hv, 4) AS hv) FROM s6),
-        |s8 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s7),
-        |s9 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS hv) FROM s8),
-        |s10 AS (SELECT * REPLACE(xor(hv, hv >> 13) AS hv) FROM s9),
-        |s11 AS (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS hv) FROM s10),
-        |s12 AS (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s11),
+        |s1 AS MATERIALIZED (SELECT hb, i, CAST((CAST(k0 AS HUGEINT) * 3432918353) % 4294967296 AS BIGINT) AS k FROM dims),
+        |s2 AS MATERIALIZED (SELECT * REPLACE(((k << 15) | (k >> 17)) % 4294967296 AS k) FROM s1),
+        |s3 AS MATERIALIZED (SELECT * REPLACE(CAST((CAST(k AS HUGEINT) * 461845907) % 4294967296 AS BIGINT) AS k) FROM s2),
+        |s4 AS MATERIALIZED (SELECT *, xor(42, k) AS hv FROM s3),
+        |s5 AS MATERIALIZED (SELECT * REPLACE((((hv << 13) | (hv >> 19)) % 4294967296) AS hv) FROM s4),
+        |s6 AS MATERIALIZED (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS hv) FROM s5),
+        |s7 AS MATERIALIZED (SELECT * REPLACE(xor(hv, 4) AS hv) FROM s6),
+        |s8 AS MATERIALIZED (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s7),
+        |s9 AS MATERIALIZED (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 2246822507) % 4294967296 AS BIGINT) AS hv) FROM s8),
+        |s10 AS MATERIALIZED (SELECT * REPLACE(xor(hv, hv >> 13) AS hv) FROM s9),
+        |s11 AS MATERIALIZED (SELECT * REPLACE(CAST((CAST(hv AS HUGEINT) * 3266489909) % 4294967296 AS BIGINT) AS hv) FROM s10),
+        |s12 AS MATERIALIZED (SELECT * REPLACE(xor(hv, hv >> 16) AS hv) FROM s11),
         |planes AS (SELECT hb, i,
         |                  (CASE WHEN hv < 2147483648 THEN hv % 2001
         |                        ELSE ((hv - 4294967296) % 2001 + 2001) % 2001 END) - 1000 AS w

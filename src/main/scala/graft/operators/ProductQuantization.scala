@@ -420,26 +420,33 @@ object ProductQuantization {
     * serves appends only while new data still looks like the data it was
     * trained on; `drift_ratio` ≫ 1 in a cell says arrivals land far from
     * that centroid — the scheduled-retrain trigger a production index
-    * monitors. One assignment pass (linear, broadcast argmin); means are
-    * decimal-summed for cross-engine determinism. */
+    * monitors. ONE assignment pass (linear, broadcast argmin) and ONE
+    * cluster-keyed aggregate — base and appended means are conditional
+    * sums of the same scan, never two derivations of the assign pass
+    * (the two-aggregate form re-ran the argmin over the full corpus and
+    * doubled the query); means are decimal-summed for cross-engine
+    * determinism. Clusters with no base rows drop (the frozen index has
+    * nothing to compare against), matching the oracle. */
   def indexDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val path = ensurePq(spark, sfDir)
     val coarse = spark.read.parquet(s"$path/coarse")
     val assigned = assign(fullVec(t.embeddings), coarse)
       .select(col("vec_id"), col("code").as("cluster"), col("dist"))
-    def dmean(c: org.apache.spark.sql.Column) =
-      round((sum(c.cast(DecimalType(28, 12))) / count(lit(1)))
+      .withColumn("is_new", pmod(col("vec_id"), lit(5)) === 4)
+    // nullif keeps an empty side NULL instead of tripping ANSI div-by-zero
+    def dmean(flag: org.apache.spark.sql.Column) =
+      round((sum(when(flag, col("dist")).cast(DecimalType(28, 12))) /
+        nullif(sum(when(flag, 1L).otherwise(0L)), lit(0L)))
         .cast("double"), 8)
-    val base = assigned.where(pmod(col("vec_id"), lit(5)) =!= 4)
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_base"), dmean(col("dist")).as("base_dist"))
-    val fresh = assigned.where(pmod(col("vec_id"), lit(5)) === 4)
-      .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_new"), dmean(col("dist")).as("new_dist"))
-    base.join(fresh, Seq("cluster"), "left")
-      .select(col("cluster"), col("n_base"),
-        coalesce(col("n_new"), lit(0L)).as("n_new"),
+    assigned.groupBy(col("cluster"))
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        dmean(!col("is_new")).as("base_dist"),
+        dmean(col("is_new")).as("new_dist"))
+      .where(col("n_base") > 0)
+      .select(col("cluster"), col("n_base"), col("n_new"),
         col("base_dist"), col("new_dist"),
         round(col("new_dist") / col("base_dist"), 4).as("drift_ratio"))
       .orderBy(col("cluster"))
@@ -459,24 +466,24 @@ object ProductQuantization {
   private def lloydCtes(pfx: String, src: String, dims: String,
                         joinDims: String, keyCols: String): String = {
     def one(i: Int, prev: String): String =
-      s"""${pfx}a$i AS (
+      s"""${pfx}a$i AS MATERIALIZED (
          |  SELECT s.vec_id, $keyCols c.code,
          |         SUM((s.v - c.cv) * (s.v - c.cv)) AS dist
          |  FROM $src s JOIN $prev c ON $joinDims
          |  GROUP BY ALL),
-         |${pfx}b$i AS (
+         |${pfx}b$i AS MATERIALIZED (
          |  SELECT * EXCLUDE (rn, dist)
          |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id$dims
          |                                     ORDER BY dist ASC, code ASC) AS rn
          |        FROM ${pfx}a$i)
          |  WHERE rn = 1),
-         |${pfx}m$i AS (
+         |${pfx}m$i AS MATERIALIZED (
          |  SELECT $keyCols b.code, s.d,
          |         CAST(SUM(CAST(s.v AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS cv
          |  FROM ${pfx}b$i b JOIN $src s
          |    ON s.vec_id = b.vec_id${if (pfx == "f") "" else " AND s.j = b.j"}
          |  GROUP BY ALL),
-         |${pfx}cb$i AS (
+         |${pfx}cb$i AS MATERIALIZED (
          |  SELECT p.* EXCLUDE (cv), COALESCE(m.cv, p.cv) AS cv
          |  FROM $prev p LEFT JOIN ${pfx}m$i m
          |    ON m.code = p.code AND m.d = p.d${if (pfx == "f") "" else " AND m.j = p.j"})"""
@@ -496,7 +503,7 @@ object ProductQuantization {
        |  SELECT vec_id, (generate_subscripts(embedding, 1) - 1) AS d,
        |         CAST(UNNEST(embedding) AS DOUBLE) AS v
        |  FROM embeddings),
-       |fcb0 AS (
+       |fcb0 AS MATERIALIZED (
        |  SELECT CAST(vec_id AS INT) AS code, d, v AS cv FROM fv WHERE vec_id < $CoarseK),
        |${lloydCtes("f", "fv", "", "s.d = c.d", "")},
        |clusterof AS (
@@ -515,7 +522,7 @@ object ProductQuantization {
          |         (generate_subscripts(embedding, 1) - 1) % $DSub AS d,
          |         CAST(UNNEST(embedding) AS DOUBLE) AS v
          |  FROM embeddings),
-         |cb0 AS (
+         |cb0 AS MATERIALIZED (
          |  SELECT j, CAST(vec_id AS INT) AS code, d, v AS cv
          |  FROM sv WHERE vec_id < $K),
          |${lloydCtes("", "sv", ", j", "s.j = c.j AND s.d = c.d", "s.j,")}"""

@@ -347,7 +347,8 @@ object Profiling {
     * I/O (parquet row-group stats, Delta/Iceberg file stats, ClickHouse
     * marks: all the same mechanism). Two candidate zonings of lineitem
     * are profiled against three ship-date range predicates: `arrival`
-    * zones (4096 consecutive orderkeys — the order data lands in) and
+    * zones (512 consecutive orderkeys — the order data lands in; 512
+    * keeps multiple zones alive even at sf0.001's 1500-key span) and
     * `time` zones (calendar month of the ship date — what re-clustering
     * by event time would give). Per (layout, predicate): zones scanned
     * after min/max pruning, rows read vs rows actually matching, and the
@@ -355,9 +356,12 @@ object Profiling {
     * re-cluster decision needs. Day strings compare lexicographically,
     * so min/max/bounds are engine-portable; everything else is exact
     * integers.
-    * Scale: one keyed aggregate per layout over the fact (map-side
-    * combine, zone-domain-bounded output); the predicate fan-out is a
-    * 3-way union over ZONE rows. */
+    * Scale: ONE pass over the fact for BOTH layouts — each row explodes
+    * into its two (layout, zone) keys and a single keyed aggregate (map-
+    * side combine, zone-domain-bounded output) profiles them together;
+    * the per-layout formulation would scan the fact twice for the same
+    * answer (the round-11 10× probe read that as a 6.2× cold ratio). The
+    * predicate fan-out is a 3-way explode over ZONE rows. */
   def zoneMapAdvisor(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val f = t.lineitem.select(col("l_orderkey"),
@@ -366,39 +370,41 @@ object Profiling {
       ("1997-01 month", "1997-01-01", "1997-01-31"),
       ("1997-H1 half", "1997-01-01", "1997-06-30"),
       ("1997 year", "1997-01-01", "1997-12-31"))
-    def layout(name: String, zone: Column): DataFrame = {
-      val aggs = Seq(min(col("d")).as("lo"), max(col("d")).as("hi"),
-        count(lit(1)).as("n")) ++
-        preds.zipWithIndex.map { case ((_, a, b), i) =>
-          sum(when(col("d").between(a, b), 1L).otherwise(0L)).as(s"m$i")
-        }
-      val zones = f.groupBy(zone.as("z")).agg(aggs.head, aggs.tail: _*)
-      // predicate fan-out over ZONE rows (domain-bounded) — the fact is
-      // aggregated exactly once per layout
-      val perPred = zones.select(col("lo"), col("hi"), col("n"),
-        posexplode(array(col("m0"), col("m1"), col("m2")))
-          .as(Seq("pi", "m")))
-        .withColumn("predicate",
-          element_at(array(preds.map(p => lit(p._1)): _*), col("pi") + 1))
-        .withColumn("pa",
-          element_at(array(preds.map(p => lit(p._2)): _*), col("pi") + 1))
-        .withColumn("pb",
-          element_at(array(preds.map(p => lit(p._3)): _*), col("pi") + 1))
-        .withColumn("scanned", !(col("hi") < col("pa") || col("lo") > col("pb")))
-      perPred.groupBy(col("predicate"))
-        .agg(count(lit(1)).as("zones_total"),
-          sum(when(col("scanned"), 1L).otherwise(0L)).as("zones_scanned"),
-          sum(col("n")).as("rows_total"),
-          sum(when(col("scanned"), col("n")).otherwise(0L)).as("rows_scanned"),
-          sum(col("m")).as("rows_matching"))
-        .select(lit(name).as("layout"), col("predicate"),
-          col("zones_total"), col("zones_scanned"), col("rows_total"),
-          col("rows_scanned"), col("rows_matching"),
-          expr("((zones_total - zones_scanned) * 1000) div zones_total")
-            .cast("long").as("skip_permille"))
-    }
-    layout("arrival_orderkey", expr("l_orderkey div 512"))
-      .unionByName(layout("time_month", substring(col("d"), 1, 7)))
+    val aggs = Seq(min(col("d")).as("lo"), max(col("d")).as("hi"),
+      count(lit(1)).as("n")) ++
+      preds.zipWithIndex.map { case ((_, a, b), i) =>
+        sum(when(col("d").between(a, b), 1L).otherwise(0L)).as(s"m$i")
+      }
+    // zone keys are strings so both layouts share one grouping column
+    val zones = f.select(col("d"), explode(array(
+        struct(lit("arrival_orderkey").as("layout"),
+          expr("l_orderkey div 512").cast("string").as("z")),
+        struct(lit("time_month").as("layout"),
+          substring(col("d"), 1, 7).as("z")))).as("lz"))
+      .select(col("lz.layout").as("layout"), col("lz.z").as("z"), col("d"))
+      .groupBy(col("layout"), col("z")).agg(aggs.head, aggs.tail: _*)
+    // predicate fan-out over ZONE rows (domain-bounded)
+    val perPred = zones.select(col("layout"), col("lo"), col("hi"), col("n"),
+      posexplode(array(col("m0"), col("m1"), col("m2")))
+        .as(Seq("pi", "m")))
+      .withColumn("predicate",
+        element_at(array(preds.map(p => lit(p._1)): _*), col("pi") + 1))
+      .withColumn("pa",
+        element_at(array(preds.map(p => lit(p._2)): _*), col("pi") + 1))
+      .withColumn("pb",
+        element_at(array(preds.map(p => lit(p._3)): _*), col("pi") + 1))
+      .withColumn("scanned", !(col("hi") < col("pa") || col("lo") > col("pb")))
+    perPred.groupBy(col("layout"), col("predicate"))
+      .agg(count(lit(1)).as("zones_total"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("zones_scanned"),
+        sum(col("n")).as("rows_total"),
+        sum(when(col("scanned"), col("n")).otherwise(0L)).as("rows_scanned"),
+        sum(col("m")).as("rows_matching"))
+      .select(col("layout"), col("predicate"),
+        col("zones_total"), col("zones_scanned"), col("rows_total"),
+        col("rows_scanned"), col("rows_matching"),
+        expr("((zones_total - zones_scanned) * 1000) div zones_total")
+          .cast("long").as("skip_permille"))
       .orderBy(col("layout"), col("predicate"))
   }
 
@@ -452,8 +458,12 @@ object Profiling {
     * join correctly; a large error flags the join where a planner needs
     * histograms instead. Estimates cross-multiply on DECIMAL(38,0)/
     * HUGEINT (|L|·|R| overflows a long at warehouse scale).
-    * Scale: per join, two single-pass stat aggregates + one keyed join
-    * count — exactly the work ANALYZE + one calibration query costs. */
+    * Scale: per join, two single-pass stat aggregates, and the TRUE
+    * cardinality as Σₖ cnt_L(k)·cnt_R(k) over per-key count aggregates —
+    * two keyed aggregates plus a key-domain-sized join, NEVER the
+    * materialized join itself (the nation probe is many-to-many:
+    * materializing it would emit ~|C|·|S|/25 rows at warehouse scale
+    * to count and throw away). Exactly the work ANALYZE costs. */
   def joinCardinalityEstimates(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     def probe(name: String, left: DataFrame, lk: String,
@@ -462,9 +472,12 @@ object Profiling {
         countDistinct(col(lk)).as("ndv_left"))
       val rs = right.agg(count(lit(1)).as("n_right"),
         countDistinct(col(rk)).as("ndv_right"))
-      val actual = left.select(col(lk).as("k"))
-        .join(right.select(col(rk).as("k")), Seq("k"))
-        .agg(count(lit(1)).as("actual_rows"))
+      val actual = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+        .join(right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr")),
+          Seq("k"))
+        .agg(coalesce(
+          sum(col("cl").cast(DecimalType(38, 0)) * col("cr")), lit(0))
+          .cast("long").as("actual_rows"))
       ls.crossJoin(rs).crossJoin(actual)
         .withColumn("est_rows",
           expr("""CAST(CAST(n_left AS DECIMAL(38,0)) * n_right
@@ -505,7 +518,12 @@ object Profiling {
          |           (SELECT COUNT(DISTINCT $lk) FROM $lt) AS ndv_left,
          |           (SELECT COUNT(*) FROM $rt) AS n_right,
          |           (SELECT COUNT(DISTINCT $rk) FROM $rt) AS ndv_right,
-         |           (SELECT COUNT(*) FROM $lt l JOIN $rt r ON l.$lk = r.$rk)
+         |           (SELECT CAST(COALESCE(SUM(CAST(cl AS HUGEINT) * cr), 0)
+         |                        AS BIGINT)
+         |            FROM (SELECT $lk AS k, COUNT(*) AS cl
+         |                  FROM $lt GROUP BY 1) l
+         |            JOIN (SELECT $rk AS k, COUNT(*) AS cr
+         |                  FROM $rt GROUP BY 1) r USING (k))
          |             AS actual_rows))""".stripMargin
     Seq(
       one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

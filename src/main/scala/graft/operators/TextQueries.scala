@@ -597,19 +597,24 @@ object TextQueries {
 
   def textrankKeywords(spark: SparkSession, sfDir: String): DataFrame = {
     val g = wordCooccurrence(spark, sfDir)
-    val nodes = g.select(col("u").as("node")).distinct()
-    var ranks = nodes.withColumn("rank", lit(1000000000000L))
+    // No dangling nodes by construction: the co-occurrence fold is
+    // SYMMETRIC (u,v and v,u both present), so every node receives at
+    // least one contribution each round — the defensive per-round
+    // left-join back to the node set would be a no-op shuffle. The rank
+    // state is vocab-bounded (KB–MB at any corpus size), so each round
+    // is ONE broadcast join against the persisted edge table + one
+    // vocab-keyed aggregate — one shuffle per round.
+    var ranks = g.select(col("u").as("node")).distinct()
+      .withColumn("rank", lit(1000000000000L))
     for (_ <- 1 to 5) {
-      val contrib = g
-        .join(ranks, col("u") === col("node"))
+      ranks = g
+        .join(broadcast(ranks), col("u") === col("node"))
         .select(col("v").as("node"),
           expr("(CAST(rank AS DECIMAL(38,0)) * 17 * w) div (20 * s)")
             .as("cb"))
-      ranks = nodes
-        .join(contrib.groupBy(col("node")).agg(sum(col("cb")).as("in_sum")),
-          Seq("node"), "left")
+        .groupBy(col("node")).agg(sum(col("cb")).as("in_sum"))
         .select(col("node"),
-          (lit(150000000000L) + coalesce(col("in_sum"), lit(0L))).as("rank"))
+          (lit(150000000000L) + col("in_sum")).as("rank"))
     }
     ranks
       .select(col("node").as("term"), col("rank"))
@@ -650,7 +655,7 @@ object TextQueries {
        |  GROUP BY 1, 2),
        |st AS MATERIALIZED (SELECT u, SUM(w) AS s FROM und GROUP BY 1),
        |nodes AS MATERIALIZED (SELECT u AS node FROM st),
-       |r0 AS (SELECT node, CAST(1000000000000 AS HUGEINT) AS rank FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS HUGEINT) AS rank FROM nodes),
        |$rounds
        |SELECT node AS term, CAST(rank AS BIGINT) AS rank
        |FROM r5 ORDER BY rank DESC, term LIMIT 20""".stripMargin

@@ -346,21 +346,29 @@ object TimeSeriesQueries {
     * scale. Day 1 has no history and drops out of the inner join. */
   def ewmaAnomalies(spark: SparkSession, sfDir: String): DataFrame = {
     val ser = dailyRevenueSeries(spark, sfDir)
+    // Every cross-multiply rides DECIMAL(38,0) (HUGEINT in the oracle):
+    // x·1000·norm ≈ x·2³⁰ would wrap Int64 once daily revenue passes
+    // ~8.8e9 cents (~TPC-H SF1) — Spark wraps silently, DuckDB errors,
+    // and either way the exact cross-engine contract breaks. The ACF
+    // query above set the pattern; this chart now matches it.
+    val xd = col("x").cast(DecimalType(38, 0))
     val pred = ser
       .select(col("i"), col("x"), explode(sequence(lit(1), lit(20))).as("age"))
       .select((col("i") + col("age")).as("tgt"),
-        expr("x * shiftleft(CAST(1 AS BIGINT), 20 - age)").as("wx"),
+        (xd * expr("shiftleft(CAST(1 AS BIGINT), 20 - age)")).as("wx"),
         expr("shiftleft(CAST(1 AS BIGINT), 20 - age)").as("w"))
       .groupBy(col("tgt"))
-      .agg(sum(col("wx")).as("sw"), sum(col("w")).as("norm"))
+      .agg(sum(col("wx")).cast(DecimalType(38, 0)).as("sw"),
+        sum(col("w")).as("norm"))
+    val high = xd * 2 * col("norm") > col("sw") * 3
+    val low = xd * 2 * col("norm") < col("sw")
     ser.join(pred, col("i") === col("tgt"))
-      .where(col("x") * 2 * col("norm") > col("sw") * 3 ||
-        col("x") * 2 * col("norm") < col("sw"))
+      .where(high || low)
       .select(col("d").as("day"), col("x").as("revenue_cents"),
         expr("(sw * 1000) div norm").cast("long").as("ewma_milli"),
-        expr("(x * 1000 * norm) div sw").cast("long").as("ratio_milli"),
-        when(col("x") * 2 * col("norm") > col("sw") * 3, "high")
-          .otherwise("low").as("direction"))
+        expr("(CAST(x AS DECIMAL(38,0)) * 1000 * norm) div sw").cast("long")
+          .as("ratio_milli"),
+        when(high, "high").otherwise("low").as("direction"))
       .orderBy(col("day"))
   }
 
@@ -385,7 +393,8 @@ object TimeSeriesQueries {
       s"""WITH $dailySeriesSql,
          |contrib AS (
          |  SELECT s.i + a.age AS tgt,
-         |         s.x * (CAST(1 AS BIGINT) << (20 - a.age)) AS wx,
+         |         CAST(s.x AS HUGEINT) * (CAST(1 AS BIGINT) << (20 - a.age))
+         |           AS wx,
          |         CAST(1 AS BIGINT) << (20 - a.age) AS w
          |  FROM ser s
          |  CROSS JOIN (SELECT UNNEST(range(1, 21)) AS age) a),
@@ -393,11 +402,13 @@ object TimeSeriesQueries {
          |         FROM contrib GROUP BY 1)
          |SELECT ser.d AS day, ser.x AS revenue_cents,
          |       CAST((p.sw * 1000) // p.norm AS BIGINT) AS ewma_milli,
-         |       CAST((ser.x * 1000 * p.norm) // p.sw AS BIGINT) AS ratio_milli,
-         |       CASE WHEN ser.x * 2 * p.norm > p.sw * 3 THEN 'high'
-         |            ELSE 'low' END AS direction
+         |       CAST((CAST(ser.x AS HUGEINT) * 1000 * p.norm) // p.sw
+         |            AS BIGINT) AS ratio_milli,
+         |       CASE WHEN CAST(ser.x AS HUGEINT) * 2 * p.norm > p.sw * 3
+         |            THEN 'high' ELSE 'low' END AS direction
          |FROM ser JOIN pred p ON ser.i = p.tgt
-         |WHERE ser.x * 2 * p.norm > p.sw * 3 OR ser.x * 2 * p.norm < p.sw
+         |WHERE CAST(ser.x AS HUGEINT) * 2 * p.norm > p.sw * 3
+         |   OR CAST(ser.x AS HUGEINT) * 2 * p.norm < p.sw
          |ORDER BY 1""".stripMargin)),
     NamedQuery("q_ts_inflight_per_day", inflightPerDay, Some(
       """WITH li AS (

@@ -25,37 +25,45 @@ import graft.operators.{Components, MultimodalOps}
   *
   * Scale contract: per-batch work scales with |batch| · band fan-in — the
   * store is probed by band equi-join (at 100 TB a table bucketed by band)
-  * and the verify touches 8-byte hashes, never pixels. Appends are
-  * per-batch parquet writes (at-least-once; a replayed batch re-appends
-  * hashes the store's own screen absorbs semantically — the text twin's
-  * documented residue).
+  * and the verify touches 8-byte hashes, never pixels.
+  *
+  * Replay contract (exactly-once landing): both sinks write to a
+  * batchId-keyed partition (`kept/batch=N`, `hashes/batch=N`) with
+  * OVERWRITE, so a replayed batch — whether it failed before, between, or
+  * after the two writes — rewrites exactly its own partitions and leaves
+  * no duplicate rows. The store probe excludes the in-flight batch's own
+  * partition: a replay whose previous attempt already landed its hashes
+  * would otherwise self-match and drop every keeper.
   */
 object StreamingImagePhash {
 
   def hashesPath(root: String) = s"$root/hashes"
   def keptPath(root: String) = s"$root/kept"
 
-  /** Kept (landed) images so far. */
+  /** Kept (landed) images so far (the batch bookkeeping column dropped). */
   def keptImages(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
-    spark.read.parquet(keptPath(root))
+    spark.read.parquet(keptPath(root)).drop("batch")
 
   /** Wire a streaming (media_id, payload) source through the filter. */
   def start(images: DataFrame, root: String, checkpoint: String): StreamingQuery =
     images.writeStream
-      .foreachBatch((batch: DataFrame, _: Long) => processBatch(batch, root))
+      .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, root))
       .option("checkpointLocation", checkpoint)
       .start()
 
   /** One micro-batch through the filter: hash → probe store → in-batch
-    * components → land keepers + append their hashes. Static-DataFrame
-    * logic (testable, backfill-reusable); stage outputs are
+    * components → land keepers + their hashes, both into batchId-keyed
+    * overwrite partitions (see the replay contract above). Static-
+    * DataFrame logic (testable, backfill-reusable); stage outputs are
     * localCheckpointed for the same lineage-truncation reasons as the
     * text twin — the streaming checkpoint is the recovery contract. */
-  def processBatch(batch: DataFrame, root: String): Unit = {
+  def processBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
     val spark = batch.sparkSession
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readOr(path: String, template: DataFrame): DataFrame =
-      if (fs.exists(new Path(path))) spark.read.parquet(path)
+      if (fs.exists(new Path(path)))
+        spark.read.parquet(path)
+          .where(col("batch") =!= batchId).drop("batch")
       else template.limit(0)
 
     val hashes = MultimodalOps.phashFrame(batch).localCheckpoint(true)
@@ -92,10 +100,11 @@ object StreamingImagePhash {
       .select(col("id").as("media_id"))
     val kept = survivors.join(nonCanonical, Seq("media_id"), "left_anti")
 
-    // 3. land keepers + append their hashes to the store
+    // 3. land keepers + their hashes into this batch's own partitions —
+    // overwrite, so a replay rewrites them instead of duplicating
     batch.join(kept, Seq("media_id"), "left_semi")
-      .write.mode("append").parquet(keptPath(root))
+      .write.mode("overwrite").parquet(s"${keptPath(root)}/batch=$batchId")
     hashes.join(kept, Seq("media_id"), "left_semi")
-      .write.mode("append").parquet(hashesPath(root))
+      .write.mode("overwrite").parquet(s"${hashesPath(root)}/batch=$batchId")
   }
 }

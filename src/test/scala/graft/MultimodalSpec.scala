@@ -33,6 +33,16 @@ class MultimodalSpec extends SparkSpec {
     // not an IndexOutOfBoundsException from the kind table lookup
     val badKind = ok.clone(); badKind(5) = 3
     intercept[IllegalArgumentException](Grft1.unpack(badKind))
+    // width <= 0 must fail as a codec-level message, not as a bare
+    // grouped()/division error downstream (width drives frame slicing)
+    for (w <- Seq(0, -1)) {
+      val badWidth = Grft1.pack(0, 32, 16, 8000, "body".getBytes)
+      badWidth(6) = (w & 0xff).toByte; badWidth(7) = ((w >> 8) & 0xff).toByte
+      badWidth(8) = ((w >> 16) & 0xff).toByte
+      badWidth(9) = ((w >> 24) & 0xff).toByte
+      val e = intercept[IllegalArgumentException](Grft1.unpack(badWidth))
+      assert(e.getMessage.contains("non-positive width"))
+    }
   }
 
   test("media synthesis: containers carry the exact source bytes and declared header") {
@@ -185,6 +195,14 @@ class MultimodalSpec extends SparkSpec {
       .where(octet_length(col("text")) =!= length(col("text")))
       .count()
     assert(nonAscii == 0, s"$nonAscii non-ASCII documents break the byte-wise oracles")
+
+    // negative control: the detector actually fires on non-ASCII text —
+    // a multi-byte codepoint makes octet_length exceed length
+    val planted = Seq((1L, "plain ascii"), (2L, "café"), (3L, "中文"))
+      .toDF("doc_id", "text")
+      .where(octet_length(col("text")) =!= length(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(planted == Set(2L, 3L), s"detector missed non-ASCII rows: $planted")
   }
 
   test("thumbnail IVF curve: persisted index, recall monotone, all-buckets = 1.0") {

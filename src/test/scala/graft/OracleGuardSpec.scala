@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static guard for the oracle-runtime failure class that darkened the
+  * driver's correctness gate in rounds 10–11: DuckDB inlines CTEs by
+  * default, so an iterative oracle unrolled as chained round-CTEs
+  * (`w1..wN` / `v1..vN` / `r1..rN`, each referencing its predecessor more
+  * than once) re-evaluates its base EXPONENTIALLY — q_embed_top_direction's
+  * dim² covariance self-join ran >56 CPU-minutes at sf0.01 until every CTE
+  * was marked `AS MATERIALIZED` (then: 0.78 s, hash-exact).
+  *
+  * Rule enforced here, mechanically, over every registered oracle: any CTE
+  * whose name is part of a ROUND CHAIN (same alphabetic stem with two or
+  * more distinct numeric suffixes, e.g. v1/v2/.../v5) must be declared
+  * `AS MATERIALIZED`. One-off numbered names (a lone `t1`) don't chain and
+  * are exempt. The runtime twin of this guard is tools/time_oracles.py,
+  * which executes every oracle in DuckDB at sf0.001 under a hard per-query
+  * wall cap.
+  */
+class OracleGuardSpec extends AnyFunSuite {
+
+  /** CTE definitions: (stem, suffix, materialized). Matches `name AS (`
+    * and `name AS MATERIALIZED (`; column/table aliases never carry the
+    * trailing `AS ... (`, so they don't match. */
+  private val cteDef =
+    raw"""(?i)\b([a-z_]+)(\d+)\s+AS\s+(MATERIALIZED\s+)?\(""".r
+
+  /** Round-chain CTEs that are NOT materialized, for one SQL text. */
+  private[graft] def unmaterializedChains(sql: String): Seq[String] = {
+    val defs = cteDef.findAllMatchIn(sql).map { m =>
+      (m.group(1), m.group(2), m.group(3) != null)
+    }.toSeq
+    val chained = defs.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+    chained.values.flatten.collect {
+      case (stem, n, false) => s"$stem$n"
+    }.toSeq.sorted
+  }
+
+  test("detector flags a deliberately un-materialized round chain") {
+    val bad =
+      """WITH base AS (SELECT 1 AS x),
+        |w1 AS (SELECT x + 1 AS x FROM base),
+        |n1 AS (SELECT SUM(x) AS s FROM w1),
+        |w2 AS (SELECT w.x / n.s AS x FROM w1 w, n1 n),
+        |n2 AS (SELECT SUM(x) AS s FROM w2)
+        |SELECT * FROM w2, n2""".stripMargin
+    assert(unmaterializedChains(bad) == Seq("n1", "n2", "w1", "w2"))
+  }
+
+  test("detector exempts lone numbered names and materialized chains") {
+    val ok =
+      """WITH t1 AS (SELECT 1 AS x),
+        |w1 AS MATERIALIZED (SELECT x FROM t1),
+        |w2 AS MATERIALIZED (SELECT x FROM w1)
+        |SELECT * FROM w2""".stripMargin
+    assert(unmaterializedChains(ok).isEmpty)
+  }
+
+  test("every registered oracle's round-chain CTEs are AS MATERIALIZED") {
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) =>
+        val bad = unmaterializedChains(sql)
+        if (bad.nonEmpty) Some(s"$name: ${bad.mkString(", ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"\nun-materialized round-chain CTEs (DuckDB would inline these " +
+        s"exponentially):\n  ${offenders.mkString("\n  ")}")
+  }
+}

@@ -89,10 +89,37 @@ class StreamingImagePhashSpec extends SparkSpec {
     assert(keptIds == Set(1L, 3L, 5L, 7L))
 
     // the store holds hashes for keepers only, and they equal the codec's
-    val stored = spark.read.parquet(StreamingImagePhash.hashesPath(root))
-      .as[(Long, Long)].collect().toMap
+    def storedHashes: Map[Long, Long] =
+      spark.read.parquet(StreamingImagePhash.hashesPath(root))
+        .select("media_id", "phash").as[(Long, Long)].collect().toMap
+    val stored = storedHashes
     assert(stored.keySet == keptIds)
     assert(stored(1L) == hashOf(textA) && stored(3L) == hashOf(textB) &&
       stored(5L) == hashOf(textC) && stored(7L) == hashOf(textD))
+
+    // replay idempotency: re-running an already-committed batch (same
+    // batchId — the crash-after-both-writes case, where the previous
+    // attempt's hashes are ALREADY in the store) must neither duplicate
+    // keepers nor self-match them away
+    val batch3 = Seq(6L -> pay(textNear), 7L -> pay(textD))
+      .toDF("media_id", "payload")
+    val lastBatchId = 2L // three batches ran: ids 0, 1, 2
+    StreamingImagePhash.processBatch(batch3, lastBatchId, root)
+    assert(keptIds == Set(1L, 3L, 5L, 7L))
+    val keptRows = StreamingImagePhash.keptImages(spark, root).count()
+    assert(keptRows == 4L, s"replay duplicated keeper rows: $keptRows")
+    assert(storedHashes == stored)
+
+    // crash BETWEEN the two writes (kept/batch=2 landed, hashes/batch=2
+    // didn't): delete the hash partition, replay — still no duplicates,
+    // and the hash partition is restored
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"${StreamingImagePhash.hashesPath(root)}/batch=$lastBatchId"), true)
+    StreamingImagePhash.processBatch(batch3, lastBatchId, root)
+    assert(keptIds == Set(1L, 3L, 5L, 7L))
+    assert(StreamingImagePhash.keptImages(spark, root).count() == 4L)
+    assert(storedHashes == stored)
   }
 }

@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [artifactJson]
+
+With a third arg, also writes a driver-shaped correctness artifact (one
+entry per query DIRECTORY in <verifyOutDir>, including rows-only queries
+that ship no oracle SQL) — the builder-side CORRECTNESS_local_rN.json.
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over <sfDir>/<table>.parquet views,
@@ -40,10 +44,12 @@ def values_equal(a, b) -> bool:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    artifact_path = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    artifact = {}
     n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -58,6 +64,10 @@ def main():
                     values_equal(s.iat[i, j], d.iat[i, j])
                     for i in range(len(s)) for j in range(len(s.columns)))
             status = "OK " if (ok_rows and ok_cols and ok_vals) else "FAIL"
+            artifact[name] = {
+                "rows_match": ok_rows, "schema_match": ok_cols,
+                "hash_match": bool(ok_rows and ok_cols and ok_vals),
+                "spark_rows": len(s), "oracle_rows": len(d), "err": None}
             if status == "FAIL":
                 n_fail += 1
             print(f"[{status}] {name}: rows {len(s)}/{len(d)} cols ok={ok_cols} vals ok={ok_vals}")
@@ -76,8 +86,28 @@ def main():
                 print(f"    duck  cols: {list(d.columns)}")
         except Exception as e:
             n_fail += 1
+            artifact[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(e)}
             print(f"[ERR ] {name}: {e}")
     print(f"\n{len(oracle) - n_fail}/{len(oracle)} queries match")
+    if artifact_path:
+        # rows-only queries: a dumped result dir with no oracle SQL
+        import os
+        for name in sorted(os.listdir(out_dir)):
+            if name == "oracle_sql.json" or name in artifact:
+                continue
+            try:
+                n = len(pd.read_parquet(f"{out_dir}/{name}"))
+            except Exception:
+                continue
+            artifact[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": n, "oracle_rows": None, "err": "no_oracle"}
+        with open(artifact_path, "w") as f:
+            json.dump(artifact, f, indent=2, sort_keys=True)
+        print(f"wrote {artifact_path} ({len(artifact)} entries)")
     sys.exit(1 if n_fail else 0)
 
 

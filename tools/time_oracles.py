@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Per-oracle DuckDB runtime gate — the runtime twin of OracleGuardSpec.
+
+Runs every SQL in <outDir>/oracle_sql.json (written by graft.Verify) against
+the parquet tables in <sfDir>, each in its OWN subprocess with a hard wall cap
+(default 10 s at sf0.001, use ~25 s at sf0.01). Exits non-zero if any oracle
+breaches the cap or errors — a pathological oracle (e.g. an un-materialized
+CTE chain that DuckDB inlines exponentially) fails HERE, loudly, instead of
+hanging the driver's round gate for 56 CPU-minutes.
+
+Usage: python3 tools/time_oracles.py <sfDir> <verifyOutDir> [capSeconds]
+Dev-only tooling — NOT part of the shipped Scala library.
+"""
+import json
+import multiprocessing as mp
+import sys
+import time
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def run_one(sf_dir: str, sql: str, q):
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    try:
+        con.execute(sql).fetchall()
+        q.put("ok")
+    except Exception as e:  # noqa: BLE001 — report, don't crash the gate
+        q.put(f"error: {e}")
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    cap = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracle.items()):
+        q = mp.Queue()
+        p = mp.Process(target=run_one, args=(sf_dir, sql, q))
+        t0 = time.monotonic()
+        p.start()
+        p.join(cap)
+        dt = time.monotonic() - t0
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            failures.append(f"{name}: TIMEOUT >{cap:.0f}s")
+            print(f"[TIMEOUT] {name}: >{cap:.0f}s", flush=True)
+            continue
+        status = q.get() if not q.empty() else "error: no result"
+        if status != "ok":
+            failures.append(f"{name}: {status}")
+            print(f"[FAIL] {name}: {status} ({dt:.2f}s)", flush=True)
+        else:
+            print(f"[OK ] {name}: {dt:.2f}s", flush=True)
+    print(f"\n{len(oracle) - len(failures)}/{len(oracle)} oracles "
+          f"within {cap:.0f}s cap")
+    if failures:
+        print("FAILURES:\n  " + "\n  ".join(failures))
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
