@@ -458,26 +458,35 @@ object Profiling {
     * join correctly; a large error flags the join where a planner needs
     * histograms instead. Estimates cross-multiply on DECIMAL(38,0)/
     * HUGEINT (|L|·|R| overflows a long at warehouse scale).
-    * Scale: per join, two single-pass stat aggregates, and the TRUE
-    * cardinality as Σₖ cnt_L(k)·cnt_R(k) over per-key count aggregates —
-    * two keyed aggregates plus a key-domain-sized join, NEVER the
-    * materialized join itself (the nation probe is many-to-many:
-    * materializing it would emit ~|C|·|S|/25 rows at warehouse scale
-    * to count and throw away). Exactly the work ANALYZE costs. */
+    * Scale, per join shape: FK probes (PK side distinct) count the
+    * materialized equi-join — it emits exactly |FK side| rows, the PK
+    * side is dimension-sized and broadcasts, so the count is one fact
+    * scan with zero shuffle; the MANY-TO-MANY nation probe instead
+    * derives the true cardinality as Σₖ cnt_L(k)·cnt_R(k) over per-key
+    * count aggregates — materializing THAT join would emit ~|C|·|S|/25
+    * rows at warehouse scale to count and throw away. Either way,
+    * exactly the work ANALYZE costs. */
   def joinCardinalityEstimates(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     def probe(name: String, left: DataFrame, lk: String,
-              right: DataFrame, rk: String): DataFrame = {
+              right: DataFrame, rk: String,
+              manyToMany: Boolean = false): DataFrame = {
       val ls = left.agg(count(lit(1)).as("n_left"),
         countDistinct(col(lk)).as("ndv_left"))
       val rs = right.agg(count(lit(1)).as("n_right"),
         countDistinct(col(rk)).as("ndv_right"))
-      val actual = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
-        .join(right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr")),
-          Seq("k"))
-        .agg(coalesce(
-          sum(col("cl").cast(DecimalType(38, 0)) * col("cr")), lit(0))
-          .cast("long").as("actual_rows"))
+      val actual =
+        if (manyToMany)
+          left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+            .join(right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr")),
+              Seq("k"))
+            .agg(coalesce(
+              sum(col("cl").cast(DecimalType(38, 0)) * col("cr")), lit(0))
+              .cast("long").as("actual_rows"))
+        else
+          left.select(col(lk).as("k"))
+            .join(right.select(col(rk).as("k")), Seq("k"))
+            .agg(count(lit(1)).as("actual_rows"))
       ls.crossJoin(rs).crossJoin(actual)
         .withColumn("est_rows",
           expr("""CAST(CAST(n_left AS DECIMAL(38,0)) * n_right
@@ -498,7 +507,8 @@ object Profiling {
       .unionByName(
         probe("lineitem_part", t.lineitem, "l_partkey", t.part, "p_partkey"))
       .unionByName(probe("customer_supplier_nation",
-        t.customer, "c_nationkey", t.supplier, "s_nationkey"))
+        t.customer, "c_nationkey", t.supplier, "s_nationkey",
+        manyToMany = true))
       .orderBy(col("join_name"))
   }
 

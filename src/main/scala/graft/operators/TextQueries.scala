@@ -249,34 +249,35 @@ object TextQueries {
     * pipeline which sources are re-crawls/mirrors of each other before
     * any pairwise doc comparison is attempted.
     *
-    * Scale: DISTINCT (source, shingle-fingerprint) is one keyed shuffle;
-    * the self-join is keyed on the fingerprint with fan-out bounded by the
-    * number of SOURCES carrying that shingle (≤ #sources, a constant) —
-    * never by document count. Shingles assemble via lead() windows
-    * (doc_id-partitioned, codegen'd); the fingerprint is md5 so the oracle
-    * reproduces it exactly — the production variant would key on
-    * `graft_shingle_hashes` 8-byte hashes (DedupQueries) to narrow the
-    * shuffle 4×. */
+    * Scale: ONE corpus-keyed shuffle total. Shingles assemble as a
+    * per-row array transform (slice windows over the token array — no
+    * posexplode, no doc-partitioned sort), then a single groupBy(fp)
+    * collects each shingle's SOURCE SET — bounded by #sources, a
+    * constant — and the pair matrix explodes from those sets in-row.
+    * The earlier distinct + fp self-join formulation paid three
+    * corpus-sized shuffles for the same answer. The fingerprint is md5
+    * so the oracle reproduces it exactly — the production variant would
+    * key on `graft_shingle_hashes` 8-byte hashes (DedupQueries) to
+    * narrow the shuffle 4×. */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val t = Tpch(spark, sfDir)
-    val tok = t.documents
-      .select(col("doc_id"), col("source"), posexplode(toks).as(Seq("pos", "token")))
-      .where(col("token") =!= "")
-    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shingled = tok
-      .withColumn("t1", lead(col("token"), 1).over(byPos))
-      .withColumn("t2", lead(col("token"), 2).over(byPos))
-      .withColumn("t3", lead(col("token"), 3).over(byPos))
-      .withColumn("t4", lead(col("token"), 4).over(byPos))
-      .where(col("t4").isNotNull)
-      .select(col("source"),
-        md5(concat_ws(" ", col("token"), col("t1"), col("t2"), col("t3"),
-          col("t4"))).as("fp"))
-      .distinct()
-    shingled.select(col("fp"), col("source").as("source_a"))
-      .join(shingled.select(col("fp"), col("source").as("source_b")), "fp")
-      .where(col("source_a") < col("source_b"))
+    val shingles = t.documents
+      .withColumn("tk", filter(toks, x => x =!= ""))
+      .select(col("source"), explode(expr(
+        """CASE WHEN size(tk) >= 5
+          |     THEN transform(sequence(0, size(tk) - 5),
+          |                    i -> md5(concat_ws(' ', slice(tk, i + 1, 5))))
+          |     ELSE CAST(array() AS array<string>) END""".stripMargin))
+        .as("fp"))
+    shingles.groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            b -> struct(a AS source_a, b AS source_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("shared_shingles"))
       .orderBy(col("source_a"), col("source_b"))

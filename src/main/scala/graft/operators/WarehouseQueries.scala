@@ -30,13 +30,20 @@ object WarehouseQueries {
     * decorrelated: per-(part, supplier) min line price in ONE aggregate
     * over the fact, a per-part min joined back on the exact stored double
     * (an element of the data — no arithmetic, so the equality is
-    * bit-identical in any engine), then dimension lookups. Supplier /
-    * nation / region ride broadcasts; the only fact shuffle is the
-    * l_partkey aggregate. Ties (two suppliers at the same min cost for a
-    * part) all surface, made deterministic by the final sort. */
+    * bit-identical in any engine), then dimension lookups. The part
+    * predicate (p_size = 25, ~2% of parts) pushes BELOW the fact
+    * aggregate as a broadcast semi-join — per-part mins don't see other
+    * parts, so filtering first is semantics-free and shrinks the
+    * aggregate's shuffle ~50× (the filter-after-aggregate form paid the
+    * full-fact shuffle to throw 98% of it away). Supplier / nation /
+    * region ride broadcasts. Ties (two suppliers at the same min cost
+    * for a part) all surface, made deterministic by the final sort. */
   def minCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
+    val parts = t.part.where(col("p_size") === 25)
     val costs = t.lineitem
+      .join(broadcast(parts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("cost"))
     val minPerPart = costs.groupBy(col("l_partkey"))
@@ -44,7 +51,7 @@ object WarehouseQueries {
     costs
       .join(minPerPart, "l_partkey")
       .where(col("cost") === col("min_cost"))
-      .join(t.part.where(col("p_size") === 25), col("l_partkey") === col("p_partkey"))
+      .join(parts, col("l_partkey") === col("p_partkey"))
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region.where(col("r_name") === "EUROPE")),

@@ -62,7 +62,13 @@ class DatagenPropertiesSpec extends SparkSpec {
         val v = eval1(Datagen.roundNumberBias(
           lit(amt).cast(org.apache.spark.sql.types.DecimalType(18, 2)),
           lit(r1), lit(r2))).getDecimal(0).doubleValue()
-        val candidates = Set(amt, math.rint(amt / 10) * 10, math.rint(amt / 100) * 100, 1.0)
+        // HALF_UP, matching Spark/DuckDB decimal round — math.rint would
+        // be HALF_EVEN and disagree at exact .5 boundaries (amt = 4205.00
+        // → rounded10 = 4210, but rint(420.5)·10 = 4200). Exact-.5 cases
+        // are exactly representable here (cents-exact amt over 10/100),
+        // so the floor(+0.5) form is boundary-safe.
+        def halfUp(x: Double) = math.floor(x + 0.5)
+        val candidates = Set(amt, halfUp(amt / 10) * 10, halfUp(amt / 100) * 100, 1.0)
         v >= 1.0 && candidates.exists(c => math.abs(c.max(1.0) - v) < 1e-9)
     }
     check(p)

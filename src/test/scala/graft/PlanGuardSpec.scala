@@ -61,8 +61,6 @@ class PlanGuardSpec extends SparkSpec {
     "q_audit_t_closeness", // broadcast one-row corpus-total (N) frame
     "q_text_negative_table",       // one-row Σmass + leftover frames
     "q_profile_join_cardinality",  // one-row stat frames per probed join
-    "q_graph_kcore",       // broadcast one-row median-weight + k frames
-    "q_graph_communities", // backbone artifact's one-row threshold frame
     "q_graph_link_prediction" // backbone artifact's one-row threshold frame
   )
 
@@ -165,12 +163,12 @@ class PlanGuardSpec extends SparkSpec {
     // snippet positions ride the certified BM25 two-phase ranking
     "q_text_snippets" -> "phase-2 rank over per-shard top-k survivors",
     // median thresholds ride weight/degree VALUE histograms — rows
-    // bounded by the ≤|nations|² pair domain, never the fact
-    // the shared backbone artifact's median-threshold cumsum (weight-VALUE
-    // histogram, ≤|nations|² rows); visible only through kcore's plan —
-    // communities' final frame is rebased LogicalRDD leaves, so the
-    // artifact (and its window) never appears in its lineage
-    "q_graph_kcore" -> "global cumsum over the weight-value histogram",
+    // bounded by the ≤|nations|² pair domain, never the fact: the shared
+    // backbone artifact's median-threshold cumsum (weight-VALUE
+    // histogram). kcore/communities no longer surface it — their driver
+    // fixed-points collect the artifact during construction, so the
+    // registered plans are leaf joins — leaving link-prediction as the
+    // only lineage that carries the artifact's window
     "q_graph_link_prediction" ->
       "backbone threshold cumsum over the weight-value histogram")
 
