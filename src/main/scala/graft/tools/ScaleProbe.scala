@@ -105,7 +105,12 @@ object ScaleProbe {
     // round 11 late wave: head-vocab Hamilton table (one postings
     // aggregate); stratified FD counts (two keyed aggregates each);
     // per-customer sequence window into a brand-domain matrix
-    "q_text_negative_table", "q_profile_fd_discovery", "q_next_brand_recs")
+    "q_text_negative_table", "q_profile_fd_discovery", "q_next_brand_recs",
+    // round 12 rewrites: one-shuffle shingle source sets; part-filter
+    // semi-join below the fact aggregate; hybrid FK/many-to-many
+    // cardinality probes
+    "q_text_source_overlap", "q_min_cost_supplier",
+    "q_profile_join_cardinality")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
