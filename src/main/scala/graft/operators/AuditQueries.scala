@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.NamedQuery
 import graft.sources.Tables.Tpch
@@ -255,16 +256,20 @@ object AuditQueries {
       .join(broadcast(classTotals), Seq("c_mktsegment", "c_nationkey"))
       .crossJoin(broadcast(totals))
       .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      // cnt·big_n products reach class-size × corpus — DECIMAL(38,0)
+      // here, HUGEINT in the oracle, or Int64 wraps past ~3e9 customers
+      // (the EWMA/KS overflow rule)
       .agg(first(col("n_c")).as("n_c"), first(col("big_n")).as("big_n"),
-        sum(abs(col("cnt") * col("big_n") - col("g") * col("n_c")))
-          .as("seen_abs"),
+        sum(abs(col("cnt").cast(DecimalType(38, 0)) * col("big_n") -
+          col("g").cast(DecimalType(38, 0)) * col("n_c"))).as("seen_abs"),
         sum(col("g")).as("seen_g"))
       .select(col("c_mktsegment").as("segment"),
         col("c_nationkey").cast("long").as("nationkey"),
         col("n_c").cast("long").as("n_rows"),
-        expr("""((seen_abs + n_c * (big_n - seen_g)) * 1000)
-               | div (2 * n_c * big_n)""".stripMargin).cast("long")
-          .as("tv_permille"))
+        expr("""((seen_abs + CAST(n_c AS DECIMAL(38,0)) * (big_n - seen_g))
+               |  * 1000)
+               | div (2 * CAST(n_c AS DECIMAL(38,0)) * big_n)"""
+          .stripMargin).cast("long").as("tv_permille"))
       .withColumn("breaches_third", col("tv_permille") > 333)
       .orderBy(col("segment"), col("nationkey"))
   }
@@ -303,13 +308,18 @@ object AuditQueries {
          |SELECT c.c_mktsegment AS segment,
          |       CAST(c.c_nationkey AS BIGINT) AS nationkey,
          |       CAST(ct.n_c AS BIGINT) AS n_rows,
-         |       CAST(((SUM(ABS(c.cnt * n.big_n - g.g * ct.n_c))
-         |              + ct.n_c * (n.big_n - SUM(g.g))) * 1000)
-         |         // (2 * ct.n_c * n.big_n) AS BIGINT) AS tv_permille,
-         |       CAST(((SUM(ABS(c.cnt * n.big_n - g.g * ct.n_c))
-         |              + ct.n_c * (n.big_n - SUM(g.g))) * 1000)
-         |         // (2 * ct.n_c * n.big_n) > 333 AS BOOLEAN)
-         |         AS breaches_third
+         |       CAST(((SUM(ABS(CAST(c.cnt AS HUGEINT) * n.big_n
+         |                      - CAST(g.g AS HUGEINT) * ct.n_c))
+         |              + CAST(ct.n_c AS HUGEINT) * (n.big_n - SUM(g.g)))
+         |             * 1000)
+         |         // (2 * CAST(ct.n_c AS HUGEINT) * n.big_n) AS BIGINT)
+         |         AS tv_permille,
+         |       CAST(((SUM(ABS(CAST(c.cnt AS HUGEINT) * n.big_n
+         |                      - CAST(g.g AS HUGEINT) * ct.n_c))
+         |              + CAST(ct.n_c AS HUGEINT) * (n.big_n - SUM(g.g)))
+         |             * 1000)
+         |         // (2 * CAST(ct.n_c AS HUGEINT) * n.big_n) > 333
+         |         AS BOOLEAN) AS breaches_third
          |FROM cells c
          |JOIN g USING (band)
          |JOIN ct USING (c_mktsegment, c_nationkey)

@@ -185,12 +185,23 @@ object BehaviorQueries {
     * pair aggregate, never a corpus self-join; popularity marginals are
     * one keyed aggregate of the distinct (order, part) projection. The
     * rank window partitions on target item id (unbounded key domain). */
+  /** Distinct (order, part) projection — the basket fact every
+    * co-occurrence score reads. Cached per (session, sf): the recommender
+    * derives it three times (popularity marginals + both sides of the
+    * target-filtered pair join), so un-persisted the distinct shuffle
+    * re-ran each time. */
+  private val orderPartCache = FrameCache.empty
+  private def distinctOrderParts(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(orderPartCache, spark, sfDir) {
+      Tpch(spark, sfDir).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def itemItemRecs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = Tpch(spark, sfDir)
-    val op = t.lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .distinct()
+    val op = distinctOrderParts(spark, sfDir)
     val pop = op.groupBy(col("pk")).agg(count(lit(1)).as("n"))
     val targets = pop.orderBy(col("n").desc, col("pk")).limit(10)
       .select(col("pk").as("tpk"), col("n").as("n_t"))

@@ -68,12 +68,18 @@ object CorpusStats {
       .withColumn("cum_all", sum(col("gcnt")).over(Window.orderBy(col("n_chars"))))
       .select(col("n_chars"), col("cum_all"))
 
+    // cross-multiplies ride DECIMAL(38,0) (HUGEINT in the oracle): the
+    // cum·count products reach n_s·n_r ≈ (N/2)², which wraps Int64 past
+    // ~6e9 documents — Spark would wrap silently, DuckDB would error
+    // (the EWMA/source-drift overflow rule)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val scored = cum.join(gcum, "n_chars")
       .join(broadcast(totals), "source")
       .crossJoin(broadcast(totalAll))
       .withColumn("n_r", col("n_all") - col("n_s"))
       .withColumn("diff",
-        abs(col("cum_s") * col("n_r") - (col("cum_all") - col("cum_s")) * col("n_s")))
+        abs(col("cum_s").cast(dec) * col("n_r") -
+          (col("cum_all") - col("cum_s")).cast(dec) * col("n_s")))
     val mx = scored.groupBy(col("source"))
       .agg(max(col("diff")).as("ks_num"))
     scored
@@ -85,7 +91,9 @@ object CorpusStats {
         col("n_r").cast("long").as("n_rest"),
         col("ks_num").cast("long").as("ks_num"),
         col("ks_at").cast("long").as("ks_at"),
-        expr("(ks_num * 1000000) div (n_s * n_r)").cast("long").as("ks_ppm"))
+        expr("""(CAST(ks_num AS DECIMAL(38,0)) * 1000000)
+               | div (CAST(n_s AS DECIMAL(38,0)) * n_r)""".stripMargin)
+          .cast("long").as("ks_ppm"))
       .orderBy(col("ks_ppm").desc, col("source"))
   }
 
@@ -148,8 +156,9 @@ object CorpusStats {
         |  FROM (SELECT n_chars, COUNT(*) AS cnt FROM docs GROUP BY 1)),
         |scored AS (
         |  SELECT c.source, c.n_chars, ts.n_s, t.n_all - ts.n_s AS n_r,
-        |         ABS(c.cum_s * (t.n_all - ts.n_s)
-        |             - (g.cum_all - c.cum_s) * ts.n_s) AS diff
+        |         ABS(CAST(c.cum_s AS HUGEINT) * (t.n_all - ts.n_s)
+        |             - (g.cum_all - c.cum_s) * CAST(ts.n_s AS HUGEINT))
+        |           AS diff
         |  FROM cum c
         |  JOIN gcum g ON c.n_chars = g.n_chars
         |  JOIN totals ts ON ts.source = c.source
@@ -159,7 +168,8 @@ object CorpusStats {
         |       CAST(s.n_r AS BIGINT) AS n_rest,
         |       CAST(m.ks_num AS BIGINT) AS ks_num,
         |       CAST(MIN(s.n_chars) AS BIGINT) AS ks_at,
-        |       CAST((m.ks_num * 1000000) // (s.n_s * s.n_r) AS BIGINT) AS ks_ppm
+        |       CAST((CAST(m.ks_num AS HUGEINT) * 1000000)
+        |            // (CAST(s.n_s AS HUGEINT) * s.n_r) AS BIGINT) AS ks_ppm
         |FROM scored s JOIN mx m ON m.source = s.source AND s.diff = m.ks_num
         |GROUP BY s.source, s.n_s, s.n_r, m.ks_num
         |ORDER BY ks_ppm DESC, s.source""".stripMargin)),

@@ -126,16 +126,22 @@ object SemanticDedup {
       .where(col("vec_id") =!= col("keeper"))
 
   /** Embeddings joined to their trained coarse cell (from the persisted
-    * IVF-PQ artifact's `codes/` — built if absent). */
-  private def clustered(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = ProductQuantization.ensurePq(spark, sfDir)
-    val cells = spark.read.parquet(s"$path/codes")
-      .select(col("vec_id"), col("cluster"))
-    splitOversized(
-      Tpch(spark, sfDir).embeddings
-        .select(col("vec_id"), col("embedding"))
-        .join(cells, "vec_id"))
-  }
+    * IVF-PQ artifact's `codes/` — built if absent). Cached per
+    * (session, sf): the summary derives this frame FOUR times (per-cell
+    * counts, both sides of the pair self-join, the drop-count join), so
+    * un-persisted it re-ran the embeddings⋈codes join each time. */
+  private val clusteredCache = FrameCache.empty
+  private def clustered(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(clusteredCache, spark, sfDir) {
+      val path = ProductQuantization.ensurePq(spark, sfDir)
+      val cells = spark.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("cluster"))
+      splitOversized(
+        Tpch(spark, sfDir).embeddings
+          .select(col("vec_id"), col("embedding"))
+          .join(cells, "vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Per-cell semantic-dedup summary: vectors in the cell, candidate
     * pairs examined (the quadratic budget actually spent), pairs over
