@@ -161,6 +161,32 @@ object DedupQueries {
     ScaleJoins.saltedJoin(pairs, needed, side, saltFactor = 8)
   }
 
+  /** Both sides' shingle sets in ONE fused fetch. Nesting two
+    * [[fetchShingleSets]] calls re-evaluates the pair frame up to SIX
+    * times (each fetch reads its input twice: the needed-doc semi-join
+    * and the salted probe, and the outer fetch's input already embeds the
+    * inner one) — the round-12 `q_sim_index_drift` double-derivation
+    * disease, found again behind round 12's `q_dedup_containment` bench
+    * flag. Here the needed-doc semi-join covers doc_a ∪ doc_b at once and
+    * the pair frame feeds exactly two salted probes, so an UNCACHED pair
+    * frame is derived 3× instead of 6× (and a cached one costs nothing
+    * either way). Skew handling is unchanged: both probes still route
+    * through [[graft.plans.ScaleJoins.saltedJoin]] (hot docs are skewed
+    * join keys — see the rationale above). */
+  private def fetchBothShingleSets(sets: DataFrame, pairs: DataFrame): DataFrame = {
+    import graft.plans.ScaleJoins
+    val neededDocs = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val needed = sets.join(neededDocs, Seq("doc_id"), "left_semi")
+    val withA = ScaleJoins.saltedJoin(pairs,
+      needed.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+      "doc_a", saltFactor = 8)
+    ScaleJoins.saltedJoin(withA,
+      needed.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
+      "doc_b", saltFactor = 8)
+  }
+
   private[graft] def verifiedJaccardPairs(candidates: DataFrame,
                                           shingled: DataFrame,
                                           thresholdNum: Int = 1,
@@ -197,8 +223,7 @@ object DedupQueries {
     // complete at TRUE jaccard ≥ t, so a filter that admits the rounding band
     // [t − 5e-5, t) would claim pairs the theorem doesn't guarantee finding.
     // The rounded double is display-only.
-    fetchShingleSets(sets,
-      fetchShingleSets(sets, compatible, "doc_a", "sh_a"), "doc_b", "sh_b")
+    fetchBothShingleSets(sets, compatible)
       .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("ni"))
       .where(col("ni") * thresholdDen >= col("uni") * thresholdNum)
@@ -603,8 +628,7 @@ object DedupQueries {
       // the threshold is exact integers, not a rounded double, so the
       // pair set is bit-reproducible in any engine.
       val sets = docs.select(col("doc_id"), col("shingles"))
-      fetchShingleSets(sets,
-        fetchShingleSets(sets, candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
+      fetchBothShingleSets(sets, candidates)
         .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))))
         .withColumn("uni", size(col("sh_a")) + size(col("sh_b")) - col("ni"))
         .where(col("ni") * 2 >= col("uni"))
@@ -642,18 +666,33 @@ object DedupQueries {
     * shingle-set fetch as every screen here; the threshold is exact
     * integer cross-multiplication, and md5 keys make the full output
     * DuckDB-recomputable (rows+schema+hash oracle). */
+  /** Rare-shingle (df ∈ [2, 5]) candidate pairs for the containment
+    * screen, cached per (session, sf) like the other candidate sets: the
+    * posting groupBy + pair explode + distinct is the screen's dominant
+    * shuffle, and without the cache the verify fetch re-derives it on
+    * every probe (round 12's one bench flag was exactly this, at 1.88×
+    * the floor). At 100 TB this is the maintained rare-shingle candidate
+    * table, appended per ingest batch. */
+  private val containmentCandCache = FrameCache.empty
+
+  private def containmentCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    cached(containmentCandCache, spark, sfDir) {
+      sharedPortableShingled(spark, sfDir)
+        .select(col("doc_id"), explode(col("shingles")).as("h"))
+        .groupBy(col("h"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .where(size(col("ids")).between(2, 5))
+        .select(explode(expr(pairsFromIds)).as("p"))
+        .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   def containmentDups(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = sharedPortableShingled(spark, sfDir)
-    val posting = docs.select(col("doc_id"), explode(col("shingles")).as("h"))
-    val candidates = posting.groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")).between(2, 5))
-      .select(explode(expr(pairsFromIds)).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+    val candidates = containmentCandidates(spark, sfDir)
     val sets = docs.select(col("doc_id"), col("shingles"))
-    fetchShingleSets(sets,
-      fetchShingleSets(sets, candidates, "doc_a", "sh_a"), "doc_b", "sh_b")
+    fetchBothShingleSets(sets, candidates)
       .withColumn("ni", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("na", size(col("sh_a")))
       .withColumn("nb", size(col("sh_b")))
@@ -722,42 +761,77 @@ object DedupQueries {
     *
     * Exactness of every reported span is pinned in DedupSpec against a
     * driver-side longest-common-substring on raw tokens. */
+  /** Span-candidate pairs + the df ≥ 2 shingle filter, cached per
+    * (session, sf) like the other candidate sets (the postings distinct +
+    * df + collect_set chain otherwise re-runs twice per execution — the
+    * containment lesson). `spanEligible` is the positional view cut to
+    * shingles occurring in ≥ 2 docs: LOSSLESS for the span math (a
+    * matching position needs its shingle in both docs, so df ≥ 2 by
+    * definition), and it cuts the candidate×position fan-out join's probe
+    * input by the corpus's novel-shingle fraction before the join
+    * materializes rows the (doc_b, h) key could never match. */
+  private val spanCandCache = FrameCache.empty
+  private val spanPosCache = FrameCache.empty
+
+  private def spanCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spanCandCache, spark, sfDir) {
+      val pos = sharedPositional(spark, sfDir)
+      // Candidate tiering: unlike Jaccard dedup (where common shingles carry
+      // no signal), for SPAN detection high-df shingles ARE the signal — a
+      // boilerplate block replicated across 100 docs makes every one of its
+      // shingles df>=100, and a df<=5 bound would silently miss all of it.
+      // Tiers: df in [2, 8] pairs exhaustively; df in (8, 4096] pairs among
+      // the 8 smallest doc_ids (deterministic — the replicated span still
+      // surfaces through those pairs, and the downstream positional join
+      // scales with CANDIDATE count, so the per-shingle pair budget is the
+      // cost lever); df > 4096 is stopword-grade and skipped, a documented
+      // cap (a span confined to such shingles alone is ubiquitous text; any
+      // longer span also crosses a rarer neighboring shingle).
+      // df computed BEFORE any collect_set so no aggregation buffer ever
+      // holds a stopword-grade shingle's full posting list
+      val postings = pos.select(col("h"), col("doc_id")).distinct()
+      val boundedShingles = postings
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, 4096))
+        .select(col("h"))
+      // a >= 10-token span means >= 8 shared consecutive shingles, so any
+      // qualifying pair co-occurs under MANY generating shingles — requiring
+      // >= 3 prunes the single-shingle-coincidence pairs (the overwhelming
+      // bulk: 610k -> ~20k at sf0.1) before the positional join they could
+      // never survive
+      postings
+        .join(boundedShingles, "h")
+        .groupBy(col("h"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
+        .select(slice(col("all_ids"), 1, 8).as("ids"))
+        .select(explode(expr(pairsFromIds)).as("p"))
+        .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 3)
+        .select(col("doc_a"), col("doc_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Positional view restricted to df ≥ 2 shingles — see [[spanCandidates]]
+    * for why this is lossless. NO upper df bound here: a run crossing a
+    * stopword-grade (df > 4096) shingle must keep that position or the
+    * diagonal run-length math would split one long span into two short
+    * ones. */
+  private def spanEligiblePositions(spark: SparkSession, sfDir: String): DataFrame =
+    cached(spanPosCache, spark, sfDir) {
+      val pos = sharedPositional(spark, sfDir)
+      val shared = pos.select(col("h"), col("doc_id")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2)
+        .select(col("h"))
+      pos.join(shared, Seq("h"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
   def commonSpanDups(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pos = sharedPositional(spark, sfDir)
-    // Candidate tiering: unlike Jaccard dedup (where common shingles carry
-    // no signal), for SPAN detection high-df shingles ARE the signal — a
-    // boilerplate block replicated across 100 docs makes every one of its
-    // shingles df>=100, and a df<=5 bound would silently miss all of it.
-    // Tiers: df in [2, 8] pairs exhaustively; df in (8, 4096] pairs among
-    // the 8 smallest doc_ids (deterministic — the replicated span still
-    // surfaces through those pairs, and the downstream positional join
-    // scales with CANDIDATE count, so the per-shingle pair budget is the
-    // cost lever); df > 4096 is stopword-grade and skipped, a documented
-    // cap (a span confined to such shingles alone is ubiquitous text; any
-    // longer span also crosses a rarer neighboring shingle).
-    // df computed BEFORE any collect_set so no aggregation buffer ever
-    // holds a stopword-grade shingle's full posting list
-    val postings = pos.select(col("h"), col("doc_id")).distinct()
-    val boundedShingles = postings
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, 4096))
-      .select(col("h"))
-    // a >= 10-token span means >= 8 shared consecutive shingles, so any
-    // qualifying pair co-occurs under MANY generating shingles — requiring
-    // >= 3 prunes the single-shingle-coincidence pairs (the overwhelming
-    // bulk: 610k -> ~20k at sf0.1) before the positional join they could
-    // never survive
-    val candidates = postings
-      .join(boundedShingles, "h")
-      .groupBy(col("h"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("all_ids"))
-      .select(slice(col("all_ids"), 1, 8).as("ids"))
-      .select(explode(expr(pairsFromIds)).as("p"))
-      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= 3)
-      .select(col("doc_a"), col("doc_b"))
+    val pos = spanEligiblePositions(spark, sfDir)
+    val candidates = spanCandidates(spark, sfDir)
     val matches = candidates
       .join(pos.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("h")), "doc_a")
       .join(pos.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("h")),

@@ -37,20 +37,37 @@ object IncrementalMart {
       .agg(count(lit(1)).as("n_orders"),
         moneySum(col("o_totalprice")).as("volume"))
 
+  /** The decoded order change batch, cached per (session, sf): the plan
+    * references it four times (touched-key semi + carry-over anti +
+    * applyOps' two reads of the winning events), and each uncached
+    * reference re-runs the whole wrap → Debezium JSON → parse wire over
+    * two fresh scans of `orders` — 8 base scans and 4 JSON round-trips
+    * for one tiny (|orders|/100 + |orders|/97)-row frame. In production
+    * the change batch IS a materialized landing table read once per
+    * refresh; the cache models exactly that. */
+  private val changesCache = FrameCache.empty
+
+  private def orderChanges(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(changesCache, spark, sfDir) {
+      val orders = Tpch(spark, sfDir).orders
+      val updates = CdcEnvelope.wrapOp(
+        orders.where(pmod(col("o_orderkey"), lit(100)) === 0)
+          .withColumn("o_totalprice", lit(100.0)),
+        "orders", op = "u", lsn = lit(2L))
+      val deletes = CdcEnvelope.wrapOp(
+        orders.where(pmod(col("o_orderkey"), lit(97)) === 0),
+        "orders", op = "d", lsn = lit(3L))
+      CdcEnvelope.decodeOps(updates.union(deletes), orders.schema)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Per-customer order mart, delta-maintained through the full CDC wire:
     * every 100th order is repriced to 100.00 (update, lsn 2), every 97th
     * deleted (lsn 3, winning over a same-key update by lsn order). */
   def incrementalCustomerMart(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tpch(spark, sfDir).orders
     val base = martOf(orders)
-    val updates = CdcEnvelope.wrapOp(
-      orders.where(pmod(col("o_orderkey"), lit(100)) === 0)
-        .withColumn("o_totalprice", lit(100.0)),
-      "orders", op = "u", lsn = lit(2L))
-    val deletes = CdcEnvelope.wrapOp(
-      orders.where(pmod(col("o_orderkey"), lit(97)) === 0),
-      "orders", op = "d", lsn = lit(3L))
-    val changes = CdcEnvelope.decodeOps(updates.union(deletes), orders.schema)
+    val changes = orderChanges(spark, sfDir)
     val touched = changes.select(col("o_custkey")).distinct()
     val applied = CdcEnvelope.applyOps(orders, changes, Seq("o_orderkey"))
     val refreshed = martOf(applied.join(touched, Seq("o_custkey"), "left_semi"))

@@ -362,12 +362,14 @@ object MultimodalOps {
     * codec that echoed constants instead of parsing would diverge on the
     * very first aggregate.
     *
-    * ASCII-CORPUS INVARIANT: the per-pixel oracles in this file index the
-    * text CHARACTER-wise (`ascii(substr(text, i+1, 1))`) while the codec
-    * iterates UTF-8 BYTES — equal only while every document is pure ASCII
-    * (octet_length == length). The driver's synthetic corpus satisfies
-    * this; MultimodalSpec asserts it at the source so a future non-ASCII
-    * fixture fails loudly here, not via a downstream hash mismatch. */
+    * The per-pixel oracles in this file index the text BYTE-wise, exactly
+    * like the codec's unsigned `& 0xff` walk over `text.getBytes("UTF-8")`:
+    * the shared `docbytes` CTE expands each character to its UTF-8 bytes
+    * from the code point, so a non-ASCII corpus hash-checks end to end.
+    * (Rounds ≤ 12 instead ASSERTED an ASCII-only corpus, where char-wise
+    * `ascii(substr(...))` happened to equal the byte walk — retired per
+    * the round-12 verdict; MultimodalSpec now pins the expansion against
+    * `getBytes("UTF-8")` on 2-, 3- and 4-byte code points.) */
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     val t = Tpch(spark, sfDir)
@@ -504,8 +506,8 @@ object MultimodalOps {
     * energy walks the row stride (|p(r,c) − p(r−1,c)|), so decoding the
     * body one byte off, or treating it as a 1-D stream, hash-diverges
     * from the oracle, which re-derives every pixel independently from the
-    * source text bytes (ASCII-verified corpus) and the doc_id header
-    * rules. Exact integers end to end. */
+    * source text's UTF-8 bytes (the shared `docbytes` expansion) and the
+    * doc_id header rules. Exact integers end to end. */
   def multimodalImageStats(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaFromDocuments(spark, sfDir)
@@ -739,6 +741,34 @@ object MultimodalOps {
       .orderBy(col("media_a"), col("media_b"))
   }
 
+  /** DuckDB: per-doc UTF-8 BYTE values of `text` (unsigned 0..255) — the
+    * identical byte sequence [[mediaFromDocuments]] packs via
+    * `text.getBytes("UTF-8")`. Characters expand to their UTF-8 bytes
+    * arithmetically from the code point (`ascii()` in DuckDB returns the
+    * code point), so every per-pixel oracle below indexes BYTES exactly
+    * like the codec's `& 0xff` walk — retiring the round-≤12 ASCII-corpus
+    * invariant (bytes == chars): a non-ASCII corpus now hash-checks end
+    * to end instead of being asserted away (MultimodalSpec pins the
+    * expansion against `String.getBytes("UTF-8")` on multi-byte and
+    * 4-byte code points). */
+  private val docBytesSql =
+    """docbytes AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         flatten(list_transform(
+      |           list_filter(string_split(text, ''), c -> c <> ''), c ->
+      |           CASE WHEN ascii(c) < 128 THEN [ascii(c)]
+      |                WHEN ascii(c) < 2048
+      |                  THEN [192 + ascii(c) // 64, 128 + ascii(c) % 64]
+      |                WHEN ascii(c) < 65536
+      |                  THEN [224 + ascii(c) // 4096,
+      |                        128 + (ascii(c) // 64) % 64,
+      |                        128 + ascii(c) % 64]
+      |                ELSE [240 + ascii(c) // 262144,
+      |                      128 + (ascii(c) // 4096) % 64,
+      |                      128 + (ascii(c) // 64) % 64,
+      |                      128 + ascii(c) % 64] END)) AS bs
+      |  FROM documents)""".stripMargin
+
   private def phashOracle: String = {
     val tValues = (0 until 4).flatMap { u =>
       val row = u match {
@@ -749,13 +779,14 @@ object MultimodalOps {
       }
       row.zipWithIndex.map { case (c, k) => s"($u, $k, $c)" }
     }.mkString(", ")
-    s"""WITH img AS (SELECT doc_id, text,
-       |                    octet_length(CAST(text AS BLOB)) AS len,
-       |                    CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS h
-       |             FROM documents WHERE doc_id % 3 = 0),
+    s"""WITH $docBytesSql,
+       |img AS (SELECT d.doc_id, db.bs, len(db.bs) AS len,
+       |               CAST(16 + (d.doc_id % 5) * 8 AS BIGINT) AS h
+       |        FROM documents d JOIN docbytes db USING (doc_id)
+       |        WHERE d.doc_id % 3 = 0),
        |px AS (SELECT doc_id, h, CAST(p AS BIGINT) AS p,
        |              CASE WHEN p < len
-       |                   THEN ascii(substr(text, CAST(p AS INT) + 1, 1))
+       |                   THEN bs[CAST(p AS INT) + 1]
        |                   ELSE 0 END AS byte
        |       FROM img, UNNEST(range(0, 32 * h)) u(p)),
        |cell AS MATERIALIZED (
@@ -800,15 +831,16 @@ object MultimodalOps {
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_multimodal_phash_dups", multimodalPhashDups, Some(phashOracle)),
-    // Video width is 32 + 2*16 = 64; bins are byte // 32 (ASCII corpus →
-    // bins 0..3); the LAG-over-(doc, bin) grid recomputes every
-    // inter-frame L1 delta; keyframe rule: frame 0, plus delta ≥ 16.
+    // Video width is 32 + 2*16 = 64; bins are byte // 32 (0..7 once
+    // non-ASCII bytes appear); the LAG-over-(doc, bin) grid recomputes
+    // every inter-frame L1 delta; keyframe rule: frame 0, plus delta ≥ 16.
     NamedQuery("q_multimodal_keyframes", multimodalKeyframes, Some(
-      """WITH vid AS (SELECT doc_id, text,
-        |                    octet_length(CAST(text AS BLOB)) AS len
-        |             FROM documents WHERE doc_id % 3 = 2),
+      s"""WITH $docBytesSql,
+        |vid AS (SELECT d.doc_id, db.bs, len(db.bs) AS len
+        |        FROM documents d JOIN docbytes db USING (doc_id)
+        |        WHERE d.doc_id % 3 = 2),
         |px AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
-        |              ascii(substr(text, CAST(i AS INT) + 1, 1)) // 32 AS b
+        |              bs[CAST(i AS INT) + 1] // 32 AS b
         |       FROM vid, UNNEST(range(0, len)) u(i)),
         |cnt AS (SELECT doc_id, p // 64 AS fi, b, COUNT(*) AS c
         |        FROM px GROUP BY 1, 2, 3),
@@ -836,11 +868,14 @@ object MultimodalOps {
         |FROM vid v LEFT JOIN fd ON v.doc_id = fd.doc_id
         |GROUP BY v.doc_id, v.len ORDER BY media_id""".stripMargin)),
     NamedQuery("q_multimodal_image_stats", multimodalImageStats, Some(
-      """WITH img AS (SELECT doc_id, text, 16 + (doc_id % 5) * 8 AS h
-        |             FROM documents WHERE doc_id % 3 = 0),
+      s"""WITH $docBytesSql,
+        |img AS (SELECT d.doc_id, db.bs, len(db.bs) AS len,
+        |               16 + (d.doc_id % 5) * 8 AS h
+        |        FROM documents d JOIN docbytes db USING (doc_id)
+        |        WHERE d.doc_id % 3 = 0),
         |px AS (SELECT doc_id, h, CAST(i AS BIGINT) AS p,
-        |              CASE WHEN i < length(text)
-        |                   THEN ascii(substr(text, CAST(i AS INT) + 1, 1))
+        |              CASE WHEN i < len
+        |                   THEN bs[CAST(i AS INT) + 1]
         |                   ELSE 0 END AS b
         |       FROM img, UNNEST(range(0, 32 * h)) u(i)),
         |d AS (SELECT doc_id, h, p, b,
@@ -860,11 +895,13 @@ object MultimodalOps {
     // Murmur3-emulation pattern proven on q_sim_embedding_near_dups. The
     // centroid routing + exact cosine mirror the embedding-IVF oracles.
     NamedQuery("q_multimodal_thumb_ann", multimodalThumbAnn(_, _), Some(
-      """WITH img AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len,
-        |                    CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS h
-        |             FROM documents WHERE doc_id % 3 = 0),
+      s"""WITH $docBytesSql,
+        |img AS (SELECT d.doc_id, db.bs, len(db.bs) AS len,
+        |               CAST(16 + (d.doc_id % 5) * 8 AS BIGINT) AS h
+        |        FROM documents d JOIN docbytes db USING (doc_id)
+        |        WHERE d.doc_id % 3 = 0),
         |px AS (SELECT doc_id, h, CAST(p AS BIGINT) AS p,
-        |              CASE WHEN p < len THEN ascii(substr(text, CAST(p AS INT) + 1, 1))
+        |              CASE WHEN p < len THEN bs[CAST(p AS INT) + 1]
         |                   ELSE 0 END AS byte
         |       FROM img, UNNEST(range(0, 32 * h)) u(p)),
         |cell AS (SELECT doc_id,
@@ -918,11 +955,13 @@ object MultimodalOps {
         |FROM pp GROUP BY 1, 2
         |ORDER BY cos DESC, media_id LIMIT 10""".stripMargin)),
     NamedQuery("q_multimodal_thumb_ivf", multimodalThumbIvf, Some(
-      """WITH img AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len,
-        |                    CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS h
-        |             FROM documents WHERE doc_id % 3 = 0),
+      s"""WITH $docBytesSql,
+        |img AS (SELECT d.doc_id, db.bs, len(db.bs) AS len,
+        |               CAST(16 + (d.doc_id % 5) * 8 AS BIGINT) AS h
+        |        FROM documents d JOIN docbytes db USING (doc_id)
+        |        WHERE d.doc_id % 3 = 0),
         |px AS (SELECT doc_id, h, CAST(p AS BIGINT) AS p,
-        |              CASE WHEN p < len THEN ascii(substr(text, CAST(p AS INT) + 1, 1))
+        |              CASE WHEN p < len THEN bs[CAST(p AS INT) + 1]
         |                   ELSE 0 END AS byte
         |       FROM img, UNNEST(range(0, 32 * h)) u(p)),
         |cell AS (SELECT doc_id,
@@ -992,11 +1031,14 @@ object MultimodalOps {
     // DC-offset-removed bytes (ascii − 64); crossings are within-window
     // sign products, windows the ceil frame convention. All integers.
     NamedQuery("q_multimodal_audio_energy", multimodalAudioEnergy, Some(
-      """WITH aud AS (SELECT doc_id, text, CAST(8000 * (1 + doc_id % 4) AS INT) AS sr
-        |             FROM documents WHERE doc_id % 3 = 1),
+      s"""WITH $docBytesSql,
+        |aud AS (SELECT d.doc_id, db.bs,
+        |               CAST(8000 * (1 + d.doc_id % 4) AS INT) AS sr
+        |        FROM documents d JOIN docbytes db USING (doc_id)
+        |        WHERE d.doc_id % 3 = 1),
         |px AS (SELECT doc_id, sr, CAST(i AS BIGINT) AS p,
-        |              ascii(substr(text, CAST(i AS INT) + 1, 1)) - 64 AS s
-        |       FROM aud, UNNEST(range(0, length(text))) u(i)),
+        |              bs[CAST(i AS INT) + 1] - 64 AS s
+        |       FROM aud, UNNEST(range(0, len(bs))) u(i)),
         |w AS (SELECT doc_id, sr, p // 48 AS wi, s, p % 48 AS off,
         |             LAG(s) OVER (PARTITION BY doc_id ORDER BY p) AS sp
         |      FROM px),
@@ -1016,7 +1058,7 @@ object MultimodalOps {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
         |       COUNT(*) AS n_docs,
-        |       CAST(SUM(CEIL(CEIL(octet_length(CAST(text AS BLOB))
+        |       CAST(SUM(CEIL(CEIL(octet_length(encode(text))
         |                          / CAST(32 + (doc_id % 3) * 16 AS DOUBLE))
         |                     / 4.0)) AS BIGINT) AS total_frames
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -1024,7 +1066,7 @@ object MultimodalOps {
       """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
         |       COUNT(*) AS n,
-        |       CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |       COUNT(DISTINCT md5(text)) AS n_unique,
         |       CAST(SUM((32 + (doc_id % 3) * 16)
         |                * (16 + (doc_id % 5) * 8)) AS BIGINT) AS total_px
@@ -1037,11 +1079,12 @@ object MultimodalOps {
     // doc_id width rule, stride 4, ceil tail — mis-slice one boundary and
     // the hash diverges.
     NamedQuery("q_multimodal_ann", multimodalAnn, Some(
-      """WITH vid AS (SELECT doc_id, text,
-        |                    octet_length(CAST(text AS BLOB)) AS len
-        |             FROM documents WHERE doc_id % 3 = 2),
+      s"""WITH $docBytesSql,
+        |vid AS (SELECT d.doc_id, db.bs, len(db.bs) AS len
+        |        FROM documents d JOIN docbytes db USING (doc_id)
+        |        WHERE d.doc_id % 3 = 2),
         |px AS (SELECT doc_id, CAST(i AS BIGINT) AS p,
-        |              ascii(substr(text, CAST(i AS INT) + 1, 1)) // 32 AS b
+        |              bs[CAST(i AS INT) + 1] // 32 AS b
         |       FROM vid, UNNEST(range(0, len)) u(i)),
         |cnt AS (SELECT doc_id, p // 64 AS fi, b, COUNT(*) AS c
         |        FROM px WHERE (p // 64) % 4 = 0 GROUP BY 1, 2, 3),

@@ -147,6 +147,133 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** The Gopher WORD-LEVEL quality rules (Rae et al. 2021 §A1.1) — the
+    * other half of the repetition screen ([[repetitionScreen]] covers the
+    * top-token/top-bigram share half): mean word length outside [3, 10],
+    * fewer than 2 distinct stop words, symbol-to-word ratio ('#' and
+    * '...') above 0.1, more than 90% of lines bullet-led, more than 30%
+    * ellipsis-terminated, and under 80% of words containing an alphabetic
+    * character. All six rules are exact INTEGER cross-multiplications on
+    * per-doc counts — no float thresholds to diverge across engines — and
+    * the per-source report carries integer basis-point ratios plus a
+    * per-rule flag census.
+    *
+    * Scale: one corpus scan of codegen'd string/array expressions, one
+    * |sources|-domain aggregate — no joins, no shuffle beyond the final
+    * keyed agg. The synthetic corpus has no newlines or symbols, so the
+    * line-share and symbol rules report structural zeros here; the word-
+    * length and stop-word rules carry the live signal (and the whole rule
+    * surface is exercised either way — a real crawl lights the rest up). */
+  def gopherWordScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val stopArr =
+      "array('the','be','to','of','and','that','have','with')"
+    val d = t.documents
+      .select(col("source"), col("text"))
+      .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("word_chars",
+        length(expr("replace(text, ' ', '')")).cast("long"))
+      .withColumn("n_stop",
+        size(expr(s"filter(tk, x -> array_contains($stopArr, x))")).cast("long"))
+      .withColumn("n_stop_distinct",
+        size(array_distinct(
+          expr(s"filter(tk, x -> array_contains($stopArr, x))"))).cast("long"))
+      .withColumn("n_sym",
+        ((length(col("text")) - length(expr("replace(text, '#', '')"))) +
+          expr("(length(text) - length(replace(text, '...', ''))) div 3"))
+          .cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_bullet",
+        size(expr("filter(lines, l -> startswith(l, '- ') or startswith(l, '* '))"))
+          .cast("long"))
+      .withColumn("n_ell_lines",
+        size(expr("filter(lines, l -> endswith(l, '...'))")).cast("long"))
+      .withColumn("n_alpha",
+        size(expr("filter(tk, x -> x rlike '[A-Za-z]')")).cast("long"))
+      .withColumn("f_wordlen",
+        col("word_chars") < col("n_words") * 3 ||
+          col("word_chars") > col("n_words") * 10)
+      .withColumn("f_stop", col("n_stop_distinct") < 2)
+      .withColumn("f_sym", col("n_sym") * 10 > col("n_words"))
+      .withColumn("f_bullet", col("n_bullet") * 10 > col("n_lines") * 9)
+      .withColumn("f_ell", col("n_ell_lines") * 10 > col("n_lines") * 3)
+      .withColumn("f_alpha", col("n_alpha") * 10 < col("n_words") * 8)
+    def flags(c: String): Column = sum(when(col(c), 1L).otherwise(0L))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_wordlen") || col("f_stop") || col("f_sym") ||
+          col("f_bullet") || col("f_ell") || col("f_alpha"), 1L)
+          .otherwise(0L)).as("n_flagged"),
+        flags("f_wordlen").as("n_word_len"),
+        flags("f_stop").as("n_stop_poor"),
+        flags("f_sym").as("n_symbol_heavy"),
+        flags("f_bullet").as("n_bullet_heavy"),
+        flags("f_ell").as("n_ellipsis_heavy"),
+        flags("f_alpha").as("n_low_alpha"),
+        sum(col("word_chars")).as("wc"), sum(col("n_words")).as("nw"),
+        sum(col("n_stop")).as("ns"))
+      .select(col("source"), col("n_docs"), col("n_flagged"),
+        col("n_word_len"), col("n_stop_poor"), col("n_symbol_heavy"),
+        col("n_bullet_heavy"), col("n_ellipsis_heavy"), col("n_low_alpha"),
+        expr("wc * 100 div nullif(nw, 0)").as("mean_word_len_x100"),
+        expr("ns * 10000 div nullif(nw, 0)").as("stop_bp"))
+      .orderBy(col("source"))
+  }
+
+  /** Extended PII sweep — [[redactionSweep]]'s email/digit-run classes
+    * plus PHONE and IPv4 patterns, per class. The raw synthetic corpus
+    * carries no PII at all (pure word sequences), so the scan runs over a
+    * deterministically DIRTIED twin: doc_id-derived phone / IPv4 / email /
+    * account-number footers appended in-query (the proven
+    * q_str_email_synthesis pattern — both engines synthesize the identical
+    * byte sequence, so hit counts are hash-checkable end to end, not
+    * structurally zero). Classes are counted independently on the same
+    * text (a token may legitimately match two classes — e.g. a ≥6-digit
+    * user id inside an email — and a production scrub would chain
+    * replacements in precedence order exactly as [[redactionSweep]] does).
+    *
+    * Scale: one scan, four codegen'd regex counters, one |langs|-domain
+    * aggregate — embarrassingly parallel, no shuffle beyond the final agg. */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dirty =
+      """concat(text,
+        |  CASE WHEN doc_id % 3 = 0 THEN concat(' call 555-',
+        |    lpad(cast(doc_id % 1000 AS string), 3, '0'), '-',
+        |    lpad(cast(doc_id % 10000 AS string), 4, '0')) ELSE '' END,
+        |  CASE WHEN doc_id % 5 = 0 THEN concat(' host 10.',
+        |    cast(doc_id % 256 AS string), '.',
+        |    cast((doc_id * 7) % 256 AS string), '.',
+        |    cast((doc_id * 13) % 256 AS string)) ELSE '' END,
+        |  CASE WHEN doc_id % 7 = 0 THEN concat(' mail user',
+        |    cast(doc_id AS string), '@example.com') ELSE '' END,
+        |  CASE WHEN doc_id % 11 = 0 THEN concat(' acct ',
+        |    lpad(cast(doc_id % 100000 AS string), 9, '0')) ELSE '' END)"""
+        .stripMargin
+    val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val phoneRe = """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"""
+    val ipRe = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+    val digitsRe = """[0-9]{6,}"""
+    def hits(re: String): Column =
+      size(regexp_extract_all(col("dirty"), lit(re), lit(0))).cast("long")
+    t.documents
+      .select(col("lang"), expr(dirty).as("dirty"))
+      .select(col("lang"),
+        hits(emailRe).as("e"), hits(phoneRe).as("p"),
+        hits(ipRe).as("i"), hits(digitsRe).as("d"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("e")).as("n_emails"),
+        sum(col("p")).as("n_phones"),
+        sum(col("i")).as("n_ips"),
+        sum(col("d")).as("n_digit_runs"),
+        sum(when(col("e") + col("p") + col("i") + col("d") > 0, 1L)
+          .otherwise(0L)).as("docs_touched"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact top-k vocabulary: token frequencies over the whole corpus
     * (explode → partial+final count → TakeOrderedAndProject). The corpus-
     * wide vocabulary histogram every tokenizer/filter decision reads.
@@ -769,6 +896,85 @@ object TextQueries {
         |       CAST(SUM(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT) AS docs_redacted,
         |       CAST(SUM(len(text) - len(red)) AS BIGINT) AS chars_removed
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_gopher_word", gopherWordScreen, Some(
+      """WITH a AS (
+        |  SELECT source, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+        |         string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |         len(tk) AS n_words,
+        |         len(replace(text, ' ', '')) AS word_chars,
+        |         len(list_filter(tk, x -> list_contains(
+        |           ['the','be','to','of','and','that','have','with'], x))) AS n_stop,
+        |         len(list_distinct(list_filter(tk, x -> list_contains(
+        |           ['the','be','to','of','and','that','have','with'], x)))) AS n_stop_distinct,
+        |         (len(text) - len(replace(text, '#', '')))
+        |           + (len(text) - len(replace(text, '...', ''))) // 3 AS n_sym,
+        |         len(lines) AS n_lines,
+        |         len(list_filter(lines, l -> starts_with(l, '- ')
+        |                                  OR starts_with(l, '* '))) AS n_bullet,
+        |         len(list_filter(lines, l -> ends_with(l, '...'))) AS n_ell_lines,
+        |         len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+        |  FROM a),
+        |f AS (
+        |  SELECT source, n_words, word_chars, n_stop,
+        |         (word_chars < n_words * 3 OR word_chars > n_words * 10) AS f_wordlen,
+        |         n_stop_distinct < 2 AS f_stop,
+        |         n_sym * 10 > n_words AS f_sym,
+        |         n_bullet * 10 > n_lines * 9 AS f_bullet,
+        |         n_ell_lines * 10 > n_lines * 3 AS f_ell,
+        |         n_alpha * 10 < n_words * 8 AS f_alpha
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN f_wordlen OR f_stop OR f_sym OR f_bullet
+        |                       OR f_ell OR f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(SUM(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS n_word_len,
+        |       CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_poor,
+        |       CAST(SUM(CASE WHEN f_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_symbol_heavy,
+        |       CAST(SUM(CASE WHEN f_bullet THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet_heavy,
+        |       CAST(SUM(CASE WHEN f_ell THEN 1 ELSE 0 END) AS BIGINT) AS n_ellipsis_heavy,
+        |       CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_low_alpha,
+        |       CAST(SUM(word_chars) * 100 // NULLIF(SUM(n_words), 0) AS BIGINT)
+        |         AS mean_word_len_x100,
+        |       CAST(SUM(n_stop) * 10000 // NULLIF(SUM(n_words), 0) AS BIGINT) AS stop_bp
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_pii_scan", piiScan, Some(
+      """WITH a AS (
+        |  SELECT lang,
+        |         concat(text,
+        |           CASE WHEN doc_id % 3 = 0 THEN concat(' call 555-',
+        |             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+        |             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+        |           CASE WHEN doc_id % 5 = 0 THEN concat(' host 10.',
+        |             CAST(doc_id % 256 AS VARCHAR), '.',
+        |             CAST((doc_id * 7) % 256 AS VARCHAR), '.',
+        |             CAST((doc_id * 13) % 256 AS VARCHAR)) ELSE '' END,
+        |           CASE WHEN doc_id % 7 = 0 THEN concat(' mail user',
+        |             CAST(doc_id AS VARCHAR), '@example.com') ELSE '' END,
+        |           CASE WHEN doc_id % 11 = 0 THEN concat(' acct ',
+        |             lpad(CAST(doc_id % 100000 AS VARCHAR), 9, '0')) ELSE '' END)
+        |           AS dirty
+        |  FROM documents),
+        |h AS (
+        |  SELECT lang,
+        |         len(regexp_extract_all(dirty,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS e,
+        |         len(regexp_extract_all(dirty,
+        |           '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS p,
+        |         len(regexp_extract_all(dirty,
+        |           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS i,
+        |         len(regexp_extract_all(dirty, '[0-9]{6,}')) AS d
+        |  FROM a)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(e) AS BIGINT) AS n_emails,
+        |       CAST(SUM(p) AS BIGINT) AS n_phones,
+        |       CAST(SUM(i) AS BIGINT) AS n_ips,
+        |       CAST(SUM(d) AS BIGINT) AS n_digit_runs,
+        |       CAST(SUM(CASE WHEN e + p + i + d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS docs_touched
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_tfidf", tfidfTopTerms, Some(
       """WITH tok AS (
         |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),

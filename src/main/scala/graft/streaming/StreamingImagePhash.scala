@@ -61,10 +61,20 @@ object StreamingImagePhash {
     val spark = batch.sparkSession
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def readOr(path: String, template: DataFrame): DataFrame =
-      if (fs.exists(new Path(path)))
-        spark.read.parquet(path)
-          .where(col("batch") =!= batchId).drop("batch")
-      else template.limit(0)
+      if (fs.exists(new Path(path))) {
+        val df = spark.read.parquet(path)
+        // LAYOUT BREAK (round 12): the store moved from flat append-mode
+        // files to batch=<id> overwrite partitions for idempotent replay.
+        // A pre-round-12 flat store has no `batch` column — fail with a
+        // migration message instead of an opaque AnalysisException from
+        // the filter below. (Rebuild: re-run the stream from its source
+        // with a fresh root; the store is derived state.)
+        require(df.columns.contains("batch"),
+          s"$path is a pre-batch-partitioned pHash store (no batch= " +
+            "partitions); rebuild it under a fresh root — the replay " +
+            "contract needs batchId-keyed partitions")
+        df.where(col("batch") =!= batchId).drop("batch")
+      } else template.limit(0)
 
     val hashes = MultimodalOps.phashFrame(batch).localCheckpoint(true)
     val bands = MultimodalOps.phashBands(hashes)

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Dev scratch tool: time labeled stages of a query's pipeline warm.
   * Not part of the driver contract; edited ad hoc while profiling. */
@@ -23,34 +24,40 @@ object StageProbe {
       }
     }
 
-    import org.apache.spark.sql.functions._
-    import graft.operators.Retrieval
-    import graft.sources.Tables.Tpch
-    val t = Tpch(spark, sfDir)
-    time("full q_text_prf_retrieval") {
-      Retrieval.prfRetrieval(spark, sfDir).count()
+    import graft.SparkEntry
+    import graft.operators.{ProductQuantization, SemanticDedup, Components}
+    // warm everything once
+    time("q_sim_semantic_dedup full") {
+      SparkEntry.queries("q_sim_semantic_dedup")(spark, sfDir).count()
     }
-    time("expansion alone") {
-      Retrieval.queryExpansion(spark, sfDir).count()
+    val path = ProductQuantization.ensurePq(spark, sfDir)
+    val cells = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cluster"))
+    val cl = SemanticDedup.splitOversized(
+      graft.sources.Tables.Tpch(spark, sfDir).embeddings
+        .select(col("vec_id"), col("embedding"))
+        .join(cells, "vec_id"))
+    time("clustered (uncached rebuild)") { cl.count() }
+    val pairs = SemanticDedup.pairsWithin(cl, SemanticDedup.Threshold)
+    time("pairsWithin (uncached)") { pairs.count() }
+    time("dropped (components) over empty-ish pairs") {
+      SemanticDedup.dropped(pairs.limit(0)).count()
     }
-    // second pass with a LITERAL q2 (no expansion subtree): isolates the
-    // dynamic-semi-join + scoring + topk cost from the q2 recompute cost
-    import spark.implicits._
-    val q2lit = Seq((1, "spark"), (1, "shuffle"), (1, "join"), (1, "scan"),
-      (2, "dup"), (2, "scan"), (2, "window"), (3, "window"), (3, "group"),
-      (3, "agg"), (4, "stream"), (4, "batch"), (4, "value"))
-      .toDF("q_id", "term")
-    time("second pass, literal q2, dynamic path") {
-      Retrieval.topKPerQuery(
-        Retrieval.bm25ScoredFor(t, q2lit, None), 10).count()
+    time("dropped (components) over real pairs") {
+      SemanticDedup.dropped(pairs).count()
     }
-    val q2dyn = q2lit.union(
-      Retrieval.queryExpansion(spark, sfDir).select(col("q_id"), col("term")))
-      .distinct()
-    time("second pass, computed q2, dynamic path") {
-      Retrieval.topKPerQuery(
-        Retrieval.bm25ScoredFor(t, q2dyn, None), 10).count()
+    val pairsP = pairs.persist()
+    pairsP.count()
+    time("dropped (components) over persisted pairs") {
+      SemanticDedup.dropped(pairsP).count()
     }
-    spark.stop()
+    time("components alone on tiny literal edges") {
+      import spark.implicits._
+      Components.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")).count()
+    }
+    time("q_dedup_common_span full") {
+      SparkEntry.queries("q_dedup_common_span")(spark, sfDir).count()
+    }
   }
 }

@@ -186,23 +186,52 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSeq == brute.toSeq, s"got ${got.toSeq}\nexpected ${brute.toSeq}")
   }
 
-  test("ASCII-corpus invariant: every document is pure ASCII (bytes == chars)") {
-    // The per-pixel oracles index text character-wise while the codec walks
-    // UTF-8 bytes — equal only while the corpus is ASCII. Assert it at the
-    // source so a future non-ASCII fixture fails HERE, not via a hash
-    // mismatch three queries downstream.
-    val nonAscii = graft.sources.Tables.load(spark, Sf, "documents")
-      .where(octet_length(col("text")) =!= length(col("text")))
-      .count()
-    assert(nonAscii == 0, s"$nonAscii non-ASCII documents break the byte-wise oracles")
+  test("oracle UTF-8 byte expansion matches getBytes on 1/2/3/4-byte code points") {
+    // The per-pixel oracles index the docbytes CTE: each character expanded
+    // to UTF-8 bytes arithmetically from its code point. Pin that exact
+    // arithmetic (the SQL's CASE, re-stated here) against the JVM's
+    // getBytes("UTF-8") — the byte sequence the codec actually packs — so
+    // a non-ASCII corpus hash-checks instead of being asserted away.
+    def sqlExpansion(text: String): Seq[Int] =
+      text.codePoints().toArray.toSeq.flatMap { cp =>
+        if (cp < 128) Seq(cp)
+        else if (cp < 2048) Seq(192 + cp / 64, 128 + cp % 64)
+        else if (cp < 65536)
+          Seq(224 + cp / 4096, 128 + (cp / 64) % 64, 128 + cp % 64)
+        else Seq(240 + cp / 262144, 128 + (cp / 4096) % 64,
+          128 + (cp / 64) % 64, 128 + cp % 64)
+      }
+    val samples = Seq("plain ascii", "café", "中文 docs", "emoji 😀 tail",
+      "mixed é中😀x", "")
+    samples.foreach { s =>
+      val jvm = s.getBytes("UTF-8").toSeq.map(_ & 0xff)
+      assert(sqlExpansion(s) == jvm, s"expansion diverges on '$s'")
+    }
+    // DuckDB's string_split(text, '') iterates CHARACTERS (code points),
+    // exactly like codePoints() here — a surrogate pair is ONE code point,
+    // so the 4-byte branch is really exercised by the emoji samples.
+    assert(sqlExpansion("😀") == Seq(0xf0, 0x9f, 0x98, 0x80))
+  }
 
-    // negative control: the detector actually fires on non-ASCII text —
-    // a multi-byte codepoint makes octet_length exceed length
-    val planted = Seq((1L, "plain ascii"), (2L, "café"), (3L, "中文"))
-      .toDF("doc_id", "text")
-      .where(octet_length(col("text")) =!= length(col("text")))
-      .select("doc_id").as[Long].collect().toSet
-    assert(planted == Set(2L, 3L), s"detector missed non-ASCII rows: $planted")
+  test("non-ASCII payload round-trips the codec byte-exactly") {
+    import MultimodalOps.{Codec, Grft1, MediaRow}
+    val text = "café 中文 😀 naïve"
+    val body = text.getBytes("UTF-8")
+    val row = MediaRow(7L, "image", Grft1.pack(0, 32, 16, 8000, body),
+      "grft1", 32, 16, 8000)
+    val f = Codec.decode(row)
+    assert(f.body_len == body.length, "byte length, not char length")
+    assert(f.body_sum == body.map(_ & 0xff).map(_.toLong).sum,
+      "unsigned byte sum — a signed walk would differ on >0x7f bytes")
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(body)
+      .map("%02x".format(_)).mkString
+    assert(f.content_fp == md5)
+    // the raster walk is unsigned too: energies computed over & 0xff values
+    val (w, h, raster) = Codec.imageRaster(row)
+    val (v, hh) = Codec.gradientEnergies(w, h, raster)
+    assert(v >= 0 && hh >= 0)
+    assert(raster.slice(0, body.length.min(w * h)).toSeq ==
+      body.slice(0, body.length.min(w * h)).toSeq)
   }
 
   test("thumbnail IVF curve: persisted index, recall monotone, all-buckets = 1.0") {

@@ -20,17 +20,55 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class OracleGuardSpec extends AnyFunSuite {
 
-  /** CTE definitions: (stem, suffix, materialized). Matches `name AS (`
-    * and `name AS MATERIALIZED (`; column/table aliases never carry the
-    * trailing `AS ... (`, so they don't match. */
-  private val cteDef =
-    raw"""(?i)\b([a-z_]+)(\d+)\s+AS\s+(MATERIALIZED\s+)?\(""".r
+  /** CTE definitions (name, materialized) parsed from the WITH clause
+    * ONLY — anchored, not a bare regex over the whole SQL: a named WINDOW
+    * clause (`WINDOW w1 AS (...)`) lives in the final SELECT and must not
+    * be mistaken for an un-materialized CTE. The scanner matches each
+    * `name[(cols)] AS [MATERIALIZED] (` at the clause's top level, skips
+    * the balanced body, then continues only across a top-level comma (the
+    * next CTE); anything else ends the clause. Chains using NON-numbered
+    * names still escape the static guard by design — the runtime twin
+    * (tools/time_oracles.py, per-oracle wall cap) covers that side. */
+  private val nameRe =
+    raw"""(?is)^\s*([a-z_][a-z_0-9]*)\s*(\([^)]*\))?\s+AS\s+(MATERIALIZED\s+)?\(""".r
+
+  private[graft] def cteDefs(sql: String): Seq[(String, Boolean)] = {
+    raw"(?i)\bWITH\b(\s+RECURSIVE\b)?".r.findFirstMatchIn(sql) match {
+      case None => Seq.empty
+      case Some(w) =>
+        val out = Seq.newBuilder[(String, Boolean)]
+        var rest = sql.substring(w.end)
+        var continue = true
+        while (continue) {
+          nameRe.findFirstMatchIn(rest) match {
+            case Some(nm) =>
+              out += ((nm.group(1).toLowerCase, nm.group(3) != null))
+              var depth = 1
+              var i = nm.end
+              while (depth > 0 && i < rest.length) {
+                rest.charAt(i) match {
+                  case '(' => depth += 1
+                  case ')' => depth -= 1
+                  case _ =>
+                }
+                i += 1
+              }
+              val after = rest.substring(i).dropWhile(_.isWhitespace)
+              if (after.startsWith(",")) rest = after.substring(1)
+              else continue = false
+            case None => continue = false
+          }
+        }
+        out.result()
+    }
+  }
 
   /** Round-chain CTEs that are NOT materialized, for one SQL text. */
   private[graft] def unmaterializedChains(sql: String): Seq[String] = {
-    val defs = cteDef.findAllMatchIn(sql).map { m =>
-      (m.group(1), m.group(2), m.group(3) != null)
-    }.toSeq
+    val numbered = raw"([a-z_]+)(\d+)".r
+    val defs = cteDefs(sql).collect {
+      case (numbered(stem, n), mat) => (stem, n, mat)
+    }
     val chained = defs.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
     chained.values.flatten.collect {
       case (stem, n, false) => s"$stem$n"
@@ -55,6 +93,27 @@ class OracleGuardSpec extends AnyFunSuite {
         |w2 AS MATERIALIZED (SELECT x FROM w1)
         |SELECT * FROM w2""".stripMargin
     assert(unmaterializedChains(ok).isEmpty)
+  }
+
+  test("named WINDOW clauses in the final SELECT are not mistaken for CTEs") {
+    val sql =
+      """WITH v1 AS MATERIALIZED (SELECT 1 AS x),
+        |v2 AS MATERIALIZED (SELECT x + 1 AS x FROM v1)
+        |SELECT x, SUM(x) OVER v3 AS s
+        |FROM v2
+        |WINDOW v3 AS (PARTITION BY x)""".stripMargin
+    // the old whole-text regex flagged v3 (name + numeric suffix + `AS (`)
+    // as an un-materialized member of the v-chain
+    assert(unmaterializedChains(sql).isEmpty)
+    assert(cteDefs(sql).map(_._1) == Seq("v1", "v2"))
+  }
+
+  test("column lists and nested parens in CTE bodies don't derail the scan") {
+    val sql =
+      """WITH r1(id, n) AS (SELECT 1, (2 + (3)) ),
+        |r2 AS (SELECT id FROM r1 JOIN r1 x ON (r1.id = x.id))
+        |SELECT * FROM r2""".stripMargin
+    assert(unmaterializedChains(sql) == Seq("r1", "r2"))
   }
 
   test("every registered oracle's round-chain CTEs are AS MATERIALIZED") {

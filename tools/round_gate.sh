@@ -1,0 +1,49 @@
+#!/usr/bin/env bash
+# One-command round gate: every claim a round's summary makes, reproduced
+# from a single entry point, with the exact tool output captured.
+#
+#   tools/round_gate.sh <roundN> [sfVerify] [sfBench]
+#
+# Steps (fail-fast in this order — each later step's numbers are only
+# meaningful if the earlier gates hold):
+#   1. sbt test                          -> gate_rN_test.log (suite counts)
+#   2. graft.Verify @ sf0.01             -> /tmp/vout_rN (parquet + oracle_sql.json)
+#   3. tools/check_oracle.py             -> CORRECTNESS_local_rN.json
+#   4. tools/time_oracles.py @ sf0.001   -> per-oracle wall cap (needs its own
+#                                           Verify dump for the sf0.001 oracles)
+#   5. graft.Bench @ sf0.1               -> BENCH_local_rN.json (last stdout line)
+#
+# Dev-only tooling — NOT part of the shipped Scala library.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+N="${1:?usage: tools/round_gate.sh <roundN> [sfVerify] [sfBench]}"
+SF_VERIFY="${2:-/root/testdata/sf0.01}"
+SF_BENCH="${3:-/root/testdata/sf0.1}"
+SF_CAP="/root/testdata/sf0.001"
+VOUT="/tmp/vout_r${N}"
+VOUT_CAP="/tmp/vout_cap_r${N}"
+
+echo "== [1/5] sbt test"
+sbt -batch test 2>&1 | tee "gate_r${N}_test.log" | tail -6
+grep -E "Tests: succeeded|All tests passed|Suites: completed" \
+  "gate_r${N}_test.log" | tail -3
+
+echo "== [2/5] Verify @ ${SF_VERIFY}"
+sbt -batch "runMain graft.Verify ${SF_VERIFY} ${VOUT}" > /dev/null
+
+echo "== [3/5] check_oracle -> CORRECTNESS_local_r${N}.json"
+python3 tools/check_oracle.py "${SF_VERIFY}" "${VOUT}" \
+  "CORRECTNESS_local_r${N}.json" | tail -3
+
+echo "== [4/5] time_oracles @ ${SF_CAP} (10 s cap)"
+sbt -batch "runMain graft.Verify ${SF_CAP} ${VOUT_CAP}" > /dev/null
+python3 tools/time_oracles.py "${SF_CAP}" "${VOUT_CAP}" 10 | tail -3
+
+echo "== [5/5] Bench @ ${SF_BENCH}"
+SPARK_GRAFT_SF_DIR="${SF_BENCH}" SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2> "gate_r${N}_bench_detail.log" \
+  | grep '"metric"' | tail -1 > "BENCH_local_r${N}.json"
+cat "BENCH_local_r${N}.json"
+
+echo "== gate r${N} complete: CORRECTNESS_local_r${N}.json, BENCH_local_r${N}.json"

@@ -13,6 +13,7 @@ Dev-only tooling — NOT part of the shipped Scala library.
 """
 import json
 import multiprocessing as mp
+import queue as queue_mod
 import sys
 import time
 
@@ -52,7 +53,14 @@ def main():
             failures.append(f"{name}: TIMEOUT >{cap:.0f}s")
             print(f"[TIMEOUT] {name}: >{cap:.0f}s", flush=True)
             continue
-        status = q.get() if not q.empty() else "error: no result"
+        # Blocking get with a grace timeout, NOT q.empty(): the child's
+        # queue feeder thread can still be flushing when join() returns,
+        # and the non-blocking check would misreport a passing oracle as
+        # "no result" flakily.
+        try:
+            status = q.get(timeout=2)
+        except queue_mod.Empty:
+            status = "error: no result"
         if status != "ok":
             failures.append(f"{name}: {status}")
             print(f"[FAIL] {name}: {status} ({dt:.2f}s)", flush=True)
