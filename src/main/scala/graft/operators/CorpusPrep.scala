@@ -322,8 +322,14 @@ object CorpusPrep {
       .groupBy(col("bigram")).agg(sum(col("n")).as("t_n"))
     val stats = corpusCnt.join(targetCnt, Seq("bigram"), "left")
       .withColumn("t_n", coalesce(col("t_n"), lit(0L)))
-    val totals = stats.agg(sum(col("c_n")).as("c_tot"),
-      sum(col("t_n")).as("t_tot"), count(lit(1)).as("v"))
+    // totals straight off the cached bigram table in ONE aggregate —
+    // summing over `stats` instead re-derived the whole two-aggregate
+    // vocab join a second time (c_tot = Σn, t_tot = Σn over the target
+    // source, v = |distinct bigrams| = |stats| by construction)
+    val totals = docBig.agg(sum(col("n")).as("c_tot"),
+      sum(when(col("source") === DsirTarget, col("n")).otherwise(0L))
+        .as("t_tot"),
+      countDistinct(col("bigram")).as("v"))
     val weights = stats.crossJoin(broadcast(totals))
       .withColumn("w", floor(log(
         ((col("t_n") + 1) / (col("t_tot") + col("v"))) /

@@ -334,22 +334,33 @@ object DedupQueries {
     * itself — new arrivals can duplicate each other, not just history.
     * DedupSpec pins the contract: output == the full-corpus portable pair
     * graph restricted to pairs touching the batch. */
-  def incrementalNearDups(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = sharedPortableShingled(spark, sfDir)
-    val allBands = sharedPortableBands(spark, sfDir)
-    val batchBands = allBands
-      .where(pmod(col("doc_id"), lit(3)) === 0)
-      .withColumnRenamed("doc_id", "batch_doc")
-    val candidates = batchBands
-      .join(allBands.withColumnRenamed("doc_id", "other_doc"),
-        Seq("band_id", "band_sig"))
-      .where(col("batch_doc") =!= col("other_doc"))
-      .select(least(col("batch_doc"), col("other_doc")).as("doc_a"),
-        greatest(col("batch_doc"), col("other_doc")).as("doc_b"))
-      .distinct()
-    verifiedJaccardPairs(candidates, docs)
+  /** The batch-probe candidate pairs, cached per (session, sf) like every
+    * other candidate table here: the band-index probe + distinct is the
+    * screen's dominant shuffle and the verify fetch reads the pair frame
+    * three times (the containment lesson). At 100 TB: the per-ingest
+    * candidate table, written once per batch screen. */
+  private val incrementalCandCache = FrameCache.empty
+
+  private def incrementalCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    cached(incrementalCandCache, spark, sfDir) {
+      val allBands = sharedPortableBands(spark, sfDir)
+      val batchBands = allBands
+        .where(pmod(col("doc_id"), lit(3)) === 0)
+        .withColumnRenamed("doc_id", "batch_doc")
+      batchBands
+        .join(allBands.withColumnRenamed("doc_id", "other_doc"),
+          Seq("band_id", "band_sig"))
+        .where(col("batch_doc") =!= col("other_doc"))
+        .select(least(col("batch_doc"), col("other_doc")).as("doc_a"),
+          greatest(col("batch_doc"), col("other_doc")).as("doc_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def incrementalNearDups(spark: SparkSession, sfDir: String): DataFrame =
+    verifiedJaccardPairs(incrementalCandidates(spark, sfDir),
+      sharedPortableShingled(spark, sfDir))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** SimHash near-duplicate pairs: 64-bit signed-bit-sum signature over
     * tokens, banded into 4×16-bit chunks for candidates, verified by Hamming

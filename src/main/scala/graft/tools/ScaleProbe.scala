@@ -110,7 +110,10 @@ object ScaleProbe {
     // semi-join below the fact aggregate; hybrid FK/many-to-many
     // cardinality probes
     "q_text_source_overlap", "q_min_cost_supplier",
-    "q_profile_join_cardinality")
+    "q_profile_join_cardinality",
+    // round 13: delta-maintained mart (touched-groups recompute over the
+    // cached change batch); single-scan word-rule/PII aggregates
+    "q_incremental_mart", "q_text_gopher_word", "q_text_pii_scan")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
