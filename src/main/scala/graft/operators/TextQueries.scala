@@ -274,6 +274,65 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Luhn-validated card-number screen — the VALIDITY half of PII
+    * detection [[piiScan]]'s regexes lack: a bare 16-digit pattern flags
+    * every order id and timestamp-like run, while the Luhn checksum
+    * (ISO/IEC 7812 — double every second digit from the right, subtract
+    * 9 above 9, sum ≡ 0 mod 10) rejects 90% of random digit runs, so a
+    * scrub gated on it redacts cards without destroying ordinary
+    * numerics. Same deterministic-dirtying contract as [[piiScan]]:
+    * every 4th doc gets a doc_id-derived 16-digit footer, and only every
+    * 8th gets a CORRECT check digit — both engines synthesize, extract,
+    * and validate the identical numbers with identical integer
+    * arithmetic, so candidate/valid/rejected counts are hash-checked.
+    *
+    * Scale: one scan; the checksum is a 16-term integer fold per
+    * candidate (codegen-adjacent HOF, no shuffle before the final
+    * |langs|-domain aggregate). */
+  def piiLuhnScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    // 15 payload digits from doc_id; the check digit is the Luhn closure
+    // (position j from the LEFT of the 16-digit card doubles iff j is odd
+    // — distance-from-right 17-j is then even)
+    val luhn15 =
+      """aggregate(transform(sequence(1, 15), j ->
+        |  CASE WHEN j % 2 = 1 THEN
+        |    IF(2 * cast(substring(base15, j, 1) AS int) > 9,
+        |       2 * cast(substring(base15, j, 1) AS int) - 9,
+        |       2 * cast(substring(base15, j, 1) AS int))
+        |  ELSE cast(substring(base15, j, 1) AS int) END),
+        |  0, (acc, x) -> acc + x)""".stripMargin
+    val luhn16 =
+      """aggregate(transform(sequence(1, 16), i ->
+        |  CASE WHEN i % 2 = 1 THEN
+        |    IF(2 * cast(substring(c, i, 1) AS int) > 9,
+        |       2 * cast(substring(c, i, 1) AS int) - 9,
+        |       2 * cast(substring(c, i, 1) AS int))
+        |  ELSE cast(substring(c, i, 1) AS int) END),
+        |  0, (acc, x) -> acc + x)""".stripMargin
+    t.documents
+      .select(col("lang"), col("doc_id"), col("text"))
+      .withColumn("base15", expr(
+        "lpad(cast((doc_id * 7919) % 1000000000000000 AS string), 15, '0')"))
+      .withColumn("chk", expr(s"(10 - ($luhn15) % 10) % 10"))
+      .withColumn("dirty", expr(
+        """concat(text, CASE WHEN doc_id % 4 = 0 THEN concat(' card ',
+          |  base15, cast(CASE WHEN doc_id % 8 = 0 THEN chk
+          |                    ELSE (chk + 5) % 10 END AS string))
+          |  ELSE '' END)""".stripMargin))
+      .withColumn("cands", expr(
+        """regexp_extract_all(dirty, '\\b[0-9]{16}\\b', 0)"""))
+      .withColumn("n_cand", size(col("cands")).cast("long"))
+      .withColumn("n_ok",
+        size(expr(s"filter(cands, c -> ($luhn16) % 10 = 0)")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_cand")).as("n_candidates"),
+        sum(col("n_ok")).as("n_luhn_valid"),
+        sum(col("n_cand") - col("n_ok")).as("n_luhn_rejected"))
+      .orderBy(col("lang"))
+  }
+
   /** Exact top-k vocabulary: token frequencies over the whole corpus
     * (explode → partial+final count → TakeOrderedAndProject). The corpus-
     * wide vocabulary histogram every tokenizer/filter decision reads.
@@ -940,6 +999,48 @@ object TextQueries {
         |         AS mean_word_len_x100,
         |       CAST(SUM(n_stop) * 10000 // NULLIF(SUM(n_words), 0) AS BIGINT) AS stop_bp
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_pii_luhn", piiLuhnScreen, Some(
+      """WITH a AS (
+        |  SELECT lang, doc_id, text,
+        |         lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR),
+        |              15, '0') AS base15
+        |  FROM documents),
+        |b AS (
+        |  SELECT lang, doc_id, text, base15,
+        |         (10 - (list_sum(list_transform(range(1, 16), j ->
+        |            CASE WHEN j % 2 = 1 THEN
+        |              CASE WHEN 2 * CAST(substr(base15, CAST(j AS INT), 1) AS INT) > 9
+        |                   THEN 2 * CAST(substr(base15, CAST(j AS INT), 1) AS INT) - 9
+        |                   ELSE 2 * CAST(substr(base15, CAST(j AS INT), 1) AS INT) END
+        |            ELSE CAST(substr(base15, CAST(j AS INT), 1) AS INT) END))
+        |          % 10)) % 10 AS chk
+        |  FROM a),
+        |d AS (
+        |  SELECT lang,
+        |         regexp_extract_all(
+        |           concat(text, CASE WHEN doc_id % 4 = 0
+        |             THEN concat(' card ', base15,
+        |               CAST(CASE WHEN doc_id % 8 = 0 THEN chk
+        |                         ELSE (chk + 5) % 10 END AS VARCHAR))
+        |             ELSE '' END),
+        |           '\b[0-9]{16}\b') AS cands
+        |  FROM b),
+        |e AS (
+        |  SELECT lang, len(cands) AS n_cand,
+        |         len(list_filter(cands, c ->
+        |           list_sum(list_transform(range(1, 17), i ->
+        |             CASE WHEN i % 2 = 1 THEN
+        |               CASE WHEN 2 * CAST(substr(c, CAST(i AS INT), 1) AS INT) > 9
+        |                    THEN 2 * CAST(substr(c, CAST(i AS INT), 1) AS INT) - 9
+        |                    ELSE 2 * CAST(substr(c, CAST(i AS INT), 1) AS INT) END
+        |             ELSE CAST(substr(c, CAST(i AS INT), 1) AS INT) END))
+        |           % 10 = 0)) AS n_ok
+        |  FROM d)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_cand) AS BIGINT) AS n_candidates,
+        |       CAST(SUM(n_ok) AS BIGINT) AS n_luhn_valid,
+        |       CAST(SUM(n_cand - n_ok) AS BIGINT) AS n_luhn_rejected
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_pii_scan", piiScan, Some(
       """WITH a AS (
         |  SELECT lang,

@@ -25,9 +25,12 @@ VOUT="/tmp/vout_r${N}"
 VOUT_CAP="/tmp/vout_cap_r${N}"
 
 echo "== [1/5] sbt test"
-sbt -batch test 2>&1 | tee "gate_r${N}_test.log" | tail -6
-grep -E "Tests: succeeded|All tests passed|Suites: completed" \
-  "gate_r${N}_test.log" | tail -3
+# full log to /tmp (tens of MB of spark INFO); only the verdict lines are
+# kept in the repo-committed summary log
+sbt -batch test > "/tmp/gate_r${N}_test_full.log" 2>&1 || {
+  tail -30 "/tmp/gate_r${N}_test_full.log"; exit 1; }
+grep -E "Tests: succeeded|All tests passed|Suites: completed|\*\*\* FAILED" \
+  "/tmp/gate_r${N}_test_full.log" | tail -4 | tee "gate_r${N}_test.log"
 
 echo "== [2/5] Verify @ ${SF_VERIFY}"
 sbt -batch "runMain graft.Verify ${SF_VERIFY} ${VOUT}" > /dev/null
