@@ -113,7 +113,8 @@ object ScaleProbe {
     "q_profile_join_cardinality",
     // round 13: delta-maintained mart (touched-groups recompute over the
     // cached change batch); single-scan word-rule/PII aggregates
-    "q_incremental_mart", "q_text_gopher_word", "q_text_pii_scan")
+    "q_incremental_mart", "q_text_gopher_word", "q_text_pii_scan",
+    "q_text_pii_luhn")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
