@@ -16,7 +16,7 @@ object SparkEntry {
       BloomScreen.all ++ BehaviorQueries.all ++ WarehouseQueries.all ++
       GraphQueries.all ++ QualityConstraints.all ++ CorpusStats.all ++
       MixtureBalance.all ++ EmbeddingStats.all ++ Retrieval.all ++
-      Clustering.all
+      Clustering.all ++ CurationScreens.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,437 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.NamedQuery
+import graft.sources.Tables.Tpch
+
+/** Pretraining-corpus curation screens beyond the Gopher rules in
+  * [[TextQueries]] — the C4 line-level cleaner, Unicode hygiene, URL/domain
+  * provenance, readability scoring, and the duplicate-line half of the
+  * Gopher repetition rules. Every screen is one corpus scan of codegen'd
+  * string/array expressions followed by a domain-bounded aggregate — no
+  * joins, no shuffle beyond the final keyed agg — so each is
+  * embarrassingly parallel at 100 TB.
+  *
+  * The synthetic corpus is a clean single-line word stream, so the screens
+  * whose trigger content cannot occur in it (newline-delimited lines,
+  * non-ASCII code points, URLs) run over a deterministically DIRTIED twin:
+  * doc_id-derived footers appended in-query, synthesized identically by
+  * both engines (the proven q_str_email_synthesis / q_text_pii_scan
+  * pattern), so every counter is live and hash-checked rather than
+  * structurally zero. Rules all evaluate as exact INTEGER
+  * cross-multiplications — no float thresholds to diverge across engines.
+  */
+object CurationScreens {
+
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2): keep only lines that end
+    * in terminal punctuation AND have ≥5 words AND don't mention
+    * "javascript"; drop whole pages containing a curly brace or the phrase
+    * "lorem ipsum", or retaining fewer than 3 kept lines. The dirtied twin
+    * appends newline-delimited footers per doc_id class so every rule
+    * fires both ways: a kept sentence (%7), a short terminal line (%4), a
+    * javascript line (%3), a brace + lorem-ipsum line (%5), and a 3-kept-
+    * sentence block (%11) so the <3-sentences page rule passes for some
+    * docs. Per-source census of line fates, page drops, and kept-line bp. */
+  def c4LineScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dirty =
+      """concat(text,
+        |  CASE WHEN doc_id % 7 = 0 THEN concat(chr(10),
+        |    'This footer sentence carries terminal punctuation and words.')
+        |    ELSE '' END,
+        |  CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), 'too short.')
+        |    ELSE '' END,
+        |  CASE WHEN doc_id % 3 = 0 THEN concat(chr(10),
+        |    'please enable javascript to view the widget content here.')
+        |    ELSE '' END,
+        |  CASE WHEN doc_id % 5 = 0 THEN concat(chr(10),
+        |    'function render() { return lorem ipsum dolor sit amet; }')
+        |    ELSE '' END,
+        |  CASE WHEN doc_id % 11 = 0 THEN concat(
+        |    chr(10), 'First kept sentence with five words total here.',
+        |    chr(10), 'Second kept sentence with five words total here.',
+        |    chr(10), 'Third kept sentence with five words total here.')
+        |    ELSE '' END)""".stripMargin
+    val d = t.documents
+      .select(col("source"), expr(dirty).as("dirty"))
+      .withColumn("lines", split(col("dirty"), "\n"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_no_terminal", size(expr(
+        """filter(lines, l -> NOT (endswith(l, '.') OR endswith(l, '!')
+          |                     OR endswith(l, '?') OR endswith(l, '"')))"""
+          .stripMargin)).cast("long"))
+      .withColumn("n_short", size(expr(
+        "filter(lines, l -> size(filter(split(l, ' '), x -> x <> '')) < 5)"))
+        .cast("long"))
+      .withColumn("n_js", size(expr(
+        "filter(lines, l -> contains(lower(l), 'javascript'))")).cast("long"))
+      .withColumn("n_kept", size(expr(
+        """filter(lines, l ->
+          |  (endswith(l, '.') OR endswith(l, '!') OR endswith(l, '?')
+          |     OR endswith(l, '"'))
+          |  AND size(filter(split(l, ' '), x -> x <> '')) >= 5
+          |  AND NOT contains(lower(l), 'javascript'))""".stripMargin))
+        .cast("long"))
+      .withColumn("f_brace", col("dirty").contains("{"))
+      .withColumn("f_lorem", lower(col("dirty")).contains("lorem ipsum"))
+      .withColumn("f_dropped",
+        col("f_brace") || col("f_lorem") || col("n_kept") < 3)
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_lines")).as("n_lines"),
+        sum(col("n_kept")).as("n_kept_lines"),
+        sum(col("n_no_terminal")).as("n_no_terminal"),
+        sum(col("n_short")).as("n_short_lines"),
+        sum(col("n_js")).as("n_js_lines"),
+        sum(when(col("f_brace"), 1L).otherwise(0L)).as("n_brace_docs"),
+        sum(when(col("f_lorem"), 1L).otherwise(0L)).as("n_lorem_docs"),
+        sum(when(col("f_dropped"), 1L).otherwise(0L)).as("n_page_dropped"))
+      .withColumn("kept_bp",
+        expr("n_kept_lines * 10000 div nullif(n_lines, 0)"))
+      .orderBy(col("source"))
+  }
+
+  /** Unicode hygiene screen — the mojibake/invisible-character audit a
+    * UTF-8 crawl needs before tokenization: zero-width spaces (U+200B),
+    * replacement characters (U+FFFD — the mojibake tombstone), no-break
+    * spaces (U+00A0), and C0 control characters (excluding tab/LF/CR).
+    * Counters are exact character counts (length-difference after
+    * single-char replace; regexp count for the control class). All four
+    * classes are BMP code points, so Spark's UTF-16 `length` and DuckDB's
+    * code-point `len` agree exactly (astral-plane counting differs across
+    * engines and is deliberately out of this screen's contract — the
+    * multimodal byte-level oracles cover raw-byte accounting). */
+  def unicodeHygiene(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dirty =
+      s"""concat(text,
+         |  CASE WHEN doc_id % 3 = 0 THEN concat('​', 'zero', '​', 'width') ELSE '' END,
+         |  CASE WHEN doc_id % 4 = 0 THEN concat(' bad ', '�') ELSE '' END,
+         |  CASE WHEN doc_id % 5 = 0 THEN concat(' ', 'nb', ' ', 'sp') ELSE '' END,
+         |  CASE WHEN doc_id % 7 = 0 THEN concat(' ctl', chr(7)) ELSE '' END)"""
+        .stripMargin
+    def charCount(ch: String): Column =
+      (length(col("dirty")) -
+        length(expr(s"replace(dirty, '$ch', '')"))).cast("long")
+    t.documents
+      .select(col("lang"), expr(dirty).as("dirty"))
+      .select(col("lang"),
+        charCount("​").as("z"),
+        charCount("�").as("r"),
+        charCount(" ").as("nb"),
+        size(regexp_extract_all(col("dirty"),
+          lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"), lit(0)))
+          .cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("z")).as("n_zwsp"),
+        sum(col("r")).as("n_replacement"),
+        sum(col("nb")).as("n_nbsp"),
+        sum(col("c")).as("n_control"),
+        sum(when(col("z") + col("r") + col("nb") + col("c") > 0, 1L)
+          .otherwise(0L)).as("docs_touched"))
+      .withColumn("clean_bp",
+        expr("(n_docs - docs_touched) * 10000 div n_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** URL / domain provenance screen — extract URLs, reduce each host to
+    * its registered domain (last two labels), and report the per-domain
+    * census with a blocklist flag: the provenance histogram a crawl
+    * pipeline filters on before any content rule runs. The dirtied twin
+    * plants a doc_id-derived https URL on even docs (20 site names across
+    * 4 TLDs) and a blocklisted tracker URL on every 9th doc, so the
+    * histogram, multi-URL docs, and the blocklist branch are all live.
+    * Output is bounded by the distinct-domain count (constant here; at
+    * crawl scale the census aggregate is domain-keyed with map-side
+    * combine — one row per distinct domain, never per URL). */
+  def urlScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dirty =
+      """concat(text,
+        |  CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
+        |    cast((doc_id div 2) % 20 AS string),
+        |    CASE (doc_id div 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |                            WHEN 2 THEN '.net' ELSE '.io' END,
+        |    '/p', cast(doc_id % 100 AS string)) ELSE '' END,
+        |  CASE WHEN doc_id % 9 = 0 THEN concat(
+        |    ' ref http://ads.badsite.com/track?id=', cast(doc_id AS string))
+        |    ELSE '' END)""".stripMargin
+    t.documents
+      .select(col("doc_id"), expr(dirty).as("dirty"))
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("dirty"),
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("host"))
+      .select(col("doc_id"),
+        regexp_extract(col("host"), "[A-Za-z0-9-]+\\.[A-Za-z]+$", 0)
+          .as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("domain") === "badsite.com").as("blocked"))
+      .orderBy(col("domain"))
+  }
+
+  /** Readability screen — syllable-proxy complexity per source: vowel-run
+    * syllable counts (a no-vowel word floors at 1), the Gunning-Fog
+    * complex-word share (≥3 vowel runs), the monosyllabic share, and a
+    * Flesch reading-ease figure with each document standing as one
+    * sentence (the corpus carries no sentence punctuation — stated, not
+    * hidden). Everything reports as exact integer ratios (x1000 / bp) via
+    * identical integer-division order in both engines, so the figures are
+    * hash-checkable — no float thresholds. One scan, |sources|-domain agg. */
+  def readabilityScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val d = t.documents
+      .select(col("source"), col("text"))
+      .withColumn("tk", expr("filter(split(lower(text), ' '), x -> x <> '')"))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("runs",
+        size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+          .cast("long"))
+      .withColumn("n_novowel", size(expr(
+        "filter(tk, x -> NOT x rlike '[aeiouy]')")).cast("long"))
+      .withColumn("n_complex", size(expr(
+        "filter(tk, x -> size(regexp_extract_all(x, '[aeiouy]+', 0)) >= 3)"))
+        .cast("long"))
+      .withColumn("n_mono", size(expr(
+        "filter(tk, x -> size(regexp_extract_all(x, '[aeiouy]+', 0)) <= 1)"))
+        .cast("long"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        (sum(col("runs")) + sum(col("n_novowel"))).as("n_syllables"),
+        sum(col("n_complex")).as("n_complex"),
+        sum(col("n_mono")).as("n_mono"))
+      .withColumn("spw_x1000", expr("n_syllables * 1000 div n_words"))
+      .withColumn("wps_x1000", expr("n_words * 1000 div n_docs"))
+      .withColumn("complex_bp", expr("n_complex * 10000 div n_words"))
+      .withColumn("mono_bp", expr("n_mono * 10000 div n_words"))
+      .withColumn("fre_x1000", expr(
+        "206835 - (1015 * wps_x1000) div 1000 - (846 * spw_x1000) div 10"))
+      .orderBy(col("source"))
+  }
+
+  /** Duplicate-line screen — the dup-line half of the Gopher repetition
+    * rules ([[TextQueries.repetitionScreen]] covers the top-token/bigram
+    * SHARE half; this measures total duplicate MASS): the fraction of a
+    * document's lines that repeat an earlier line, and the character mass
+    * those repeats carry. The corpus is newline-free, so lines assemble
+    * as fixed 2-token chunks — a documented corpus-shape adaptation that
+    * keeps the metric live (the real pipeline splits on newline; the
+    * chunking is a per-row array transform either way, no extra shuffle).
+    * Duplicate mass is exact set arithmetic: total minus distinct, for
+    * both counts and characters. */
+  def dupLineScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val d = t.documents
+      .select(col("source"), col("text"))
+      .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("chunks", expr(
+        """transform(sequence(0, (size(tk) - 1) div 2),
+          |          i -> concat_ws(' ', slice(tk, i * 2 + 1, 2)))"""
+          .stripMargin))
+      .withColumn("n_chunks", size(col("chunks")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("chunks"))).cast("long"))
+      .withColumn("chars_all", expr(
+        "aggregate(chunks, 0L, (a, x) -> a + length(x))"))
+      .withColumn("chars_distinct", expr(
+        "aggregate(array_distinct(chunks), 0L, (a, x) -> a + length(x))"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chunks")).as("n_lines"),
+        sum(col("n_chunks") - col("n_distinct")).as("n_dup_lines"),
+        sum(when(col("n_chunks") > col("n_distinct"), 1L).otherwise(0L))
+          .as("n_docs_with_dup"),
+        sum(col("chars_all") - col("chars_distinct")).as("dup_chars"),
+        sum(col("chars_all")).as("total_chars"))
+      .withColumn("dup_bp", expr("n_dup_lines * 10000 div nullif(n_lines, 0)"))
+      .withColumn("dup_char_bp",
+        expr("dup_chars * 10000 div nullif(total_chars, 0)"))
+      .orderBy(col("source"))
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_c4_lines", c4LineScreen, Some(
+      """WITH a AS (
+        |  SELECT source,
+        |    concat(text,
+        |      CASE WHEN doc_id % 7 = 0 THEN concat(chr(10),
+        |        'This footer sentence carries terminal punctuation and words.')
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), 'too short.')
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 3 = 0 THEN concat(chr(10),
+        |        'please enable javascript to view the widget content here.')
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 5 = 0 THEN concat(chr(10),
+        |        'function render() { return lorem ipsum dolor sit amet; }')
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 11 = 0 THEN concat(
+        |        chr(10), 'First kept sentence with five words total here.',
+        |        chr(10), 'Second kept sentence with five words total here.',
+        |        chr(10), 'Third kept sentence with five words total here.')
+        |        ELSE '' END) AS dirty
+        |  FROM documents),
+        |d AS (
+        |  SELECT source, dirty, string_split(dirty, chr(10)) AS lines
+        |  FROM a),
+        |e AS (
+        |  SELECT source,
+        |    len(lines) AS n_lines,
+        |    len(list_filter(lines, l -> NOT (ends_with(l, '.')
+        |      OR ends_with(l, '!') OR ends_with(l, '?')
+        |      OR ends_with(l, '"')))) AS n_no_terminal,
+        |    len(list_filter(lines, l ->
+        |      len(list_filter(string_split(l, ' '), x -> x <> '')) < 5))
+        |      AS n_short,
+        |    len(list_filter(lines, l -> contains(lower(l), 'javascript')))
+        |      AS n_js,
+        |    len(list_filter(lines, l ->
+        |      (ends_with(l, '.') OR ends_with(l, '!') OR ends_with(l, '?')
+        |        OR ends_with(l, '"'))
+        |      AND len(list_filter(string_split(l, ' '), x -> x <> '')) >= 5
+        |      AND NOT contains(lower(l), 'javascript'))) AS n_kept,
+        |    contains(dirty, '{') AS f_brace,
+        |    contains(lower(dirty), 'lorem ipsum') AS f_lorem
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(SUM(n_kept) AS BIGINT) AS n_kept_lines,
+        |  CAST(SUM(n_no_terminal) AS BIGINT) AS n_no_terminal,
+        |  CAST(SUM(n_short) AS BIGINT) AS n_short_lines,
+        |  CAST(SUM(n_js) AS BIGINT) AS n_js_lines,
+        |  CAST(SUM(CASE WHEN f_brace THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_brace_docs,
+        |  CAST(SUM(CASE WHEN f_lorem THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lorem_docs,
+        |  CAST(SUM(CASE WHEN f_brace OR f_lorem OR n_kept < 3
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_page_dropped,
+        |  CAST(SUM(n_kept) * 10000 // NULLIF(SUM(n_lines), 0) AS BIGINT)
+        |    AS kept_bp
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_unicode_hygiene", unicodeHygiene, Some(
+      """WITH a AS (
+        |  SELECT lang,
+        |    concat(text,
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN concat(chr(8203), 'zero', chr(8203), 'width')
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 4 = 0 THEN concat(' bad ', chr(65533))
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 5 = 0
+        |        THEN concat(chr(160), 'nb', chr(160), 'sp') ELSE '' END,
+        |      CASE WHEN doc_id % 7 = 0 THEN concat(' ctl', chr(7))
+        |        ELSE '' END) AS dirty
+        |  FROM documents),
+        |d AS (
+        |  SELECT lang,
+        |    len(dirty) - len(replace(dirty, chr(8203), '')) AS z,
+        |    len(dirty) - len(replace(dirty, chr(65533), '')) AS r,
+        |    len(dirty) - len(replace(dirty, chr(160), '')) AS nb,
+        |    len(regexp_extract_all(dirty,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS c
+        |  FROM a)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(z) AS BIGINT) AS n_zwsp,
+        |  CAST(SUM(r) AS BIGINT) AS n_replacement,
+        |  CAST(SUM(nb) AS BIGINT) AS n_nbsp,
+        |  CAST(SUM(c) AS BIGINT) AS n_control,
+        |  CAST(SUM(CASE WHEN z + r + nb + c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_touched,
+        |  CAST((COUNT(*) - SUM(CASE WHEN z + r + nb + c > 0 THEN 1 ELSE 0 END))
+        |    * 10000 // COUNT(*) AS BIGINT) AS clean_bp
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_url_screen", urlScreen, Some(
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    concat(text,
+        |      CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
+        |        CAST((doc_id // 2) % 20 AS VARCHAR),
+        |        CASE (doc_id // 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |                               WHEN 2 THEN '.net' ELSE '.io' END,
+        |        '/p', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END,
+        |      CASE WHEN doc_id % 9 = 0 THEN concat(
+        |        ' ref http://ads.badsite.com/track?id=',
+        |        CAST(doc_id AS VARCHAR)) ELSE '' END) AS dirty
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, UNNEST(regexp_extract_all(dirty,
+        |    'https?://([A-Za-z0-9.-]+)', 1)) AS host
+        |  FROM a),
+        |d AS (
+        |  SELECT doc_id,
+        |    regexp_extract(host, '[A-Za-z0-9-]+\.[A-Za-z]+$') AS domain
+        |  FROM h)
+        |SELECT domain, COUNT(*) AS n_urls,
+        |  COUNT(DISTINCT doc_id) AS n_docs,
+        |  MAX(domain = 'badsite.com') AS blocked
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_readability", readabilityScreen, Some(
+      """WITH a AS (
+        |  SELECT source, text,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    len(tk) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS runs,
+        |    len(list_filter(tk, x -> NOT regexp_matches(x, '[aeiouy]')))
+        |      AS n_novowel,
+        |    len(list_filter(tk, x ->
+        |      len(regexp_extract_all(x, '[aeiouy]+')) >= 3)) AS n_complex,
+        |    len(list_filter(tk, x ->
+        |      len(regexp_extract_all(x, '[aeiouy]+')) <= 1)) AS n_mono
+        |  FROM a),
+        |s AS (
+        |  SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_words) AS BIGINT) AS n_words,
+        |    CAST(SUM(runs) + SUM(n_novowel) AS BIGINT) AS n_syllables,
+        |    CAST(SUM(n_complex) AS BIGINT) AS n_complex,
+        |    CAST(SUM(n_mono) AS BIGINT) AS n_mono
+        |  FROM d GROUP BY 1)
+        |SELECT source, n_docs, n_words, n_syllables, n_complex, n_mono,
+        |  CAST(n_syllables * 1000 // n_words AS BIGINT) AS spw_x1000,
+        |  CAST(n_words * 1000 // n_docs AS BIGINT) AS wps_x1000,
+        |  CAST(n_complex * 10000 // n_words AS BIGINT) AS complex_bp,
+        |  CAST(n_mono * 10000 // n_words AS BIGINT) AS mono_bp,
+        |  CAST(206835 - (1015 * (n_words * 1000 // n_docs)) // 1000
+        |    - (846 * (n_syllables * 1000 // n_words)) // 10 AS BIGINT)
+        |    AS fre_x1000
+        |FROM s ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_dup_lines", dupLineScreen, Some(
+      """WITH a AS (
+        |  SELECT source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    list_transform(range(0, (len(tk) - 1) // 2 + 1),
+        |      i -> array_to_string(list_slice(tk, i * 2 + 1, i * 2 + 2), ' '))
+        |      AS chunks
+        |  FROM a),
+        |d AS (
+        |  SELECT source,
+        |    len(chunks) AS n_chunks,
+        |    len(list_distinct(chunks)) AS n_distinct,
+        |    list_sum(list_transform(chunks, x -> len(x))) AS chars_all,
+        |    list_sum(list_transform(list_distinct(chunks), x -> len(x)))
+        |      AS chars_distinct
+        |  FROM c)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chunks) AS BIGINT) AS n_lines,
+        |  CAST(SUM(n_chunks - n_distinct) AS BIGINT) AS n_dup_lines,
+        |  CAST(SUM(CASE WHEN n_chunks > n_distinct THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_docs_with_dup,
+        |  CAST(SUM(chars_all - chars_distinct) AS BIGINT) AS dup_chars,
+        |  CAST(SUM(chars_all) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_chunks - n_distinct) * 10000
+        |    // NULLIF(SUM(n_chunks), 0) AS BIGINT) AS dup_bp,
+        |  CAST(SUM(chars_all - chars_distinct) * 10000
+        |    // NULLIF(SUM(chars_all), 0) AS BIGINT) AS dup_char_bp
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}
