@@ -614,7 +614,103 @@ object Profiling {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", ")\nORDER BY fd")
   }
 
+  /** Column-pair entropy / mutual-information profile — the dependence
+    * strength FD discovery ([[fdDiscovery]]) and the χ² crosstab
+    * ([[crosstabLangSource]]) bracket from either side: H(X), H(Y),
+    * H(X,Y) and MI = H(X)+H(Y)−H(X,Y) in nats, per profiled pair, plus
+    * the domain cardinalities. MI is the statistic a pipeline reads to
+    * pick partition/sort keys (near-zero MI → independent, safe to model
+    * marginals separately; MI ≈ min(H) → one column determines the other).
+    *
+    * Determinism: each −p·ln(p) term is computed in double per DISTINCT
+    * value (ln ulp differences across engines are ~1e-16), then FIXED at
+    * DECIMAL(28,14) and decimal-summed — partition-order independent, the
+    * moneySum rationale — with one 4-dp round at the end. MI subtracts
+    * the un-rounded decimal sums.
+    *
+    * Scale: per pair, ONE corpus-sized groupBy keyed on the value pair
+    * (map-side combine — one row per distinct combination, never per
+    * occurrence); every aggregate after that runs over the domain-bounded
+    * cell table. Output: one row per profiled pair. */
+  def entropyMiProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dec = DecimalType(28, 14)
+    def pairMi(df: DataFrame, xc: String, yc: String, label: String): DataFrame = {
+      val cells = df.groupBy(col(xc).as("x"), col(yc).as("y"))
+        .agg(count(lit(1)).as("n"))
+      val nt = cells.agg(sum(col("n")).as("nt"))
+      def termSum: Column = {
+        val p = col("ni").cast("double") / col("nt").cast("double")
+        sum((-p * log(p)).cast(dec)).as("h")
+      }
+      def entropyOf(keys: String*): DataFrame =
+        cells.groupBy(keys.map(col): _*).agg(sum(col("n")).as("ni"))
+          .crossJoin(broadcast(nt))
+          .agg(termSum, count(lit(1)).as("card"))
+      val hx = entropyOf("x").select(col("h").as("hx"), col("card").as("card_x"))
+      val hy = entropyOf("y").select(col("h").as("hy"), col("card").as("card_y"))
+      val hxy = entropyOf("x", "y").select(col("h").as("hxy"))
+      hx.crossJoin(hy).crossJoin(hxy).crossJoin(broadcast(nt))
+        .select(lit(label).as("pair"), col("nt").as("n_rows"),
+          col("card_x"), col("card_y"),
+          round(col("hx"), 4).cast("double").as("h_x"),
+          round(col("hy"), 4).cast("double").as("h_y"),
+          round(col("hxy"), 4).cast("double").as("h_xy"),
+          round(col("hx") + col("hy") - col("hxy"), 4).cast("double").as("mi"))
+    }
+    pairMi(t.lineitem, "l_returnflag", "l_linestatus",
+        "lineitem:l_returnflag|l_linestatus")
+      .union(pairMi(t.orders, "o_orderpriority", "o_orderstatus",
+        "orders:o_orderpriority|o_orderstatus"))
+      .union(pairMi(t.documents, "lang", "source", "documents:lang|source"))
+      .orderBy(col("pair"))
+  }
+
+  /** DuckDB twin of [[entropyMiProfile]] — one generated block per pair
+    * (table-suffixed CTE names: these are independent per-pair frames,
+    * not a round chain). */
+  private def entropyMiOracle: String = {
+    def one(sfx: String, table: String, xc: String, yc: String,
+        label: String): String =
+      s"""c_$sfx AS (SELECT $xc AS x, $yc AS y, COUNT(*) AS n
+         |            FROM $table GROUP BY 1, 2),
+         |t_$sfx AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c_$sfx),
+         |x_$sfx AS (SELECT SUM(CAST(-(CAST(ni AS DOUBLE) / nt)
+         |                 * ln(CAST(ni AS DOUBLE) / nt) AS DECIMAL(28,14)))
+         |                 AS h, COUNT(*) AS card
+         |           FROM (SELECT x, SUM(n) AS ni FROM c_$sfx GROUP BY 1), t_$sfx),
+         |y_$sfx AS (SELECT SUM(CAST(-(CAST(ni AS DOUBLE) / nt)
+         |                 * ln(CAST(ni AS DOUBLE) / nt) AS DECIMAL(28,14)))
+         |                 AS h, COUNT(*) AS card
+         |           FROM (SELECT y, SUM(n) AS ni FROM c_$sfx GROUP BY 1), t_$sfx),
+         |j_$sfx AS (SELECT SUM(CAST(-(CAST(n AS DOUBLE) / nt)
+         |                 * ln(CAST(n AS DOUBLE) / nt) AS DECIMAL(28,14))) AS h
+         |           FROM c_$sfx, t_$sfx),
+         |r_$sfx AS (SELECT '$label' AS pair, t_$sfx.nt AS n_rows,
+         |                  x_$sfx.card AS card_x, y_$sfx.card AS card_y,
+         |                  CAST(ROUND(x_$sfx.h, 4) AS DOUBLE) AS h_x,
+         |                  CAST(ROUND(y_$sfx.h, 4) AS DOUBLE) AS h_y,
+         |                  CAST(ROUND(j_$sfx.h, 4) AS DOUBLE) AS h_xy,
+         |                  CAST(ROUND(x_$sfx.h + y_$sfx.h - j_$sfx.h, 4) AS DOUBLE)
+         |                    AS mi
+         |           FROM t_$sfx, x_$sfx, y_$sfx, j_$sfx)""".stripMargin
+    "WITH " +
+      Seq(
+        one("li", "lineitem", "l_returnflag", "l_linestatus",
+          "lineitem:l_returnflag|l_linestatus"),
+        one("od", "orders", "o_orderpriority", "o_orderstatus",
+          "orders:o_orderpriority|o_orderstatus"),
+        one("dc", "documents", "lang", "source", "documents:lang|source"))
+        .mkString(",\n") +
+      """
+        |SELECT * FROM r_li
+        |UNION ALL SELECT * FROM r_od
+        |UNION ALL SELECT * FROM r_dc
+        |ORDER BY pair""".stripMargin
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_profile_entropy_mi", entropyMiProfile, Some(entropyMiOracle)),
     NamedQuery("q_profile_fd_discovery", fdDiscovery, Some(fdOracle)),
     NamedQuery("q_profile_join_cardinality", joinCardinalityEstimates,
       Some(joinCardinalityOracle)),

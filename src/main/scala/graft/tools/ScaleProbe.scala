@@ -114,7 +114,12 @@ object ScaleProbe {
     // round 13: delta-maintained mart (touched-groups recompute over the
     // cached change batch); single-scan word-rule/PII aggregates
     "q_incremental_mart", "q_text_gopher_word", "q_text_pii_scan",
-    "q_text_pii_luhn")
+    "q_text_pii_luhn",
+    // round 13 curation screens: all single-scan string/array aggregates
+    // over the dirtied twin (C4 lines, unicode, URL census) or the raw
+    // corpus (readability, dup-line mass)
+    "q_text_c4_lines", "q_text_unicode_hygiene", "q_text_url_screen",
+    "q_text_readability", "q_text_dup_lines")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

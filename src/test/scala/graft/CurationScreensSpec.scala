@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CurationScreens
+
+/** Ground truth for the round-13 curation screens: the set-arithmetic and
+  * integer-ratio math must equal a driver-side brute-force recomputation
+  * over the same documents, and every dirty-twin counter must be LIVE —
+  * a screen whose trigger class never fires is structurally untested.
+  */
+class CurationScreensSpec extends SparkSpec {
+
+  private def docs: Array[(Long, String, String, String)] =
+    graft.sources.Tables.Tpch(spark, Sf).documents
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  test("dup-line screen equals brute-force total-minus-distinct arithmetic") {
+    val got = CurationScreens.dupLineScreen(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3), r.getLong(5))))
+      .toMap
+
+    val perDoc = docs.map { case (_, _, source, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty).toVector
+      val chunks = tk.grouped(2).map(_.mkString(" ")).toVector
+      val distinct = chunks.distinct
+      (source, chunks.size.toLong, (chunks.size - distinct.size).toLong,
+        (chunks.map(_.length).sum - distinct.map(_.length).sum).toLong)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (source, rows) =>
+      source -> ((rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum))
+    }
+    assert(got == expected)
+  }
+
+  test("readability screen equals brute-force syllable/integer-ratio math") {
+    val got = CurationScreens.readabilityScreen(spark, Sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(6), r.getLong(10))))
+      .toMap
+
+    def runs(w: String): Int = "[aeiouy]+".r.findAllIn(w).size
+    val perDoc = docs.map { case (_, _, source, text) =>
+      val tk = text.toLowerCase.split(" ").filter(_.nonEmpty).toVector
+      val vowelRuns = tk.map(runs).sum.toLong
+      val noVowel = tk.count(runs(_) == 0).toLong
+      (source, tk.size.toLong, vowelRuns + noVowel)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (source, rows) =>
+      val nDocs = rows.length.toLong
+      val words = rows.map(_._2).sum
+      val syll = rows.map(_._3).sum
+      val spw = syll * 1000 / words
+      val wps = words * 1000 / nDocs
+      val fre = 206835L - (1015 * wps) / 1000 - (846 * spw) / 10
+      source -> ((nDocs, words, syll, spw, fre))
+    }
+    assert(got == expected)
+  }
+
+  test("dirty-twin screens fire every counter class") {
+    // C4: every line fate and both page-drop classes must be non-zero
+    val c4 = CurationScreens.c4LineScreen(spark, Sf)
+    val c4row = c4.agg(
+      sum("n_kept_lines"), sum("n_no_terminal"), sum("n_short_lines"),
+      sum("n_js_lines"), sum("n_brace_docs"), sum("n_lorem_docs"),
+      sum("n_page_dropped"), sum("n_docs")).collect()(0)
+    (0 to 6).foreach(i => assert(c4row.getLong(i) > 0, s"c4 counter $i dead"))
+    // the <3-kept-lines rule must PASS for some docs too (%11 footer block)
+    assert(c4row.getLong(6) < c4row.getLong(7), "c4 page rule never passes")
+
+    // Unicode: all four character classes live
+    val u = CurationScreens.unicodeHygiene(spark, Sf).agg(
+      sum("n_zwsp"), sum("n_replacement"), sum("n_nbsp"), sum("n_control"))
+      .collect()(0)
+    (0 to 3).foreach(i => assert(u.getLong(i) > 0, s"unicode class $i dead"))
+
+    // URL census: blocklisted and clean domains both present; the
+    // registered-domain reduction strips the host prefix
+    val urls = CurationScreens.urlScreen(spark, Sf).collect()
+    assert(urls.exists(r => r.getBoolean(3)))
+    assert(urls.exists(r => !r.getBoolean(3)))
+    assert(urls.forall(r => r.getString(0).count(_ == '.') == 1))
+  }
+}
