@@ -633,80 +633,84 @@ object Profiling {
     * occurrence); every aggregate after that runs over the domain-bounded
     * cell table. Output: one row per profiled pair. */
   def entropyMiProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = Tpch(spark, sfDir)
     val dec = DecimalType(28, 14)
-    def pairMi(df: DataFrame, xc: String, yc: String, label: String): DataFrame = {
-      val cells = df.groupBy(col(xc).as("x"), col(yc).as("y"))
+    def cellsOf(df: DataFrame, xc: String, yc: String, label: String) =
+      df.groupBy(col(xc).cast("string").as("x"), col(yc).cast("string").as("y"))
         .agg(count(lit(1)).as("n"))
-      val nt = cells.agg(sum(col("n")).as("nt"))
-      def termSum: Column = {
-        val p = col("ni").cast("double") / col("nt").cast("double")
-        sum((-p * log(p)).cast(dec)).as("h")
-      }
-      def entropyOf(keys: String*): DataFrame =
-        cells.groupBy(keys.map(col): _*).agg(sum(col("n")).as("ni"))
-          .crossJoin(broadcast(nt))
-          .agg(termSum, count(lit(1)).as("card"))
-      val hx = entropyOf("x").select(col("h").as("hx"), col("card").as("card_x"))
-      val hy = entropyOf("y").select(col("h").as("hy"), col("card").as("card_y"))
-      val hxy = entropyOf("x", "y").select(col("h").as("hxy"))
-      hx.crossJoin(hy).crossJoin(hxy).crossJoin(broadcast(nt))
-        .select(lit(label).as("pair"), col("nt").as("n_rows"),
-          col("card_x"), col("card_y"),
-          round(col("hx"), 4).cast("double").as("h_x"),
-          round(col("hy"), 4).cast("double").as("h_y"),
-          round(col("hxy"), 4).cast("double").as("h_xy"),
-          round(col("hx") + col("hy") - col("hxy"), 4).cast("double").as("mi"))
-    }
-    pairMi(t.lineitem, "l_returnflag", "l_linestatus",
+        .select(lit(label).as("pair"), col("x"), col("y"), col("n"))
+    // one pair-keyed corpus aggregate per table; everything below this
+    // union runs over the domain-bounded cell rows
+    val cells = cellsOf(t.lineitem, "l_returnflag", "l_linestatus",
         "lineitem:l_returnflag|l_linestatus")
-      .union(pairMi(t.orders, "o_orderpriority", "o_orderstatus",
+      .union(cellsOf(t.orders, "o_orderpriority", "o_orderstatus",
         "orders:o_orderpriority|o_orderstatus"))
-      .union(pairMi(t.documents, "lang", "source", "documents:lang|source"))
+      .union(cellsOf(t.documents, "lang", "source", "documents:lang|source"))
+    // marginals as windows over the cell table (Σ_{cells in x} n = nx), so
+    // H(X) sums PER-CELL as −(n/nt)·ln(nx/nt) — the identity that lets one
+    // groupBy produce all three entropies without joins. coalesce(1) only
+    // merges the post-shuffle side of the cell aggregates (~10² rows; scan
+    // parallelism is untouched) and SinglePartition satisfies every window
+    // distribution, so all three windows run exchange-free
+    val w = cells.coalesce(1)
+      .withColumn("nt", sum(col("n")).over(Window.partitionBy(col("pair"))))
+      .withColumn("nx",
+        sum(col("n")).over(Window.partitionBy(col("pair"), col("x"))))
+      .withColumn("ny",
+        sum(col("n")).over(Window.partitionBy(col("pair"), col("y"))))
+    def hterm(m: Column): Column =
+      ((-(col("n").cast("double") / col("nt").cast("double"))) *
+        log(m.cast("double") / col("nt").cast("double"))).cast(dec)
+    w.groupBy(col("pair"))
+      .agg(max(col("nt")).as("n_rows"),
+        countDistinct(col("x")).as("card_x"),
+        countDistinct(col("y")).as("card_y"),
+        sum(hterm(col("nx"))).as("hx"),
+        sum(hterm(col("ny"))).as("hy"),
+        sum(hterm(col("n"))).as("hxy"))
+      .select(col("pair"), col("n_rows"), col("card_x"), col("card_y"),
+        round(col("hx"), 4).cast("double").as("h_x"),
+        round(col("hy"), 4).cast("double").as("h_y"),
+        round(col("hxy"), 4).cast("double").as("h_xy"),
+        round(col("hx") + col("hy") - col("hxy"), 4).cast("double").as("mi"))
       .orderBy(col("pair"))
   }
 
-  /** DuckDB twin of [[entropyMiProfile]] — one generated block per pair
-    * (table-suffixed CTE names: these are independent per-pair frames,
-    * not a round chain). */
+  /** DuckDB twin of [[entropyMiProfile]] — same per-CELL term formulation
+    * (each double term fixed at DECIMAL(28,14) before the sum, so the
+    * rounding points match the Spark plan exactly). */
   private def entropyMiOracle: String = {
-    def one(sfx: String, table: String, xc: String, yc: String,
-        label: String): String =
-      s"""c_$sfx AS (SELECT $xc AS x, $yc AS y, COUNT(*) AS n
-         |            FROM $table GROUP BY 1, 2),
-         |t_$sfx AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c_$sfx),
-         |x_$sfx AS (SELECT SUM(CAST(-(CAST(ni AS DOUBLE) / nt)
-         |                 * ln(CAST(ni AS DOUBLE) / nt) AS DECIMAL(28,14)))
-         |                 AS h, COUNT(*) AS card
-         |           FROM (SELECT x, SUM(n) AS ni FROM c_$sfx GROUP BY 1), t_$sfx),
-         |y_$sfx AS (SELECT SUM(CAST(-(CAST(ni AS DOUBLE) / nt)
-         |                 * ln(CAST(ni AS DOUBLE) / nt) AS DECIMAL(28,14)))
-         |                 AS h, COUNT(*) AS card
-         |           FROM (SELECT y, SUM(n) AS ni FROM c_$sfx GROUP BY 1), t_$sfx),
-         |j_$sfx AS (SELECT SUM(CAST(-(CAST(n AS DOUBLE) / nt)
-         |                 * ln(CAST(n AS DOUBLE) / nt) AS DECIMAL(28,14))) AS h
-         |           FROM c_$sfx, t_$sfx),
-         |r_$sfx AS (SELECT '$label' AS pair, t_$sfx.nt AS n_rows,
-         |                  x_$sfx.card AS card_x, y_$sfx.card AS card_y,
-         |                  CAST(ROUND(x_$sfx.h, 4) AS DOUBLE) AS h_x,
-         |                  CAST(ROUND(y_$sfx.h, 4) AS DOUBLE) AS h_y,
-         |                  CAST(ROUND(j_$sfx.h, 4) AS DOUBLE) AS h_xy,
-         |                  CAST(ROUND(x_$sfx.h + y_$sfx.h - j_$sfx.h, 4) AS DOUBLE)
-         |                    AS mi
-         |           FROM t_$sfx, x_$sfx, y_$sfx, j_$sfx)""".stripMargin
-    "WITH " +
-      Seq(
-        one("li", "lineitem", "l_returnflag", "l_linestatus",
-          "lineitem:l_returnflag|l_linestatus"),
-        one("od", "orders", "o_orderpriority", "o_orderstatus",
-          "orders:o_orderpriority|o_orderstatus"),
-        one("dc", "documents", "lang", "source", "documents:lang|source"))
-        .mkString(",\n") +
-      """
-        |SELECT * FROM r_li
-        |UNION ALL SELECT * FROM r_od
-        |UNION ALL SELECT * FROM r_dc
-        |ORDER BY pair""".stripMargin
+    def term(m: String): String =
+      s"CAST(-(CAST(n AS DOUBLE) / nt) * ln(CAST($m AS DOUBLE) / nt) AS DECIMAL(28,14))"
+    s"""WITH cells AS (
+       |  SELECT 'lineitem:l_returnflag|l_linestatus' AS pair,
+       |         CAST(l_returnflag AS VARCHAR) AS x,
+       |         CAST(l_linestatus AS VARCHAR) AS y, COUNT(*) AS n
+       |  FROM lineitem GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'orders:o_orderpriority|o_orderstatus',
+       |         CAST(o_orderpriority AS VARCHAR),
+       |         CAST(o_orderstatus AS VARCHAR), COUNT(*)
+       |  FROM orders GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'documents:lang|source', CAST(lang AS VARCHAR),
+       |         CAST(source AS VARCHAR), COUNT(*)
+       |  FROM documents GROUP BY 2, 3),
+       |w AS (
+       |  SELECT pair, x, y, n,
+       |         SUM(n) OVER (PARTITION BY pair) AS nt,
+       |         SUM(n) OVER (PARTITION BY pair, x) AS nx,
+       |         SUM(n) OVER (PARTITION BY pair, y) AS ny
+       |  FROM cells)
+       |SELECT pair, CAST(MAX(nt) AS BIGINT) AS n_rows,
+       |       COUNT(DISTINCT x) AS card_x, COUNT(DISTINCT y) AS card_y,
+       |       CAST(ROUND(SUM(${term("nx")}), 4) AS DOUBLE) AS h_x,
+       |       CAST(ROUND(SUM(${term("ny")}), 4) AS DOUBLE) AS h_y,
+       |       CAST(ROUND(SUM(${term("n")}), 4) AS DOUBLE) AS h_xy,
+       |       CAST(ROUND(SUM(${term("nx")}) + SUM(${term("ny")})
+       |         - SUM(${term("n")}), 4) AS DOUBLE) AS mi
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   val all: Seq[NamedQuery] = Seq(

@@ -119,7 +119,9 @@ object ScaleProbe {
     // over the dirtied twin (C4 lines, unicode, URL census) or the raw
     // corpus (readability, dup-line mass)
     "q_text_c4_lines", "q_text_unicode_hygiene", "q_text_url_screen",
-    "q_text_readability", "q_text_dup_lines")
+    "q_text_readability", "q_text_dup_lines",
+    // pair-keyed cell aggregate; everything downstream is domain-bounded
+    "q_profile_entropy_mi")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

@@ -86,7 +86,7 @@ class PlanGuardSpec extends SparkSpec {
     "lang", "source", "event_type", "status", "split", "kind", "label",
     "o_orderstatus", "l_returnflag", "l_linestatus", "c_mktsegment",
     "account_type", "currency", "txn_type", "r_name", "cust_nation",
-    "key_col", "tbl", "q_id", "q_vec_id")
+    "key_col", "tbl", "q_id", "q_vec_id", "pair", "x", "y")
 
   /** Queries whose bounded-key (or global) windows run over inputs that
     * are provably SMALL — not the raw table — so the funnel is bounded by
@@ -170,7 +170,11 @@ class PlanGuardSpec extends SparkSpec {
     // registered plans are leaf joins — leaving link-prediction as the
     // only lineage that carries the artifact's window
     "q_graph_link_prediction" ->
-      "backbone threshold cumsum over the weight-value histogram")
+      "backbone threshold cumsum over the weight-value histogram",
+    // marginal windows run over the distinct-value CELL table (one row
+    // per (x, y) combination — domain-bounded), never the fact tables
+    "q_profile_entropy_mi" ->
+      "marginal-sum windows over the distinct-value cell table")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan
