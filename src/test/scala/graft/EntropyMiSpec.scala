@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profiling
+
+/** Ground truth for the entropy/MI profile: the decimal-summed per-cell
+  * term formulation must equal a driver-side brute-force recomputation,
+  * and the information-theoretic invariants must hold on every pair. */
+class EntropyMiSpec extends SparkSpec {
+
+  test("entropy/MI profile equals brute-force nats and respects bounds") {
+    val rows = Profiling.entropyMiProfile(spark, Sf).collect()
+    assert(rows.length == 3)
+
+    // brute-force the documents pair (the one whose base table is small
+    // enough to recount exactly in the driver)
+    val cells = graft.sources.Tables.Tpch(spark, Sf).documents
+      .groupBy(col("lang"), col("source")).count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val nt = cells.map(_._2).sum.toDouble
+    def fixSum(terms: Iterable[Double]): BigDecimal =
+      terms.map(t => BigDecimal(t).setScale(14, BigDecimal.RoundingMode.HALF_UP)).sum
+    def round4(b: BigDecimal): Double =
+      b.setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nx = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val ny = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    // per-CELL terms, exactly as the engine and oracle sum them
+    def h(margin: ((String, String)) => Long): BigDecimal =
+      fixSum(cells.map { case (k, n) =>
+        -(n / nt) * math.log(margin(k) / nt)
+      })
+    val cellMap = cells.toMap
+    val hx = h(k => nx(k._1)); val hy = h(k => ny(k._2))
+    val hxy = h(k => cellMap(k))
+
+    val doc = rows.find(_.getString(0) == "documents:lang|source").get
+    assert(doc.getLong(1) == nt.toLong)
+    assert(doc.getLong(2) == nx.size && doc.getLong(3) == ny.size)
+    assert(doc.getDouble(4) == round4(hx))
+    assert(doc.getDouble(5) == round4(hy))
+    assert(doc.getDouble(6) == round4(hxy))
+    assert(doc.getDouble(7) == round4(hx + hy - hxy))
+
+    // invariants on every pair: 0 <= MI (to rounding), H(X,Y) <= H(X)+H(Y),
+    // max(H(X),H(Y)) <= H(X,Y), H <= ln(card)
+    rows.foreach { r =>
+      val (cx, cy) = (r.getLong(2), r.getLong(3))
+      val (hhx, hhy, hhxy, mi) =
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(mi >= -1e-4, s"${r.getString(0)}: negative MI $mi")
+      assert(hhxy <= hhx + hhy + 1e-4)
+      assert(hhxy >= math.max(hhx, hhy) - 1e-4)
+      assert(hhx <= math.log(cx.toDouble) + 1e-4)
+      assert(hhy <= math.log(cy.toDouble) + 1e-4)
+    }
+  }
+}
