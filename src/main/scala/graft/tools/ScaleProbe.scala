@@ -121,7 +121,9 @@ object ScaleProbe {
     "q_text_c4_lines", "q_text_unicode_hygiene", "q_text_url_screen",
     "q_text_readability", "q_text_dup_lines",
     // pair-keyed cell aggregate; everything downstream is domain-bounded
-    "q_profile_entropy_mi")
+    "q_profile_entropy_mi",
+    // single-scan regex counters over the dirtied twin
+    "q_text_secret_scan")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

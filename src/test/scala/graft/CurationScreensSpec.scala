@@ -83,5 +83,11 @@ class CurationScreensSpec extends SparkSpec {
     assert(urls.exists(r => r.getBoolean(3)))
     assert(urls.exists(r => !r.getBoolean(3)))
     assert(urls.forall(r => r.getString(0).count(_ == '.') == 1))
+
+    // Secret scan: all four credential classes live
+    val s = CurationScreens.secretScan(spark, Sf).agg(
+      sum("n_aws_keys"), sum("n_pem_blocks"), sum("n_jwts"),
+      sum("n_hex_secrets")).collect()(0)
+    (0 to 3).foreach(i => assert(s.getLong(i) > 0, s"secret class $i dead"))
   }
 }
