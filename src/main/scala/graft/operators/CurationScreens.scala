@@ -25,6 +25,14 @@ import graft.sources.Tables.Tpch
   */
 object CurationScreens {
 
+  /** Secret pattern constants — shared with the streaming scrub
+    * ([[graft.streaming.StreamingIngestRedact]]) exactly as the PII
+    * constants in [[TextQueries]]. */
+  private[graft] val AwsRe = """AKIA[0-9A-Z]{16}"""
+  private[graft] val PemRe = """BEGIN [A-Z ]*PRIVATE KEY"""
+  private[graft] val JwtRe = """eyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+"""
+  private[graft] val HexRe = """\b[0-9a-f]{32,}\b"""
+
   /** C4 cleaning rules (Raffel et al. 2020 §2.2): keep only lines that end
     * in terminal punctuation AND have ≥5 words AND don't mention
     * "javascript"; drop whole pages containing a curly brace or the phrase
@@ -280,17 +288,13 @@ object CurationScreens {
         |    '.SflK', cast(doc_id AS string)) ELSE '' END,
         |  CASE WHEN doc_id % 4 = 0 THEN concat(' sig ',
         |    md5(cast(doc_id AS string))) ELSE '' END)""".stripMargin
-    val awsRe = """AKIA[0-9A-Z]{16}"""
-    val pemRe = """BEGIN [A-Z ]*PRIVATE KEY"""
-    val jwtRe = """eyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+"""
-    val hexRe = """\b[0-9a-f]{32,}\b"""
     def hits(re: String): Column =
       size(regexp_extract_all(col("dirty"), lit(re), lit(0))).cast("long")
     t.documents
       .select(col("source"), expr(dirty).as("dirty"))
       .select(col("source"),
-        hits(awsRe).as("a"), hits(pemRe).as("p"),
-        hits(jwtRe).as("j"), hits(hexRe).as("h"))
+        hits(AwsRe).as("a"), hits(PemRe).as("p"),
+        hits(JwtRe).as("j"), hits(HexRe).as("h"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("a")).as("n_aws_keys"),

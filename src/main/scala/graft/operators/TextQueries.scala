@@ -18,6 +18,18 @@ import graft.sources.Tables.Tpch
   */
 object TextQueries {
 
+  /** PII pattern constants — ONE definition shared by the batch screens
+    * here ([[redactionSweep]], [[piiScan]]) and the streaming scrub
+    * ([[graft.streaming.StreamingIngestRedact]]), so the ingest filter
+    * and the batch audits can never silently diverge. The oracle SQL
+    * twins carry the same literals (string-equality asserted in
+    * StreamingRedactSpec would be overkill; the DuckDB hash check already
+    * fails if either side drifts). */
+  private[graft] val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val PhoneRe = """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"""
+  private[graft] val IpRe = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+  private[graft] val DigitsRe = """[0-9]{6,}"""
+
   private def toks = split(col("text"), " ")
 
   /** Per-doc bigram counts (doc_id, lang, source, bigram, n) — ONE corpus
@@ -132,10 +144,8 @@ object TextQueries {
     * narrow map, the aggregate is the only shuffle. */
   def redactionSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
-    val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-    val digitsRe = """[0-9]{6,}"""
     val redacted = regexp_replace(
-      regexp_replace(col("text"), emailRe, "[EMAIL]"), digitsRe, "[NUM]")
+      regexp_replace(col("text"), EmailRe, "[EMAIL]"), DigitsRe, "[NUM]")
     t.documents
       .select(col("lang"),
         (length(col("text")) - length(redacted)).cast("long").as("removed"),
@@ -252,17 +262,13 @@ object TextQueries {
         |  CASE WHEN doc_id % 11 = 0 THEN concat(' acct ',
         |    lpad(cast(doc_id % 100000 AS string), 9, '0')) ELSE '' END)"""
         .stripMargin
-    val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-    val phoneRe = """\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"""
-    val ipRe = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
-    val digitsRe = """[0-9]{6,}"""
     def hits(re: String): Column =
       size(regexp_extract_all(col("dirty"), lit(re), lit(0))).cast("long")
     t.documents
       .select(col("lang"), expr(dirty).as("dirty"))
       .select(col("lang"),
-        hits(emailRe).as("e"), hits(phoneRe).as("p"),
-        hits(ipRe).as("i"), hits(digitsRe).as("d"))
+        hits(EmailRe).as("e"), hits(PhoneRe).as("p"),
+        hits(IpRe).as("i"), hits(DigitsRe).as("d"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("e")).as("n_emails"),

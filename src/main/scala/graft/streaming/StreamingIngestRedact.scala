@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{CurationScreens, TextQueries}
+
+/** Streaming corpus ingestion with an inline PII/secret scrub — the
+  * ingest-time composition of the batch screens (`q_text_redact`,
+  * `q_text_pii_scan`, `q_text_secret_scan`): every arriving document is
+  * scrubbed BEFORE it lands, and a per-batch audit ledger records what
+  * each class caught. A pretraining pipeline scrubs at ingest exactly so
+  * that nothing downstream — dedup stores, indexes, shards — ever holds
+  * the raw secret; scrubbing later means the secret already replicated.
+  *
+  * The patterns are the SAME constants the batch screens compile
+  * ([[TextQueries.EmailRe]] etc., [[CurationScreens.AwsRe]] etc.), so the
+  * stream and the batch audits cannot silently diverge. Replacement order
+  * is fixed and documented: emails → phones → IPs → AWS keys → PEM
+  * blocks → JWTs → hex secrets → bare digit runs LAST (a digit-run pass
+  * running earlier would eat phone/IP/card substrings and change every
+  * later class's matches).
+  *
+  * Idempotent replay (the StreamingImagePhash contract): each batch lands
+  * in its own `batch=<id>` partition with overwrite, so a replayed
+  * micro-batch — crash before, between, or after the two writes — rewrites
+  * its partitions instead of duplicating them.
+  *
+  * Scale contract: per-batch work is one narrow codegen'd map over |batch|
+  * rows (8 regex counters + 8 chained replaces) plus a |langs|-domain
+  * audit aggregate — no store probe, no corpus rescans, embarrassingly
+  * parallel.
+  */
+object StreamingIngestRedact {
+
+  def keptPath(root: String) = s"$root/kept"
+  def auditPath(root: String) = s"$root/audit"
+
+  /** Scrubbed documents landed so far. */
+  def keptDocs(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.parquet(keptPath(root))
+
+  /** Per-batch audit ledger. */
+  def auditLedger(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
+    spark.read.parquet(auditPath(root))
+
+  private val classes: Seq[(String, String, String)] = Seq(
+    ("email", TextQueries.EmailRe, "[EMAIL]"),
+    ("phone", TextQueries.PhoneRe, "[PHONE]"),
+    ("ip", TextQueries.IpRe, "[IP]"),
+    ("aws_key", CurationScreens.AwsRe, "[KEY]"),
+    ("pem", CurationScreens.PemRe, "[KEY]"),
+    ("jwt", CurationScreens.JwtRe, "[KEY]"),
+    ("hex_secret", CurationScreens.HexRe, "[KEY]"),
+    ("digit_run", TextQueries.DigitsRe, "[NUM]"))
+
+  /** Static scrub: counts per class on the RAW text (the detection
+    * census), then the chained replace in the documented precedence
+    * order. Shared by the stream and by any batch backfill. */
+  def scrubbed(docs: DataFrame): DataFrame = {
+    val counted = classes.foldLeft(docs) { case (df, (name, re, _)) =>
+      df.withColumn(s"n_$name",
+        size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long"))
+    }
+    val scrub = classes.foldLeft(col("text")) { case (c, (_, re, token)) =>
+      regexp_replace(c, re, token)
+    }
+    counted
+      .withColumn("chars_removed",
+        (length(col("text")) - length(scrub)).cast("long"))
+      .withColumn("text", scrub)
+  }
+
+  /** Wire a streaming (doc_id, lang, source, text) source through the
+    * scrub. */
+  def start(docs: DataFrame, root: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root))
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch: scrub → land clean docs + audit rows, each into the
+    * batch's own overwrite partition. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
+    // one computation of the scrub for both writes; lineage truncation is
+    // the streaming-checkpoint recovery contract (StreamingIngestDedup)
+    val s = scrubbed(batch).localCheckpoint(true)
+    val countCols = classes.map { case (n, _, _) => s"n_$n" }
+    s.drop(countCols :+ "chars_removed": _*)
+      .write.mode("overwrite").parquet(s"${keptPath(root)}/batch=$batchId")
+    def total(c: String): Column = sum(col(c)).as(c)
+    val aggs: Seq[Column] = countCols.map(total) :+
+      sum(col("chars_removed")).as("chars_removed") :+
+      sum(when(countCols.map(col).reduce(_ + _) > 0, 1L).otherwise(0L))
+        .as("docs_touched")
+    s.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), aggs: _*)
+      .write.mode("overwrite").parquet(s"${auditPath(root)}/batch=$batchId")
+  }
+}
