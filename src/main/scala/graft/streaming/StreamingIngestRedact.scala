@@ -58,19 +58,35 @@ object StreamingIngestRedact {
 
   /** Static scrub: counts per class on the RAW text (the detection
     * census), then the chained replace in the documented precedence
-    * order. Shared by the stream and by any batch backfill. */
+    * order, applied THREE times. One pass is provably insufficient: a
+    * replacement can EXPOSE a match an earlier pass's boundary rules
+    * blocked — e.g. `AKIA<13 digits>446-446-4046` hides the phone inside
+    * the key's 16 chars (no `\b` before `446` while digits precede it);
+    * once the key pass rewrites it to `[KEY]446-446-4046` the phone is
+    * live, but its pass already ran. (Found by this op's fuzz spec, not
+    * by inspection.) Three unrolled passes + an `n_residual` counter on
+    * the FINAL text — summed into the audit ledger as the production
+    * monitoring signal a scrub must expose, since no bounded pass count
+    * is a fixpoint proof for adversarial input. Shared by the stream and
+    * by any batch backfill. */
   def scrubbed(docs: DataFrame): DataFrame = {
     val counted = classes.foldLeft(docs) { case (df, (name, re, _)) =>
       df.withColumn(s"n_$name",
         size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long"))
     }
-    val scrub = classes.foldLeft(col("text")) { case (c, (_, re, token)) =>
-      regexp_replace(c, re, token)
-    }
+    def onePass(c: Column): Column =
+      classes.foldLeft(c) { case (acc, (_, re, token)) =>
+        regexp_replace(acc, re, token)
+      }
+    val scrub = onePass(onePass(onePass(col("text"))))
     counted
       .withColumn("chars_removed",
         (length(col("text")) - length(scrub)).cast("long"))
       .withColumn("text", scrub)
+      .withColumn("n_residual",
+        classes.map { case (_, re, _) =>
+          size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+        }.reduce(_ + _))
   }
 
   /** Wire a streaming (doc_id, lang, source, text) source through the
@@ -89,11 +105,12 @@ object StreamingIngestRedact {
     // the streaming-checkpoint recovery contract (StreamingIngestDedup)
     val s = scrubbed(batch).localCheckpoint(true)
     val countCols = classes.map { case (n, _, _) => s"n_$n" }
-    s.drop(countCols :+ "chars_removed": _*)
+    s.drop(countCols ++ Seq("chars_removed", "n_residual"): _*)
       .write.mode("overwrite").parquet(s"${keptPath(root)}/batch=$batchId")
     def total(c: String): Column = sum(col(c)).as(c)
     val aggs: Seq[Column] = countCols.map(total) :+
       sum(col("chars_removed")).as("chars_removed") :+
+      sum(col("n_residual")).as("n_residual") :+
       sum(when(countCols.map(col).reduce(_ + _) > 0, 1L).otherwise(0L))
         .as("docs_touched")
     s.groupBy(col("lang"))
