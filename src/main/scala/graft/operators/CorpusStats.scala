@@ -136,7 +136,74 @@ object CorpusStats {
       .orderBy(col("bucket"))
   }
 
+  /** Zipf's-law slope fit — the Heaps curve's companion statistic: OLS of
+    * ln(frequency) on ln(rank) over the head vocabulary (top 64 by count,
+    * token tie-break). Natural language sits near slope −1; a corpus
+    * whose head is much flatter is template/boilerplate-shaped, much
+    * steeper is degenerate repetition — the one-number fingerprint a
+    * mixture dashboard tracks per snapshot next to Heaps saturation.
+    *
+    * Determinism: ranks and counts are exact integers; each ln term is
+    * one double op on identical operands, fixed at DECIMAL(28,12) and
+    * decimal-summed (the entropy-profile rationale), then the OLS
+    * arithmetic runs on the identical doubles in both engines with one
+    * 4-dp round at the end.
+    *
+    * Scale: one distinct-token shuffle (map-side combine) feeds both the
+    * corpus totals and the TakeOrderedAndProject top-64 cut; the rank
+    * window and the fit aggregate run over ≤64 rows. */
+  def zipfFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val t = Tpch(spark, sfDir)
+    val hist = t.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val totals = hist.agg(count(lit(1)).as("vocab_size"),
+      sum(col("n")).as("total_tokens"))
+    val top = hist.orderBy(col("n").desc, col("token").asc).limit(64)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("n").desc, col("token").asc))) // ≤ 64 rows
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(28, 12))).cast("double")
+    val x = log(col("r").cast("double"))
+    val y = log(col("n").cast("double"))
+    val fit = top.agg(count(lit(1)).cast("double").as("k"),
+      dsum(x).as("sx"), dsum(y).as("sy"),
+      dsum(x * y).as("sxy"), dsum(x * x).as("sxx"))
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy")) /
+      (col("k") * col("sxx") - col("sx") * col("sx"))
+    fit.crossJoin(broadcast(totals))
+      .select(col("k").cast("long").as("k"),
+        col("vocab_size"), col("total_tokens"),
+        round(slope, 4).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("k"), 4).as("intercept"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_zipf_fit", zipfFit, Some(
+      """WITH h AS (
+        |  SELECT t AS token, COUNT(*) AS n
+        |  FROM (SELECT UNNEST(list_filter(string_split(text, ' '),
+        |                                  x -> x <> '')) AS t
+        |        FROM documents)
+        |  GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS vocab_size,
+        |             CAST(SUM(n) AS BIGINT) AS total_tokens FROM h),
+        |tp AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS r
+        |       FROM h ORDER BY n DESC, token ASC LIMIT 64),
+        |a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+        |  CAST(SUM(CAST(ln(r) AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(ln(n) AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(ln(r) * ln(n) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(ln(r) * ln(r) AS DECIMAL(28,12))) AS DOUBLE) AS sxx
+        |  FROM tp)
+        |SELECT CAST(a.k AS BIGINT) AS k, s.vocab_size, s.total_tokens,
+        |  ROUND((a.k * a.sxy - a.sx * a.sy)
+        |    / (a.k * a.sxx - a.sx * a.sx), 4) AS zipf_slope,
+        |  ROUND((a.sy - ((a.k * a.sxy - a.sx * a.sy)
+        |    / (a.k * a.sxx - a.sx * a.sx)) * a.sx) / a.k, 4) AS intercept
+        |FROM a, s""".stripMargin)),
     NamedQuery("q_text_ks_drift", ksDrift, Some(
       """WITH docs AS (SELECT source, n_chars FROM documents),
         |hist AS (SELECT source, n_chars, COUNT(*) AS cnt FROM docs GROUP BY 1, 2),

@@ -810,7 +810,89 @@ object GraphQueries {
        |ORDER BY authority DESC, nation""".stripMargin
   }
 
+  /** Degree assortativity (Newman 2002) of the trade BACKBONE — the
+    * one-number mixing fingerprint next to the k-core and community
+    * readouts: r > 0 means high-degree nations trade with each other
+    * (a rich-club core), r < 0 means hubs fan out to the periphery
+    * (hub-and-spoke). Runs on the median-thresholded backbone for the
+    * same reason k-core does: the RAW trade graph is near-complete, so
+    * its degrees are constant and the statistic is degenerate (the
+    * Pearson denominator is literally zero — caught by this query's
+    * first sf0.01 verify run). Pearson over the 2|E| ordered
+    * edge-endpoint degree samples; with both orientations included
+    * Σy = Σx and Σy² = Σx², so r = (mΣxy − (Σx)²)/(mΣx² − (Σx)²) on
+    * EXACT integer sums — the same artifact-sized driver math as the
+    * other nation-domain fixed points (the node domain is fixed; a
+    * billion-node graph would run the degree join distributed). Only
+    * the final ratio is double, rounded in-DataFrame so both engines
+    * round the identical quotient. */
+  def tradeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val und = backboneEdges(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("a"), r.getAs[Int]("b")))
+    val deg = und.flatMap { case (u, v) => Seq(u, v) }
+      .groupBy(identity).map { case (k, vs) => k -> vs.length.toLong }
+    val samples = und.flatMap { case (u, v) =>
+      Seq((deg(u), deg(v)), (deg(v), deg(u)))
+    }
+    val m = samples.length.toLong
+    val sx = samples.map(_._1).sum
+    val sxy = samples.map(p => p._1 * p._2).sum
+    val sxx = samples.map(p => p._1 * p._1).sum
+    Seq((deg.size.toLong, und.length.toLong, m, sx, sxy, sxx,
+        m * sxy - sx * sx, m * sxx - sx * sx))
+      .toDF("n_nodes", "n_edges", "n_samples", "sum_deg", "sum_xy",
+        "sum_xx", "num", "den")
+      .withColumn("assortativity",
+        round(col("num").cast("double") / col("den").cast("double"), 4))
+  }
+
+  private def assortativityOracle: String =
+    """WITH pairs AS (
+      |  SELECT LEAST(c.c_nationkey, s.s_nationkey) AS a,
+      |         GREATEST(c.c_nationkey, s.s_nationkey) AS b,
+      |         COUNT(*) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2),
+      |thr AS (
+      |  SELECT MIN(w) AS thr FROM (
+      |    SELECT w, SUM(freq) OVER (ORDER BY w) AS cum,
+      |           SUM(freq) OVER () AS nk
+      |    FROM (SELECT w, COUNT(*) AS freq FROM pairs GROUP BY 1))
+      |  WHERE cum * 2 >= nk),
+      |und AS MATERIALIZED (
+      |  SELECT a AS u, b AS v FROM pairs, thr WHERE w >= thr),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS d
+      |  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      |  GROUP BY 1),
+      |sm AS (
+      |  SELECT du.d AS x, dv.d AS y
+      |  FROM und e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+      |  UNION ALL
+      |  SELECT dv.d, du.d
+      |  FROM und e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |         CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM sm)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |       (SELECT COUNT(*) FROM und) AS n_edges,
+      |       m AS n_samples, sx AS sum_deg, sxy AS sum_xy, sxx AS sum_xx,
+      |       CAST(m * sxy - sx * sx AS BIGINT) AS num,
+      |       CAST(m * sxx - sx * sx AS BIGINT) AS den,
+      |       ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
+      |         / CAST(m * sxx - sx * sx AS DOUBLE), 4) AS assortativity
+      |FROM t""".stripMargin
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_graph_assortativity", tradeAssortativity,
+      Some(assortativityOracle)),
     NamedQuery("q_graph_hits", nationHits, Some(hitsOracle)),
     NamedQuery("q_graph_link_prediction", tradeLinkPrediction,
       Some(linkPredictionOracle)),

@@ -123,7 +123,9 @@ object ScaleProbe {
     // pair-keyed cell aggregate; everything downstream is domain-bounded
     "q_profile_entropy_mi",
     // single-scan regex counters over the dirtied twin
-    "q_text_secret_scan")
+    "q_text_secret_scan",
+    // one distinct-token shuffle + 64-row fit; cached-backbone driver math
+    "q_text_zipf_fit", "q_graph_assortativity")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

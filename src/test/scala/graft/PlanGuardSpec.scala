@@ -61,7 +61,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_audit_t_closeness", // broadcast one-row corpus-total (N) frame
     "q_text_negative_table",       // one-row Σmass + leftover frames
     "q_profile_join_cardinality",  // one-row stat frames per probed join
-    "q_graph_link_prediction" // backbone artifact's one-row threshold frame
+    "q_graph_link_prediction", // backbone artifact's one-row threshold frame
+    "q_text_zipf_fit"      // broadcast one-row corpus-totals frame beside the fit row
   )
 
   test("no cartesian product or unsanctioned nested-loop join in any query") {
@@ -174,7 +175,9 @@ class PlanGuardSpec extends SparkSpec {
     // marginal windows run over the distinct-value CELL table (one row
     // per (x, y) combination — domain-bounded), never the fact tables
     "q_profile_entropy_mi" ->
-      "marginal-sum windows over the distinct-value cell table")
+      "marginal-sum windows over the distinct-value cell table",
+    // the rank window runs AFTER the top-64 TakeOrderedAndProject cut
+    "q_text_zipf_fit" -> "rank over the 64-row head-vocabulary cut")
 
   test("no window over a bounded-cardinality partition key on raw-table input") {
     import org.apache.spark.sql.execution.SparkPlan
