@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.{CorpusStats, GraphQueries}
+
+/** Invariants for the two round-13 closing statistics: the Zipf fit's
+  * bookkeeping and sign, and the assortativity coefficient's internal
+  * consistency (the emitted exact sums must reproduce the emitted num/den
+  * and the coefficient must be a valid correlation). */
+class ZipfAssortativitySpec extends SparkSpec {
+
+  test("zipf fit: k = min(64, vocab), negative slope, sane intercept") {
+    val r = CorpusStats.zipfFit(spark, Sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (k, vocab) = (row.getLong(0), row.getLong(1))
+    assert(k == math.min(64L, vocab))
+    assert(row.getLong(2) > 0)                     // total tokens
+    // a frequency-ranked head can only fall: slope strictly negative
+    assert(row.getDouble(3) < 0.0, s"zipf slope ${row.getDouble(3)}")
+    // intercept is ln(predicted top-frequency): positive, above the slope
+    assert(row.getDouble(4) > 0.0)
+  }
+
+  test("assortativity: emitted sums reproduce num/den; r is a correlation") {
+    val row = GraphQueries.tradeAssortativity(spark, Sf).collect().head
+    val (nodes, edges, m) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (sx, sxy, sxx) = (row.getLong(3), row.getLong(4), row.getLong(5))
+    val (num, den) = (row.getLong(6), row.getLong(7))
+    assert(m == 2 * edges)                         // both orientations
+    assert(nodes >= 2 && edges >= 1)
+    assert(num == m * sxy - sx * sx)
+    assert(den == m * sxx - sx * sx)
+    assert(den >= 0)                               // variance is non-negative
+    if (den > 0) {
+      val r = row.getDouble(8)
+      assert(r >= -1.0001 && r <= 1.0001, s"assortativity $r out of range")
+      assert(math.abs(r - num.toDouble / den.toDouble) < 1e-3)
+    }
+  }
+}
