@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Merge bench detail runs into BENCHBASE.md's floor table.
+
+Usage: python3 tools/merge_floors.py <bench_detail.log> [<more.log> ...]
+
+Each log is a graft.Bench stderr capture (gate_rN_bench_detail.log) whose
+last {"metric":"total"} line carries full-precision per-query min+median
+maps. The BENCHBASE table is rewritten in place as the per-query MIN over
+(existing floor, every supplied run), carrying the winning run's median;
+the script then prints the floor-sum, the baseline ratio, and every
+1.5x-rule flag (>1.5x floor AND >0.3 s) the NEWEST run shows against the
+merged floors — the adjudication list the round summary must address.
+
+CAVEAT (the protocol's floors-from-final-plans rule): min-merging is only
+valid for queries whose implementation did not change across the supplied
+runs. After a rewrite, re-floor that query from final-plan runs only —
+this script never deletes a floor, so drop the stale row from BENCHBASE
+by hand first.
+
+Dev-only tooling — NOT part of the shipped Scala library.
+"""
+import json
+import re
+import sys
+
+BENCHBASE = "BENCHBASE.md"
+BASELINE_SEC = 57.86
+
+
+def floors():
+    out = {}
+    for line in open(BENCHBASE):
+        m = re.match(r"\|\s*(q_\w+)\s*\|\s*([\d.]+)\s*\|\s*([\d.]+)\s*\|", line)
+        if m:
+            out[m.group(1)] = (float(m.group(2)), float(m.group(3)))
+    return out
+
+
+def run_maps(path):
+    lines = [l for l in open(path) if '"metric":"total"' in l]
+    if not lines:
+        sys.exit(f"{path}: no total line")
+    d = json.loads(lines[-1])
+    return d["queries"], d["queries_median"]
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
+    merged = dict(floors())
+    newest = None
+    for path in sys.argv[1:]:
+        mins, meds = run_maps(path)
+        newest = mins
+        for n, v in mins.items():
+            cand = (v, meds[n])
+            if n not in merged or cand < merged[n]:
+                merged[n] = cand
+    total = sum(v[0] for v in merged.values())
+    print(f"floor-sum {total:.2f} s / {len(merged)} queries "
+          f"= {total / BASELINE_SEC:.3f}x baseline")
+    flags = [(n, newest[n], merged[n][0]) for n in newest
+             if newest[n] > 1.5 * merged[n][0] and newest[n] > 0.3]
+    for n, t, f in sorted(flags, key=lambda x: -(x[1] / x[2])):
+        print(f"FLAG {n}: {t:.3f} vs floor {f:.3f} = {t / f:.2f}x")
+    if not flags:
+        print("zero 1.5x-rule flags in the newest run")
+    text = open(BENCHBASE).read()
+    start = text.index("| query | min (s) | median (s) |")
+    end = start
+    for line in text[start:].splitlines(keepends=True):
+        if line.startswith("|"):
+            end += len(line)
+        else:
+            break
+    rows = sorted(merged.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    table = "| query | min (s) | median (s) |\n|---|---|---|\n" + "".join(
+        f"| {n} | {mn:.3f} | {md:.3f} |\n" for n, (mn, md) in rows)
+    with open(BENCHBASE, "w") as f:
+        f.write(text[:start] + table + text[end:])
+    print(f"BENCHBASE.md table rewritten ({len(merged)} rows)")
+
+
+if __name__ == "__main__":
+    main()
