@@ -231,16 +231,25 @@ object CurationScreens {
     * keeps the metric live (the real pipeline splits on newline; the
     * chunking is a per-row array transform either way, no extra shuffle).
     * Duplicate mass is exact set arithmetic: total minus distinct, for
-    * both counts and characters. */
+    * both counts and characters. The empty-token case is guarded
+    * EXPLICITLY in both engines (zero chunks): unguarded, Spark's
+    * `sequence(0, (-1) div 2)` = [0] yields one empty chunk while
+    * DuckDB's `range(0, (-1)//2 + 1)` yields none — a latent hash break
+    * on any future corpus with empty/whitespace-only documents. */
+  /** 2-token chunk assembly over a `tk` token array — shared with the
+    * spec so the empty-token guard is pinned by a direct test. */
+  private[graft] val ChunkExpr =
+    """CASE WHEN size(tk) = 0 THEN cast(array() AS array<string>)
+      |ELSE transform(sequence(0, (size(tk) - 1) div 2),
+      |               i -> concat_ws(' ', slice(tk, i * 2 + 1, 2))) END"""
+      .stripMargin
+
   def dupLineScreen(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val d = t.documents
       .select(col("source"), col("text"))
       .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
-      .withColumn("chunks", expr(
-        """transform(sequence(0, (size(tk) - 1) div 2),
-          |          i -> concat_ws(' ', slice(tk, i * 2 + 1, 2)))"""
-          .stripMargin))
+      .withColumn("chunks", expr(ChunkExpr))
       .withColumn("n_chunks", size(col("chunks")).cast("long"))
       .withColumn("n_distinct",
         size(array_distinct(col("chunks"))).cast("long"))
@@ -494,9 +503,10 @@ object CurationScreens {
         |  FROM documents),
         |c AS (
         |  SELECT source,
-        |    list_transform(range(0, (len(tk) - 1) // 2 + 1),
+        |    CASE WHEN len(tk) = 0 THEN []
+        |    ELSE list_transform(range(0, (len(tk) - 1) // 2 + 1),
         |      i -> array_to_string(list_slice(tk, i * 2 + 1, i * 2 + 2), ' '))
-        |      AS chunks
+        |    END AS chunks
         |  FROM a),
         |d AS (
         |  SELECT source,

@@ -825,7 +825,10 @@ object GraphQueries {
     * other nation-domain fixed points (the node domain is fixed; a
     * billion-node graph would run the degree join distributed). Only
     * the final ratio is double, rounded in-DataFrame so both engines
-    * round the identical quotient. */
+    * round the identical quotient; a degree-regular backbone (den = 0 —
+    * possible at a future SF even though today's threshold always leaves
+    * degree variance) reports NULL in both engines rather than NaN, so a
+    * degenerate input reads as a clear signal, not a hash diff. */
   def tradeAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val und = backboneEdges(spark, sfDir).collect()
@@ -844,7 +847,8 @@ object GraphQueries {
       .toDF("n_nodes", "n_edges", "n_samples", "sum_deg", "sum_xy",
         "sum_xx", "num", "den")
       .withColumn("assortativity",
-        round(col("num").cast("double") / col("den").cast("double"), 4))
+        when(col("den") === 0L, lit(null).cast("double")).otherwise(
+          round(col("num").cast("double") / col("den").cast("double"), 4)))
   }
 
   private def assortativityOracle: String =
@@ -887,7 +891,8 @@ object GraphQueries {
       |       CAST(m * sxy - sx * sx AS BIGINT) AS num,
       |       CAST(m * sxx - sx * sx AS BIGINT) AS den,
       |       ROUND(CAST(m * sxy - sx * sx AS DOUBLE)
-      |         / CAST(m * sxx - sx * sx AS DOUBLE), 4) AS assortativity
+      |         / CAST(NULLIF(m * sxx - sx * sx, 0) AS DOUBLE), 4)
+      |         AS assortativity
       |FROM t""".stripMargin
 
   val all: Seq[NamedQuery] = Seq(

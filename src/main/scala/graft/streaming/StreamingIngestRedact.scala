@@ -23,10 +23,21 @@ import graft.operators.{CurationScreens, TextQueries}
   * running earlier would eat phone/IP/card substrings and change every
   * later class's matches).
   *
+  * The contract is that nothing downstream ever holds a raw secret, so a
+  * document whose `n_residual` is still non-zero after the three bounded
+  * passes (adversarial input — no bounded pass count is a fixpoint proof)
+  * is NOT kept: it routes to a quarantine lane WITH its class counts (the
+  * [[StreamingIngestQc]] / [[CdcEnvelope]] reject pattern), and the audit
+  * ledger still sums the residual as the monitoring signal. Quarantined
+  * rows are never dropped; a human (or a stronger offline scrubber)
+  * adjudicates the lane, and the kept corpus stays provably pattern-free.
+  *
   * Idempotent replay (the StreamingImagePhash contract): each batch lands
   * in its own `batch=<id>` partition with overwrite, so a replayed
-  * micro-batch — crash before, between, or after the two writes — rewrites
-  * its partitions instead of duplicating them.
+  * micro-batch — crash before, between, or after the three writes —
+  * rewrites its partitions instead of duplicating them (the scrub is
+  * deterministic, so a replay recomputes the identical kept/quarantine
+  * split).
   *
   * Scale contract: per-batch work is one narrow codegen'd map over |batch|
   * rows (8 regex counters + 8 chained replaces) plus a |langs|-domain
@@ -37,6 +48,7 @@ object StreamingIngestRedact {
 
   def keptPath(root: String) = s"$root/kept"
   def auditPath(root: String) = s"$root/audit"
+  def quarantinePath(root: String) = s"$root/quarantine"
 
   /** Scrubbed documents landed so far. */
   def keptDocs(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
@@ -45,6 +57,13 @@ object StreamingIngestRedact {
   /** Per-batch audit ledger. */
   def auditLedger(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.parquet(auditPath(root))
+
+  /** Quarantined rows so far (empty if no batch ever left a residual). */
+  def quarantined(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    val p = quarantinePath(root)
+    if (new java.io.File(p).exists()) spark.read.parquet(p)
+    else spark.emptyDataFrame
+  }
 
   private val classes: Seq[(String, String, String)] = Seq(
     ("email", TextQueries.EmailRe, "[EMAIL]"),
@@ -98,19 +117,39 @@ object StreamingIngestRedact {
       .option("checkpointLocation", checkpoint)
       .start()
 
-  /** One micro-batch: scrub → land clean docs + audit rows, each into the
-    * batch's own overwrite partition. */
-  def processBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
-    // one computation of the scrub for both writes; lineage truncation is
-    // the streaming-checkpoint recovery contract (StreamingIngestDedup)
-    val s = scrubbed(batch).localCheckpoint(true)
+  /** One micro-batch: scrub → residual-free docs to kept, residual docs
+    * (scrub defeated the bounded passes) to quarantine with their class
+    * counts, audit rows last — each into the batch's own overwrite
+    * partition. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String): Unit =
+    // one computation of the scrub for all three writes; lineage truncation
+    // is the streaming-checkpoint recovery contract (StreamingIngestDedup)
+    landBatch(scrubbed(batch).localCheckpoint(true), batchId, root)
+
+  /** Land an already-scrubbed frame: the kept/quarantine routing and the
+    * ledger write, split from the scrub so the routing is testable on its
+    * own. (The shipped 8-pattern set cannot reach `n_residual > 0` — an
+    * exposure chain deeper than two needs a mid-chain pattern that both
+    * carries a trailing `\b` and ends adjacent to a digit, a contradiction
+    * — so the lane guards future pattern-set changes and engine quirks,
+    * and only a synthetic residual row can exercise it.) */
+  private[graft] def landBatch(s: DataFrame, batchId: Long, root: String): Unit = {
     val countCols = classes.map { case (n, _, _) => s"n_$n" }
-    s.drop(countCols ++ Seq("chars_removed", "n_residual"): _*)
+    s.where(col("n_residual") === 0L)
+      .drop(countCols ++ Seq("chars_removed", "n_residual"): _*)
       .write.mode("overwrite").parquet(s"${keptPath(root)}/batch=$batchId")
+    val quar = s.where(col("n_residual") > 0L)
+    // skip the empty write (the common case is a fully scrubbed batch);
+    // replay stays idempotent because the split is deterministic
+    if (!quar.isEmpty)
+      quar.write.mode("overwrite")
+        .parquet(s"${quarantinePath(root)}/batch=$batchId")
     def total(c: String): Column = sum(col(c)).as(c)
     val aggs: Seq[Column] = countCols.map(total) :+
       sum(col("chars_removed")).as("chars_removed") :+
       sum(col("n_residual")).as("n_residual") :+
+      sum(when(col("n_residual") > 0L, 1L).otherwise(0L))
+        .as("docs_quarantined") :+
       sum(when(countCols.map(col).reduce(_ + _) > 0, 1L).otherwise(0L))
         .as("docs_touched")
     s.groupBy(col("lang"))

@@ -35,6 +35,23 @@ class CurationScreensSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dup-line chunk builder yields ZERO chunks on empty/whitespace text") {
+    // unguarded, Spark's sequence(0, (-1) div 2) = [0] emits one empty
+    // chunk where DuckDB's range() emits none — a latent cross-engine
+    // hash break on any corpus with empty documents
+    import spark.implicits._
+    val got = Seq("", "   ", "one", "a b c")
+      .toDF("text")
+      .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("chunks", expr(CurationScreens.ChunkExpr))
+      .select(col("text"), col("chunks"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("") == Seq.empty)
+    assert(got("   ") == Seq.empty)
+    assert(got("one") == Seq("one"))
+    assert(got("a b c") == Seq("a b", "c"))
+  }
+
   test("readability screen equals brute-force syllable/integer-ratio math") {
     val got = CurationScreens.readabilityScreen(spark, Sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),

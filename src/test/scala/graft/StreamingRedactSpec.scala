@@ -75,9 +75,13 @@ class StreamingRedactSpec extends SparkSpec {
     assert(a.getLong(a.fieldIndex("n_jwt")) == 1L)
     assert(a.getLong(a.fieldIndex("n_hex_secret")) == 1L)
     assert(a.getLong(a.fieldIndex("docs_touched")) == 1L)
-    // nothing scrubable left anywhere on this corpus
+    // nothing scrubable left anywhere on this corpus — and therefore
+    // nothing quarantined (the lane only opens on a residual)
     assert(StreamingIngestRedact.auditLedger(spark, root)
       .agg(sum(col("n_residual"))).collect()(0).getLong(0) == 0L)
+    assert(StreamingIngestRedact.auditLedger(spark, root)
+      .agg(sum(col("docs_quarantined"))).collect()(0).getLong(0) == 0L)
+    assert(StreamingIngestRedact.quarantined(spark, root).isEmpty)
 
     // 4. (see below) replay of an already-committed batch rewrites, not
     // duplicates — kept rows and the full ledger are unchanged
@@ -90,6 +94,39 @@ class StreamingRedactSpec extends SparkSpec {
       .select("doc_id", "text").as[(Long, String)].collect().toMap)
     assert(StreamingIngestRedact.auditLedger(spark, root)
       .collect().map(_.toString).sorted.toSeq == auditBefore)
+  }
+
+  test("quarantine lane: a residual row never lands in kept, and replay " +
+      "rewrites the lane") {
+    // The shipped 8-pattern set provably cannot reach n_residual > 0 (see
+    // landBatch scaladoc), so the routing is exercised on a synthetic
+    // residual: scrub the frame for real, then force one row's residual —
+    // exactly the adversarial-input shape the lane exists for.
+    val root = Files.createTempDirectory("redact_quar").toString
+    val scrubbed = StreamingIngestRedact.scrubbed(Seq(
+      (10L, "en", "src0", "plain words stay plain"),
+      (11L, "en", "src0", "mail me at alice@example.com today"),
+      (12L, "fr", "src1", "adversarial text that defeated the passes"))
+      .toDF("doc_id", "lang", "source", "text"))
+      .withColumn("n_residual",
+        when(col("doc_id") === 12L, 2L).otherwise(col("n_residual")))
+    StreamingIngestRedact.landBatch(scrubbed, 0L, root)
+
+    val kept = StreamingIngestRedact.keptDocs(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 11L)) // the residual row is NOT in the corpus
+    val quar = StreamingIngestRedact.quarantined(spark, root)
+    assert(quar.select("doc_id").as[Long].collect().toSeq == Seq(12L))
+    // quarantine carries the full class-count context for adjudication
+    assert(quar.columns.contains("n_email") && quar.columns.contains("n_residual"))
+    val ledger = StreamingIngestRedact.auditLedger(spark, root)
+    assert(ledger.agg(sum(col("docs_quarantined"))).collect()(0).getLong(0) == 1L)
+    assert(ledger.agg(sum(col("n_residual"))).collect()(0).getLong(0) == 2L)
+
+    // replay: the batch partition is rewritten, not duplicated
+    StreamingIngestRedact.landBatch(scrubbed, 0L, root)
+    assert(StreamingIngestRedact.keptDocs(spark, root).count() == 2L)
+    assert(StreamingIngestRedact.quarantined(spark, root).count() == 1L)
   }
 
   test("adversarial fuzz: no scrubable pattern survives any fragment mix") {

@@ -41,7 +41,13 @@ def run_maps(path):
     if not lines:
         sys.exit(f"{path}: no total line")
     d = json.loads(lines[-1])
-    return d["queries"], d["queries_median"]
+    if "queries" not in d:
+        sys.exit(f"{path}: total line carries no per-query map "
+                 "(old-format or truncated log?)")
+    # an older/truncated log may lack medians for some (or all) queries;
+    # fall back to the min itself rather than KeyError
+    meds = d.get("queries_median", {})
+    return d["queries"], {n: meds.get(n, v) for n, v in d["queries"].items()}
 
 
 def main():
@@ -66,7 +72,12 @@ def main():
     if not flags:
         print("zero 1.5x-rule flags in the newest run")
     text = open(BENCHBASE).read()
-    start = text.index("| query | min (s) | median (s) |")
+    try:
+        start = text.index("| query | min (s) | median (s) |")
+    except ValueError:
+        sys.exit(f"{BENCHBASE}: floor-table header "
+                 "'| query | min (s) | median (s) |' not found — "
+                 "restore the table before merging")
     end = start
     for line in text[start:].splitlines(keepends=True):
         if line.startswith("|"):

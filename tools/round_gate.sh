@@ -24,13 +24,32 @@ SF_CAP="/root/testdata/sf0.001"
 VOUT="/tmp/vout_r${N}"
 VOUT_CAP="/tmp/vout_cap_r${N}"
 
+# Freshness stamp: every committed gate log names the exact commit it
+# vouches for, and the gate REFUSES to report if HEAD moves mid-run —
+# a stale log claiming to back newer code is how round 13's committed
+# test log drifted one commit behind the suite counts it quoted.
+SHA="$(git rev-parse HEAD)"
+DIRTY="$(git status --porcelain | wc -l | tr -d ' ')"
+echo "gate r${N} @ HEAD ${SHA} (uncommitted files: ${DIRTY})"
+
+check_head() {
+  local now
+  now="$(git rev-parse HEAD)"
+  if [ "${now}" != "${SHA}" ]; then
+    echo "FATAL: HEAD moved ${SHA} -> ${now} mid-gate; logs are stale — rerun" >&2
+    exit 1
+  fi
+}
+
 echo "== [1/5] sbt test"
 # full log to /tmp (tens of MB of spark INFO); only the verdict lines are
 # kept in the repo-committed summary log
 sbt -batch test > "/tmp/gate_r${N}_test_full.log" 2>&1 || {
   tail -30 "/tmp/gate_r${N}_test_full.log"; exit 1; }
-grep -E "Tests: succeeded|All tests passed|Suites: completed|\*\*\* FAILED" \
-  "/tmp/gate_r${N}_test_full.log" | tail -4 | tee "gate_r${N}_test.log"
+check_head
+{ echo "HEAD ${SHA} (uncommitted files at gate start: ${DIRTY})";
+  grep -E "Tests: succeeded|All tests passed|Suites: completed|\*\*\* FAILED" \
+    "/tmp/gate_r${N}_test_full.log" | tail -4; } | tee "gate_r${N}_test.log"
 
 echo "== [2/5] Verify @ ${SF_VERIFY}"
 sbt -batch "runMain graft.Verify ${SF_VERIFY} ${VOUT}" > /dev/null
@@ -43,10 +62,14 @@ echo "== [4/5] time_oracles @ ${SF_CAP} (10 s cap)"
 sbt -batch "runMain graft.Verify ${SF_CAP} ${VOUT_CAP}" > /dev/null
 python3 tools/time_oracles.py "${SF_CAP}" "${VOUT_CAP}" 10 | tail -3
 
-echo "== [5/5] Bench @ ${SF_BENCH}"
+echo "== [5/5] Bench @ ${SF_BENCH} (2 drives -> min of 6 interleaved passes)"
+echo "HEAD ${SHA}" > "gate_r${N}_bench_detail.log"
 SPARK_GRAFT_SF_DIR="${SF_BENCH}" SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.Bench" 2> "gate_r${N}_bench_detail.log" \
+  SPARK_GRAFT_BENCH_DRIVES=2 \
+  sbt -batch "runMain graft.Bench" 2>> "gate_r${N}_bench_detail.log" \
   | grep '"metric"' | tail -1 > "BENCH_local_r${N}.json"
 cat "BENCH_local_r${N}.json"
 
-echo "== gate r${N} complete: CORRECTNESS_local_r${N}.json, BENCH_local_r${N}.json"
+check_head
+echo "== gate r${N} complete @ HEAD ${SHA}:" \
+  "CORRECTNESS_local_r${N}.json, BENCH_local_r${N}.json"
