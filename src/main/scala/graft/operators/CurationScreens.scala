@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.NamedQuery
 import graft.sources.Tables.Tpch
@@ -315,7 +316,179 @@ object CurationScreens {
       .orderBy(col("source"))
   }
 
+  /** Stand-in blocklist for the C4 page-level bad-words rule (Raffel et
+    * al. 2020 §2.2 drop any page containing a word from the "Bad Words"
+    * list). The real list is a lookup table of obscenities; these three
+    * synthetic tokens exercise the identical mechanics — token-exact
+    * membership, page-level drop on ANY hit — without shipping slurs in a
+    * test corpus. At crawl scale the list (a few thousand entries) rides
+    * as a broadcast set; here it folds into the codegen'd predicate. */
+  private[graft] val Blocklist = Seq("badwordalpha", "badwordbeta", "badwordgamma")
+
+  /** C4 bad-words screen — the blocklist half of the C4 cleaner
+    * ([[c4LineScreen]] covers the line/page structural rules): token-exact
+    * blocklist hits per class and the page-drop census. Dirty twin plants
+    * blocklisted tokens by doc_id class (%6 alpha, %10 beta, %15 a DOUBLE
+    * gamma so occurrence-vs-doc counting is distinguishable; %30 docs hit
+    * all three classes), so every counter and the multi-class branch are
+    * live. One scan, token-set membership per row, |sources|-domain agg. */
+  def badwordsScreen(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dirty =
+      """concat(text,
+        |  CASE WHEN doc_id % 6 = 0 THEN ' badwordalpha in passing'
+        |    ELSE '' END,
+        |  CASE WHEN doc_id % 10 = 0 THEN ' badwordbeta' ELSE '' END,
+        |  CASE WHEN doc_id % 15 = 0 THEN ' badwordgamma badwordgamma'
+        |    ELSE '' END)""".stripMargin
+    def hits(w: String): Column =
+      size(expr(s"filter(tk, x -> x = '$w')")).cast("long")
+    val d = t.documents
+      .select(col("source"), expr(dirty).as("dirty"))
+      .withColumn("tk", expr("filter(split(lower(dirty), ' '), x -> x <> '')"))
+      .select(col("source") +: Blocklist.map(w =>
+        hits(w).as(s"h_${w.stripPrefix("badword")}")): _*)
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("h_alpha")).as("n_alpha"),
+        sum(col("h_beta")).as("n_beta"),
+        sum(col("h_gamma")).as("n_gamma"),
+        sum(when(col("h_alpha") + col("h_beta") + col("h_gamma") > 0, 1L)
+          .otherwise(0L)).as("n_page_dropped"))
+      .withColumn("kept_bp",
+        expr("(n_docs - n_page_dropped) * 10000 div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Domain-level quality rollup — the FineWeb-style domain-filtering
+    * decision table: join the [[urlScreen]] provenance (first URL's
+    * registered domain; `(none)` when a doc carries no URL) with per-doc
+    * quality/flag shares and emit a keep/drop decision per domain. The
+    * quality score is [[TextQueries.qualityScoreExpr]] — the SAME
+    * expression `q_text_quality` and the corpus-prep filter use, so the
+    * domain table can never silently diverge from the doc-level screen.
+    * Flags and the decision are integer rules (token counts, bp
+    * thresholds) so the hash check never rides a float comparison; only
+    * avg_quality is float, decimal-summed then rounded (the proven
+    * q_text_quality pattern). One scan + one domain-keyed aggregate with
+    * map-side combine; output rows bounded by the distinct-domain count. */
+  def domainQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val dirty =
+      """concat(text,
+        |  CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
+        |    cast((doc_id div 2) % 20 AS string),
+        |    CASE (doc_id div 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |                            WHEN 2 THEN '.net' ELSE '.io' END,
+        |    '/p', cast(doc_id % 100 AS string)) ELSE '' END,
+        |  CASE WHEN doc_id % 9 = 0 THEN concat(
+        |    ' ref http://ads.badsite.com/track?id=', cast(doc_id AS string))
+        |    ELSE '' END)""".stripMargin
+    val d = t.documents
+      .select(col("text"), expr(dirty).as("dirty"))
+      .withColumn("host",
+        regexp_extract(col("dirty"), "https?://([A-Za-z0-9.-]+)", 1))
+      .withColumn("domain", when(col("host") === "", lit("(none)"))
+        .otherwise(regexp_extract(col("host"),
+          "[A-Za-z0-9-]+\\.[A-Za-z]+$", 0)))
+      .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+      .withColumn("n_dist", size(array_distinct(col("tk"))).cast("long"))
+      .withColumn("score", TextQueries.qualityScoreExpr)
+    d.groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast(DecimalType(18, 8))) / count(lit(1)), 4)
+          .cast("double").as("avg_quality"),
+        sum(when(col("n_tok") < 30, 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("n_dist") * 2 < col("n_tok"), 1L).otherwise(0L))
+          .as("n_rep_heavy"),
+        max(col("domain") === "badsite.com").as("blocked"))
+      .withColumn("short_bp", expr("n_short * 10000 div n_docs"))
+      .withColumn("rep_bp", expr("n_rep_heavy * 10000 div n_docs"))
+      .withColumn("decision", expr(
+        """CASE WHEN blocked THEN 'drop_blocklist'
+          |     WHEN n_rep_heavy * 2 > n_docs THEN 'drop_quality'
+          |     ELSE 'keep' END""".stripMargin))
+      .orderBy(col("domain"))
+  }
+
   val all: Seq[NamedQuery] = Seq(
+    NamedQuery("q_text_badwords", badwordsScreen, Some(
+      """WITH a AS (
+        |  SELECT source,
+        |    concat(text,
+        |      CASE WHEN doc_id % 6 = 0 THEN ' badwordalpha in passing'
+        |        ELSE '' END,
+        |      CASE WHEN doc_id % 10 = 0 THEN ' badwordbeta' ELSE '' END,
+        |      CASE WHEN doc_id % 15 = 0 THEN ' badwordgamma badwordgamma'
+        |        ELSE '' END) AS dirty
+        |  FROM documents),
+        |d AS (
+        |  SELECT source,
+        |    list_filter(string_split(lower(dirty), ' '), x -> x <> '') AS tk
+        |  FROM a),
+        |e AS (
+        |  SELECT source,
+        |    len(list_filter(tk, x -> x = 'badwordalpha')) AS ha,
+        |    len(list_filter(tk, x -> x = 'badwordbeta')) AS hb,
+        |    len(list_filter(tk, x -> x = 'badwordgamma')) AS hg
+        |  FROM d)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(ha) AS BIGINT) AS n_alpha,
+        |  CAST(SUM(hb) AS BIGINT) AS n_beta,
+        |  CAST(SUM(hg) AS BIGINT) AS n_gamma,
+        |  CAST(SUM(CASE WHEN ha + hb + hg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_page_dropped,
+        |  CAST((COUNT(*) - SUM(CASE WHEN ha + hb + hg > 0 THEN 1 ELSE 0 END))
+        |    * 10000 // COUNT(*) AS BIGINT) AS kept_bp
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+    NamedQuery("q_text_domain_quality", domainQuality, Some(
+      """WITH a AS (
+        |  SELECT text,
+        |    concat(text,
+        |      CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
+        |        CAST((doc_id // 2) % 20 AS VARCHAR),
+        |        CASE (doc_id // 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |                               WHEN 2 THEN '.net' ELSE '.io' END,
+        |        '/p', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END,
+        |      CASE WHEN doc_id % 9 = 0 THEN concat(
+        |        ' ref http://ads.badsite.com/track?id=',
+        |        CAST(doc_id AS VARCHAR)) ELSE '' END) AS dirty
+        |  FROM documents),
+        |d AS (
+        |  SELECT text,
+        |    regexp_extract(dirty, 'https?://([A-Za-z0-9.-]+)', 1) AS host
+        |  FROM a),
+        |e AS (
+        |  SELECT
+        |    CASE WHEN host = '' THEN '(none)'
+        |         ELSE regexp_extract(host, '[A-Za-z0-9-]+\.[A-Za-z]+$') END
+        |      AS domain,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+        |    len(list_distinct(list_filter(string_split(text, ' '),
+        |      x -> x <> ''))) AS n_dist,
+        |    LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+        |      + (len(list_distinct(string_split(text, ' ')))
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+        |      AS score
+        |  FROM d),
+        |g AS (
+        |  SELECT domain, COUNT(*) AS n_docs,
+        |    CAST(ROUND(SUM(CAST(score AS DECIMAL(18,8))) / COUNT(*), 4)
+        |      AS DOUBLE) AS avg_quality,
+        |    CAST(SUM(CASE WHEN n_tok < 30 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_short,
+        |    CAST(SUM(CASE WHEN n_dist * 2 < n_tok THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_rep_heavy,
+        |    MAX(domain = 'badsite.com') AS blocked
+        |  FROM e GROUP BY 1)
+        |SELECT domain, n_docs, avg_quality, n_short, n_rep_heavy, blocked,
+        |  CAST(n_short * 10000 // n_docs AS BIGINT) AS short_bp,
+        |  CAST(n_rep_heavy * 10000 // n_docs AS BIGINT) AS rep_bp,
+        |  CASE WHEN blocked THEN 'drop_blocklist'
+        |       WHEN n_rep_heavy * 2 > n_docs THEN 'drop_quality'
+        |       ELSE 'keep' END AS decision
+        |FROM g ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_secret_scan", secretScan, Some(
       """WITH a AS (
         |  SELECT source,

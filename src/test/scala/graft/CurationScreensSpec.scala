@@ -106,5 +106,27 @@ class CurationScreensSpec extends SparkSpec {
       sum("n_aws_keys"), sum("n_pem_blocks"), sum("n_jwts"),
       sum("n_hex_secrets")).collect()(0)
     (0 to 3).foreach(i => assert(s.getLong(i) > 0, s"secret class $i dead"))
+
+    // Bad-words screen: every blocklist class live, the double-gamma plant
+    // makes occurrences exceed flagged docs, and clean pages survive
+    val b = CurationScreens.badwordsScreen(spark, Sf).agg(
+      sum("n_alpha"), sum("n_beta"), sum("n_gamma"), sum("n_page_dropped"),
+      sum("n_docs")).collect()(0)
+    (0 to 2).foreach(i => assert(b.getLong(i) > 0, s"badword class $i dead"))
+    assert(b.getLong(2) % 2 == 0, "gamma plants exactly two per doc")
+    assert(b.getLong(0) + b.getLong(1) + b.getLong(2) > b.getLong(3),
+      "occurrence counting must exceed page counting (double gamma)")
+    assert(b.getLong(3) > 0 && b.getLong(3) < b.getLong(4),
+      "page drop rule must both fire and pass")
+
+    // Domain quality rollup: blocklisted, no-URL, and keep/drop-quality
+    // rows all present; integer flag shares live
+    val dq = CurationScreens.domainQuality(spark, Sf).collect()
+    assert(dq.exists(r => r.getString(0) == "badsite.com"
+      && r.getString(8) == "drop_blocklist"))
+    assert(dq.exists(r => r.getString(0) == "(none)"))
+    assert(dq.exists(r => r.getString(8) == "keep")
+      || dq.exists(r => r.getString(8) == "drop_quality"))
+    assert(dq.map(r => r.getLong(3) + r.getLong(4)).sum > 0, "flags dead")
   }
 }
