@@ -461,6 +461,34 @@ object TextQueries {
           |                    i -> md5(concat_ws(' ', slice(tk, i + 1, 5))))
           |     ELSE CAST(array() AS array<string>) END""".stripMargin))
         .as("fp"))
+    overlapPairs(shingles)
+  }
+
+  /** The production variant of [[sourceOverlap]]: identical pair counts
+    * keyed on `graft_shingle_hashes` 8-byte xxhash64 fingerprints instead
+    * of 32-hex md5 strings — the documented 4×-narrower-shuffle lever
+    * (SCALE.md round-13 addendum), forgone on the md5 path only for
+    * oracle-ability. Registered rows-only (xxhash64 is not reproducible
+    * in the oracle engine); pair-for-pair equality with the md5 path is
+    * proven by `SourceOverlapParitySpec` instead. Docs shorter than the
+    * shingle width are dropped BEFORE hashing — the native expression's
+    * whole-list fallback would otherwise invent a shared fingerprint the
+    * md5 path never emits. */
+  def sourceOverlapFast(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.ShingleHashes.register(spark)
+    val t = Tpch(spark, sfDir)
+    val shingles = t.documents
+      .withColumn("tk", filter(toks, x => x =!= ""))
+      .where(size(col("tk")) >= 5)
+      .select(col("source"),
+        explode(expr("graft_shingle_hashes(tk, 5)")).as("fp"))
+    overlapPairs(shingles)
+  }
+
+  /** Shared tail of the two overlap variants: ONE fingerprint-keyed
+    * shuffle collecting each shingle's source set (bounded by #sources),
+    * pair matrix exploded in-row, then a |sources|²-domain aggregate. */
+  private def overlapPairs(shingles: DataFrame): DataFrame =
     shingles.groupBy(col("fp"))
       .agg(array_sort(collect_set(col("source"))).as("ss"))
       .where(size(col("ss")) >= 2)
@@ -473,7 +501,6 @@ object TextQueries {
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("shared_shingles"))
       .orderBy(col("source_a"), col("source_b"))
-  }
 
   /** Token-length histogram (power-of-two buckets): the document-length
     * distribution that sizes maxLen for sequence packing and chunking.
@@ -1213,6 +1240,10 @@ object TextQueries {
         |       COUNT(*) AS shared_shingles
         |FROM g a JOIN g b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    // rows-only by necessity: xxhash64 fingerprints are not reproducible
+    // in the oracle engine; pair-for-pair equality with the hash-checked
+    // md5 path is proven by SourceOverlapParitySpec at sf0.01
+    NamedQuery("q_text_source_overlap_fast", sourceOverlapFast, None),
     NamedQuery("q_text_rolling_fp", rollingFingerprints, Some(
       """WITH f AS (
         |  SELECT source,

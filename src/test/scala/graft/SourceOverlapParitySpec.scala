@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.TextQueries
+
+/** The 8-byte fast path of source overlap (`q_text_source_overlap_fast`,
+  * rows-only in the driver gate) must be pair-for-pair identical to the
+  * oracle-hash-checked md5 path — the parity proof that lets the fast
+  * variant ship without its own SQL twin. Run at sf0.01, the driver's
+  * correctness SF, so the claim covers exactly the gated corpus.
+  */
+class SourceOverlapParitySpec extends SparkSpec {
+
+  private val Sf001 = "/root/testdata/sf0.01"
+
+  test("xxhash64 fast path equals the md5 path pair-for-pair at sf0.01") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    val md5Pairs = pairs(TextQueries.sourceOverlap(spark, Sf001))
+    val fastPairs = pairs(TextQueries.sourceOverlapFast(spark, Sf001))
+    assert(md5Pairs.nonEmpty, "overlap must be live at sf0.01")
+    assert(fastPairs == md5Pairs)
+  }
+
+  test("short-doc guard is load-bearing: the whole-list fallback would " +
+      "invent a cross-source fingerprint the md5 path never emits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.ShingleHashes.register(spark)
+    val fps = Seq(("srcA", "tiny doc here"), ("srcB", "tiny doc here"))
+      .toDF("source", "text")
+      .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+      .select(col("source"), expr("graft_shingle_hashes(tk, 5)").as("fps"))
+      .as[(String, Seq[Long])].collect().toMap
+    // unguarded, a 3-token doc still hashes to ONE fallback fingerprint,
+    // identical across the two sources — exactly the phantom pair the
+    // size(tk) >= 5 filter in sourceOverlapFast exists to prevent
+    assert(fps("srcA").length == 1 && fps("srcA") == fps("srcB"))
+  }
+}
