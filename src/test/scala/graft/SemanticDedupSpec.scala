@@ -120,6 +120,51 @@ class SemanticDedupSpec extends SparkSpec {
     for (i <- 0 to 2) assert(splitPairs.contains((i.toLong, 1000L + i)))
   }
 
+  test("multi-bit split: simultaneously oversized cells split into " +
+      "disjoint sub-cell spaces at their own bit widths") {
+    // cluster 5 at 5x the cap needs ceil(log2(5)) = 3 mask bits (8
+    // sub-cells); cluster 6 at barely over 2x needs 2 bits (4 sub-cells);
+    // cluster 7 stays under the cap and must be untouched — the three
+    // regimes of the split_bits formula in ONE frame, plus the
+    // negative-space arithmetic that keeps every sub-cell id disjoint
+    // from every other cluster's (the aliasing the 256-multiplier
+    // prevents).
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val n5 = 5 * SemanticDedup.CellCap
+    val n6 = 2 * SemanticDedup.CellCap + 1
+    val cell5 = Seq.tabulate(n5)(i => (i.toLong, vec(), 5))
+    val dups5 = Seq(0L, 1L, 2L).map(i =>
+      (100000L + i, cell5(i.toInt)._2.clone(), 5))
+    val cell6 = Seq.tabulate(n6)(i => (200000L + i, vec(), 6))
+    val cell7 = Seq.tabulate(4)(i => (300000L + i, vec(), 7))
+    val split = SemanticDedup
+      .splitOversized(frame(cell5 ++ dups5 ++ cell6 ++ cell7))
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    def origCluster(c: Int): Int = (-c - 1) / 256
+    def mask(c: Int): Int = (-c - 1) % 256
+    val sub5 = split.filter { case (id, _) => id < 200000L }.values.toSeq
+    val sub6 = split.filter { case (id, _) =>
+      id >= 200000L && id < 300000L }.values.toSeq
+    // every oversized vector re-homed, under-cap cell untouched
+    assert(sub5.forall(c => c < 0 && origCluster(c) == 5))
+    assert(sub6.forall(c => c < 0 && origCluster(c) == 6))
+    assert(cell7.forall { case (id, _, c) => split(id) == c })
+    // bit widths: masks bounded by 2^3 and 2^2 respectively, and the
+    // sub-cell population actually spreads (whp all masks hit at these n)
+    assert(sub5.forall(mask(_) < 8) && sub5.distinct.size >= 4)
+    assert(sub6.forall(mask(_) < 4) && sub6.distinct.size >= 2)
+    assert(sub5.toSet.intersect(sub6.toSet).isEmpty, "sub-cell spaces alias")
+    // the split bounds the quadratic: no sub-cell retains most of the cell
+    val biggest5 = sub5.groupBy(identity).map(_._2.size).max
+    assert(biggest5 < n5 / 2, s"cell 5 barely split: max sub-cell $biggest5")
+    // recall contract at multi-bit width: identical vectors co-located
+    for (i <- 0 to 2)
+      assert(split(i.toLong) === split(100000L + i), s"exact dup $i split apart")
+  }
+
   test("real-corpus summary matches a driver-side SemDeDup brute force") {
     val summary = SemanticDedup.dedupSummary(spark, Sf).collect()
     // reconstruct the cell assignment the operator used (same artifact)
