@@ -40,13 +40,18 @@ object CdcQueries {
     // loop free of timestamp formatting. Every extra column costs
     // to_json + from_json per row for nothing; the aggregate's proof power
     // (row identity + cent-exact money through the codec) is unchanged.
-    // Single-file source → repartition so the JSON encode/parse (the heavy
-    // per-row work here) uses every core, not one task.
-    val oltp = t.orders.select(
+    // Fan-out is CONDITIONAL: the shipped fixtures scan as a single file
+    // (1 task), so the per-row JSON work needs a repartition to use every
+    // core — but a 100 TB source already scans wide, and a blind
+    // repartition there would shuffle the whole fact for nothing.
+    val staged = t.orders.select(
       col("o_orderkey"), col("o_orderstatus"),
       col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
       datediff(col("o_orderdate"), lit("1970-01-01")).as("o_orderdate_days"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val cores = spark.sparkContext.defaultParallelism
+    val oltp =
+      if (staged.rdd.getNumPartitions < cores) staged.repartition(cores)
+      else staged
     val wire = CdcEnvelope.wrap(oltp, "orders")
     val decoded = CdcEnvelope.decode(wire, oltp.schema)
     decoded
