@@ -125,7 +125,11 @@ object ScaleProbe {
     // single-scan regex counters over the dirtied twin
     "q_text_secret_scan",
     // one distinct-token shuffle + 64-row fit; cached-backbone driver math
-    "q_text_zipf_fit", "q_graph_assortativity")
+    "q_text_zipf_fit", "q_graph_assortativity",
+    // round 14: single-scan blocklist/domain-rollup screens; the 8-byte
+    // shingle-keyed overlap twin (same shuffle shape as the md5 path,
+    // 4x narrower keys)
+    "q_text_badwords", "q_text_domain_quality", "q_text_source_overlap_fast")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
