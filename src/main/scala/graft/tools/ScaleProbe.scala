@@ -129,7 +129,11 @@ object ScaleProbe {
     // round 14: single-scan blocklist/domain-rollup screens; the 8-byte
     // shingle-keyed overlap twin (same shuffle shape as the md5 path,
     // 4x narrower keys)
-    "q_text_badwords", "q_text_domain_quality", "q_text_source_overlap_fast")
+    "q_text_badwords", "q_text_domain_quality", "q_text_source_overlap_fast",
+    // round 14 stretch-note evidence: one reused window shuffle + Expand
+    // aggregate over the 10x fact; linear per-row JSON codec with the
+    // now-conditional fan-out
+    "q_profile_clustering_factor", "q_cdc_roundtrip")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
