@@ -30,6 +30,9 @@ import MartQueries.{moneySum, moneySumSql}
   */
 object CdcQueries {
 
+  private val scanWidthMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Int]
+
   def cdcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     // Stage OLTP-shaped rows: money as NUMERIC(18,2) like SCHEMA.sql:15.
@@ -49,9 +52,11 @@ object CdcQueries {
       col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
       datediff(col("o_orderdate"), lit("1970-01-01")).as("o_orderdate_days"))
     val cores = spark.sparkContext.defaultParallelism
-    val oltp =
-      if (staged.rdd.getNumPartitions < cores) staged.repartition(cores)
-      else staged
+    // memoized per (session, sf): the .rdd width probe costs ~0.1 s of
+    // planning per call, and the file layout cannot change under a session
+    val width = scanWidthMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), sfDir), staged.rdd.getNumPartitions)
+    val oltp = if (width < cores) staged.repartition(cores) else staged
     val wire = CdcEnvelope.wrap(oltp, "orders")
     val decoded = CdcEnvelope.decode(wire, oltp.schema)
     decoded
