@@ -30,9 +30,6 @@ import MartQueries.{moneySum, moneySumSql}
   */
 object CdcQueries {
 
-  private val scanWidthMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), Int]
-
   def cdcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     // Stage OLTP-shaped rows: money as NUMERIC(18,2) like SCHEMA.sql:15.
@@ -43,7 +40,7 @@ object CdcQueries {
     // loop free of timestamp formatting. Every extra column costs
     // to_json + from_json per row for nothing; the aggregate's proof power
     // (row identity + cent-exact money through the codec) is unchanged.
-    // Fan-out is CONDITIONAL: the shipped fixtures scan as a single file
+    // Fan-out via ScanSpread: the shipped fixtures scan as a single file
     // (1 task), so the per-row JSON work needs a repartition to use every
     // core — but a 100 TB source already scans wide, and a blind
     // repartition there would shuffle the whole fact for nothing.
@@ -51,12 +48,7 @@ object CdcQueries {
       col("o_orderkey"), col("o_orderstatus"),
       col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
       datediff(col("o_orderdate"), lit("1970-01-01")).as("o_orderdate_days"))
-    val cores = spark.sparkContext.defaultParallelism
-    // memoized per (session, sf): the .rdd width probe costs ~0.1 s of
-    // planning per call, and the file layout cannot change under a session
-    val width = scanWidthMemo.getOrElseUpdate(
-      (System.identityHashCode(spark), sfDir), staged.rdd.getNumPartitions)
-    val oltp = if (width < cores) staged.repartition(cores) else staged
+    val oltp = ScanSpread(staged)
     val wire = CdcEnvelope.wrap(oltp, "orders")
     val decoded = CdcEnvelope.decode(wire, oltp.schema)
     decoded

@@ -77,12 +77,10 @@ object DedupQueries {
 
   /** The documents table arrives as one parquet file → one partition; the
     * per-row shingling/signature work is the expensive part of these
-    * operators, so spread it across the cluster first. (Small input + heavy
-    * compute is exactly the case where an explicit repartition pays for its
-    * shuffle; at 100 TB the source is many files and this becomes a no-op
-    * cost-wise.) */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * operators, so spread it across the cluster first. Conditional via
+    * [[ScanSpread]] (round 14): at 100 TB the source already scans wide
+    * and an unconditional repartition would shuffle the whole corpus. */
+  private def spread(df: DataFrame): DataFrame = ScanSpread(df)
 
   /** Expand sorted in-bucket id lists into ordered candidate pairs. */
   private val pairsFromIds =

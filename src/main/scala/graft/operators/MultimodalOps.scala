@@ -373,9 +373,9 @@ object MultimodalOps {
   def mediaFromDocuments(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     val t = Tpch(spark, sfDir)
-    // single-file source → repartition so the per-row pack/decode work
-    // parallelizes across the cluster, not one task
-    t.documents.repartition(spark.sparkContext.defaultParallelism)
+    // single-file source → conditional fan-out (ScanSpread) so the per-row
+    // pack/decode work parallelizes without shuffling an already-wide scan
+    ScanSpread(t.documents)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>

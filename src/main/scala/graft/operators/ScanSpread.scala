@@ -1,0 +1,37 @@
+package graft.operators
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+
+/** Conditional fan-out for narrow scans feeding heavy per-row compute
+  * (shingling, hyperplane projections, codec pack/decode, JSON wire).
+  *
+  * The shipped fixtures arrive as ONE parquet file → one scan task, so
+  * without a repartition the expensive map stage runs on a single core.
+  * But an UNCONDITIONAL `repartition(defaultParallelism)` is a
+  * bench-scale-only choice: on a 100 TB source the scan is already
+  * thousands of splits and the repartition would shuffle the entire
+  * input for nothing (round-14 catch, first fixed on the CDC roundtrip).
+  * This helper repartitions ONLY when the scan is narrower than the
+  * session's core count — the plan every caller actually wants at every
+  * scale.
+  *
+  * The width probe (`df.rdd.getNumPartitions`) costs ~0.1 s of planning,
+  * so it is memoized per (session, analyzed-plan semantic hash); file
+  * layouts cannot change under a session, and the memo is bounded by the
+  * number of distinct probe sites (registry-finite).
+  */
+private[graft] object ScanSpread {
+
+  private val widthMemo = TrieMap.empty[(Int, Int), Int]
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    val key = (System.identityHashCode(spark),
+      df.queryExecution.analyzed.semanticHash())
+    val width = widthMemo.getOrElseUpdate(key, df.rdd.getNumPartitions)
+    if (width < cores) df.repartition(cores) else df
+  }
+}

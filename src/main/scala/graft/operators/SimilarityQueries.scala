@@ -220,10 +220,9 @@ object SimilarityQueries {
     GraftFunctions.register(spark)
     graft.functions.HyperplaneSigs.register(spark)
     val t = Tpch(spark, sfDir)
-    // single-file source → repartition so the hyperplane projections (the
-    // heavy per-row compute) parallelize
-    val vecs = t.embeddings
-      .repartition(spark.sparkContext.defaultParallelism)
+    // single-file source → conditional fan-out (ScanSpread) so the
+    // hyperplane projections (the heavy per-row compute) parallelize
+    val vecs = ScanSpread(t.embeddings)
       .select(col("vec_id"), col("embedding"))
     // one codegen'd pass computes every band's signature (array<long>);
     // posexplode yields (band_id, band_sig) without duplicating the
@@ -284,8 +283,7 @@ object SimilarityQueries {
       GraftFunctions.register(spark)
       graft.functions.HyperplaneSigs.register(spark)
       val t = Tpch(spark, sfDir)
-      val vecs = t.embeddings
-        .repartition(spark.sparkContext.defaultParallelism)
+      val vecs = ScanSpread(t.embeddings)
         .select(col("vec_id"), col("label"), col("embedding"))
       val banded = vecs
         .select(col("vec_id"),

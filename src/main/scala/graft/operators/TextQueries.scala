@@ -750,8 +750,7 @@ object TextQueries {
     * pairs, no self-join; block hashes are md5 (engine-portable). */
   def boilerplateBlocks(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
-    val docs = t.documents
-      .repartition(spark.sparkContext.defaultParallelism)
+    val docs = ScanSpread(t.documents)
       .select(col("doc_id"), col("source"), col("text"))
     val blocks = docs
       .withColumn("t", split(col("text"), " "))

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.ScanSpread
+
+/** The conditional fan-out contract: a scan narrower than the core count
+  * is repartitioned up to it (the single-file fixture case), an
+  * already-wide input is returned UNCHANGED — no repartition shuffle, the
+  * 100 TB behavior the round-14 sweep fixed across five probe sites.
+  */
+class ScanSpreadSpec extends SparkSpec {
+
+  private def parts(df: org.apache.spark.sql.DataFrame): Int =
+    df.rdd.getNumPartitions
+
+  test("narrow input fans out to the core count") {
+    val cores = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(0, 1000, 1, numPartitions = 1).toDF("id")
+    assert(parts(ScanSpread(narrow)) == cores)
+  }
+
+  test("wide input is returned unchanged — no repartition in the plan") {
+    val cores = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, numPartitions = cores + 3).toDF("id")
+    val out = ScanSpread(wide)
+    assert(parts(out) == cores + 3)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "wide input must not pay a repartition shuffle")
+  }
+
+  test("rows survive both branches intact") {
+    val cores = spark.sparkContext.defaultParallelism
+    val narrow = spark.range(0, 257, 1, numPartitions = 1).toDF("id")
+    val wide = spark.range(0, 257, 1, numPartitions = cores + 1).toDF("id")
+    assert(ScanSpread(narrow).count() == 257L)
+    assert(ScanSpread(wide).count() == 257L)
+  }
+}
