@@ -123,6 +123,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.injectable)
     ext.injectFunction(triple(ShingleHashes.Name,
       classOf[ShingleHashes], ShingleHashes.builder))
+    ext.injectFunction(triple(Md5Shingles.Name,
+      classOf[Md5Shingles], Md5Shingles.builder))
     ext.injectFunction(triple(HyperplaneSigs.Name,
       classOf[HyperplaneSigs], HyperplaneSigs.builder))
     ext.injectFunction(triple(PolyHash.Name,

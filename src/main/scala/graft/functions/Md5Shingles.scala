@@ -1,0 +1,126 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: md5 hex of every word n-gram window (or
+  * every n-token block) of a token array, in one digest-reusing loop.
+  *
+  * Why: the PORTABLE (oracle-checkable) dedup/overlap paths key on
+  * md5-of-space-joined-window, which the SQL form evaluates as an
+  * interpreted higher-order `transform(sequence(...), i ->
+  * md5(concat_ws(' ', slice(...))))` — per element that is an interpreted
+  * GetArrayItem chain, a concat_ws string build, and a fresh digest. The
+  * [[ShingleHashes]] story, replayed for the md5 family: this expression
+  * feeds token bytes straight into ONE reused MessageDigest per task with
+  * no window-string allocation, and returns the identical lowercase-hex
+  * strings, so DuckDB still recomputes every value exactly.
+  *
+  * Modes (window semantics mirror the SQL forms they replace exactly):
+  *  - shingle (`block = false`): overlapping windows of n tokens,
+  *    `len - n + 1` of them; EMPTY output when `len < n` (the SQL CASE).
+  *  - block (`block = true`): non-overlapping n-token blocks,
+  *    `ceil(len / n)` of them, the last one partial (the paragraph shape);
+  *    EMPTY output when `len == 0`.
+  *
+  * Null tokens are skipped exactly like `concat_ws` skips nulls (no
+  * separator emitted for them). Result elements are never null.
+  */
+case class Md5Shingles(child: Expression, n: Int = 3, block: Boolean = false)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"${Md5Shingles.Name} expects array<string> (n >= 1), got ${dt.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Shingles.compute(input.asInstanceOf[ArrayData], n, block,
+      MessageDigest.getInstance("MD5"))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mdCls = classOf[MessageDigest].getName
+    val md = ctx.addMutableState(mdCls, "md5ShinglesDigest", v =>
+      s"""try { $v = $mdCls.getInstance("MD5"); }
+         |catch (java.security.NoSuchAlgorithmException e) {
+         |  throw new RuntimeException(e);
+         |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Md5Shingles.compute($a, $n, $block, $md);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Shingles =
+    copy(child = newChild)
+}
+
+object Md5Shingles {
+  val Name = "graft_md5_shingles"
+
+  private val HexDigits = "0123456789abcdef".getBytes
+
+  private val Space = Array[Byte](' ')
+
+  /** Shared by the interpreted and generated paths: one reused digest,
+    * token bytes fed window by window, 32-char lowercase hex out. */
+  def compute(a: ArrayData, n: Int, block: Boolean,
+              md: MessageDigest): ArrayData = {
+    val len = a.numElements()
+    val stride = if (block) n else 1
+    val m =
+      if (block) (len + n - 1) / n
+      else if (len >= n) len - n + 1
+      else 0
+    val out = new Array[AnyRef](m)
+    var w = 0
+    while (w < m) {
+      val from = w * stride
+      val until = math.min(from + n, len)
+      md.reset()
+      var first = true
+      var j = from
+      while (j < until) {
+        val s = a.getUTF8String(j)
+        if (s != null) { // concat_ws semantics: null tokens skipped
+          if (!first) md.update(Space)
+          md.update(s.getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val digest = md.digest()
+      val hex = new Array[Byte](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = HexDigits((digest(i) >>> 4) & 0xf)
+        hex(2 * i + 1) = HexDigits(digest(i) & 0xf)
+        i += 1
+      }
+      out(w) = UTF8String.fromBytes(hex)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private[functions] def builder(children: Seq[Expression]): Expression = {
+    require(children.nonEmpty && children.length <= 3,
+      s"$Name takes 1 to 3 arguments: toks[, n[, block]]")
+    Md5Shingles(children.head,
+      BuilderArgs.foldableInt(Name, children, 1, 3),
+      BuilderArgs.foldableInt(Name, children, 2, 0) != 0)
+  }
+
+  /** Register alongside graft_shingle_hashes (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Name, builder, "built-in")
+}

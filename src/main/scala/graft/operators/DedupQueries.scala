@@ -592,14 +592,14 @@ object DedupQueries {
 
   private def sharedPortableShingled(spark: SparkSession, sfDir: String): DataFrame =
     cached(portableShingleCache, spark, sfDir) {
+      graft.functions.Md5Shingles.register(spark)
       val t = Tpch(spark, sfDir)
       spread(t.documents.select(col("doc_id"), col("text")))
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("shingles", expr(
-          """array_distinct(CASE WHEN size(toks) >= 3
-            |  THEN transform(sequence(0, size(toks) - 3),
-            |       i -> md5(concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
-            |  ELSE CAST(array() AS ARRAY<STRING>) END)""".stripMargin))
+        // native digest loop; identical hex to the former CASE/transform/
+        // concat_ws SQL (Md5ShinglesSpec), so the DuckDB twin is untouched
+        .withColumn("shingles",
+          expr("array_distinct(graft_md5_shingles(toks, 3))"))
         .select(col("doc_id"), col("shingles"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
@@ -915,13 +915,13 @@ object DedupQueries {
     * one BIGINT (idx < 100000 — a 2M-token doc — documented bound) so the
     * winner rule is engine-portable arithmetic, not a struct ordering. */
   def paragraphDedupStats(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Md5Shingles.register(spark)
     val t = Tpch(spark, sfDir)
     val blocks = spread(t.documents.select(col("doc_id"), col("text")))
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), posexplode(expr(
-        """transform(sequence(0, CAST(ceil(size(toks) / 20.0) AS INT) - 1),
-          |          i -> md5(concat_ws(' ', slice(toks, i * 20 + 1, 20))))"""
-          .stripMargin)).as(Seq("bi", "bh")))
+      .select(col("doc_id"),
+        posexplode(expr("graft_md5_shingles(toks, 20, 1)"))
+          .as(Seq("bi", "bh")))
     val firstKey = col("doc_id") * lit(100000L) + col("bi")
     val winners = blocks
       .groupBy(col("bh"))

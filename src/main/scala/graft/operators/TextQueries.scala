@@ -452,15 +452,16 @@ object TextQueries {
     * key on `graft_shingle_hashes` 8-byte hashes (DedupQueries) to
     * narrow the shuffle 4×. */
   def sourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Md5Shingles.register(spark)
     val t = Tpch(spark, sfDir)
+    // the native expression emits the IDENTICAL lowercase-hex md5 strings
+    // the SQL CASE/transform/concat_ws form produced (Md5ShinglesSpec pins
+    // the equality), so the DuckDB oracle is untouched — only the
+    // per-window interpreted-lambda + string-build cost is gone
     val shingles = t.documents
       .withColumn("tk", filter(toks, x => x =!= ""))
-      .select(col("source"), explode(expr(
-        """CASE WHEN size(tk) >= 5
-          |     THEN transform(sequence(0, size(tk) - 5),
-          |                    i -> md5(concat_ws(' ', slice(tk, i + 1, 5))))
-          |     ELSE CAST(array() AS array<string>) END""".stripMargin))
-        .as("fp"))
+      .select(col("source"),
+        explode(expr("graft_md5_shingles(tk, 5)")).as("fp"))
     overlapPairs(shingles)
   }
 
@@ -749,15 +750,16 @@ object TextQueries {
     * (~n_tokens/20 rows), one |sources|-row broadcast join back — no
     * pairs, no self-join; block hashes are md5 (engine-portable). */
   def boilerplateBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.Md5Shingles.register(spark)
     val t = Tpch(spark, sfDir)
     val docs = ScanSpread(t.documents)
       .select(col("doc_id"), col("source"), col("text"))
     val blocks = docs
       .withColumn("t", split(col("text"), " "))
-      .select(col("doc_id"), col("source"), posexplode(expr(
-        """transform(sequence(0, CAST(ceil(size(t) / 20.0) AS INT) - 1),
-          |          i -> md5(concat_ws(' ', slice(t, i * 20 + 1, 20))))"""
-          .stripMargin)).as(Seq("bi", "bh")))
+      .select(col("doc_id"), col("source"),
+        // block mode: same hex strings as the ceil/transform SQL form
+        posexplode(expr("graft_md5_shingles(t, 20, 1)"))
+          .as(Seq("bi", "bh")))
     val nDocs = docs.groupBy(col("source"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
     val dfreq = blocks.groupBy(col("source"), col("bh"))

@@ -19,6 +19,7 @@ object Catalog {
     Tables.All.foreach(t => tpch.table(t).createOrReplaceTempView(t))
     GraftFunctions.register(spark)
     graft.functions.ShingleHashes.register(spark)
+    graft.functions.Md5Shingles.register(spark)
     graft.functions.HyperplaneSigs.register(spark)
     graft.functions.PolyHash.register(spark)
   }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native md5-shingle expression must be byte-identical to the SQL
+  * CASE/transform/concat_ws forms it replaced at every call-site shape —
+  * the strings ride the DuckDB oracle hash, so "close" is worthless.
+  */
+class Md5ShinglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def register(): Unit = graft.functions.Md5Shingles.register(spark)
+
+  private val docsSql =
+    "SELECT doc_id, text FROM parquet.`/root/testdata/sf0.01/documents.parquet`"
+
+  test("shingle mode n=5 equals the SQL form over the whole sf0.01 corpus") {
+    register()
+    val d = spark.sql(docsSql)
+      .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
+    val diff = d.select(col("doc_id"),
+        expr("graft_md5_shingles(tk, 5)").as("fast"),
+        expr(
+          """CASE WHEN size(tk) >= 5
+            |     THEN transform(sequence(0, size(tk) - 5),
+            |                    i -> md5(concat_ws(' ', slice(tk, i + 1, 5))))
+            |     ELSE CAST(array() AS array<string>) END""".stripMargin)
+          .as("sql"))
+      .where(col("fast") =!= col("sql"))
+    assert(diff.count() == 0L)
+  }
+
+  test("shingle mode n=3 equals the token-indexed SQL form") {
+    register()
+    val d = spark.sql(docsSql).withColumn("toks", split(col("text"), " "))
+    val diff = d.select(
+        expr("graft_md5_shingles(toks, 3)").as("fast"),
+        expr(
+          """CASE WHEN size(toks) >= 3
+            |  THEN transform(sequence(0, size(toks) - 3),
+            |       i -> md5(concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
+            |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+          .as("sql"))
+      .where(col("fast") =!= col("sql"))
+    assert(diff.count() == 0L)
+  }
+
+  test("block mode n=20 equals the ceil/slice SQL form (partial tail)") {
+    register()
+    val d = spark.sql(docsSql).withColumn("t", split(col("text"), " "))
+    val diff = d.select(
+        expr("graft_md5_shingles(t, 20, 1)").as("fast"),
+        expr(
+          """transform(sequence(0, CAST(ceil(size(t) / 20.0) AS INT) - 1),
+            |          i -> md5(concat_ws(' ', slice(t, i * 20 + 1, 20))))"""
+            .stripMargin).as("sql"))
+      .where(col("fast") =!= col("sql"))
+    assert(diff.count() == 0L)
+  }
+
+  test("edge cases: short input, null tokens, unicode, driver recompute") {
+    register()
+    // short input -> empty in shingle mode, one partial block in block mode
+    val edge = Seq(Tuple1(Seq("a", "b"))).toDF("tk")
+    assert(edge.select(expr("graft_md5_shingles(tk, 5)"))
+      .head().getSeq[String](0).isEmpty)
+    assert(edge.select(expr("graft_md5_shingles(tk, 5, 1)"))
+      .head().getSeq[String](0).size == 1)
+    // null tokens skipped exactly like concat_ws (no separator emitted)
+    val withNull = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b') AS tk")
+    val got = withNull.select(expr("graft_md5_shingles(tk, 3)"))
+      .head().getSeq[String](0)
+    val want = withNull.selectExpr("md5(concat_ws(' ', tk[0], tk[1], tk[2]))")
+      .head().getString(0)
+    assert(got == Seq(want))
+    // unicode multi-byte tokens: equal to a driver-side MessageDigest
+    val uni = Seq(Tuple1(Seq("héllo", "wörld", "日本語"))).toDF("tk")
+    val gotU = uni.select(expr("graft_md5_shingles(tk, 3)"))
+      .head().getSeq[String](0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("héllo wörld 日本語".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(gotU == Seq(hex))
+  }
+}
