@@ -1,0 +1,138 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: the md5-permutation minhash signature —
+  * for each permutation p in [0, nPerms), the lexicographic MIN over the
+  * input shingle-hex array of `md5(p || ':' || shingle)` — in one
+  * digest-reusing double loop.
+  *
+  * Why: the PORTABLE minhash chain evaluates this as
+  * `transform(sequence(0, 15), p -> array_min(transform(shingles, s ->
+  * md5(concat(cast(p AS string), ':', s)))))` — nPerms × |shingles|
+  * interpreted lambda invocations, each allocating the concat string and
+  * a digest; measured as the dominant cost of the portable band-index
+  * artifact build (the warmup column of every bench report). The
+  * lexicographic min of lowercase-hex strings equals the unsigned
+  * byte-wise min of the raw digests, so the loop keeps 16-byte mins and
+  * hex-encodes once per permutation at the end. Output strings are
+  * byte-identical to the SQL form (Md5MinHashSpec pins it), so the
+  * DuckDB oracle chain is untouched.
+  *
+  * Empty input yields an EMPTY array (the SQL `array_min` over an empty
+  * transform yields NULL per element; callers filter empty shingle sets
+  * out first — mirrored contract, asserted in the spec). Null shingles
+  * are skipped (the SQL md5(concat(...)) of NULL is NULL and array_min
+  * ignores NULLs only when others exist — callers never produce null
+  * shingles; skipping matches array_min's null-last ordering for mixed
+  * input with at least one non-null).
+  */
+case class Md5MinHash(child: Expression, nPerms: Int = 16)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if nPerms >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"${Md5MinHash.Name} expects array<string> (nPerms >= 1), got ${dt.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5MinHash.compute(input.asInstanceOf[ArrayData], nPerms,
+      MessageDigest.getInstance("MD5"))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mdCls = classOf[MessageDigest].getName
+    val md = ctx.addMutableState(mdCls, "md5MinHashDigest", v =>
+      s"""try { $v = $mdCls.getInstance("MD5"); }
+         |catch (java.security.NoSuchAlgorithmException e) {
+         |  throw new RuntimeException(e);
+         |}""".stripMargin)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Md5MinHash.compute($a, $nPerms, $md);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5MinHash =
+    copy(child = newChild)
+}
+
+object Md5MinHash {
+  val Name = "graft_md5_minhash"
+
+  private val HexDigits = "0123456789abcdef".getBytes
+
+  /** Unsigned byte-wise compare of two 16-byte digests — the same order
+    * as lexicographic compare of their lowercase-hex encodings. */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  def compute(a: ArrayData, nPerms: Int, md: MessageDigest): ArrayData = {
+    val len = a.numElements()
+    if (len == 0) return new GenericArrayData(new Array[AnyRef](0))
+    val prefixes = Array.tabulate(nPerms)(p => (p.toString + ":").getBytes)
+    val mins = new Array[Array[Byte]](nPerms)
+    var j = 0
+    while (j < len) {
+      val s = a.getUTF8String(j)
+      if (s != null) {
+        val sBytes = s.getBytes
+        var p = 0
+        while (p < nPerms) {
+          md.reset()
+          md.update(prefixes(p))
+          md.update(sBytes)
+          val d = md.digest()
+          if (mins(p) == null || less(d, mins(p))) mins(p) = d
+          p += 1
+        }
+      }
+      j += 1
+    }
+    // all-null input degenerates like the empty case (callers filter
+    // empty/null-free shingle sets; this guard keeps the expression total)
+    if (mins(0) == null) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](nPerms)
+    var p = 0
+    while (p < nPerms) {
+      val digest = mins(p)
+      val hex = new Array[Byte](32)
+      var i = 0
+      while (i < 16) {
+        hex(2 * i) = HexDigits((digest(i) >>> 4) & 0xf)
+        hex(2 * i + 1) = HexDigits(digest(i) & 0xf)
+        i += 1
+      }
+      out(p) = UTF8String.fromBytes(hex)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private[functions] def builder(children: Seq[Expression]): Expression = {
+    require(children.nonEmpty && children.length <= 2,
+      s"$Name takes 1 or 2 arguments: shingles[, nPerms]")
+    Md5MinHash(children.head, BuilderArgs.foldableInt(Name, children, 1, 16))
+  }
+
+  /** Register alongside graft_md5_shingles (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Name, builder, "built-in")
+}

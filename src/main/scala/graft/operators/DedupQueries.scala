@@ -611,10 +611,12 @@ object DedupQueries {
     * the persisted signature table both maintain. */
   private def sharedPortableBands(spark: SparkSession, sfDir: String): DataFrame =
     cached(portableBandCache, spark, sfDir) {
+      graft.functions.Md5MinHash.register(spark)
       sharedPortableShingled(spark, sfDir)
         .where(size(col("shingles")) > 0)
-        .withColumn("minh", expr(
-          "transform(sequence(0, 15), p -> array_min(transform(shingles, s -> md5(concat(cast(p AS string), ':', s)))))"))
+        // native digest double-loop; byte-identical to the former
+        // transform/array_min SQL (Md5MinHashSpec), oracle chain untouched
+        .withColumn("minh", expr("graft_md5_minhash(shingles, 16)"))
         .withColumn("band", explode(expr(
           "transform(sequence(0, 3), b -> struct(b AS band_id, md5(concat(minh[b*4], minh[b*4+1], minh[b*4+2], minh[b*4+3])) AS band_sig))")))
         .select(col("doc_id"), col("band.band_id").as("band_id"),

@@ -20,6 +20,7 @@ object Catalog {
     GraftFunctions.register(spark)
     graft.functions.ShingleHashes.register(spark)
     graft.functions.Md5Shingles.register(spark)
+    graft.functions.Md5MinHash.register(spark)
     graft.functions.HyperplaneSigs.register(spark)
     graft.functions.PolyHash.register(spark)
   }

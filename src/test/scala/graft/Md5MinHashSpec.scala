@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native md5-permutation minhash must be byte-identical to the SQL
+  * transform/array_min form it replaced — the signatures feed band keys
+  * that ride the DuckDB oracle's recursive closure, so any drift breaks
+  * the whole portable dedup certification chain.
+  */
+class Md5MinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def register(): Unit = {
+    graft.functions.Md5Shingles.register(spark)
+    graft.functions.Md5MinHash.register(spark)
+  }
+
+  test("equals the SQL transform/array_min form over the sf0.01 corpus") {
+    register()
+    val d = spark.sql(
+        "SELECT text FROM parquet.`/root/testdata/sf0.01/documents.parquet`")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles",
+        expr("array_distinct(graft_md5_shingles(toks, 3))"))
+      .where(size(col("shingles")) > 0)
+    val diff = d.select(
+        expr("graft_md5_minhash(shingles, 16)").as("fast"),
+        expr("transform(sequence(0, 15), p -> array_min(transform(" +
+          "shingles, s -> md5(concat(cast(p AS string), ':', s)))))")
+          .as("sql"))
+      .where(col("fast") =!= col("sql"))
+    assert(diff.count() == 0L)
+  }
+
+  test("edge cases: single shingle, empty input, perm count") {
+    register()
+    val one = Seq(Tuple1(Seq("aabbccdd"))).toDF("shingles")
+    val got = one.select(expr("graft_md5_minhash(shingles, 4)"))
+      .head().getSeq[String](0)
+    val want = one.selectExpr("transform(sequence(0, 3), p -> " +
+        "md5(concat(cast(p AS string), ':', shingles[0])))")
+      .head().getSeq[String](0)
+    assert(got == want && got.size == 4)
+    val empty = spark.sql("SELECT CAST(array() AS array<string>) AS shingles")
+    assert(empty.select(expr("graft_md5_minhash(shingles, 16)"))
+      .head().getSeq[String](0).isEmpty)
+  }
+}
