@@ -1,0 +1,83 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Adversarial fuzz for the native md5 expression family: random token
+  * arrays (empty strings, multi-byte code points, pathological shapes)
+  * against a DRIVER-SIDE reference built from first principles — not the
+  * SQL forms the parity specs already pin, so an error shared with the
+  * SQL translation cannot hide here.
+  */
+class Md5FuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  // tokens the tokenizers can actually produce (split never yields null)
+  private val tokenGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.const(""),
+    Gen.oneOf("héllo", "日本語", "Привет", "🙂", "a b"), // multi-byte + space-in-token
+    Gen.listOfN(3, Gen.choose('!', '~')).map(_.mkString))
+
+  private val docGen: Gen[(List[String], Int, Boolean)] = for {
+    len <- Gen.choose(0, 40)
+    toks <- Gen.listOfN(len, tokenGen)
+    n <- Gen.choose(1, 7)
+    block <- Gen.oneOf(true, false)
+  } yield (toks, n, block)
+
+  private def reference(toks: List[String], n: Int, block: Boolean): Seq[String] = {
+    val len = toks.length
+    val windows =
+      if (block) (0 until (len + n - 1) / n).map(j =>
+        toks.slice(j * n, math.min(j * n + n, len)))
+      else if (len >= n) (0 to len - n).map(i => toks.slice(i, i + n))
+      else Seq.empty
+    windows.map(w => md5hex(w.mkString(" ")))
+  }
+
+  test("graft_md5_shingles equals a first-principles driver reference " +
+      "on random (tokens, n, mode) shapes") {
+    graft.functions.Md5Shingles.register(spark)
+    val cases = Gen.listOfN(100, docGen).sample.get
+    // n/block must be foldable literals for the SQL builder, so group the
+    // cases by (n, block) and run each group as ONE frame
+    cases.groupBy(c => (c._2, c._3)).foreach { case ((n, block), group) =>
+      val got = group.zipWithIndex
+        .map { case ((toks, _, _), i) => (i.toLong, toks) }
+        .toDF("i", "tk")
+        .select(col("i"),
+          expr(s"graft_md5_shingles(tk, $n, ${if (block) 1 else 0})").as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      group.zipWithIndex.foreach { case ((toks, _, _), i) =>
+        assert(got(i.toLong) == reference(toks, n, block),
+          s"tokens=$toks n=$n block=$block")
+      }
+    }
+  }
+
+  test("graft_md5_minhash equals a first-principles driver reference") {
+    graft.functions.Md5MinHash.register(spark)
+    val shinglesGen = for {
+      len <- Gen.choose(1, 30)
+      ss <- Gen.listOfN(len, Gen.listOfN(32, Gen.oneOf(('0' to '9') ++ ('a' to 'f'))).map(_.mkString))
+      p <- Gen.choose(1, 20)
+    } yield (ss, p)
+    val prop = Prop.forAll(shinglesGen) { case (ss, nPerms) =>
+      val got = Seq(Tuple1(ss)).toDF("shingles")
+        .select(expr(s"graft_md5_minhash(shingles, $nPerms)"))
+        .head().getSeq[String](0)
+      val want = (0 until nPerms).map(p => ss.map(s => md5hex(s"$p:$s")).min)
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
