@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dev tool: attribute the bench's pass-0 (artifact-cold) wall-clock to
+  * individual queries. Shared artifacts are built by whichever query
+  * touches them first in registry order — the same order graft.Bench
+  * uses — so a query's pass-0 time minus its warm floor is (mostly) the
+  * one-time build cost it triggers. Prints the top-N pass-0 costs.
+  *
+  * Usage: runMain graft.tools.WarmupProfile <sfDir> [topN]
+  */
+object WarmupProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val topN = args.lift(1).map(_.toInt).getOrElse(25)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    graft.sources.Tables.All.foreach { t =>
+      graft.sources.Tables.load(spark, sfDir, t).count()
+    }
+    val names = SparkEntry.queries.keys.toSeq
+    val t0All = System.nanoTime()
+    val times = names.map { name =>
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => () }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val total = (System.nanoTime() - t0All) / 1e9
+    println(f"pass-0 total: $total%.1f s over ${names.size} queries")
+    times.sortBy(-_._2).take(topN).foreach { case (n, s) =>
+      println(f"$s%8.2f  $n")
+    }
+    spark.stop()
+  }
+}
