@@ -83,10 +83,21 @@ object Md5MinHash {
     false
   }
 
+  /** Permutation-prefix bytes, cached per nPerms: tabulating them per ROW
+    * allocated 16 tiny arrays per document in the hottest artifact build
+    * (round-14 verdict §4). The arrays are write-once and shared read-only
+    * across tasks; the cache is bounded by the distinct nPerms values in
+    * the registry (one). */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]
+  private def prefixesFor(nPerms: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(nPerms,
+      k => Array.tabulate(k)(p => (p.toString + ":").getBytes))
+
   def compute(a: ArrayData, nPerms: Int, md: MessageDigest): ArrayData = {
     val len = a.numElements()
     if (len == 0) return new GenericArrayData(new Array[AnyRef](0))
-    val prefixes = Array.tabulate(nPerms)(p => (p.toString + ":").getBytes)
+    val prefixes = prefixesFor(nPerms)
     val mins = new Array[Array[Byte]](nPerms)
     var j = 0
     while (j < len) {

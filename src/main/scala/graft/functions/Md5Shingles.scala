@@ -28,7 +28,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `len - n + 1` of them; EMPTY output when `len < n` (the SQL CASE).
   *  - block (`block = true`): non-overlapping n-token blocks,
   *    `ceil(len / n)` of them, the last one partial (the paragraph shape);
-  *    EMPTY output when `len == 0`.
+  *    EMPTY output when `len == 0`. That empty-input contract is an
+  *    INTENTIONAL divergence from the raw SQL form it replaced: Spark
+  *    evaluates `sequence(0, ceil(0/n) - 1)` as `sequence(0, -1)` =
+  *    `[0, -1]` and would emit TWO `md5('')` windows for a zero-length
+  *    token array — windows of nothing are not shingles (the ChunkExpr
+  *    empty-token guard treatment). No registry call site can feed an
+  *    empty array (`split` never produces one), so the contract is pinned
+  *    by a direct unit case in `Md5ShinglesSpec`, not by corpus parity.
   *
   * Null tokens are skipped exactly like `concat_ws` skips nulls (no
   * separator emitted for them). Result elements are never null.

@@ -46,7 +46,7 @@ object CurationScreens {
   def c4LineScreen(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val dirty =
-      """concat(text,
+      """concat(coalesce(text, ''),
         |  CASE WHEN doc_id % 7 = 0 THEN concat(chr(10),
         |    'This footer sentence carries terminal punctuation and words.')
         |    ELSE '' END,
@@ -115,7 +115,7 @@ object CurationScreens {
   def unicodeHygiene(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val dirty =
-      s"""concat(text,
+      s"""concat(coalesce(text, ''),
          |  CASE WHEN doc_id % 3 = 0 THEN concat('​', 'zero', '​', 'width') ELSE '' END,
          |  CASE WHEN doc_id % 4 = 0 THEN concat(' bad ', '�') ELSE '' END,
          |  CASE WHEN doc_id % 5 = 0 THEN concat(' ', 'nb', ' ', 'sp') ELSE '' END,
@@ -146,36 +146,101 @@ object CurationScreens {
       .orderBy(col("lang"))
   }
 
+  /** Public-suffix stand-in: the multi-label suffixes under which the
+    * registered domain is the LAST THREE labels, not two. The real Public
+    * Suffix List is ~9k entries and rides as a broadcast lookup at crawl
+    * scale; this dozen exercises the identical mechanics — last-2-label
+    * membership probe, conditional third label — without shipping the
+    * list. A bare last-two-labels rule truncates `shop.example.co.uk` to
+    * `co.uk`, merging every UK site into one census row (round-14 verdict
+    * §3). Shared by [[urlScreen]] and [[domainQuality]] so the two screens
+    * cannot diverge. */
+  private[graft] val MultiPartSuffixes = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au",
+    "co.jp", "ne.jp", "com.br", "co.in", "co.nz", "com.sg")
+
+  /** SQL CASE reducing a non-empty `host` to its registered domain, PSL
+    * stand-in aware: last two labels, or three when the last two are a
+    * multi-part public suffix. Identical text runs in Spark (`hl` bound to
+    * `split(host, '[.]')`) and DuckDB (`hl` bound to
+    * `string_split(host, '.')`) — both keep trailing empties, both
+    * evaluate CASE branches lazily, and negative indexing/`element_at`
+    * agree; the `< 2` guard keeps ANSI `element_at` from ever probing out
+    * of range. */
+  private[graft] def registeredDomainCase(elemAt: (String, Int) => String,
+                                          len: String => String): String = {
+    val set = MultiPartSuffixes.map(s => s"'$s'").mkString(", ")
+    def lastK(k: Int): String =
+      (-k to -1).map(i => elemAt("hl", i)).mkString("concat(", ", '.', ", ")")
+    s"""CASE WHEN ${len("hl")} < 2 THEN host
+       |     WHEN ${len("hl")} >= 3 AND ${lastK(2)} IN ($set)
+       |       THEN ${lastK(3)}
+       |     ELSE ${lastK(2)} END""".stripMargin
+  }
+  private[graft] val RegisteredDomainSpark: String =
+    registeredDomainCase((a, i) => s"element_at($a, $i)", a => s"size($a)")
+  private[graft] val RegisteredDomainDuck: String =
+    registeredDomainCase((a, i) => s"$a[$i]", a => s"len($a)")
+
+  /** The shared URL dirty twin (Spark dialect; [[DirtyUrlTwinDuck]] is the
+    * byte-for-byte DuckDB mirror): three doc_id-derived lanes planted in
+    * this order so "first URL" provenance agrees across engines —
+    * `%2` 20 sites × 4 simple TLDs, `%7` 10 brands × {co.uk, ac.uk} with a
+    * `shop.` third label (the PSL lane), `%9` the blocklisted tracker. */
+  private[graft] val DirtyUrlTwin =
+    """concat(coalesce(text, ''),
+      |  CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
+      |    cast((doc_id div 2) % 20 AS string),
+      |    CASE (doc_id div 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+      |                            WHEN 2 THEN '.net' ELSE '.io' END,
+      |    '/p', cast(doc_id % 100 AS string)) ELSE '' END,
+      |  CASE WHEN doc_id % 7 = 0 THEN concat(' shop https://shop.brand',
+      |    cast((doc_id div 7) % 10 AS string),
+      |    CASE (doc_id div 7) % 2 WHEN 0 THEN '.co.uk' ELSE '.ac.uk' END,
+      |    '/item', cast(doc_id % 50 AS string)) ELSE '' END,
+      |  CASE WHEN doc_id % 9 = 0 THEN concat(
+      |    ' ref http://ads.badsite.com/track?id=', cast(doc_id AS string))
+      |    ELSE '' END)""".stripMargin
+
+  private[graft] val DirtyUrlTwinDuck =
+    """concat(coalesce(text, ''),
+      |      CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
+      |        CAST((doc_id // 2) % 20 AS VARCHAR),
+      |        CASE (doc_id // 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+      |                               WHEN 2 THEN '.net' ELSE '.io' END,
+      |        '/p', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END,
+      |      CASE WHEN doc_id % 7 = 0 THEN concat(' shop https://shop.brand',
+      |        CAST((doc_id // 7) % 10 AS VARCHAR),
+      |        CASE (doc_id // 7) % 2 WHEN 0 THEN '.co.uk' ELSE '.ac.uk' END,
+      |        '/item', CAST(doc_id % 50 AS VARCHAR)) ELSE '' END,
+      |      CASE WHEN doc_id % 9 = 0 THEN concat(
+      |        ' ref http://ads.badsite.com/track?id=',
+      |        CAST(doc_id AS VARCHAR)) ELSE '' END)""".stripMargin
+
   /** URL / domain provenance screen — extract URLs, reduce each host to
-    * its registered domain (last two labels), and report the per-domain
-    * census with a blocklist flag: the provenance histogram a crawl
-    * pipeline filters on before any content rule runs. The dirtied twin
-    * plants a doc_id-derived https URL on even docs (20 site names across
-    * 4 TLDs) and a blocklisted tracker URL on every 9th doc, so the
-    * histogram, multi-URL docs, and the blocklist branch are all live.
-    * Output is bounded by the distinct-domain count (constant here; at
-    * crawl scale the census aggregate is domain-keyed with map-side
-    * combine — one row per distinct domain, never per URL). */
+    * its registered domain (PSL-stand-in aware: last two labels, three
+    * under a multi-part public suffix), and report the per-domain census
+    * with a blocklist flag: the provenance histogram a crawl pipeline
+    * filters on before any content rule runs. The dirtied twin plants a
+    * doc_id-derived https URL on even docs (20 site names across 4 TLDs),
+    * a multi-part-suffix URL on every 7th doc (10 brands × co.uk/ac.uk,
+    * with a `shop.` third label so the PSL rule is what separates
+    * `brandN.co.uk` from `co.uk`), and a blocklisted tracker URL on every
+    * 9th doc — histogram, multi-URL docs, the PSL branch, and the
+    * blocklist branch are all live. Output is bounded by the
+    * distinct-domain count (constant here; at crawl scale the census
+    * aggregate is domain-keyed with map-side combine — one row per
+    * distinct domain, never per URL, and the suffix probe is a broadcast
+    * set membership). */
   def urlScreen(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
-    val dirty =
-      """concat(text,
-        |  CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
-        |    cast((doc_id div 2) % 20 AS string),
-        |    CASE (doc_id div 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-        |                            WHEN 2 THEN '.net' ELSE '.io' END,
-        |    '/p', cast(doc_id % 100 AS string)) ELSE '' END,
-        |  CASE WHEN doc_id % 9 = 0 THEN concat(
-        |    ' ref http://ads.badsite.com/track?id=', cast(doc_id AS string))
-        |    ELSE '' END)""".stripMargin
     t.documents
-      .select(col("doc_id"), expr(dirty).as("dirty"))
+      .select(col("doc_id"), expr(DirtyUrlTwin).as("dirty"))
       .select(col("doc_id"),
         explode(regexp_extract_all(col("dirty"),
           lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("host"))
-      .select(col("doc_id"),
-        regexp_extract(col("host"), "[A-Za-z0-9-]+\\.[A-Za-z]+$", 0)
-          .as("domain"))
+      .withColumn("hl", split(col("host"), "[.]"))
+      .select(col("doc_id"), expr(RegisteredDomainSpark).as("domain"))
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n_urls"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -285,7 +350,7 @@ object CurationScreens {
   def secretScan(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val dirty =
-      """concat(text,
+      """concat(coalesce(text, ''),
         |  CASE WHEN doc_id % 3 = 0 THEN concat(' key AKIA',
         |    lpad(cast((doc_id * 31) % 10000000000000000 AS string), 16, '0'))
         |    ELSE '' END,
@@ -335,7 +400,7 @@ object CurationScreens {
   def badwordsScreen(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val dirty =
-      """concat(text,
+      """concat(coalesce(text, ''),
         |  CASE WHEN doc_id % 6 = 0 THEN ' badwordalpha in passing'
         |    ELSE '' END,
         |  CASE WHEN doc_id % 10 = 0 THEN ' badwordbeta' ELSE '' END,
@@ -374,23 +439,13 @@ object CurationScreens {
     * map-side combine; output rows bounded by the distinct-domain count. */
   def domainQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
-    val dirty =
-      """concat(text,
-        |  CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
-        |    cast((doc_id div 2) % 20 AS string),
-        |    CASE (doc_id div 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-        |                            WHEN 2 THEN '.net' ELSE '.io' END,
-        |    '/p', cast(doc_id % 100 AS string)) ELSE '' END,
-        |  CASE WHEN doc_id % 9 = 0 THEN concat(
-        |    ' ref http://ads.badsite.com/track?id=', cast(doc_id AS string))
-        |    ELSE '' END)""".stripMargin
     val d = t.documents
-      .select(col("text"), expr(dirty).as("dirty"))
+      .select(col("text"), expr(DirtyUrlTwin).as("dirty"))
       .withColumn("host",
         regexp_extract(col("dirty"), "https?://([A-Za-z0-9.-]+)", 1))
+      .withColumn("hl", split(col("host"), "[.]"))
       .withColumn("domain", when(col("host") === "", lit("(none)"))
-        .otherwise(regexp_extract(col("host"),
-          "[A-Za-z0-9-]+\\.[A-Za-z]+$", 0)))
+        .otherwise(expr(RegisteredDomainSpark)))
       .withColumn("tk", expr("filter(split(text, ' '), x -> x <> '')"))
       .withColumn("n_tok", size(col("tk")).cast("long"))
       .withColumn("n_dist", size(array_distinct(col("tk"))).cast("long"))
@@ -416,7 +471,7 @@ object CurationScreens {
     NamedQuery("q_text_badwords", badwordsScreen, Some(
       """WITH a AS (
         |  SELECT source,
-        |    concat(text,
+        |    concat(coalesce(text, ''),
         |      CASE WHEN doc_id % 6 = 0 THEN ' badwordalpha in passing'
         |        ELSE '' END,
         |      CASE WHEN doc_id % 10 = 0 THEN ' badwordbeta' ELSE '' END,
@@ -443,26 +498,20 @@ object CurationScreens {
         |    * 10000 // COUNT(*) AS BIGINT) AS kept_bp
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_domain_quality", domainQuality, Some(
-      """WITH a AS (
+      s"""WITH a AS (
         |  SELECT text,
-        |    concat(text,
-        |      CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
-        |        CAST((doc_id // 2) % 20 AS VARCHAR),
-        |        CASE (doc_id // 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-        |                               WHEN 2 THEN '.net' ELSE '.io' END,
-        |        '/p', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END,
-        |      CASE WHEN doc_id % 9 = 0 THEN concat(
-        |        ' ref http://ads.badsite.com/track?id=',
-        |        CAST(doc_id AS VARCHAR)) ELSE '' END) AS dirty
+        |    $DirtyUrlTwinDuck AS dirty
         |  FROM documents),
         |d AS (
         |  SELECT text,
         |    regexp_extract(dirty, 'https?://([A-Za-z0-9.-]+)', 1) AS host
         |  FROM a),
+        |d2 AS (
+        |  SELECT text, host, string_split(host, '.') AS hl FROM d),
         |e AS (
         |  SELECT
         |    CASE WHEN host = '' THEN '(none)'
-        |         ELSE regexp_extract(host, '[A-Za-z0-9-]+\.[A-Za-z]+$') END
+        |         ELSE ($RegisteredDomainDuck) END
         |      AS domain,
         |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
         |    len(list_distinct(list_filter(string_split(text, ' '),
@@ -471,7 +520,7 @@ object CurationScreens {
         |      + (len(list_distinct(string_split(text, ' ')))
         |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
         |      AS score
-        |  FROM d),
+        |  FROM d2),
         |g AS (
         |  SELECT domain, COUNT(*) AS n_docs,
         |    CAST(ROUND(SUM(CAST(score AS DECIMAL(18,8))) / COUNT(*), 4)
@@ -492,7 +541,7 @@ object CurationScreens {
     NamedQuery("q_text_secret_scan", secretScan, Some(
       """WITH a AS (
         |  SELECT source,
-        |    concat(text,
+        |    concat(coalesce(text, ''),
         |      CASE WHEN doc_id % 3 = 0 THEN concat(' key AKIA',
         |        lpad(CAST((doc_id * 31) % 10000000000000000 AS VARCHAR),
         |             16, '0')) ELSE '' END,
@@ -525,7 +574,7 @@ object CurationScreens {
     NamedQuery("q_text_c4_lines", c4LineScreen, Some(
       """WITH a AS (
         |  SELECT source,
-        |    concat(text,
+        |    concat(coalesce(text, ''),
         |      CASE WHEN doc_id % 7 = 0 THEN concat(chr(10),
         |        'This footer sentence carries terminal punctuation and words.')
         |        ELSE '' END,
@@ -583,7 +632,7 @@ object CurationScreens {
     NamedQuery("q_text_unicode_hygiene", unicodeHygiene, Some(
       """WITH a AS (
         |  SELECT lang,
-        |    concat(text,
+        |    concat(coalesce(text, ''),
         |      CASE WHEN doc_id % 3 = 0
         |        THEN concat(chr(8203), 'zero', chr(8203), 'width')
         |        ELSE '' END,
@@ -613,26 +662,20 @@ object CurationScreens {
         |    * 10000 // COUNT(*) AS BIGINT) AS clean_bp
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_text_url_screen", urlScreen, Some(
-      """WITH a AS (
+      s"""WITH a AS (
         |  SELECT doc_id,
-        |    concat(text,
-        |      CASE WHEN doc_id % 2 = 0 THEN concat(' see https://www.site',
-        |        CAST((doc_id // 2) % 20 AS VARCHAR),
-        |        CASE (doc_id // 2) % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
-        |                               WHEN 2 THEN '.net' ELSE '.io' END,
-        |        '/p', CAST(doc_id % 100 AS VARCHAR)) ELSE '' END,
-        |      CASE WHEN doc_id % 9 = 0 THEN concat(
-        |        ' ref http://ads.badsite.com/track?id=',
-        |        CAST(doc_id AS VARCHAR)) ELSE '' END) AS dirty
+        |    $DirtyUrlTwinDuck AS dirty
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, UNNEST(regexp_extract_all(dirty,
         |    'https?://([A-Za-z0-9.-]+)', 1)) AS host
         |  FROM a),
+        |h2 AS (
+        |  SELECT doc_id, host, string_split(host, '.') AS hl FROM h),
         |d AS (
         |  SELECT doc_id,
-        |    regexp_extract(host, '[A-Za-z0-9-]+\.[A-Za-z]+$') AS domain
-        |  FROM h)
+        |    ($RegisteredDomainDuck) AS domain
+        |  FROM h2)
         |SELECT domain, COUNT(*) AS n_urls,
         |  COUNT(DISTINCT doc_id) AS n_docs,
         |  MAX(domain = 'badsite.com') AS blocked

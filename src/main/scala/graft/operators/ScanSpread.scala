@@ -20,18 +20,27 @@ import org.apache.spark.sql.DataFrame
   * The width probe (`df.rdd.getNumPartitions`) costs ~0.1 s of planning,
   * so it is memoized per (session, analyzed-plan semantic hash); file
   * layouts cannot change under a session, and the memo is bounded by the
-  * number of distinct probe sites (registry-finite).
+  * number of distinct probe sites (registry-finite). Sessions are held in
+  * a [[java.util.WeakHashMap]] so a GC'd session takes its entries with
+  * it — an `identityHashCode` key could be REUSED by a later session and
+  * hand it a stale width, and a strong map would grow without bound in
+  * long-lived JVMs (round-14 advice).
   */
 private[graft] object ScanSpread {
 
-  private val widthMemo = TrieMap.empty[(Int, Int), Int]
+  private val widthMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, TrieMap[Int, Int]]
 
   def apply(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val cores = spark.sparkContext.defaultParallelism
-    val key = (System.identityHashCode(spark),
-      df.queryExecution.analyzed.semanticHash())
-    val width = widthMemo.getOrElseUpdate(key, df.rdd.getNumPartitions)
+    val memo = widthMemo.synchronized {
+      var m = widthMemo.get(spark)
+      if (m == null) { m = TrieMap.empty[Int, Int]; widthMemo.put(spark, m) }
+      m
+    }
+    val width = memo.getOrElseUpdate(
+      df.queryExecution.analyzed.semanticHash(), df.rdd.getNumPartitions)
     if (width < cores) df.repartition(cores) else df
   }
 }

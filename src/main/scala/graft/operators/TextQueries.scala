@@ -249,7 +249,7 @@ object TextQueries {
   def piiScan(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val dirty =
-      """concat(text,
+      """concat(coalesce(text, ''),
         |  CASE WHEN doc_id % 3 = 0 THEN concat(' call 555-',
         |    lpad(cast(doc_id % 1000 AS string), 3, '0'), '-',
         |    lpad(cast(doc_id % 10000 AS string), 4, '0')) ELSE '' END,
@@ -322,7 +322,7 @@ object TextQueries {
         "lpad(cast((doc_id * 7919) % 1000000000000000 AS string), 15, '0')"))
       .withColumn("chk", expr(s"(10 - ($luhn15) % 10) % 10"))
       .withColumn("dirty", expr(
-        """concat(text, CASE WHEN doc_id % 4 = 0 THEN concat(' card ',
+        """concat(coalesce(text, ''), CASE WHEN doc_id % 4 = 0 THEN concat(' card ',
           |  base15, cast(CASE WHEN doc_id % 8 = 0 THEN chk
           |                    ELSE (chk + 5) % 10 END AS string))
           |  ELSE '' END)""".stripMargin))
@@ -1052,7 +1052,7 @@ object TextQueries {
         |d AS (
         |  SELECT lang,
         |         regexp_extract_all(
-        |           concat(text, CASE WHEN doc_id % 4 = 0
+        |           concat(coalesce(text, ''), CASE WHEN doc_id % 4 = 0
         |             THEN concat(' card ', base15,
         |               CAST(CASE WHEN doc_id % 8 = 0 THEN chk
         |                         ELSE (chk + 5) % 10 END AS VARCHAR))
@@ -1078,7 +1078,7 @@ object TextQueries {
     NamedQuery("q_text_pii_scan", piiScan, Some(
       """WITH a AS (
         |  SELECT lang,
-        |         concat(text,
+        |         concat(coalesce(text, ''),
         |           CASE WHEN doc_id % 3 = 0 THEN concat(' call 555-',
         |             lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
         |             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,

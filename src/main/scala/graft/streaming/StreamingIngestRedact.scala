@@ -58,11 +58,34 @@ object StreamingIngestRedact {
   def auditLedger(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame =
     spark.read.parquet(auditPath(root))
 
-  /** Quarantined rows so far (empty if no batch ever left a residual). */
+  /** Quarantined rows so far (empty if no batch ever ran). The existence
+    * probe goes through the Hadoop [[Path]] filesystem — a `java.io.File`
+    * probe only answers for local paths and would silently report "no
+    * quarantine" on HDFS/S3 roots (round-14 advice). When the lane has
+    * never been written the result is an empty frame WITH the canonical
+    * quarantine schema (`spark.emptyDataFrame` has zero columns, so any
+    * downstream `.select` on it throws). */
   def quarantined(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
-    val p = quarantinePath(root)
-    if (new java.io.File(p).exists()) spark.read.parquet(p)
-    else spark.emptyDataFrame
+    val p = new Path(quarantinePath(root))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else {
+      val ingest = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      // batch rides as the partition column on real reads; mirror it (the
+      // directory value is a small integer, which partition inference types
+      // as int)
+      scrubbed(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ingest))
+        .withColumn("batch", lit(0).cast("int")).limit(0)
+    }
   }
 
   private val classes: Seq[(String, String, String)] = Seq(
@@ -138,12 +161,15 @@ object StreamingIngestRedact {
     s.where(col("n_residual") === 0L)
       .drop(countCols ++ Seq("chars_removed", "n_residual"): _*)
       .write.mode("overwrite").parquet(s"${keptPath(root)}/batch=$batchId")
-    val quar = s.where(col("n_residual") > 0L)
-    // skip the empty write (the common case is a fully scrubbed batch);
-    // replay stays idempotent because the split is deterministic
-    if (!quar.isEmpty)
-      quar.write.mode("overwrite")
-        .parquet(s"${quarantinePath(root)}/batch=$batchId")
+    // ALWAYS overwrite the batch's quarantine partition, even when empty:
+    // a replay under a CHANGED pattern set (the one legal way a replayed
+    // batch's split can differ) must clear the stale `batch=<id>` lane, and
+    // an empty parquet write is cheap — a schema-only footer (round-14
+    // advice; the skip-if-empty guard made idempotency hold only for
+    // byte-identical code)
+    s.where(col("n_residual") > 0L)
+      .write.mode("overwrite")
+      .parquet(s"${quarantinePath(root)}/batch=$batchId")
     def total(c: String): Column = sum(col(c)).as(c)
     val aggs: Seq[Column] = countCols.map(total) :+
       sum(col("chars_removed")).as("chars_removed") :+

@@ -95,11 +95,20 @@ class CurationScreensSpec extends SparkSpec {
     (0 to 3).foreach(i => assert(u.getLong(i) > 0, s"unicode class $i dead"))
 
     // URL census: blocklisted and clean domains both present; the
-    // registered-domain reduction strips the host prefix
+    // registered-domain reduction strips the host prefix, and the PSL
+    // stand-in keeps the THIRD label under a multi-part suffix — a
+    // brandN.co.uk/ac.uk site must never collapse into a bare co.uk row
     val urls = CurationScreens.urlScreen(spark, Sf).collect()
     assert(urls.exists(r => r.getBoolean(3)))
     assert(urls.exists(r => !r.getBoolean(3)))
-    assert(urls.forall(r => r.getString(0).count(_ == '.') == 1))
+    val domains = urls.map(_.getString(0))
+    assert(domains.exists(d => d.matches("brand\\d+\\.co\\.uk")), "PSL co.uk lane dead")
+    assert(domains.exists(d => d.matches("brand\\d+\\.ac\\.uk")), "PSL ac.uk lane dead")
+    assert(!domains.contains("co.uk") && !domains.contains("ac.uk"),
+      "multi-part suffix wrongly reduced to the suffix itself")
+    assert(domains.forall(d =>
+      d.count(_ == '.') == 1 ||
+        CurationScreens.MultiPartSuffixes.exists(s => d.endsWith("." + s))))
 
     // Secret scan: all four credential classes live
     val s = CurationScreens.secretScan(spark, Sf).agg(
@@ -128,5 +137,7 @@ class CurationScreensSpec extends SparkSpec {
     assert(dq.exists(r => r.getString(8) == "keep")
       || dq.exists(r => r.getString(8) == "drop_quality"))
     assert(dq.map(r => r.getLong(3) + r.getLong(4)).sum > 0, "flags dead")
+    assert(dq.exists(r => r.getString(0).matches("brand\\d+\\.(co|ac)\\.uk")),
+      "PSL lane dead in the domain rollup")
   }
 }

@@ -74,6 +74,15 @@ class Md5ShinglesSpec extends SparkSpec {
     val want = withNull.selectExpr("md5(concat_ws(' ', tk[0], tk[1], tk[2]))")
       .head().getString(0)
     assert(got == Seq(want))
+    // len == 0 block mode -> EMPTY, pinning the intentional divergence
+    // from the raw SQL form (sequence(0, ceil(0/n)-1) = [0,-1] in Spark
+    // would emit TWO md5('') windows); no registry call site can produce
+    // an empty token array, so only this direct case exercises it
+    val empty = spark.sql("SELECT CAST(array() AS array<string>) AS tk")
+    assert(empty.select(expr("graft_md5_shingles(tk, 20, 1)"))
+      .head().getSeq[String](0).isEmpty)
+    assert(empty.select(expr("graft_md5_shingles(tk, 3)"))
+      .head().getSeq[String](0).isEmpty)
     // unicode multi-byte tokens: equal to a driver-side MessageDigest
     val uni = Seq(Tuple1(Seq("héllo", "wörld", "日本語"))).toDF("tk")
     val gotU = uni.select(expr("graft_md5_shingles(tk, 3)"))

@@ -127,6 +127,28 @@ class StreamingRedactSpec extends SparkSpec {
     StreamingIngestRedact.landBatch(scrubbed, 0L, root)
     assert(StreamingIngestRedact.keptDocs(spark, root).count() == 2L)
     assert(StreamingIngestRedact.quarantined(spark, root).count() == 1L)
+
+    // replay under a CHANGED pattern set: the same batch now leaves no
+    // residual — the stale quarantine partition must be CLEARED, not left
+    // claiming doc 12 is both quarantined and kept (the always-overwrite
+    // contract; a skip-if-empty guard held idempotency only for
+    // byte-identical code)
+    val rescrubbed = scrubbed.withColumn("n_residual", lit(0L))
+    StreamingIngestRedact.landBatch(rescrubbed, 0L, root)
+    assert(StreamingIngestRedact.keptDocs(spark, root).count() == 3L)
+    assert(StreamingIngestRedact.quarantined(spark, root).count() == 0L)
+  }
+
+  test("quarantined() before any batch: empty frame WITH the quarantine " +
+      "schema, probed via the Hadoop filesystem") {
+    val root = Files.createTempDirectory("redact_never").toString
+    val q = StreamingIngestRedact.quarantined(spark, root)
+    assert(q.isEmpty)
+    // spark.emptyDataFrame has no columns — any select on it throws; the
+    // lane must instead carry the canonical quarantine schema so
+    // monitoring code composes before the first residual ever lands
+    assert(q.select("doc_id", "text", "n_email", "n_residual", "batch")
+      .isEmpty)
   }
 
   test("adversarial fuzz: no scrubable pattern survives any fragment mix") {
