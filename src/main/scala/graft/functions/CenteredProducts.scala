@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expression: the centered upper-triangle outer products
+  * of one embedding vector — `x = CAST(v AS DOUBLE) − m` element-wise,
+  * then `x(a)·x(b)` for every `a ≤ b`, flattened in row-major pair order
+  * (`(0,0), (0,1) … (0,n−1), (1,1) …`).
+  *
+  * Why: the embedding-whitening covariance ([[graft.operators
+  * .EmbeddingStats]]) needs Σ over vectors of each centered product —
+  * previously built by posexploding the corpus into (vec_id, d, x)
+  * components and SELF-JOINING them on vec_id (a.d ≤ b.d): the join
+  * machinery re-pairs elements that already sat side by side in ONE
+  * array, and the pass dominated the bench warmup (14.7 s of the round-14
+  * profile — the largest one-time artifact build). This expression emits
+  * the dims·(dims+1)/2 products in a single codegen'd primitive loop per
+  * row; the downstream decimal aggregate (grouped on the flat pair index,
+  * mapped back to (d1, d2) by a KB-scale driver-built index frame) sums
+  * the IDENTICAL doubles — `v − m` is the same IEEE subtract of the same
+  * operands, the product the same multiply — so the covariance artifact
+  * and both oracle-hashed consumers are bit-unchanged
+  * (`CenteredProductsSpec` pins exact equality against the join form).
+  *
+  * Scale contract: per-row cost is dims² multiplies with no shuffle and
+  * no join — the corpus-sized covariance pass becomes embarrassingly
+  * parallel map + one domain-bounded (pairs, not rows) aggregate.
+  *
+  * Arguments: (embedding array<float>, means array<double>). The means
+  * arrive as a foldable array literal (the cached per-dimension decimal
+  * means, KB scale). Null elements are treated as 0 like
+  * [[CosineSimilarity]]; a means array shorter than the vector is a
+  * caller bug and truncates to the common prefix.
+  */
+case class CenteredProducts(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"${CenteredProducts.Name} expects (array<float>, array<double>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  override protected def nullSafeEval(v: Any, m: Any): Any =
+    CenteredProducts.compute(
+      v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) =>
+      s"${ev.value} = graft.functions.CenteredProducts.compute($v, $m);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CenteredProducts =
+    copy(left = newLeft, right = newRight)
+}
+
+object CenteredProducts {
+  val Name = "graft_centered_products"
+
+  def compute(v: ArrayData, m: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), m.numElements())
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val vi = if (v.isNullAt(i)) 0.0 else v.getFloat(i).toDouble
+      x(i) = vi - m.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](n * (n + 1) / 2)
+    var k = 0
+    var a = 0
+    while (a < n) {
+      val xa = x(a)
+      var b = a
+      while (b < n) {
+        out(k) = xa * x(b)
+        k += 1
+        b += 1
+      }
+      a += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Flat pair index → (d1, d2) in the expression's row-major upper-
+    * triangle order — the KB-scale driver frame the aggregate joins back. */
+  def pairIndex(dims: Int): Seq[(Int, Int, Int)] = {
+    var k = -1
+    for (a <- 0 until dims; b <- a until dims) yield { k += 1; (k, a, b) }
+  }
+
+  private[functions] def builder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"$Name takes exactly 2 arguments: embedding, means")
+    CenteredProducts(children.head, children(1))
+  }
+
+  /** Register alongside the other graft natives (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Name, builder, "built-in")
+}

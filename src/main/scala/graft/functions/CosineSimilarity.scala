@@ -127,6 +127,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       classOf[Md5Shingles], Md5Shingles.builder))
     ext.injectFunction(triple(Md5MinHash.Name,
       classOf[Md5MinHash], Md5MinHash.builder))
+    ext.injectFunction(triple(CenteredProducts.Name,
+      classOf[CenteredProducts], CenteredProducts.builder))
     ext.injectFunction(triple(HyperplaneSigs.Name,
       classOf[HyperplaneSigs], HyperplaneSigs.builder))
     ext.injectFunction(triple(PolyHash.Name,

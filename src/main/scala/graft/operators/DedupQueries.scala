@@ -492,10 +492,20 @@ object DedupQueries {
     cached(ngramCandCache, spark, sfDir) {
       val posting = sharedShingled(spark, sfDir)
         .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      posting
+      // df-filter BEFORE collect_list: the old single aggregate gathered a
+      // full doc_id list for EVERY shingle — including df=1 singletons (the
+      // long tail) and boilerplate hot shingles whose list is exactly the
+      // 100 TB straggler collect_list must never build — then threw all of
+      // them away on the size filter. The count aggregate has map-side
+      // partial combine (longs, not lists); only df∈[2,5] postings reach
+      // the gather. Same pairs, same cache, strictly less shuffled bytes.
+      val rare = posting.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .where(col("df").between(2, 5))
+        .select(col("shingle"))
+      posting.join(rare, "shingle")
         .groupBy(col("shingle"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .where(size(col("ids")).between(2, 5))
         .select(explode(expr(pairsFromIds)).as("p"))
         .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
         .distinct()

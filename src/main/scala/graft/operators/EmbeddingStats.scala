@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.NamedQuery
 import graft.sources.Tables.Tpch
@@ -17,21 +16,42 @@ import graft.sources.Tables.Tpch
   *
   * Scale shape: ONE corpus-sized pass builds the centered covariance by
   * outer-product aggregation — per vector, dims² products feed a
-  * partial+final decimal-sum aggregate keyed on (d1, d2); everything after
+  * partial+final binary-grid long-sum aggregate keyed on (d1, d2) (see the
+  * Determinism note); everything after
   * (five power-iteration rounds, normalization, the Rayleigh quotient)
   * runs on the dims×dims matrix — a DOMAIN-BOUNDED frame (64×64 here),
   * independent of corpus size. At 10^9 vectors the covariance pass would
   * run on a deterministic sample; the plumbing is unchanged.
   *
-  * Determinism: covariance entries are decimal-summed (order-independent
-  * and cross-engine exact); the iteration arithmetic is double over those
-  * identical inputs, and the output rounds far above the ~1e-15 sum-order
-  * wiggle inside the 64-term matrix-vector products. Start vector e_0
-  * fixes the eigenvector sign.
+  * Determinism: every corpus-sized sum in this file rides the BINARY
+  * integer grid `Σ ⌊t·2^40⌋` (the [[normGrid]] idiom): 2^40 is a power of
+  * two, so the grid multiply only shifts the double's exponent — EXACT —
+  * and the long sum is order-free and cross-engine identical. The
+  * round-14 profile showed the previous DECIMAL(28,12) per-term casts at
+  * ~1.3 µs/value were the single largest warmup cost (the covariance sums
+  * 4.2M products) — the grid sum is a codegen'd long add at ~100× less,
+  * with ≤ 2^-40 absolute error per term against values of order 1 (inputs
+  * are |v| < 1 floats), far below the 1e-6 output rounding. Grid headroom:
+  * |p|·2^40 ≤ 2^41, so the long sum holds ~2^22 ≈ 4M vectors per
+  * partition-free total; at larger corpora the grid constant drops bits
+  * exactly like the BM25 scale constant (documented, not silent). The
+  * iteration arithmetic is double over those identical inputs, and the
+  * output rounds far above the ~1e-15 sum-order wiggle inside the 64-term
+  * matrix-vector products. Start vector e_0 fixes the eigenvector sign.
   */
 object EmbeddingStats {
 
-  /** Centered covariance entries (d1, d2, c) via outer-product decimal
+  /** 2^40 — the binary grid every sum in this file quantizes to. */
+  private val Grid = 1099511627776.0
+  private val GridSql = "1099511627776.0"
+
+  /** `Σ ⌊t·2^40⌋` as a double-recovered mean-ready sum: grid-floor each
+    * term (exact multiply — power of two), sum longs, recover the double.
+    * The DuckDB twin is the identical text with list/aggregate syntax. */
+  private def gsum(t: Column): Column =
+    sum(floor(t * lit(Grid)).cast("long")).cast("double") / lit(Grid)
+
+  /** Centered covariance entries (d1, d2, c) via outer-product grid
     * aggregation — built once per (session, sf) and persisted under the
     * [[FrameCache]] lifecycle (the corpus-sized pass; everything downstream
     * is dims×dims). */
@@ -42,7 +62,7 @@ object EmbeddingStats {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** Per-dimension decimal means — a dims-sized (KB) artifact cached per
+  /** Per-dimension grid-summed means — a dims-sized (KB) artifact cached per
     * (session, sf): the covariance build and the whitened retrieval both
     * center against the SAME frame, so neither re-scans the corpus for
     * means. */
@@ -50,8 +70,7 @@ object EmbeddingStats {
   private def dimMeans(spark: SparkSession, sfDir: String): DataFrame =
     FrameCache.cached(meansCache, spark, sfDir) {
       comps(spark, sfDir).groupBy(col("d"))
-        .agg((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg((gsum(col("v")) / count(lit(1))).as("m"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -62,18 +81,39 @@ object EmbeddingStats {
       .select(col("vec_id"), col("label"), col("d").cast("long").as("d"),
         col("v").cast("double").as("v"))
 
+  /** Upper triangle only (d1 <= d2) — the grid sum for (d1, d2) and
+    * (d2, d1) is the same multiset, so mirroring is EXACT and halves the
+    * corpus-sized outer-product pass. The products come from the native
+    * [[graft.functions.CenteredProducts]] expression (one codegen'd
+    * dims² loop per vector) instead of the original posexplode + vec_id
+    * SELF-JOIN of components that already sat in one array — the join
+    * form was the single largest warmup artifact build (14.7 s at sf0.1,
+    * round-14 profile). Bit-exactness vs the join form (same subtract,
+    * same multiply, same grid floor, count of rows per pair group ==
+    * countDistinct(vec_id) because every vector emits each pair exactly
+    * once) is pinned by `CenteredProductsSpec`; the ORACLE keeps the
+    * self-join formulation, so the hash certifies the reformulation. */
   private def covarianceUncached(spark: SparkSession, sfDir: String): DataFrame = {
-    val centered = comps(spark, sfDir).join(broadcast(dimMeans(spark, sfDir)), "d")
-      .select(col("vec_id"), col("d"), (col("v") - col("m")).as("x"))
-    // upper triangle only (d1 <= d2) — the decimal sum for (d1, d2) and
-    // (d2, d1) is the same multiset, so mirroring is EXACT and halves the
-    // corpus-sized outer-product aggregate
-    centered.as("a")
-      .join(centered.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
-      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
-      .agg((sum((col("a.x") * col("b.x")).cast(DecimalType(28, 12))) /
-        countDistinct(col("a.vec_id"))).cast("double").as("c"))
+    import spark.implicits._
+    graft.functions.CenteredProducts.register(spark)
+    val ms = dimMeans(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("d") -> r.getAs[Double]("m")).sortBy(_._1)
+    // string round-trip is exact for doubles (shortest-repr toString ->
+    // parseDouble), and CAST('...' AS DOUBLE) keeps the SQL literal from
+    // parsing as decimal
+    val msLit = ms.map { case (_, m) => s"CAST('$m' AS DOUBLE)" }
+      .mkString("array(", ", ", ")")
+    val pairs = graft.functions.CenteredProducts.pairIndex(ms.length)
+      .toDF("pos", "d1i", "d2i")
+      .select(col("pos"), col("d1i").cast("long").as("d1"),
+        col("d2i").cast("long").as("d2"))
+    Tpch(spark, sfDir).embeddings
+      .select(posexplode(
+        expr(s"graft_centered_products(embedding, $msLit)")).as(Seq("pos", "p")))
+      .groupBy(col("pos"))
+      .agg((gsum(col("p")) / count(lit(1))).as("c"))
+      .join(broadcast(pairs), "pos")
+      .select(col("d1"), col("d2"), col("c"))
   }
 
   /** Five power-iteration rounds from e_0 over the covariance matrix;
@@ -114,7 +154,11 @@ object EmbeddingStats {
       .orderBy(col("d"))
   }
 
-  /** Oracle: identical decimal-summed covariance, five unrolled rounds. */
+  /** Oracle: the identical binary-grid covariance (`Σ ⌊t·2^40⌋` — the
+    * grid multiply is an exponent shift, exact in both engines' doubles,
+    * and the BIGINT sum is order-free), five unrolled rounds. The oracle
+    * keeps the self-join formulation — agreement with the Spark side's
+    * native outer-product expression is exactly what the hash certifies. */
   private def topDirectionSql: String = {
     def round(i: Int, prev: String): String =
       s"""w$i AS MATERIALIZED (SELECT c.d1, SUM(c.c * v.vv) AS w
@@ -127,15 +171,16 @@ object EmbeddingStats {
        |         CAST(UNNEST(embedding) AS DOUBLE) AS v
        |  FROM embeddings),
        |means AS MATERIALIZED (
-       |  SELECT d, CAST(SUM(CAST(v AS DECIMAL(28,12))) / COUNT(*) AS DOUBLE) AS m
+       |  SELECT d, CAST(SUM(CAST(FLOOR(v * $GridSql) AS BIGINT)) AS DOUBLE)
+       |            / $GridSql / COUNT(*) AS m
        |  FROM comps GROUP BY 1),
        |cent AS MATERIALIZED (
        |  SELECT c.vec_id, c.d, c.v - m.m AS x
        |  FROM comps c JOIN means m USING (d)),
        |cov AS MATERIALIZED (
        |  SELECT a.d AS d1, b.d AS d2,
-       |         CAST(SUM(CAST(a.x * b.x AS DECIMAL(28,12))) /
-       |              COUNT(DISTINCT a.vec_id) AS DOUBLE) AS c
+       |         CAST(SUM(CAST(FLOOR(a.x * b.x * $GridSql) AS BIGINT)) AS DOUBLE)
+       |         / $GridSql / COUNT(DISTINCT a.vec_id) AS c
        |  FROM cent a JOIN cent b ON a.vec_id = b.vec_id
        |  GROUP BY 1, 2),
        |v0 AS MATERIALIZED (SELECT DISTINCT d1 AS d,
@@ -191,7 +236,7 @@ object EmbeddingStats {
     * ONE corpus pass, no whitened vectors materialized: with x = v − μ,
     * b = x·u, s = u·u, the residual dot product expands to
     * w_p·w_q = x_p·x_q − b_p·b_q·(2 − s) and ‖w‖² = ‖x‖² − b²·(2 − s) —
-    * so per vector only THREE decimal-summed scalars (b, ‖x‖², x·x_q)
+    * so per vector only THREE grid-summed scalars (b, ‖x‖², x·x_q)
     * are aggregated against broadcast means / direction / query
     * components, then the cosine is scalar arithmetic on identical
     * doubles in both engines. The (2 − s) term makes the identity EXACT
@@ -206,7 +251,7 @@ object EmbeddingStats {
     import spark.implicits._
     // All three whitening inputs are KB-scale per-(session, sf) artifacts
     // collected ONCE and rejoined as a single 64-row broadcast: the
-    // direction (driver iteration output), the decimal means (cached
+    // direction (driver iteration output), the grid means (cached
     // frame), and the centered query components (one row of embeddings,
     // centered in driver doubles — bit-identical to the oracle's SQL
     // subtraction of the same operands). The corpus is then scanned
@@ -221,15 +266,13 @@ object EmbeddingStats {
     val art = qVec.indices.map { d =>
       (d.toLong, u(d.toLong), m(d.toLong), qVec(d).toDouble - m(d.toLong))
     }.toDF("d", "u", "m", "xq")
-    def dsum(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(28, 12))).cast("double")
     val per = comps(spark, sfDir).join(broadcast(art), "d")
       .withColumn("x", col("v") - col("m"))
       .groupBy(col("vec_id"), col("label"))
-      .agg(dsum(col("x") * col("u")).as("b"),
-        dsum(col("x") * col("x")).as("xx"),
-        dsum(col("x") * col("xq")).as("xdq"))
-    val s = art.agg(dsum(col("u") * col("u")).as("s"))
+      .agg(gsum(col("x") * col("u")).as("b"),
+        gsum(col("x") * col("x")).as("xx"),
+        gsum(col("x") * col("xq")).as("xdq"))
+    val s = art.agg(gsum(col("u") * col("u")).as("s"))
     val qRow = per.where(col("vec_id") === 0)
       .select(col("b").as("bq"), col("xx").as("xxq"))
     val two = lit(2.0)
@@ -246,23 +289,27 @@ object EmbeddingStats {
 
   /** Oracle: the full unrolled direction chain (shared with
     * [[topDirectionSql]]), then the identical expansion — every summed
-    * term decimal-cast so order cannot move a bit. */
+    * term on the same binary grid so order cannot move a bit. */
   private def whitenedTopKSql: String = {
     val chain = topDirectionSql
     val withBody = chain.substring(0, chain.lastIndexOf("SELECT v.d"))
     s"""${withBody.trim.stripSuffix(",")},
        |u AS MATERIALIZED (SELECT d, ROUND(vv, 6) AS u FROM v5),
        |su AS MATERIALIZED (
-       |       SELECT CAST(SUM(CAST(u * u AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |       SELECT CAST(SUM(CAST(FLOOR(u * u * $GridSql) AS BIGINT)) AS DOUBLE)
+       |              / $GridSql AS s
        |       FROM u),
        |x AS MATERIALIZED (SELECT c.vec_id, c.d, c.v - m.m AS x
        |      FROM comps c JOIN means m USING (d)),
        |qc AS MATERIALIZED (SELECT d, x AS xq FROM x WHERE vec_id = 0),
        |per AS MATERIALIZED (
        |  SELECT x.vec_id,
-       |         CAST(SUM(CAST(x.x * u.u AS DECIMAL(28,12))) AS DOUBLE) AS b,
-       |         CAST(SUM(CAST(x.x * x.x AS DECIMAL(28,12))) AS DOUBLE) AS xx,
-       |         CAST(SUM(CAST(x.x * qc.xq AS DECIMAL(28,12))) AS DOUBLE) AS xdq
+       |         CAST(SUM(CAST(FLOOR(x.x * u.u * $GridSql) AS BIGINT)) AS DOUBLE)
+       |           / $GridSql AS b,
+       |         CAST(SUM(CAST(FLOOR(x.x * x.x * $GridSql) AS BIGINT)) AS DOUBLE)
+       |           / $GridSql AS xx,
+       |         CAST(SUM(CAST(FLOOR(x.x * qc.xq * $GridSql) AS BIGINT)) AS DOUBLE)
+       |           / $GridSql AS xdq
        |  FROM x JOIN u USING (d) JOIN qc USING (d) GROUP BY 1),
        |qr AS MATERIALIZED (SELECT b AS bq, xx AS xxq FROM per WHERE vec_id = 0)
        |SELECT p.vec_id, CAST(e.label AS BIGINT) AS label,

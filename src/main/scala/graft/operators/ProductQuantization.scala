@@ -114,28 +114,52 @@ object ProductQuantization {
     * lookup table total at m·k entries). */
   private def updateCentroids(assigned: DataFrame, prev: DataFrame): DataFrame = {
     val means = assigned
-      .select(col("j"), col("code"), posexplode(col("sub")).as(Seq("d", "v")))
+      .select(col("j"), col("code"), col("dist"),
+        posexplode(col("sub")).as(Seq("d", "v")))
       .groupBy(col("j"), col("code"), col("d"))
       .agg((sum(col("v").cast(DecimalType(28, 12))) / count(lit(1)))
-        .cast("double").as("cv"))
+        .cast("double").as("cv"),
+        // every d-group of a (j, code) cell sees the same (vec, j) rows, so
+        // this per-group decimal sum is the cell's distortion share — taken
+        // once (max over equal values) at the next level, summed exactly on
+        // the driver by materialize: the distortion readout rides the SAME
+        // job as the update instead of its own persist + aggregate pass
+        // (half the Lloyd's jobs; the cold PQ train was pure job overhead)
+        sum(col("dist").cast(DecimalType(28, 12))).as("ddist"))
       .groupBy(col("j"), col("code"))
       .agg(expr("transform(array_sort(collect_list(struct(d, cv))), s -> s.cv)")
-        .as("cvec_new"))
+        .as("cvec_new"),
+        max(col("ddist")).as("ddist"))
     prev.select(col("j"), col("code"), col("cvec"))
       .join(means, Seq("j", "code"), "left")
       .select(col("j"), col("code"),
-        coalesce(col("cvec_new"), col("cvec")).as("cvec"))
+        coalesce(col("cvec_new"), col("cvec")).as("cvec"),
+        col("ddist"))
   }
 
   /** Collect the (m·k)-row codebook to the driver and re-create it — KB
     * scale, build path only. This is what bounds the lineage: each Lloyd's
     * iteration starts from a literal codebook, not from a plan that
     * re-derives every previous iteration. */
-  private def materialize(spark: SparkSession, cents: DataFrame): DataFrame = {
+  private def materialize(spark: SparkSession, cents: DataFrame): DataFrame =
+    materializeWithDistortion(spark, cents.withColumn("ddist",
+      lit(null).cast(DecimalType(28, 12))))._1
+
+  /** [[materialize]] plus the exact distortion: per-cell decimal partial
+    * sums (disjoint row sets) added as BigDecimal on the driver — the same
+    * multiset of decimal terms the old global aggregate summed, so the
+    * PqSpec-pinned value is unchanged; empty cells contribute nothing. */
+  private def materializeWithDistortion(
+      spark: SparkSession, cents: DataFrame): (DataFrame, Double) = {
     import spark.implicits._
-    val rows = cents.select(col("j"), col("code"), col("cvec"))
-      .as[(Int, Int, Seq[Double])].collect().sortBy(r => (r._1, r._2)).toSeq
-    spark.createDataset(rows).toDF("j", "code", "cvec")
+    val collected = cents.select(col("j"), col("code"), col("cvec"),
+        col("ddist")).collect()
+    val rows = collected
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val distortion = collected.flatMap(r => Option(r.getDecimal(3)))
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue()
+    (spark.createDataset(rows).toDF("j", "code", "cvec"), distortion)
   }
 
   /** Train the codebooks over the given subvector table. Returns the final
@@ -144,7 +168,8 @@ object ProductQuantization {
     * first K vectors' subvectors: deterministic and join-free — kmeans++
     * would serialize k passes; fixed init + fixed iterations is the
     * distributed-friendly choice, and the monotone-distortion spec pins
-    * that the iterations do the converging. */
+    * that the iterations do the converging. One Spark job per iteration:
+    * assignment feeds the fused update+distortion aggregate directly. */
   private[operators] def trainOn(spark: SparkSession, sub: DataFrame, iters: Int,
                                  k: Int = K): (DataFrame, Seq[Double]) = {
     var centroids = materialize(spark, sub.where(col("vec_id") < k)
@@ -152,12 +177,10 @@ object ProductQuantization {
         col("sub").as("cvec")))
     val distortions = Seq.newBuilder[Double]
     for (_ <- 1 to iters) {
-      val assigned = assign(sub, centroids).persist(StorageLevel.MEMORY_AND_DISK)
-      distortions += assigned.agg(
-        sum(col("dist").cast(DecimalType(28, 12))).cast("double"))
-        .collect().head.getDouble(0)
-      centroids = materialize(spark, updateCentroids(assigned, centroids))
-      assigned.unpersist()
+      val (next, distortion) = materializeWithDistortion(spark,
+        updateCentroids(assign(sub, centroids), centroids))
+      distortions += distortion
+      centroids = next
     }
     (centroids, distortions.result())
   }

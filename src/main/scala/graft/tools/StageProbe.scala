@@ -4,7 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev scratch tool: time labeled stages of a query's pipeline warm.
-  * Not part of the driver contract; edited ad hoc while profiling. */
+  * Not part of the driver contract; edited ad hoc while profiling.
+  *
+  * Current contents: the round-15 interleaved same-session A/B for the
+  * hoisted [[graft.functions.Md5MinHash]] prefix arrays (verdict item 5)
+  * — native expression vs the raw transform/array_min SQL form it
+  * replaced, alternating executions so box-load spikes land on both arms
+  * (the round-14 lesson: sequential TimeOne comparisons lie under load).
+  */
 object StageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -15,49 +22,41 @@ object StageProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    graft.functions.Md5Shingles.register(spark)
+    graft.functions.Md5MinHash.register(spark)
 
-    def time(label: String)(f: => Long): Unit = {
-      (1 to 2).foreach { i =>
-        val t0 = System.nanoTime()
-        val n = f
-        println(f"$label run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
-      }
-    }
+    // the exact input shape of the band-index artifact build
+    val shingled = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingles",
+        expr("array_distinct(graft_md5_shingles(toks, 3))"))
+      .where(size(col("shingles")) > 0)
+      .select(col("doc_id"), col("shingles"))
+      .persist()
+    shingled.count()
 
-    import graft.SparkEntry
-    import graft.operators.{ProductQuantization, SemanticDedup, Components}
-    // warm everything once
-    time("q_sim_semantic_dedup full") {
-      SparkEntry.queries("q_sim_semantic_dedup")(spark, sfDir).count()
+    val sqlForm =
+      """transform(sequence(0, 15), p ->
+        |  array_min(transform(shingles,
+        |    s -> md5(concat(cast(p AS string), ':', s)))))""".stripMargin
+    def run(e: String): Double = {
+      val t0 = System.nanoTime()
+      shingled.withColumn("minh", expr(e))
+        .select(sum(length(element_at(col("minh"), 1)))).collect()
+      (System.nanoTime() - t0) / 1e9
     }
-    val path = ProductQuantization.ensurePq(spark, sfDir)
-    val cells = spark.read.parquet(s"$path/codes")
-      .select(col("vec_id"), col("cluster"))
-    val cl = SemanticDedup.splitOversized(
-      graft.sources.Tables.Tpch(spark, sfDir).embeddings
-        .select(col("vec_id"), col("embedding"))
-        .join(cells, "vec_id"))
-    time("clustered (uncached rebuild)") { cl.count() }
-    val pairs = SemanticDedup.pairsWithin(cl, SemanticDedup.Threshold)
-    time("pairsWithin (uncached)") { pairs.count() }
-    time("dropped (components) over empty-ish pairs") {
-      SemanticDedup.dropped(pairs.limit(0)).count()
+    val native = Seq.newBuilder[Double]
+    val sql = Seq.newBuilder[Double]
+    (1 to 4).foreach { i =>
+      native += run("graft_md5_minhash(shingles, 16)")
+      sql += run(sqlForm)
+      println(f"pass $i: native ${native.result().last}%.2f s, sql ${sql.result().last}%.2f s")
     }
-    time("dropped (components) over real pairs") {
-      SemanticDedup.dropped(pairs).count()
-    }
-    val pairsP = pairs.persist()
-    pairsP.count()
-    time("dropped (components) over persisted pairs") {
-      SemanticDedup.dropped(pairsP).count()
-    }
-    time("components alone on tiny literal edges") {
-      import spark.implicits._
-      Components.connectedComponents(
-        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")).count()
-    }
-    time("q_dedup_common_span full") {
-      SparkEntry.queries("q_dedup_common_span")(spark, sfDir).count()
-    }
+    val n = native.result().min
+    val s = sql.result().min
+    println(f"minhash A/B (interleaved min of 4): native $n%.2f s vs sql $s%.2f s (${s / n}%.2fx)")
+    shingled.unpersist()
+    spark.stop()
   }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The native centered-outer-products expression must reproduce the join
+  * formulation it replaced BIT-EXACTLY — the covariance it feeds is the
+  * whitening artifact behind two oracle-hashed queries (whose ORACLE
+  * keeps the self-join form), so "close" is worthless. Pins (1) the full
+  * binary-grid covariance against the posexplode + self-join form over
+  * the sf0.01 corpus, (2) the raw products against a first-principles
+  * driver loop, (3) the pair-index order contract.
+  */
+class CenteredProductsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = "/root/testdata/sf0.01/embeddings.parquet"
+  private val Grid = 1099511627776.0 // 2^40, the EmbeddingStats grid
+
+  private def gsum(t: org.apache.spark.sql.Column) =
+    sum(floor(t * lit(Grid)).cast("long")).cast("double") / lit(Grid)
+
+  test("grid covariance equals the posexplode + self-join form bit-exactly") {
+    graft.functions.CenteredProducts.register(spark)
+    val e = spark.read.parquet(emb)
+    val comps = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        col("v").cast("double").as("v"))
+    val means = comps.groupBy(col("d"))
+      .agg((gsum(col("v")) / count(lit(1))).as("m"))
+    val centered = comps.join(broadcast(means), "d")
+      .select(col("vec_id"), col("d"), (col("v") - col("m")).as("x"))
+    val joinForm = centered.as("a")
+      .join(centered.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
+      .groupBy(col("a.d").as("d1"), col("b.d").as("d2"))
+      .agg((gsum(col("a.x") * col("b.x")) /
+        countDistinct(col("a.vec_id"))).as("c"))
+
+    val ms = means.collect().map(r => r.getLong(0) -> r.getDouble(1))
+      .sortBy(_._1)
+    val msLit = ms.map { case (_, m) => s"CAST('$m' AS DOUBLE)" }
+      .mkString("array(", ", ", ")")
+    val pairs = graft.functions.CenteredProducts.pairIndex(ms.length)
+      .toDF("pos", "d1i", "d2i")
+      .select(col("pos"), col("d1i").cast("long").as("d1"),
+        col("d2i").cast("long").as("d2"))
+    val exprForm = e.select(posexplode(
+        expr(s"graft_centered_products(embedding, $msLit)")).as(Seq("pos", "p")))
+      .groupBy(col("pos"))
+      .agg((gsum(col("p")) / count(lit(1))).as("c"))
+      .join(broadcast(pairs), "pos")
+      .select(col("d1"), col("d2"), col("c"))
+
+    def toMap(df: DataFrame): Map[(Long, Long), Double] = df.collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")) ->
+        r.getAs[Double]("c")).toMap
+    val a = toMap(joinForm)
+    val b = toMap(exprForm)
+    assert(a.keySet == b.keySet)
+    // exact double equality, not tolerance: the artifact rides oracle hashes
+    a.foreach { case (k, v) =>
+      assert(java.lang.Double.compare(v, b(k)) == 0, s"pair $k: $v != ${b(k)}")
+    }
+    assert(a.nonEmpty && a.keySet.forall { case (d1, d2) => d1 <= d2 })
+  }
+
+  test("raw products equal a first-principles driver loop; order contract") {
+    graft.functions.CenteredProducts.register(spark)
+    val vecs = Seq(
+      Array(1.5f, -2.25f, 0.125f),
+      Array(0.0f, 3.0f, -1.0f),
+      Array(Float.MinPositiveValue, 1e10f, -7.5f))
+    val m = Array(0.25, -1.5, 2.0)
+    val msLit = m.map(d => s"CAST('$d' AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val got = vecs.map(Tuple1(_)).toDF("embedding")
+      .select(expr(s"graft_centered_products(embedding, $msLit)"))
+      .collect().map(_.getSeq[Double](0))
+    val want = vecs.map { v =>
+      val x = v.indices.map(i => v(i).toDouble - m(i))
+      (for (a <- x.indices; b <- a until x.length) yield x(a) * x(b)).toSeq
+    }
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq))
+    // pairIndex mirrors the same row-major upper-triangle order
+    assert(graft.functions.CenteredProducts.pairIndex(3) ==
+      Seq((0, 0, 0), (1, 0, 1), (2, 0, 2), (3, 1, 1), (4, 1, 2), (5, 2, 2)))
+  }
+}

@@ -23,6 +23,25 @@ class SourceOverlapParitySpec extends SparkSpec {
     assert(fastPairs == md5Pairs)
   }
 
+  test("xxhash64 fast path equals the md5 path pair-for-pair at the 10x " +
+      "slice (scale-dependent failure classes: seed, overflow, collision)") {
+    // xxhash64's ways of diverging from the md5 keys grow with corpus
+    // size (hash collisions, accumulation overflow paths), so the sf0.01
+    // parity alone leaves the production twin unpinned at scale — rerun
+    // the identical pair-for-pair assertion over the ScaleProbe 10x
+    // synthesis (same realistic growth the plan-shape probe uses).
+    val dir = java.nio.file.Files.createTempDirectory("overlap10x").toString
+    graft.tools.ScaleProbe.synthesize(spark, "/root/testdata/sf0.1", dir)
+    def pairs(df: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      df.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    val md5Pairs = pairs(TextQueries.sourceOverlap(spark, dir))
+    val fastPairs = pairs(TextQueries.sourceOverlapFast(spark, dir))
+    assert(md5Pairs.nonEmpty, "overlap must be live at the 10x slice")
+    assert(fastPairs == md5Pairs)
+  }
+
   test("short-doc guard is load-bearing: the whole-list fallback would " +
       "invent a cross-source fingerprint the md5 path never emits") {
     import spark.implicits._
