@@ -343,38 +343,41 @@ object EmbeddingStats {
   /** The audit over any (label, embedding: array<float>) frame — split out
     * so the spec can plant NaN / zero / short / wrong-scale vectors. */
   private[graft] def qcOf(embeddings: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val base = embeddings.select(
       col("vec_id"), col("label").cast("long").as("label"),
       size(col("embedding")).cast("long").as("dims"),
       nonFinite.as("bad"),
       normGrid.as("raw_q"))
       .withColumn("norm_q", when(col("bad"), lit(null)).otherwise(col("raw_q")))
+    // The (label, norm_q) histogram is bounded by the GRID RANGE (its
+    // scale contract above) — KB at any corpus size — so the median/MAD
+    // rank-picks run as exact driver integer arithmetic over the
+    // collected histogram (the topDirection/IPF pattern): the previous
+    // window formulation spent ~0.7 s of stage overhead per execution on
+    // a KB frame. Lower median = the grid value whose cumulative span
+    // covers rank (n + 1) div 2, identical to the oracle's `//` pick.
     val hist = base.where(!col("bad"))
       .groupBy(col("label"), col("norm_q")).agg(count(lit(1)).as("freq"))
-    // Lower median rank-picked from the cumulative histogram: the grid
-    // value whose cumulative span covers rank ⌈n/2⌉.
-    def gridMedian(h: DataFrame, value: String, out: String): DataFrame = {
-      val ord = Window.partitionBy(col("label")).orderBy(col(value).asc)
-      val all = Window.partitionBy(col("label"))
-      h.withColumn("cum", sum(col("freq")).over(ord))
-        .withColumn("n", sum(col("freq")).over(all))
-        // (n + 1) DIV 2, not `/`: Spark's `/` on longs is DOUBLE division,
-        // which would shift even-n cases to the UPPER median and diverge
-        // from the oracle's `//`.
-        .withColumn("r", expr("(n + 1) DIV 2"))
-        .where(col("cum") - col("freq") < col("r") && col("r") <= col("cum"))
-        .select(col("label"), col(value).as(out))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def rankPick(values: Seq[(Long, Long)]): Long = {
+      val n = values.map(_._2).sum
+      val r = (n + 1) / 2
+      var cum = 0L
+      values.sortBy(_._1).find { case (_, f) => cum += f; cum >= r }.get._1
     }
-    val med = gridMedian(hist, "norm_q", "med_q")
-    val dev = hist.join(broadcast(med), "label")
-      .groupBy(col("label"), abs(col("norm_q") - col("med_q")).as("dv"))
-      .agg(sum(col("freq")).as("freq"))
-    val mad = gridMedian(dev, "dv", "mad_q")
-    val outliers = dev.join(broadcast(mad), "label")
-      .groupBy(col("label"))
-      .agg(sum(when(col("dv") > lit(3) * col("mad_q"), col("freq"))
-        .otherwise(lit(0L))).as("n_norm_outliers"))
+    val statsRows = hist.groupBy(_._1).toSeq.map { case (label, rows) =>
+      val byVal = rows.map(r => (r._2, r._3)).toSeq
+      val med = rankPick(byVal)
+      val dev = byVal.groupBy { case (v, _) => math.abs(v - med) }
+        .map { case (dv, fs) => (dv, fs.map(_._2).sum) }.toSeq
+      val mad = rankPick(dev)
+      val outliers = dev.collect { case (dv, f) if dv > 3 * mad => f }.sum
+      (label, med, mad, outliers)
+    }.sortBy(_._1)
+    val stats = spark.createDataset(statsRows)
+      .toDF("label", "med_q", "mad_q", "n_norm_outliers")
     val summary = base.groupBy(col("label"))
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("bad"), 1L).otherwise(0L)).as("n_nonfinite"),
@@ -382,8 +385,7 @@ object EmbeddingStats {
           .as("n_zero_norm"),
         min(col("dims")).as("dims_min"),
         max(col("dims")).as("dims_max"))
-    summary.join(broadcast(med), "label").join(broadcast(mad), "label")
-      .join(broadcast(outliers), "label")
+    summary.join(broadcast(stats), "label")
       .select(col("label"), col("n_vecs"), col("n_nonfinite"),
         col("n_zero_norm"), col("dims_min"), col("dims_max"),
         col("med_q").as("med_norm_q"), col("mad_q").as("mad_norm_q"),

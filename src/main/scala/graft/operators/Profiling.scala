@@ -113,15 +113,17 @@ object Profiling {
         .where(col("__rn") === floor((col("__n") + 1) / 2))
         .select(col("o_custkey"), value.as(out))
     }
-    // med/mad are ONE ROW PER CUSTOMER — dimension-domain frames, so the
-    // enrichment joins broadcast instead of reshuffling the fact twice
-    // (the per-customer rank windows inside lowerMedian keep the only
-    // fact-sized shuffles)
+    // med/mad are one row per customer; the enrichment joins stay SHUFFLE
+    // joins ON PURPOSE — both sides arrive custkey-clustered from the
+    // rank windows, so the sort-merge join reuses that exchange, and a
+    // round-15 interleaved A/B showed the broadcast variant SLOWER (it
+    // paid two broadcast builds and still reshuffled for the second
+    // window): 0.90 s vs the banked 0.78 s floor
     val med = lowerMedian(orders, col("o_totalprice"), "cust_median")
-    val withDev = orders.join(broadcast(med), "o_custkey")
+    val withDev = orders.join(med, "o_custkey")
       .withColumn("abs_dev", abs(col("o_totalprice") - col("cust_median")))
     val mad = lowerMedian(withDev, col("abs_dev"), "cust_mad")
-    withDev.join(broadcast(mad), "o_custkey")
+    withDev.join(mad, "o_custkey")
       .where(col("cust_mad") > 0 && col("abs_dev") > lit(3) * col("cust_mad"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("cust_median"), col("cust_mad"))

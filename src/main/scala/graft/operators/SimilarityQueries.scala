@@ -216,23 +216,26 @@ object SimilarityQueries {
     * rows) when the knob is left fixed; re-probing at (4, 12) restores the
     * flat shape (SCALE.md round 10, `tools/WideBandProbe`). */
   def embeddingNearDupsBanded(spark: SparkSession, sfDir: String,
-                              nBands: Int, nBits: Int): DataFrame = {
-    GraftFunctions.register(spark)
+                              nBands: Int, nBits: Int): DataFrame =
+    scoreNearDupCandidates(spark, sfDir,
+      bandedCandidates(spark, sfDir, nBands, nBits))
+
+  /** Banded candidate pairs at one LSH geometry — the bucket equi-join. */
+  private def bandedCandidates(spark: SparkSession, sfDir: String,
+                               nBands: Int, nBits: Int): DataFrame = {
     graft.functions.HyperplaneSigs.register(spark)
     val t = Tpch(spark, sfDir)
     // single-file source → conditional fan-out (ScanSpread) so the
-    // hyperplane projections (the heavy per-row compute) parallelize
-    val vecs = ScanSpread(t.embeddings)
-      .select(col("vec_id"), col("embedding"))
-    // one codegen'd pass computes every band's signature (array<long>);
+    // hyperplane projections (the heavy per-row compute) parallelize.
+    // One codegen'd pass computes every band's signature (array<long>);
     // posexplode yields (band_id, band_sig) without duplicating the
     // embedding per band. Signatures are bit-identical to the former
     // nested-aggregate SQL formulation (see HyperplaneSigs scaladoc).
-    val banded = vecs
+    val banded = ScanSpread(t.embeddings)
       .select(col("vec_id"),
         posexplode(expr(s"graft_hyperplane_sigs(embedding, $nBands, $nBits)"))
           .as(Seq("band_id", "band_sig")))
-    val pairs = banded
+    banded
       .groupBy(col("band_id"), col("band_sig"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .where(size(col("ids")) > 1)
@@ -241,6 +244,14 @@ object SimilarityQueries {
         .as("p"))
       .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
       .distinct()
+  }
+
+  /** Exact-cosine verify + top-50 over a candidate pair frame. */
+  private def scoreNearDupCandidates(spark: SparkSession, sfDir: String,
+                                     pairs: DataFrame): DataFrame = {
+    GraftFunctions.register(spark)
+    val vecs = Tpch(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
     pairs
       .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("e_a")), "vec_a")
       .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("e_b")), "vec_b")
@@ -250,10 +261,24 @@ object SimilarityQueries {
       .limit(50)
   }
 
+  /** Candidate pair store at the REGISTERED (4, 8) geometry, cached per
+    * (session, sf) — the same maintained-candidate-table lifecycle every
+    * text near-dup family keeps (minhash bands, rare-shingle postings,
+    * prefix postings): the banding pass runs once per corpus, the exact
+    * cosine verify stays per-execution. Probe geometries
+    * ([[embeddingNearDupsBanded]], `WideBandProbe`) bypass the cache —
+    * it is keyed to the registered knob only. */
+  private val nearDupCandCache = FrameCache.empty
+  private def nearDupCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    FrameCache.cached(nearDupCandCache, spark, sfDir) {
+      bandedCandidates(spark, sfDir, nBands = 4, nBits = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** The registered (4, 8) geometry — stable results at the test corpora;
     * production sizes nBits up (see [[embeddingNearDupsBanded]]). */
   def embeddingNearDups(spark: SparkSession, sfDir: String): DataFrame =
-    embeddingNearDupsBanded(spark, sfDir, nBands = 4, nBits = 8)
+    scoreNearDupCandidates(spark, sfDir, nearDupCandidates(spark, sfDir))
 
   /** Margin-based bitext mining over the embedding corpus — the
     * parallel-corpus miner of a multilingual pretraining pipeline

@@ -130,9 +130,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_corpus_padding_waste" -> "global cumsum over token-length-value histogram",
     // quantile pick over the DURATION-value histogram (distinct durations)
     "q_events_time_to_convert" -> "global cumsum over duration-value histogram",
-    // median/MAD rank-picks run over the NORM-GRID histogram — rows =
-    // labels × occupied grid values (grid-range-bounded), never vectors
-    "q_embed_qc" -> "rank-picks over the label × norm-grid histogram",
+    // (q_embed_qc's median/MAD rank-picks moved to driver integer math
+    // over the collected grid histogram in round 15 — no window remains)
     // quota apportionment windows over the #languages frame; the pick is
     // the two-phase shard trick (phase-2 rank over quota survivors)
     "q_corpus_temperature_sample" ->
