@@ -34,9 +34,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Arguments: (embedding array<float>, means array<double>). The means
   * arrive as a foldable array literal (the cached per-dimension decimal
-  * means, KB scale). Null elements are treated as 0 like
-  * [[CosineSimilarity]]; a means array shorter than the vector is a
-  * caller bug and truncates to the common prefix.
+  * means, KB scale). The downstream pair-index frame and the
+  * `count(lit(1))` divisor assume every vector carries the full uniform
+  * dims with no null elements — a ragged, short, or null-element vector
+  * would silently land products in the WRONG covariance cells (the old
+  * self-join keyed on the actual d, so it degraded instead of corrupting).
+  * compute therefore FAILS LOUDLY on a length mismatch or a null element
+  * rather than truncating/zero-filling — the only sound lanes for a
+  * malformed vector here are upstream QC ([[graft.operators
+  * .EmbeddingStats.embeddingQc]]) or an explicit filter, never a silent
+  * cell shift surfacing as an oracle hash mismatch far from the cause.
   */
 case class CenteredProducts(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -69,12 +76,19 @@ object CenteredProducts {
   val Name = "graft_centered_products"
 
   def compute(v: ArrayData, m: ArrayData): ArrayData = {
-    val n = math.min(v.numElements(), m.numElements())
+    val n = v.numElements()
+    if (n != m.numElements()) throw new IllegalArgumentException(
+      s"$Name: embedding has $n elements but means has ${m.numElements()} — " +
+        "the covariance pair index assumes uniform dims; filter or QC " +
+        "ragged vectors upstream instead of truncating")
     val x = new Array[Double](n)
     var i = 0
     while (i < n) {
-      val vi = if (v.isNullAt(i)) 0.0 else v.getFloat(i).toDouble
-      x(i) = vi - m.getDouble(i)
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"$Name: null element at index $i — the join form dropped null " +
+          "terms while a zero-fill would shift the mean; filter or QC " +
+          "null-element vectors upstream")
+      x(i) = v.getFloat(i).toDouble - m.getDouble(i)
       i += 1
     }
     val out = new Array[Double](n * (n + 1) / 2)

@@ -32,9 +32,13 @@ import graft.sources.Tables.Tpch
   * 4.2M products) — the grid sum is a codegen'd long add at ~100× less,
   * with ≤ 2^-40 absolute error per term against values of order 1 (inputs
   * are |v| < 1 floats), far below the 1e-6 output rounding. Grid headroom:
-  * |p|·2^40 ≤ 2^41, so the long sum holds ~2^22 ≈ 4M vectors per
-  * partition-free total; at larger corpora the grid constant drops bits
-  * exactly like the BM25 scale constant (documented, not silent). The
+  * inputs are |v| < 1 floats and means lie in (−1, 1), so centered
+  * |x| < 2 and each product |p| = |x_a·x_b| < 4 — |p|·2^40 < 2^42 per
+  * term, so the signed-long sum holds ~2^21 ≈ 2M vectors per covariance
+  * cell. Spark's long SUM WRAPS silently on overflow (DuckDB's BIGINT
+  * promotes to HUGEINT), so [[covarianceUncached]] guards the bound
+  * loudly — past it the grid constant drops bits exactly like the BM25
+  * scale constant (documented, not silent). The
   * iteration arithmetic is double over those identical inputs, and the
   * output rounds far above the ~1e-15 sum-order wiggle inside the 64-term
   * matrix-vector products. Start vector e_0 fixes the eigenvector sign.
@@ -70,7 +74,8 @@ object EmbeddingStats {
   private def dimMeans(spark: SparkSession, sfDir: String): DataFrame =
     FrameCache.cached(meansCache, spark, sfDir) {
       comps(spark, sfDir).groupBy(col("d"))
-        .agg((gsum(col("v")) / count(lit(1))).as("m"))
+        .agg((gsum(col("v")) / count(lit(1))).as("m"),
+          count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -96,7 +101,18 @@ object EmbeddingStats {
   private def covarianceUncached(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     graft.functions.CenteredProducts.register(spark)
-    val ms = dimMeans(spark, sfDir).collect()
+    val rows = dimMeans(spark, sfDir).collect()
+    // Each covariance cell sums one grid term per vector; terms are
+    // bounded by 2^42 (|p| < 4 against the 2^40 grid), so a signed long
+    // holds 2^21 of them. Spark's long SUM wraps SILENTLY past that —
+    // the failure would surface only as an opaque oracle hash mismatch —
+    // so fail loudly here; the scale lever is dropping grid bits.
+    val nVec = rows.map(_.getAs[Long]("cnt")).max
+    require(nVec <= (1L << 21),
+      s"covariance grid-sum headroom exceeded: $nVec vectors > 2^21 — " +
+        "drop grid bits (Grid = 2^40 -> 2^(40-k)) per the " +
+        "drop-bits-at-scale rule before running the covariance pass")
+    val ms = rows
       .map(r => r.getAs[Long]("d") -> r.getAs[Double]("m")).sortBy(_._1)
     // string round-trip is exact for doubles (shortest-repr toString ->
     // parseDouble), and CAST('...' AS DOUBLE) keeps the SQL literal from

@@ -87,4 +87,29 @@ class CenteredProductsSpec extends SparkSpec {
     assert(graft.functions.CenteredProducts.pairIndex(3) ==
       Seq((0, 0, 0), (1, 0, 1), (2, 0, 2), (3, 1, 1), (4, 1, 2), (5, 2, 2)))
   }
+
+  test("malformed vectors fail loudly instead of shifting covariance cells") {
+    graft.functions.CenteredProducts.register(spark)
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    // a ragged (short) vector against 3-dim means: would land products in
+    // the wrong (d1, d2) cells under truncation — must throw, not truncate
+    val msLit = "array(CAST('0.25' AS DOUBLE), CAST('-1.5' AS DOUBLE), " +
+      "CAST('2.0' AS DOUBLE))"
+    val ragged = intercept[Throwable] {
+      Seq(Tuple1(Array(1.0f, 2.0f))).toDF("embedding")
+        .select(expr(s"graft_centered_products(embedding, $msLit)"))
+        .collect()
+    }
+    assert(messages(ragged).exists(_.contains("uniform dims")), ragged)
+    // a null element: the join form DROPPED null terms while a zero-fill
+    // would shift the mean — must throw, not zero-fill
+    val withNull = intercept[Throwable] {
+      Seq(Tuple1(Array[java.lang.Float](1.0f, null, 3.0f))).toDF("embedding")
+        .select(expr(s"graft_centered_products(embedding, $msLit)"))
+        .collect()
+    }
+    assert(messages(withNull).exists(_.contains("null element")), withNull)
+  }
 }
