@@ -317,7 +317,19 @@ object Profiling {
     * it. All counts exact integers, permille by integer `div`. Shape:
     * ONE window sort per order group (high-cardinality partition key,
     * reused by all four lag columns — one shuffle total) folded into a
-    * single aggregate, then a constant-width unpivot. */
+    * plain change-sums aggregate, plus a SEPARATE straight-scan
+    * distinct-counts leg: (column, value) pairs exploded in-row, one
+    * two-level distinct aggregate (map-side combine collapses each
+    * partition to its value domain first). Folding the four
+    * countDistincts into the window-output aggregate instead planned a
+    * ×5 Expand over the corpus-sized window output — the r16 interleaved
+    * A/B measured the split form 1.25× faster, and at 100 TB the Expand
+    * quintuples the bytes entering the final aggregate while the
+    * distinct leg's explode feeds a domain-collapsing partial aggregate.
+    * Exactness: casting each profiled column to string is injective for
+    * these types (char flags, int keys, dates), so the counts are the
+    * identical integers; the ORACLE keeps the single-aggregate
+    * COUNT(DISTINCT) form — two independent formulations, hash-pinned. */
   def clusteringFactor(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cols = Seq("l_returnflag", "l_linestatus", "l_partkey", "l_shipdate")
@@ -327,7 +339,8 @@ object Profiling {
     val w = Window.partitionBy(col("l_orderkey"))
       .orderBy(col("l_linenumber"), col("l_partkey"), col("l_shipdate"),
         col("l_returnflag"), col("l_linestatus"))
-    val base = Tpch(spark, sfDir).lineitem
+    val t = Tpch(spark, sfDir)
+    val base = t.lineitem
       .select((Seq("l_orderkey", "l_linenumber") ++ cols).map(col): _*)
     val flagged = cols.foldLeft(base) { (df, c) =>
       df.withColumn(s"chg_$c",
@@ -336,15 +349,21 @@ object Profiling {
     }
     val aggCols =
       Seq(count(lit(1)).cast("long").as("n_rows")) ++
-        cols.map(c => sum(col(s"chg_$c")).cast("long").as(s"chg_$c")) ++
-        cols.map(c => countDistinct(col(c)).cast("long").as(s"nd_$c"))
+        cols.map(c => sum(col(s"chg_$c")).cast("long").as(s"chg_$c"))
     val one = flagged.agg(aggCols.head, aggCols.tail: _*)
-    val stacked = cols.map(c =>
-      s"'$c', n_rows, nd_$c, chg_$c").mkString(", ")
+    val nd = t.lineitem.select(explode(array(cols.map(c =>
+        struct(lit(c).as("cn"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .select(col("e.cn").as("column_name"), col("e.v").as("v"))
+      .groupBy(col("column_name"))
+      .agg(countDistinct(col("v")).cast("long").as("n_distinct"))
+    val stacked = cols.map(c => s"'$c', n_rows, chg_$c").mkString(", ")
     one.selectExpr(
-      s"stack(${cols.size}, $stacked) AS (column_name, n_rows, n_distinct, n_changes)")
+      s"stack(${cols.size}, $stacked) AS (column_name, n_rows, n_changes)")
+      .join(nd, "column_name")
       .withColumn("changes_permille",
         expr("(n_changes * 1000) div n_rows").cast("long"))
+      .select(col("column_name"), col("n_rows"), col("n_distinct"),
+        col("n_changes"), col("changes_permille"))
       .orderBy(col("column_name"))
   }
 

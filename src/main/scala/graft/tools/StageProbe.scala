@@ -1,16 +1,25 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Dev scratch tool: time labeled stages of a query's pipeline warm.
   * Not part of the driver contract; edited ad hoc while profiling.
   *
-  * Current contents: the round-15 interleaved same-session A/B for the
-  * hoisted [[graft.functions.Md5MinHash]] prefix arrays (verdict item 5)
-  * — native expression vs the raw transform/array_min SQL form it
-  * replaced, alternating executions so box-load spikes land on both arms
-  * (the round-14 lesson: sequential TimeOne comparisons lie under load).
+  * Current contents: the round-16 interleaved same-session A/Bs for the
+  * three non-sanctioned ≥1 s floors (verdict item 3) — each pair
+  * alternates executions so box-load spikes land on both arms (the
+  * round-14 lesson: sequential TimeOne comparisons lie under load).
+  *   1. q_profile_clustering_factor: multi-countDistinct (×5 Expand on
+  *      the window output) vs change-sums agg + a separate straight-scan
+  *      distinct-pairs subframe.
+  *   2. q_blamed_suppliers: two countDistincts (×3 Expand) vs a
+  *      two-level aggregate — (orderkey, suppkey) census then orderkey
+  *      rollup — both levels riding the join's orderkey partitioning.
+  *   3. q_text_source_overlap: full 32-hex md5 group key vs the
+  *      64-bit portable prefix substring(fp, 1, 16).
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
@@ -24,39 +33,124 @@ object StageProbe {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
     graft.functions.Md5Shingles.register(spark)
-    graft.functions.Md5MinHash.register(spark)
 
-    // the exact input shape of the band-index artifact build
-    val shingled = spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("shingles",
-        expr("array_distinct(graft_md5_shingles(toks, 3))"))
-      .where(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"))
-      .persist()
-    shingled.count()
+    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val documents = spark.read.parquet(s"$sfDir/documents.parquet")
 
-    val sqlForm =
-      """transform(sequence(0, 15), p ->
-        |  array_min(transform(shingles,
-        |    s -> md5(concat(cast(p AS string), ':', s)))))""".stripMargin
-    def run(e: String): Double = {
+    def timeIt(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
-      shingled.withColumn("minh", expr(e))
-        .select(sum(length(element_at(col("minh"), 1)))).collect()
+      df.count()
       (System.nanoTime() - t0) / 1e9
     }
-    val native = Seq.newBuilder[Double]
-    val sql = Seq.newBuilder[Double]
-    (1 to 4).foreach { i =>
-      native += run("graft_md5_minhash(shingles, 16)")
-      sql += run(sqlForm)
-      println(f"pass $i: native ${native.result().last}%.2f s, sql ${sql.result().last}%.2f s")
+
+    // ---- 1. clustering factor --------------------------------------
+    val cfCols = Seq("l_returnflag", "l_linestatus", "l_partkey", "l_shipdate")
+    val cfW = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_shipdate"),
+        col("l_returnflag"), col("l_linestatus"))
+    def cfFlagged = {
+      val base = lineitem
+        .select((Seq("l_orderkey", "l_linenumber") ++ cfCols).map(col): _*)
+      cfCols.foldLeft(base) { (df, c) =>
+        df.withColumn(s"chg_$c",
+          when(lag(col(c), 1).over(cfW).isNotNull &&
+            lag(col(c), 1).over(cfW) =!= col(c), 1L).otherwise(0L))
+      }
     }
-    val n = native.result().min
-    val s = sql.result().min
-    println(f"minhash A/B (interleaved min of 4): native $n%.2f s vs sql $s%.2f s (${s / n}%.2fx)")
-    shingled.unpersist()
+    def cfCurrent = {
+      val aggCols =
+        Seq(count(lit(1)).cast("long").as("n_rows")) ++
+          cfCols.map(c => sum(col(s"chg_$c")).cast("long").as(s"chg_$c")) ++
+          cfCols.map(c => countDistinct(col(c)).cast("long").as(s"nd_$c"))
+      val one = cfFlagged.agg(aggCols.head, aggCols.tail: _*)
+      val stacked = cfCols.map(c => s"'$c', n_rows, nd_$c, chg_$c").mkString(", ")
+      one.selectExpr(
+        s"stack(${cfCols.size}, $stacked) AS (column_name, n_rows, n_distinct, n_changes)")
+        .withColumn("changes_permille",
+          expr("(n_changes * 1000) div n_rows").cast("long"))
+        .orderBy(col("column_name"))
+    }
+    def cfVariant = {
+      val aggCols =
+        Seq(count(lit(1)).cast("long").as("n_rows")) ++
+          cfCols.map(c => sum(col(s"chg_$c")).cast("long").as(s"chg_$c"))
+      val one = cfFlagged.agg(aggCols.head, aggCols.tail: _*)
+      val nd = lineitem.select(explode(array(cfCols.map(c =>
+          struct(lit(c).as("cn"), col(c).cast("string").as("v"))): _*)).as("e"))
+        .select(col("e.cn").as("column_name"), col("e.v").as("v"))
+        .groupBy(col("column_name"))
+        .agg(countDistinct(col("v")).cast("long").as("n_distinct"))
+      val stacked = cfCols.map(c => s"'$c', n_rows, chg_$c").mkString(", ")
+      one.selectExpr(
+        s"stack(${cfCols.size}, $stacked) AS (column_name, n_rows, n_changes)")
+        .join(nd, "column_name")
+        .withColumn("changes_permille",
+          expr("(n_changes * 1000) div n_rows").cast("long"))
+        .select(col("column_name"), col("n_rows"), col("n_distinct"),
+          col("n_changes"), col("changes_permille"))
+        .orderBy(col("column_name"))
+    }
+
+    // ---- 2. blamed suppliers ---------------------------------------
+    def bsJoined = lineitem
+      .join(orders.where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    def bsCurrent = bsJoined.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
+      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("late_supp"))
+      .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
+    def bsVariant = bsJoined
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("late_lines") > 0, col("l_suppkey"))).as("late_supp"),
+        sum(col("late_lines")).as("n_late_lines"))
+      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+      .groupBy(col("late_supp"))
+      .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
+
+    // ---- 3. source overlap key width ---------------------------------
+    def soShingles = documents
+      .withColumn("tk", filter(split(col("text"), " "), x => x =!= ""))
+      .select(col("source"), explode(expr("graft_md5_shingles(tk, 5)")).as("fp"))
+    def soPairs(shingles: DataFrame) = shingles.groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)),
+          |            b -> struct(a AS source_a, b AS source_b))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.source_a"), col("p.source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    def soCurrent = soPairs(soShingles)
+    def soVariant = soPairs(
+      soShingles.select(col("source"), substring(col("fp"), 1, 16).as("fp")))
+
+    val pairs = Seq[(String, () => DataFrame, () => DataFrame)](
+      ("clustering_factor", () => cfCurrent, () => cfVariant),
+      ("blamed_suppliers", () => bsCurrent, () => bsVariant),
+      ("source_overlap", () => soCurrent, () => soVariant))
+    pairs.foreach { case (name, cur, vr) =>
+      val a = Seq.newBuilder[Double]
+      val b = Seq.newBuilder[Double]
+      (1 to 4).foreach { i =>
+        a += timeIt(cur())
+        b += timeIt(vr())
+        println(f"$name pass $i: current ${a.result().last}%.3f s, variant ${b.result().last}%.3f s")
+      }
+      val (am, bm) = (a.result().min, b.result().min)
+      println(f"$name A/B (interleaved min of 4): current $am%.3f s vs variant $bm%.3f s (${am / bm}%.2fx)")
+    }
     spark.stop()
   }
 }
