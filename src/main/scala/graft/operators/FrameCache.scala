@@ -45,12 +45,42 @@ private[graft] object FrameCache {
     c
   }
 
+  /** Per-(cache, key) build locks: under a CONCURRENT warm-up (Bench
+    * pass-0 drives the registry on a small thread pool) two queries can
+    * race to the same artifact, and `TrieMap.getOrElseUpdate` evaluates
+    * the by-name build in BOTH racers — two jobs, two persists, the
+    * loser's frame leaked in the block manager until sweep. Each key
+    * builds under its own monitor so an artifact builds exactly once
+    * while DIFFERENT artifacts still build concurrently. Nested builds
+    * (covariance → means, PRF → expanded queries) acquire along the
+    * artifact-dependency call graph — a DAG, so lock cycles cannot form;
+    * an identityHashCode collision between cache sites only COARSENS two
+    * locks into one (monitors are reentrant), never deadlocks. Entries
+    * carry their session and are purged like cache entries, so the lock
+    * map's bound is the live (cache, session, sf) set. */
+  private val buildLocks =
+    TrieMap.empty[(Int, String, Int, String), (SparkSession, AnyRef)]
+
   def cached(cache: Cache, spark: SparkSession, sfDir: String)
             (build: => DataFrame): DataFrame = {
     cache.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
     val key = (spark.sparkContext.applicationId,
       System.identityHashCode(spark), sfDir)
-    cache.getOrElseUpdate(key, (spark, build))._2
+    cache.get(key) match {
+      case Some((_, df)) => df
+      case None =>
+        buildLocks.filterInPlace { case (_, (s, _)) =>
+          !s.sparkContext.isStopped }
+        val lockKey = (System.identityHashCode(cache),
+          key._1, key._2, key._3)
+        val lock = buildLocks.putIfAbsent(lockKey, (spark, new Object)) match {
+          case Some((_, l)) => l
+          case None => buildLocks(lockKey)._2
+        }
+        lock.synchronized {
+          cache.getOrElseUpdate(key, (spark, build))._2
+        }
+    }
   }
 
   /** Release every cached artifact owned by `spark` (all operators, all

@@ -59,16 +59,30 @@ object ArtifactPaths {
       .foreach(s => fs.delete(s.getPath, true))
   }
 
+  /** Per-path build locks: the marker check below is check-then-act, so
+    * under a concurrent warm-up two threads could both see "no marker"
+    * and overwrite each other's half-built index. Within-JVM lock per
+    * path (the root is app-scoped, so cross-PROCESS races cannot occur
+    * by construction); bounded by the app's artifact-path set. */
+  private val ensureLocks =
+    scala.collection.concurrent.TrieMap.empty[String, AnyRef]
+
   /** Build-if-absent keyed on a `_SUCCESS` marker under `markerSubdir`
     * (the LAST subdirectory the build writes): a directory without it is
     * a crashed half-write, not an artifact — rebuilt, mode=overwrite
     * clears the debris. Returns the artifact path. */
   def ensure(spark: SparkSession, path: String, markerSubdir: String = "")
             (build: String => Unit): String = {
-    val marker = if (markerSubdir.isEmpty) new Path(path, "_SUCCESS")
-      else new Path(new Path(path, markerSubdir), "_SUCCESS")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker)) build(path)
+    val lock = ensureLocks.putIfAbsent(path, new Object) match {
+      case Some(l) => l
+      case None => ensureLocks(path)
+    }
+    lock.synchronized {
+      val marker = if (markerSubdir.isEmpty) new Path(path, "_SUCCESS")
+        else new Path(new Path(path, markerSubdir), "_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(marker)) build(path)
+    }
     path
   }
 }

@@ -34,4 +34,64 @@ class FrameCacheSpec extends SparkSpec {
     assert(FrameCache.registrySize == before,
       "running queries created new caches — the registry bound is broken")
   }
+
+  test("concurrent racers build a key exactly once and share the frame") {
+    // The Bench pass-0 thread pool races queries to shared artifacts;
+    // without per-key build locks, TrieMap.getOrElseUpdate runs the
+    // by-name build in every racer and leaks the losers' persisted
+    // frames. Pin exactly-once semantics under a real race.
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val cache = FrameCache.empty
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[AnyRef] {
+          def call(): AnyRef = {
+            gate.await(10, TimeUnit.SECONDS)
+            FrameCache.cached(cache, spark, Sf) {
+              builds.incrementAndGet()
+              Thread.sleep(50) // widen the race window
+              spark.range(10).toDF("id")
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val frames = futures.map(_.get(30, TimeUnit.SECONDS))
+      assert(builds.get() == 1,
+        s"build ran ${builds.get()} times under an 8-way race")
+      assert(frames.forall(_ eq frames.head),
+        "racers received different frame instances for one key")
+    } finally pool.shutdown()
+  }
+
+  test("concurrent ensure() builds an artifact path exactly once") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ensure_race").toString + "/art"
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            gate.await(10, TimeUnit.SECONDS)
+            graft.plans.ArtifactPaths.ensure(spark, path) { p =>
+              builds.incrementAndGet()
+              Thread.sleep(50)
+              spark.range(5).toDF("id").write.mode("overwrite").parquet(p)
+            }
+          }
+        })
+      }
+      gate.countDown()
+      futures.foreach(_.get(30, TimeUnit.SECONDS))
+      assert(builds.get() == 1,
+        s"ensure build ran ${builds.get()} times under an 8-way race")
+      assert(spark.read.parquet(path).count() == 5)
+    } finally pool.shutdown()
+  }
 }
