@@ -884,6 +884,88 @@ object DedupQueries {
       .limit(50)
   }
 
+  /** Corpus-wide exact-substring duplication screen (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * EXACTSUBSTR): every k-token window occurring MORE THAN ONCE in the
+    * whole corpus marks its tokens duplicated; overlapping/adjacent
+    * duplicated windows merge into maximal spans per document, and the
+    * report is the per-source removal ledger (documents affected, span
+    * count, duplicated vs total tokens) a span-removal pass would apply.
+    * Lee et al. detect duplicated substrings with a SUFFIX ARRAY at
+    * k = 50 tokens; a suffix array is a single-machine structure — the
+    * distributed equivalent is this rolling-window fingerprint pass,
+    * with identical detection semantics for fixed k (a duplicated
+    * ≥ k-token substring IS a chain of duplicated k-token windows, and
+    * the island merge reassembles exactly its maximal span). k = 20
+    * here, scaled to the synthetic corpus' 10–100-token documents
+    * (median ~55 — at the paper's k = 50 the screen would see full-doc
+    * dups only); production keeps k = 50, the knob moves no plan shape.
+    *
+    * DIFFERENT operator from [[commonSpanDups]]: common-span is
+    * PAIR-scoped (longest shared run between LSH candidate pairs,
+    * top-50); this is corpus-GLOBAL — any second occurrence anywhere
+    * (including within one document) marks the span, the granularity
+    * that catches boilerplate repeated across thousands of documents
+    * that no candidate-pair enumeration would surface.
+    *
+    * Scale shape: ONE corpus scan; windows fingerprint in-row (the
+    * digest-reusing native [[graft.functions.Md5Shingles]]); duplication
+    * is COUNT OVER (PARTITION BY fp) — one fingerprint-keyed shuffle, no
+    * self-join and no groupBy-then-join-back double derivation of the
+    * exploded window set. Only the duplicated windows (true duplication
+    * mass, the near-dup-clique-bounded set) shuffle again on doc_id for
+    * the island merge; everything after is source-domain-bounded.
+    * Positions are 0-based here and 1-based in the oracle — every
+    * emitted measure is a position DIFFERENCE, shift-invariant. */
+  def exactSubstringDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.Md5Shingles.register(spark)
+    val k = 20
+    val t = Tpch(spark, sfDir)
+    val tk = t.documents
+      .withColumn("tk", filter(split(col("text"), " "), x => x =!= ""))
+    val totals = tk.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("tk"))).cast("long").as("total_tokens"))
+    val win = tk
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(s"graft_md5_shingles(tk, $k)")).as(Seq("pos", "fp")))
+    val dupWin = win
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .where(col("n_occ") >= 2)
+      .select(col("doc_id"), col("source"), col("pos"))
+    val docW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // windows are k tokens long, so window q extends the running span iff
+    // q − prev ≤ k (≤ k−1 overlaps, = k is token-adjacent); LAG is null on
+    // the first window → otherwise-branch → new span, both engines
+    val spans = dupWin
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(docW) <= k, 0L)
+          .otherwise(1L))
+      .withColumn("span_id", sum(col("new_span")).over(
+        docW.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("source"), col("span_id"))
+      .agg((max(col("pos")) - min(col("pos")) + k).cast("long")
+        .as("span_tokens"))
+    val perDoc = spans.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("dup_tokens"))
+    totals.join(
+        perDoc.groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_affected"),
+            sum(col("n_spans")).cast("long").as("n_spans"),
+            sum(col("dup_tokens")).cast("long").as("dup_tokens")),
+        Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("docs_affected"), lit(0L)).as("docs_affected"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"))
+      .withColumn("dup_permille",
+        expr("(dup_tokens * 1000) div total_tokens").cast("long"))
+      .orderBy(col("source"))
+  }
+
   /** Benchmark-contamination screen: which corpus documents share enough
     * word-3-gram shingles with a held-out benchmark set that training on
     * them would leak the eval. The `src0` source stands in for the
@@ -1199,6 +1281,56 @@ object DedupQueries {
         |SELECT doc_a, doc_b, CAST(MAX(run) + 2 AS BIGINT) AS span_tokens
         |FROM rl GROUP BY 1, 2 HAVING MAX(run) + 2 >= 10
         |ORDER BY span_tokens DESC, doc_a, doc_b LIMIT 50""".stripMargin)),
+    // Oracle restates the full corpus-global chain — identical md5-of-
+    // space-joined-window fingerprints (the proven cross-engine idiom),
+    // COUNT OVER (PARTITION BY fp) duplication, the same k = 20 island
+    // merge. Positions are 1-based here vs 0-based in Spark; every
+    // emitted measure is a position difference, so the shift cancels.
+    NamedQuery("q_dedup_exact_substring", exactSubstringDedup, Some(
+      """WITH tk AS (
+        |  SELECT doc_id, source,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |               CAST(SUM(len(t)) AS BIGINT) AS total_tokens
+        |        FROM tk GROUP BY 1),
+        |w AS (SELECT doc_id, source, i,
+        |             md5(array_to_string(t[i:i+19], ' ')) AS fp
+        |      FROM (SELECT doc_id, source, t,
+        |                   UNNEST(range(1, len(t) - 18)) AS i
+        |            FROM tk WHERE len(t) >= 20)),
+        |d AS (SELECT doc_id, source, i FROM (
+        |        SELECT doc_id, source, i,
+        |               COUNT(*) OVER (PARTITION BY fp) AS n_occ
+        |        FROM w) WHERE n_occ >= 2),
+        |sp AS (SELECT doc_id, source, i,
+        |              CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id
+        |                                         ORDER BY i) <= 20
+        |                   THEN 0 ELSE 1 END AS new_span
+        |       FROM d),
+        |si AS (SELECT doc_id, source, i,
+        |              SUM(new_span) OVER (PARTITION BY doc_id ORDER BY i
+        |                ROWS UNBOUNDED PRECEDING) AS span_id
+        |       FROM sp),
+        |spans AS (SELECT doc_id, source, span_id,
+        |                 MAX(i) - MIN(i) + 20 AS span_tokens
+        |          FROM si GROUP BY 1, 2, 3),
+        |perdoc AS (SELECT doc_id, source, COUNT(*) AS n_spans,
+        |                  SUM(span_tokens) AS dup_tokens
+        |           FROM spans GROUP BY 1, 2),
+        |persrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_affected,
+        |                  CAST(SUM(n_spans) AS BIGINT) AS n_spans,
+        |                  CAST(SUM(dup_tokens) AS BIGINT) AS dup_tokens
+        |           FROM perdoc GROUP BY 1)
+        |SELECT t.source, t.n_docs,
+        |       COALESCE(p.docs_affected, 0) AS docs_affected,
+        |       COALESCE(p.n_spans, 0) AS n_spans,
+        |       COALESCE(p.dup_tokens, 0) AS dup_tokens,
+        |       t.total_tokens,
+        |       CAST((COALESCE(p.dup_tokens, 0) * 1000) // t.total_tokens
+        |            AS BIGINT) AS dup_permille
+        |FROM tot t LEFT JOIN persrc p USING (source)
+        |ORDER BY t.source""".stripMargin)),
     // Oracle restates the screen over raw STRING 3-grams (DuckDB has no
     // xxhash64): hash-set overlap counts equal string-set overlap counts
     // absent 64-bit collisions inside a doc pair's shingle universe —

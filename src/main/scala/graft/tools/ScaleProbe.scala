@@ -29,6 +29,8 @@ object ScaleProbe {
     "q_dedup_ngram_jaccard", "q_dedup_prefix_jaccard", "q_dedup_incremental",
     "q_dedup_common_span", "q_dedup_components", "q_dedup_canonical",
     "q_dedup_pipeline", "q_corpus_split",
+    // round 16: corpus-global exact-substring screen (fp-window shuffle)
+    "q_dedup_exact_substring",
     "q_sim_cosine_topk", "q_sim_ivf_topk", "q_sim_pq_topk",
     "q_sim_ivfpq_topk", "q_sim_semantic_dedup",
     "q_text_lm_familiarity", "q_corpus_dsir", "q_text_ks_drift",

@@ -22,6 +22,74 @@ import org.apache.spark.sql.types.DecimalType
   *      64-bit portable prefix substring(fp, 1, 16).
   */
 object StageProbe {
+
+  /** Mode "nextbrand": decompose q_next_brand_recs' 10× warm ratio
+    * (SCALE.md round-15: 2.5×, the only rewritten query above 2×) into
+    * its pipeline stages at sf0.1 vs the 10× slice — artifact read,
+    * orders join, customer-sequence window, full transition model —
+    * so the superlinear term is attributed to a stage, not guessed. */
+  private def nextBrandDecomposition(spark: SparkSession,
+                                     dirs: Seq[String]): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val stages = dirs.map { dir =>
+      val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
+      val part = spark.read.parquet(s"$dir/part.parquet")
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+      val baskets = lineitem
+        .join(part, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("brand"))).as("bs"))
+        .persist()
+      baskets.count()
+      def repBrand = baskets
+        .select(col("ok").as("l_orderkey"), element_at(col("bs"), 1).as("brand"))
+      def joined = orders
+        .join(repBrand, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+          col("brand"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      def seq = joined.withColumn("nxt", lead(col("brand"), 1).over(w))
+        .where(col("nxt").isNotNull)
+      def trans = seq
+        .groupBy(col("brand").as("brand_from"), col("nxt").as("brand_to"))
+        .agg(count(lit(1)).as("n"))
+      val rw = Window.partitionBy(col("brand_from"))
+        .orderBy(col("n").desc, col("brand_to"))
+      def full = trans
+        .withColumn("total",
+          sum(col("n")).over(Window.partitionBy(col("brand_from"))))
+        .withColumn("rnk", row_number().over(rw))
+        .where(col("rnk") <= 3)
+      dir -> Seq[(String, () => Long)](
+        ("artifact_read", () => repBrand.count()),
+        ("orders_join", () => joined.count()),
+        ("seq_window", () => seq.count()),
+        ("full_model", () => full.count()))
+    }
+    val mins = scala.collection.mutable.Map.empty[(String, String), Double]
+    (1 to 3).foreach { _ =>
+      stages.foreach { case (dir, ss) =>
+        ss.foreach { case (label, run) =>
+          val t0 = System.nanoTime()
+          val c = run()
+          val s = (System.nanoTime() - t0) / 1e9
+          val k = (dir, label)
+          mins(k) = math.min(mins.getOrElse(k, Double.MaxValue), s)
+          println(f"[$dir] $label: $s%.3f s ($c rows)")
+        }
+      }
+    }
+    println("| stage | sf0.1 warm (s) | 10x warm (s) | ratio |")
+    println("|---|---|---|---|")
+    stages.head._2.map(_._1).foreach { label =>
+      val a = mins((dirs.head, label))
+      val b = mins((dirs.last, label))
+      println(f"| $label | $a%.3f | $b%.3f | ${b / a}%.1fx |")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -32,6 +100,12 @@ object StageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    if (args.lift(1).contains("nextbrand")) {
+      nextBrandDecomposition(spark,
+        Seq(sfDir, args.lift(2).getOrElse("/tmp/sf1x10")))
+      spark.stop()
+      return
+    }
     graft.functions.Md5Shingles.register(spark)
 
     val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")

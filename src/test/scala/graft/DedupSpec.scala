@@ -80,6 +80,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exact-substring ledger equals a brute-force corpus window census") {
+    val k = 20
+    val t = Tpch(spark, Sf)
+    val docs = t.documents
+      .select(col("doc_id"), col("source"),
+        filter(split(col("text"), " "), x => x =!= "").as("tk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+    // corpus-wide window occurrence census on the literal window STRINGS
+    // (driver-side there is no reason to hash — md5 equality on the Spark
+    // side is pinned by Md5ShinglesSpec)
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    val winsByDoc = docs.map { case (id, src, tk) =>
+      val ws = (0 to tk.length - k)
+        .map(i => i -> tk.slice(i, i + k).mkString(" "))
+      ws.foreach { case (_, w) => occ(w) = occ.getOrElse(w, 0) + 1 }
+      (id, src, ws)
+    }
+    // island merge: window at p extends the running span iff p - prev <= k
+    val perDoc = winsByDoc.flatMap { case (_, src, ws) =>
+      val dupPos = ws.collect { case (i, w) if occ(w) >= 2 => i }
+      if (dupPos.isEmpty) None
+      else {
+        var spans = List.empty[(Int, Int)]
+        dupPos.foreach { p =>
+          spans match {
+            case (s, e) :: rest if p - e <= k => spans = (s, p) :: rest
+            case _ => spans = (p, p) :: spans
+          }
+        }
+        val tokens = spans.map { case (s, e) => (e - s + k).toLong }
+        Some(src -> (tokens.size.toLong, tokens.sum))
+      }
+    }
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val total = ds.map(_._3.length.toLong).sum
+      val aff = perDoc.filter(_._1 == src).map(_._2)
+      val dupTok = aff.map(_._2).sum
+      (src, ds.length.toLong, aff.length.toLong, aff.map(_._1).sum,
+        dupTok, total, dupTok * 1000 / total)
+    }.toSeq.sortBy(_._1)
+    val got = DedupQueries.exactSubstringDedup(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == want,
+      s"exact-substring ledger diverged from brute force:\n$got\nvs\n$want")
+    // the screen must decide real rows on the shipped corpus, not just
+    // compute zeros — exact-dup documents guarantee duplicated windows
+    assert(got.exists(_._3 > 0), "no duplicated spans found in the corpus")
+  }
+
   test("minhash LSH: reported jaccards are exact; recall on j>=0.9 pairs >= 80%") {
     val got = DedupQueries.minhashNearDups(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
