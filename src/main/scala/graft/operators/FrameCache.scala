@@ -53,13 +53,17 @@ private[graft] object FrameCache {
     * builds under its own monitor so an artifact builds exactly once
     * while DIFFERENT artifacts still build concurrently. Nested builds
     * (covariance → means, PRF → expanded queries) acquire along the
-    * artifact-dependency call graph — a DAG, so lock cycles cannot form;
-    * an identityHashCode collision between cache sites only COARSENS two
-    * locks into one (monitors are reentrant), never deadlocks. Entries
-    * carry their session and are purged like cache entries, so the lock
-    * map's bound is the live (cache, session, sf) set. */
-  private val buildLocks =
-    TrieMap.empty[(Int, String, Int, String), (SparkSession, AnyRef)]
+    * artifact-dependency call graph — a DAG, so lock cycles cannot form.
+    * The outer map is an IDENTITY map on the cache object, not a hash of
+    * it: caches are structurally-equal empty TrieMaps (and an
+    * identityHashCode key could in principle collide), and any
+    * accidental lock MERGE across two cache sites would fuse two DAG
+    * nodes — the one way a cycle could appear. Identity keying makes the
+    * no-cycle argument hold by construction. Bounds: outer entries = the
+    * operator-object cache registry (~dozens, never per query/session);
+    * inner entries carry their session and purge like cache entries. */
+  private val buildLocks = new java.util.IdentityHashMap[
+    Cache, TrieMap[(String, Int, String), (SparkSession, AnyRef)]]
 
   def cached(cache: Cache, spark: SparkSession, sfDir: String)
             (build: => DataFrame): DataFrame = {
@@ -69,13 +73,19 @@ private[graft] object FrameCache {
     cache.get(key) match {
       case Some((_, df)) => df
       case None =>
-        buildLocks.filterInPlace { case (_, (s, _)) =>
+        val locks = buildLocks.synchronized {
+          var m = buildLocks.get(cache)
+          if (m == null) {
+            m = TrieMap.empty
+            buildLocks.put(cache, m)
+          }
+          m
+        }
+        locks.filterInPlace { case (_, (s, _)) =>
           !s.sparkContext.isStopped }
-        val lockKey = (System.identityHashCode(cache),
-          key._1, key._2, key._3)
-        val lock = buildLocks.putIfAbsent(lockKey, (spark, new Object)) match {
+        val lock = locks.putIfAbsent(key, (spark, new Object)) match {
           case Some((_, l)) => l
-          case None => buildLocks(lockKey)._2
+          case None => locks(key)._2
         }
         lock.synchronized {
           cache.getOrElseUpdate(key, (spark, build))._2
