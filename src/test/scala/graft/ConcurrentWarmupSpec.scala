@@ -1,0 +1,59 @@
+package graft
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import org.apache.spark.sql.Row
+
+import graft.operators.FrameCache
+
+/** End-to-end equivalence for the concurrent warm-up (Bench pass-0 runs
+  * the registry on a thread pool): racing artifact-heavy queries from
+  * several threads must leave the SAME artifact state — and therefore
+  * the same results — as a clean sequential pass. `FrameCacheSpec` pins
+  * the lock primitives in isolation; this pins the integrated property
+  * the bench actually relies on, across real operator artifact graphs
+  * (LSH signature/band caches, the brand-basket table, the PRF chain
+  * behind BM25 artifacts, the whitening covariance, components).
+  */
+class ConcurrentWarmupSpec extends SparkSpec {
+
+  // artifact-heavy queries spanning distinct operator objects and
+  // NESTED artifact dependencies (prf -> expanded queries -> bm25;
+  // whitened -> direction -> covariance -> means)
+  private val names = Seq(
+    "q_dedup_minhash", "q_market_basket", "q_next_brand_recs",
+    "q_text_prf_retrieval", "q_sim_whitened_topk", "q_dedup_components",
+    "q_corpus_pack", "q_dedup_exact_substring")
+
+  private def collectAll(): Map[String, Seq[String]] =
+    names.map { n =>
+      n -> SparkEntry.queries(n)(spark, Sf).collect().toSeq
+        .map((r: Row) => r.toString).sorted
+    }.toMap
+
+  test("concurrent warm-up leaves the same results as a sequential pass") {
+    // Phase 1: race all queries on a pool, twice each, so first-touch
+    // artifact builds genuinely contend (the bench pass-0 shape).
+    val pool = Executors.newFixedThreadPool(8)
+    try {
+      val futures = (names ++ names).map { n =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = SparkEntry.queries(n)(spark, Sf).count()
+        })
+      }
+      futures.foreach(_.get(300, TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val concurrent = collectAll()
+
+    // Phase 2: sweep every cached artifact and rebuild SEQUENTIALLY in
+    // the same session — the reference state.
+    FrameCache.sweep(spark)
+    val sequential = collectAll()
+
+    names.foreach { n =>
+      assert(concurrent(n) == sequential(n),
+        s"$n: concurrent-warmup results diverge from sequential rebuild")
+      assert(concurrent(n).nonEmpty, s"$n returned no rows")
+    }
+  }
+}
