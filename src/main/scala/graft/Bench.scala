@@ -11,6 +11,47 @@ object Bench {
   private def fmt(v: Double, dp: Int): String =
     String.format(Locale.ROOT, s"%.${dp}f", Double.box(v))
 
+  /** Pass-0 driver, factored out so a spec can plant a throwing task:
+    * runs `runOne` for every name (on a `threads`-wide pool when > 1) and
+    * returns `(failed names with messages, wall seconds)`. Failures are
+    * COLLECTED, never swallowed — a query whose artifact build throws in
+    * pass-0 would otherwise surface only as an inflated pass-1 floor, the
+    * one place the concurrent warm-up could hide a real defect. An
+    * interrupt while waiting restores the thread's interrupt flag and
+    * stops waiting on the remaining futures (the pool is shut down by the
+    * finally). */
+  private[graft] def warmupPass(names: Seq[String], threads: Int)
+                               (runOne: String => Unit): (Seq[String], Double) = {
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    def attempt(n: String): Unit =
+      try runOne(n)
+      catch { case t: Throwable => failed.add(s"$n: ${t.getClass.getSimpleName}: ${t.getMessage}") }
+    val t0 = System.nanoTime()
+    if (threads <= 1) names.foreach(attempt)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val futures = names.map(n => pool.submit(new Runnable {
+          def run(): Unit = attempt(n)
+        }))
+        var interrupted = false
+        futures.foreach { f =>
+          if (!interrupted) try f.get() catch {
+            case _: InterruptedException =>
+              Thread.currentThread().interrupt()
+              interrupted = true
+            case _: Throwable => () // attempt() already recorded it
+          }
+        }
+      } finally {
+        pool.shutdown()
+        try pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: InterruptedException => Thread.currentThread().interrupt() }
+      }
+    }
+    (failed.toArray(Array.empty[String]).toSeq, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -68,16 +109,13 @@ object Bench {
     // numbers are still isolated single-query wall times.
     val warmThreads = sys.env.getOrElse("SPARK_GRAFT_WARMUP_THREADS", "8")
       .toInt.max(1)
-    val warmT0 = System.nanoTime()
-    if (warmThreads == 1) names.foreach(timeOnce)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmThreads)
-      try names.map(n => pool.submit(new Runnable {
-          def run(): Unit = timeOnce(n)
-        })).foreach(f => try f.get() catch { case _: Throwable => () })
-      finally pool.shutdown()
+    // Pass-0 runs the query WITHOUT timeOnce's swallow: a failure here is
+    // a named defect (broken artifact build), not a timing artifact, and
+    // must reach stderr instead of reappearing as an inflated pass-1 floor.
+    val (warmFailed, warmupSec) = warmupPass(names, warmThreads) { n =>
+      SparkEntry.queries(n)(spark, sfDir).count(); ()
     }
-    val warmupSec = (System.nanoTime() - warmT0) / 1e9
+    warmFailed.foreach(m => System.err.println(s"WARMUP-FAILED $m"))
     // SPARK_GRAFT_BENCH_DRIVES (default 1) multiplies the three interleaved
     // passes — the USAGE.md best-of-2 protocol (2 drives = min of 6
     // interleaved runs) implemented bench-side, so the gate's single
@@ -114,7 +152,10 @@ object Bench {
     // run of every query including every one-time build). Printed BEFORE
     // the final report line so the driver still parses the total as the
     // last JSON line.
-    println(s"""{"metric":"warmup","value":${fmt(warmupSec, 3)},"unit":"sec","sf":"$sfDir"}""")
+    val warmFailedJson =
+      if (warmFailed.isEmpty) ""
+      else s""","warmup_failed":${warmFailed.size}"""
+    println(s"""{"metric":"warmup","value":${fmt(warmupSec, 3)},"unit":"sec"$warmFailedJson,"sf":"$sfDir"}""")
     // Self-fitting compact line: as the registry grows the per-query map
     // must stay inside the driver's bounded tail. Degrade precision first;
     // if still too long, drop the FASTEST queries from the map (the slow

@@ -170,18 +170,27 @@ object CorpusPrep {
   private val packCache = FrameCache.empty
 
   /** The per-partition prefix offsets of the PINNED parted frame above —
-    * a driver artifact (numPartitions longs) as deterministic per
-    * (session, sf) as the frame it summarizes, so the totals collect runs
-    * ONCE per (session, sf) instead of launching a second job on every
-    * execution (that extra job-launch was pure scheduling overhead per
-    * timed pass — and the variance source the 0.214 s floor flags hinted
-    * at). WeakHashMap on the session (the ScanSpread rule) so a GC'd
-    * session takes its entries with it; the memo is only sound because
-    * `parted` is itself FrameCache-pinned — a caller whose input can
-    * change under the session must keep collecting per call. */
+    * a driver artifact (numPartitions longs) as deterministic as the frame
+    * it summarizes, so the totals collect runs ONCE per pinned frame
+    * instead of launching a second job on every execution (that extra
+    * job-launch was pure scheduling overhead per timed pass — and the
+    * variance source the 0.214 s floor flags hinted at).
+    *
+    * KEYED ON THE PINNED FRAME OBJECT (weak identity), not on
+    * (session, sf): the offsets are only valid for the exact partitioning
+    * of the exact frame the collect ran over. A (session, sf) key would
+    * outlive a `FrameCache.sweep` — the rebuilt frame can legally have a
+    * DIFFERENT partition count (e.g. `spark.sql.shuffle.partitions`
+    * changed mid-session, sweep's documented use case) and stale offsets
+    * would silently corrupt pack positions. Tying the memo to the frame
+    * object makes the lifecycles identical by construction: sweep drops
+    * the cache entry → the rebuilt frame is a new object → fresh collect;
+    * the old entry's weak key is GC'd with the old frame. DataFrame does
+    * not override equals, so WeakHashMap keying is identity keying here.
+    * A caller whose input frame is NOT pinned must keep collecting per
+    * call. */
   private val packOffsetMemo = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[
-      String, org.apache.spark.sql.Column]]
+    DataFrame, org.apache.spark.sql.Column]
 
   def packingStats(spark: SparkSession, sfDir: String): DataFrame = {
     val maxLen = 2048
@@ -197,16 +206,14 @@ object CorpusPrep {
         .withColumn("__pid", spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    val memo = packOffsetMemo.synchronized {
-      var m = packOffsetMemo.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        packOffsetMemo.put(spark, m)
+    val offsetCol = packOffsetMemo.synchronized {
+      var c = packOffsetMemo.get(parted)
+      if (c == null) {
+        c = graft.plans.PrefixOffsets.offsetColumn(parted, col("n_tok"))
+        packOffsetMemo.put(parted, c)
       }
-      m
+      c
     }
-    val offsetCol = memo.getOrElseUpdate(sfDir,
-      graft.plans.PrefixOffsets.offsetColumn(parted, col("n_tok")))
     val w = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
     parted
       .withColumn("cum_before",

@@ -961,8 +961,13 @@ object DedupQueries {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
         col("total_tokens"))
+      // total_tokens = 0 guard: Spark's `div` yields NULL but DuckDB's `//`
+      // RAISES on division by zero, so an empty source would abort the
+      // oracle run instead of mismatching — NULLIF on the oracle side and
+      // the mirrored when() here make both engines emit NULL for that row.
       .withColumn("dup_permille",
-        expr("(dup_tokens * 1000) div total_tokens").cast("long"))
+        when(col("total_tokens") > 0,
+          expr("(dup_tokens * 1000) div total_tokens")).cast("long"))
       .orderBy(col("source"))
   }
 
@@ -1327,7 +1332,8 @@ object DedupQueries {
         |       COALESCE(p.n_spans, 0) AS n_spans,
         |       COALESCE(p.dup_tokens, 0) AS dup_tokens,
         |       t.total_tokens,
-        |       CAST((COALESCE(p.dup_tokens, 0) * 1000) // t.total_tokens
+        |       CAST((COALESCE(p.dup_tokens, 0) * 1000)
+        |            // NULLIF(t.total_tokens, 0)
         |            AS BIGINT) AS dup_permille
         |FROM tot t LEFT JOIN persrc p USING (source)
         |ORDER BY t.source""".stripMargin)),

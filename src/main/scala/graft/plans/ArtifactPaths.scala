@@ -73,9 +73,14 @@ object ArtifactPaths {
     * clears the debris. Returns the artifact path. */
   def ensure(spark: SparkSession, path: String, markerSubdir: String = "")
             (build: String => Unit): String = {
-    val lock = ensureLocks.putIfAbsent(path, new Object) match {
+    // Lock key is the NORMALIZED path (Hadoop Path collapses trailing
+    // slashes / duplicate separators): two spellings of one artifact
+    // directory must take the SAME lock, or the check-then-act guard the
+    // map exists for is silently defeated for exactly those callers.
+    val lockKey = new Path(path).toString
+    val lock = ensureLocks.putIfAbsent(lockKey, new Object) match {
       case Some(l) => l
-      case None => ensureLocks(path)
+      case None => ensureLocks(lockKey)
     }
     lock.synchronized {
       val marker = if (markerSubdir.isEmpty) new Path(path, "_SUCCESS")

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bench pass-0 failure surfacing: a query whose artifact build throws
+  * during the concurrent warm-up must come back as a NAMED failure, never
+  * vanish into the pool (where it would re-surface only as an inflated
+  * pass-1 floor misattributed to slowness). Pure-JVM spec — no Spark
+  * session; the contract under test is the pool/collection plumbing. */
+class BenchWarmupSpec extends AnyFunSuite {
+
+  private val names = (1 to 24).map(i => s"q_$i")
+
+  test("a throwing warm-up task is reported by name (pooled)") {
+    val (failed, _) = Bench.warmupPass(names, threads = 8) { n =>
+      if (n == "q_7" || n == "q_19")
+        throw new IllegalStateException("artifact build broke")
+    }
+    assert(failed.size == 2, s"expected 2 named failures, got $failed")
+    assert(failed.exists(_.startsWith("q_7:")), s"q_7 not named in $failed")
+    assert(failed.exists(_.startsWith("q_19:")), s"q_19 not named in $failed")
+    assert(failed.forall(_.contains("artifact build broke")),
+      "failure messages must carry the cause")
+  }
+
+  test("a throwing warm-up task is reported by name (sequential)") {
+    val (failed, _) = Bench.warmupPass(names, threads = 1) { n =>
+      if (n == "q_3") throw new RuntimeException("boom")
+    }
+    assert(failed == Seq("q_3: RuntimeException: boom"))
+  }
+
+  test("all-green warm-up reports no failures and runs every task") {
+    val ran = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val (failed, secs) = Bench.warmupPass(names, threads = 8) { n =>
+      ran.add(n); ()
+    }
+    assert(failed.isEmpty)
+    assert(ran.size == names.size, "pool skipped tasks")
+    assert(secs >= 0.0)
+  }
+
+  test("interrupt while waiting restores the interrupt flag") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val sawInterrupt = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val runner = new Thread(() => {
+      try {
+        Bench.warmupPass(Seq("slow"), threads = 2) { _ =>
+          gate.countDown()
+          Thread.sleep(10000)
+        }
+        ()
+      } catch { case _: Throwable => () }
+      // warmupPass must RE-SET the flag after eating the
+      // InterruptedException from f.get()/awaitTermination — the caller
+      // (here, the thread body) has to be able to see the interrupt.
+      sawInterrupt.set(Thread.currentThread().isInterrupted)
+    })
+    runner.start()
+    gate.await()
+    runner.interrupt()
+    runner.join(5000)
+    assert(!runner.isAlive, "warmupPass did not return after interrupt")
+    assert(sawInterrupt.get, "interrupt flag was swallowed, not restored")
+  }
+}

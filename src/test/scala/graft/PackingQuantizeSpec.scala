@@ -43,6 +43,30 @@ class PackingQuantizeSpec extends SparkSpec {
     assert(got.values.map(_._4).sum > 0, "no sequence boundaries crossed")
   }
 
+  test("pack offsets survive a sweep + shuffle-partition change") {
+    // The memoized per-partition offsets must share the PINNED frame's
+    // lifecycle: after FrameCache.sweep the frame rebuilds, and if
+    // spark.sql.shuffle.partitions changed in between, the rebuilt frame
+    // has a DIFFERENT partition count — stale offsets keyed on
+    // (session, sf) would silently corrupt pack positions (NULL offsets
+    // for the new pids). Keying the memo on the frame object makes this
+    // hold by construction; this spec pins it.
+    val before = CorpusPrep.packingStats(spark, Sf).collect()
+      .map(_.toString).sorted.toSeq
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      graft.operators.FrameCache.sweep(spark)
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val after = CorpusPrep.packingStats(spark, Sf).collect()
+        .map(_.toString).sorted.toSeq
+      assert(after == before,
+        "packing stats changed across sweep + partition-count change — stale offsets")
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", old)
+      graft.operators.FrameCache.sweep(spark)
+    }
+  }
+
   test("quantization stats equal a driver-side recomputation") {
     val got = SimilarityQueries.quantizationStats(spark, Sf).collect()
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
