@@ -57,7 +57,12 @@ object BloomScreen {
   def corpusBloom(spark: SparkSession, sfDir: String): Array[Byte] = {
     val path = graft.plans.ArtifactPaths.ensure(
       spark, bloomPath(spark, sfDir))(buildBloom(spark, sfDir, _))
-    spark.read.parquet(path).head.getAs[Array[Byte]]("bloom")
+    // memoized per (session, fingerprinted path): the blob read was a
+    // per-execution driver job; the path key is immutable-by-construction
+    // (a regenerated corpus changes the fingerprint, hence the path)
+    graft.plans.CollectMemo.onPath(spark, path, "bloom") {
+      spark.read.parquet(path).head.getAs[Array[Byte]]("bloom")
+    }
   }
 
   def bloomIngestScreen(spark: SparkSession, sfDir: String): DataFrame = {

@@ -151,9 +151,12 @@ object BpeTrainer {
     * merge list itself is the memoized train-once artifact ([[bpeMerges]]),
     * KB-sized on the driver — the tokenizer file a real pipeline ships. */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val merges = bpeMerges(spark, sfDir).collect()
-      .sortBy(_.getAs[Int]("rank"))
-      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    val mergesFrame = bpeMerges(spark, sfDir)
+    val merges = graft.plans.CollectMemo.onFrame(mergesFrame, "merges") {
+      mergesFrame.collect()
+        .sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
+    }
     val occ = Tpch(spark, sfDir).documents
       .select(col("lang"), explode(split(col("text"), " ")).as("w"))
       .where(col("w") =!= "")

@@ -146,9 +146,11 @@ object EmbeddingStats {
     * the honest shape. */
   def topDirection(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val upper = covariance(spark, sfDir)
-      .collect().map(r => (r.getAs[Long]("d1").toInt, r.getAs[Long]("d2").toInt,
-        r.getAs[Double]("c")))
+    val covFrame = covariance(spark, sfDir)
+    val upper = graft.plans.CollectMemo.onFrame(covFrame, "upper") {
+      covFrame.collect().map(r => (r.getAs[Long]("d1").toInt,
+        r.getAs[Long]("d2").toInt, r.getAs[Double]("c")))
+    }
     val dims = upper.map(_._2).max + 1
     val cov = Array.ofDim[Double](dims, dims)
     upper.foreach { case (i, j, c) => cov(i)(j) = c; cov(j)(i) = c }
@@ -239,7 +241,10 @@ object EmbeddingStats {
     * The 1/4096 per-element grid is the knob: QC hunts gross outliers
     * (wrong scale, truncation), not 6th-decimal drift. */
   def embeddingQc(spark: SparkSession, sfDir: String): DataFrame =
-    qcOf(Tpch(spark, sfDir).embeddings)
+    // anchor = the pinned per-(session, sf) means frame: same corpus, same
+    // lifecycle (sweep invalidates both), so the histogram memo can never
+    // outlive the data it summarizes
+    qcOf(Tpch(spark, sfDir).embeddings, memoAnchor = Some(dimMeans(spark, sfDir)))
 
   /** Whitened ("all-but-the-top") cosine retrieval — the ACTION the
     * anisotropy audit's readout recommends: center the space, remove the
@@ -272,13 +277,23 @@ object EmbeddingStats {
     // centered in driver doubles — bit-identical to the oracle's SQL
     // subtraction of the same operands). The corpus is then scanned
     // exactly once, by the aggregate below.
-    val u = topDirection(spark, sfDir)
-      .select(col("d"), col("component")).collect()
-      .map(r => r.getAs[Long]("d") -> r.getAs[Double]("component")).toMap
-    val m = dimMeans(spark, sfDir).collect()
-      .map(r => r.getAs[Long]("d") -> r.getAs[Double]("m")).toMap
-    val qVec = t.embeddings.where(col("vec_id") === 0)
-      .select(col("embedding")).head().getSeq[Float](0)
+    // All three collects memoized per the pinned covariance frame
+    // (CollectMemo): each was a per-execution build-phase job (6 total
+    // for this query in the round-17 job-count sweep).
+    val covFrame = covariance(spark, sfDir)
+    val u = graft.plans.CollectMemo.onFrame(covFrame, "whiten_u") {
+      topDirection(spark, sfDir)
+        .select(col("d"), col("component")).collect()
+        .map(r => r.getAs[Long]("d") -> r.getAs[Double]("component")).toMap
+    }
+    val m = graft.plans.CollectMemo.onFrame(covFrame, "whiten_m") {
+      dimMeans(spark, sfDir).collect()
+        .map(r => r.getAs[Long]("d") -> r.getAs[Double]("m")).toMap
+    }
+    val qVec = graft.plans.CollectMemo.onFrame(covFrame, "whiten_qvec") {
+      t.embeddings.where(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0)
+    }
     val art = qVec.indices.map { d =>
       (d.toLong, u(d.toLong), m(d.toLong), qVec(d).toDouble - m(d.toLong))
     }.toDF("d", "u", "m", "xq")
@@ -358,7 +373,8 @@ object EmbeddingStats {
 
   /** The audit over any (label, embedding: array<float>) frame — split out
     * so the spec can plant NaN / zero / short / wrong-scale vectors. */
-  private[graft] def qcOf(embeddings: DataFrame): DataFrame = {
+  private[graft] def qcOf(embeddings: DataFrame,
+                          memoAnchor: Option[DataFrame] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val base = embeddings.select(
@@ -374,9 +390,16 @@ object EmbeddingStats {
     // window formulation spent ~0.7 s of stage overhead per execution on
     // a KB frame. Lower median = the grid value whose cumulative span
     // covers rank (n + 1) div 2, identical to the oracle's `//` pick.
-    val hist = base.where(!col("bad"))
+    def collectHist = base.where(!col("bad"))
       .groupBy(col("label"), col("norm_q")).agg(count(lit(1)).as("freq"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // memoAnchor (a pinned frame over the SAME corpus) makes the collect
+    // once-per-(session, sf) for the registered query; ad-hoc callers
+    // (specs with planted frames) pass no anchor and keep collecting
+    val hist = memoAnchor match {
+      case Some(a) => graft.plans.CollectMemo.onFrame(a, "qc_hist")(collectHist)
+      case None => collectHist
+    }
     def rankPick(values: Seq[(Long, Long)]): Long = {
       val n = values.map(_._2).sum
       val r = (n + 1) / 2

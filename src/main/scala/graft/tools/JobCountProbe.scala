@@ -1,0 +1,102 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dev tool: per-query JOB counts in a warm session — the `q_corpus_pack`
+  * disease detector, generalized. A query whose DataFrame CONSTRUCTION
+  * launches Spark jobs (driver-side collects at plan-build time: prefix
+  * offsets, trained tables, domain scans) pays a per-execution job-launch
+  * overhead that box load amplifies — exactly the term behind headline
+  * variance. Jobs launched by the ACTION itself (AQE stage
+  * materializations, broadcast builds) are the plan's own shape and are
+  * reported separately.
+  *
+  * For each registry query, AFTER a full pooled warm-up (so every
+  * FrameCache/ArtifactPaths artifact exists and one-time builds don't
+  * read as per-execution cost):
+  *
+  *   build  = jobs during `SparkEntry.queries(name)(spark, sfDir)`
+  *   action = jobs during the subsequent `.count()`
+  *
+  * Output: one markdown row per query with build > 0 (the actionable
+  * set), then a job-count histogram of the action phase. Listener events
+  * are async — each phase boundary polls the counter until two reads
+  * 100 ms apart agree.
+  *
+  * Usage: runMain graft.tools.JobCountProbe [sfDir] [nameFilter]
+  */
+object JobCountProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val filter = args.lift(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    graft.sources.Tables.All.foreach { t =>
+      graft.sources.Tables.load(spark, sfDir, t).count()
+    }
+
+    val jobs = new AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(start: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
+    // Counter reads must outlast the async listener bus: settle = poll
+    // until two 100 ms-apart reads agree.
+    def settled(): Int = {
+      var prev = -1
+      var cur = jobs.get()
+      while (cur != prev) { Thread.sleep(100); prev = cur; cur = jobs.get() }
+      cur
+    }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(n.contains))
+    // Full warm-up so artifact builds never masquerade as per-execution
+    // jobs below (mirrors the bench's pass-0).
+    val (failed, warmSec) = graft.Bench.warmupPass(names, 8) { n =>
+      SparkEntry.queries(n)(spark, sfDir).count(); ()
+    }
+    failed.foreach(m => System.err.println(s"WARM-FAILED $m"))
+    println(f"warm-up: ${warmSec}%.1f s over ${names.size} queries")
+
+    val rows = names.map { name =>
+      val base = settled()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val afterBuild = settled()
+      try df.count() catch { case t: Throwable =>
+        System.err.println(s"ACTION-FAILED $name: $t") }
+      val afterAction = settled()
+      (name, afterBuild - base, afterAction - afterBuild)
+    }
+
+    println("\n| query | build-phase jobs | action-phase jobs |")
+    println("|---|---|---|")
+    rows.filter(_._2 > 0).sortBy(r => (-r._2, r._1)).foreach {
+      case (n, b, a) => println(s"| $n | $b | $a |")
+    }
+    val buildFree = rows.count(_._2 == 0)
+    println(s"\nbuild-phase-job-free queries: $buildFree / ${rows.size}")
+    println("\naction-phase job-count histogram:")
+    rows.groupBy(_._3).toSeq.sortBy(_._1).foreach { case (k, v) =>
+      println(f"  $k%3d jobs: ${v.size}%3d queries" +
+        (if (k >= 6) "  <- " + v.map(_._1).sorted.mkString(", ") else ""))
+    }
+    val worst = rows.sortBy(r => -(r._2 + r._3)).take(15)
+    println("\ntop total-jobs-per-execution:")
+    worst.foreach { case (n, b, a) => println(f"  ${b + a}%3d  $n (build=$b)") }
+    spark.stop()
+  }
+}
