@@ -685,6 +685,46 @@ object GraphQueries {
     * capped by the backbone degree — the sparsifier IS the budget);
     * the candidate anti-join and the top-k are pair-domain-sized. */
   def tradeLinkPrediction(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tpch(spark, sfDir)
+    // Wedge enumeration + resource-allocation scoring over the ≤|nations|²
+    // collected backbone — driver math like every other nation-domain
+    // fixed point (the k-core/HITS pattern): the distributed wedge join
+    // spent 7 jobs of stage scheduling per execution on a ≤625-row frame
+    // (round-17 job-count sweep; A/B in SCALE.md). Arithmetic is exact
+    // integer (Long / positive divisor == the oracle's DIV floor). On a
+    // billion-node graph the same score is the distributed form this
+    // replaced: sym ⋈ sym wedge join, anti join on the edge set, count +
+    // Σ(10⁶ div deg) aggregate — domain-bounded here, so the driver form
+    // is the honest shape. Memoized per pinned backbone frame.
+    val bbFrame = backboneEdges(spark, sfDir)
+    val scored = graft.plans.CollectMemo.onFrame(bbFrame, "link_scores") {
+      val bb = collectedBackbone(bbFrame)
+      val bbSet = bb.toSet
+      val neighbors = bb.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).sorted }
+      val cn = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      val ra = scala.collection.mutable.Map.empty[(Int, Int), Long]
+      for {
+        (_, ns) <- neighbors
+        i <- ns.indices
+        j <- (i + 1) until ns.length
+      } {
+        val (a, b) = (ns(i), ns(j)) // a < b: ns is sorted ascending
+        if (!bbSet.contains((a, b))) {
+          cn((a, b)) = cn.getOrElse((a, b), 0L) + 1L
+          ra((a, b)) = ra.getOrElse((a, b), 0L) + 1000000L / ns.length
+        }
+      }
+      cn.keys.toSeq.sorted.map(k => (k._1, k._2, cn(k), ra(k)))
+    }
+    finishLinkPrediction(t, scored.toDF("a", "b", "cn", "ra_ppm"))
+  }
+
+  /** The distributed wedge-join form the driver math replaced — kept for
+    * the StageProbe A/B and as the billion-node reference shape. */
+  private[graft] def tradeLinkPredictionDistributed(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val sym = symBackbone(spark, sfDir)
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -700,6 +740,10 @@ object GraphQueries {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"),
         sum(expr("1000000 DIV deg")).as("ra_ppm"))
+    finishLinkPrediction(t, scored)
+  }
+
+  private def finishLinkPrediction(t: Tpch, scored: DataFrame): DataFrame =
     scored
       .join(broadcast(t.nation.select(col("n_nationkey").as("ak"),
         col("n_name").as("a_nation"))), col("a") === col("ak"))
@@ -709,7 +753,6 @@ object GraphQueries {
         col("a_nation"), col("b_nation"), col("cn"), col("ra_ppm"))
       .orderBy(col("ra_ppm").desc, col("cn").desc, col("a"), col("b"))
       .limit(10)
-  }
 
   private def linkPredictionOracle: String =
     s"""WITH pairs AS (

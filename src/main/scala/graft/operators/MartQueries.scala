@@ -43,6 +43,34 @@ object MartQueries {
   def moneySumSql(term: String): String =
     s"CAST(ROUND(SUM(CAST($term AS DECIMAL(18,4))), 2) AS DOUBLE)"
 
+  /** EXACT fast twin of [[moneySum]] for corpus-sized money sums. The
+    * decimal sum's buffer exceeds 18 digits, which puts every row on the
+    * BigDecimal path (~1.3 µs/value — the round-15 decimal-tax note); a
+    * fact-table money sum pays it per row per pass. Money terms in this
+    * schema are exact ≤4-decimal quantities (2-dp columns and products of
+    * two 2-dp values), so `round(t·10⁴)` recovers the exact integer
+    * unit count in BOTH engines — the double t·10⁴ lands within ~10⁻⁵ of
+    * the true integer, never near .5, so HALF_UP (Spark) and half-away
+    * (DuckDB) agree — and the long sum is codegen'd and order-free. The
+    * per-GROUP finish converts units back through one decimal op:
+    * round(S·10⁻⁴, 2), bit-identical to [[moneySum]]'s result (same
+    * integer unit multiset, same rounding rule — MoneySumParitySpec pins
+    * corpus-wide equality on every fact money term).
+    *
+    * Headroom: units ≤ 10⁹/row (prices < 10⁵), so a signed long holds
+    * ~10⁹ rows PER GROUP; past that, drop to cent units (the
+    * drop-bits-at-scale rule — SCALE.md grid table). NOT for terms with
+    * more than 4 true decimals (the ×(1+tax) 6-decimal charge stays on
+    * [[moneySum]]'s decimal path). */
+  def moneySumFast(term: Column): Column =
+    round(sum(round(term * lit(10000)).cast("long")).cast(DecimalType(38, 4))
+      / 10000, 2).cast("double")
+
+  /** The matching oracle-side SQL fragment for [[moneySumFast]]. */
+  def moneySumFastSql(term: String): String =
+    s"CAST(ROUND(CAST(SUM(CAST(ROUND(($term) * 10000) AS BIGINT)) " +
+      s"AS DECIMAL(38,4)) / 10000, 2) AS DOUBLE)"
+
   /** Dates cross the oracle boundary as strings: parquet date32 vs DuckDB
     * DATE→pandas Timestamp makes value compares ambiguous otherwise. */
   private def dayStr(c: Column): Column = date_format(c, "yyyy-MM-dd")

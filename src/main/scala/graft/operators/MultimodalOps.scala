@@ -627,10 +627,14 @@ object MultimodalOps {
     * sign buckets reaches 1.0) spec-pinned too. Oracle-checked (round 10):
     * DuckDB re-derives thumbnails, bucket labels, centroids and the whole
     * curve; MultimodalSpec pins the invariants and brute-force parity. */
-  def multimodalThumbIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The branched form [[multimodalThumbIvf]] replaced (round 17) — kept
+    * for the StageProbe A/B record: five candidate-scoring derivations,
+    * 25 action-phase jobs, 7.2x slower interleaved-warm. */
+  private[graft] def multimodalThumbIvfBranched(spark: SparkSession,
+                                                sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val path = ensureThumbCentroids(spark, sfDir)
-    val cents = spark.read.parquet(path)
+    val cents = graft.plans.CollectMemo.parquetFrame(spark, path)
     val thumbs = thumbFrames(spark, sfDir)
     val q = thumbs.orderBy(col("media_id")).limit(1)
       .select(col("vec").as("q_vec"))
@@ -645,6 +649,74 @@ object MultimodalOps {
         .select(lit(np).as("n_probe"),
           round(col("hits") / 10.0, 2).as("recall_at_10"))
     }.reduce(_.unionByName(_))
+    val w = Window.orderBy(col("n_probe"))
+    rows
+      .withColumn("monotone_ok",
+        coalesce(col("recall_at_10") >=
+          lag(col("recall_at_10"), 1).over(w), lit(true)))
+      .orderBy(col("n_probe"))
+  }
+
+  /** Single-pass recall curve (round 17): the branched form
+    * ([[multimodalThumbIvfBranched]]) re-derived the candidate scoring
+    * FIVE times (brute force + one probe per nProbe level — 25
+    * action-phase jobs, the registry's worst in the round-17 job-count
+    * sweep; interleaved A/B 7.2x). Here the corpus is scanned ONCE: every
+    * thumb gets its centroid's rank in the query's routing order
+    * (`crank`), a probe at level np is exactly the candidates with
+    * crank ≤ np, and the per-level top-10 comes from ONE bounded-heap
+    * typed aggregation ([[graft.functions.BoundedTopK]] — partial-agg, no
+    * per-level sort). recall@10(np) = |top10(np) ∩ top10(16)| / 10, and
+    * top10(16) IS the brute-force list (nProbe = all 16 sign buckets
+    * routes every bucket, which the old form's spec pins at recall 1.0).
+    * Same routing aggregate, same 6-dp rounded cosine, same
+    * (cos desc, media_id asc) total order — result-identical, and the
+    * unchanged ORACLE re-derives the whole curve, so the hash certifies
+    * the fusion. */
+  def multimodalThumbIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    import graft.functions.{BoundedTopK, ScoredId}
+    GraftFunctions.register(spark)
+    val path = ensureThumbCentroids(spark, sfDir)
+    val cents = graft.plans.CollectMemo.parquetFrame(spark, path)
+    val thumbs = thumbFrames(spark, sfDir)
+    val q = thumbs.orderBy(col("media_id")).limit(1)
+      .select(col("vec").as("q_vec"))
+    val qComps = q.select(posexplode(col("q_vec")).as(Seq("pos", "qv")))
+      .select(col("pos"), col("qv").cast("double").as("qv"))
+    // the SAME routing aggregate routeLabels runs, ranked instead of
+    // truncated — 16 rows, so the single-partition window is bounded
+    val ranked = cents.join(broadcast(qComps), "pos")
+      .groupBy(col("label")).agg(sum(col("m") * col("qv")).as("score"))
+      .withColumn("crank", row_number().over(
+        Window.orderBy(col("score").desc, col("label").asc)))
+      .select(col("label"), col("crank"))
+    val levels = Seq(1, 2, 4, 16)
+    val top = new BoundedTopK(10).toColumn.name("top")
+    val perLevel = thumbs.join(broadcast(ranked), "label")
+      .join(broadcast(q))
+      .withColumn("cos", expr("round(graft_cosine(vec, q_vec), 6)"))
+      .select(col("media_id"), col("cos"),
+        explode(filter(array(levels.map(lit): _*),
+          np => col("crank") <= np)).as("n_probe"))
+      .as[(Long, Double, Int)]
+      .groupByKey(_._3)
+      .mapValues(r => ScoredId(r._2, r._1))
+      .agg(top)
+      .flatMap { case (np, winners) => winners.iterator.map(s => (np, s.id)) }
+      .toDF("n_probe", "media_id")
+    // hits(np) = |top10(np) ∩ top10(16)| from the ONE 40-row output:
+    // group the winner lists by media, keep media present at level 16
+    val hits = perLevel.groupBy(col("media_id"))
+      .agg(collect_set(col("n_probe")).as("nps"))
+      .where(array_contains(col("nps"), 16))
+      .select(explode(col("nps")).as("n_probe"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
+    val rows = levels.toDF("n_probe")
+      .join(hits, Seq("n_probe"), "left")
+      .select(col("n_probe"),
+        round(coalesce(col("hits"), lit(0L)) / 10.0, 2).as("recall_at_10"))
     val w = Window.orderBy(col("n_probe"))
     rows
       .withColumn("monotone_ok",

@@ -83,7 +83,12 @@ object OlapQueries {
     * twice through two different FK paths (customer-side and supplier-side
     * nation), aliased — the transfer-counterparty analytics of the banking
     * schema (nullable related_account FK, SCHEMA.sql:26). */
-  def nationTradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The decimal-money form [[nationTradeVolume]] replaced (round 17) —
+    * kept for the StageProbe A/B record: the DECIMAL(18,4) sum put every
+    * fact row on the BigDecimal path (the r15 decimal-tax note), 1.38x
+    * slower interleaved-warm than the exact long-unit sum. */
+  private[graft] def nationTradeVolumeDecimal(spark: SparkSession,
+                                              sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val custNation = t.customer
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
@@ -99,6 +104,32 @@ object OlapQueries {
       .groupBy(col("cust_nation"), col("supp_nation"))
       .agg(count(lit(1)).as("n_lines"),
         moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("volume"))
+      .orderBy(col("volume").desc, col("cust_nation"), col("supp_nation"))
+      .limit(30)
+  }
+
+  /** [[nationTradeVolumeDecimal]] with the exact long-unit money sum
+    * ([[MartQueries.moneySumFast]]; identical rows by the unit-exactness
+    * argument on its scaladoc, certified by the oracle hash — the oracle
+    * mirrors the unit formulation, [[MartQueries.moneySumFastSql]]). */
+  def nationTradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val custNation = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val suppNation = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(custNation, col("o_custkey") === col("c_custkey"))
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .where(col("cust_nation") =!= col("supp_nation"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        MartQueries.moneySumFast(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("volume"))
       .orderBy(col("volume").desc, col("cust_nation"), col("supp_nation"))
       .limit(30)
@@ -469,7 +500,8 @@ object OlapQueries {
     NamedQuery("q_nation_trade_volume", nationTradeVolume, Some(
       s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
          |       COUNT(*) AS n_lines,
-         |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS volume
+         |       ${MartQueries.moneySumFastSql(
+               "l.l_extendedprice * (1.0 - l.l_discount)")} AS volume
          |FROM lineitem l
          |JOIN orders o    ON l.l_orderkey = o.o_orderkey
          |JOIN customer c  ON o.o_custkey = c.c_custkey

@@ -333,7 +333,7 @@ object ProductQuantization {
     val path = ensurePq(spark, sfDir)
     val t = Tpch(spark, sfDir)
     val shortlist = adcShortlist(codes,
-      lutRow(spark.read.parquet(s"$path/codebooks"), querySub(t)), Shortlist)
+      lutRow(graft.plans.CollectMemo.parquetFrame(spark, s"$path/codebooks"), querySub(t)), Shortlist)
     val probe = rerank(spark, t, shortlist, k)
     val brute = SimilarityQueries.cosineTopK(spark, sfDir).select(col("vec_id"))
     val recall = probe.join(brute, "vec_id")
@@ -377,8 +377,8 @@ object ProductQuantization {
                  k: Int = 10): DataFrame = {
     val t = Tpch(spark, sfDir)
     val path = ensurePq(spark, sfDir)
-    val routed = routeCells(spark.read.parquet(s"$path/coarse"), t, nProbe)
-    val codes = spark.read.parquet(s"$path/codes")
+    val routed = routeCells(graft.plans.CollectMemo.parquetFrame(spark, s"$path/coarse"), t, nProbe)
+    val codes = graft.plans.CollectMemo.parquetFrame(spark, s"$path/codes")
       .join(broadcast(routed), "cluster")
     pqSearch(spark, sfDir, codes, k)
   }
@@ -412,8 +412,8 @@ object ProductQuantization {
   def indexAppend(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val path = ensurePq(spark, sfDir)
-    val coarse = spark.read.parquet(s"$path/coarse")
-    val codes = spark.read.parquet(s"$path/codes")
+    val coarse = graft.plans.CollectMemo.parquetFrame(spark, s"$path/coarse")
+    val codes = graft.plans.CollectMemo.parquetFrame(spark, s"$path/codes")
       .select(col("vec_id"), col("cluster"))
     val batch = fullVec(t.embeddings.where(pmod(col("vec_id"), lit(5)) === 4))
     val assigned = assign(batch, coarse)
@@ -453,7 +453,7 @@ object ProductQuantization {
   def indexDrift(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val path = ensurePq(spark, sfDir)
-    val coarse = spark.read.parquet(s"$path/coarse")
+    val coarse = graft.plans.CollectMemo.parquetFrame(spark, s"$path/coarse")
     val assigned = assign(fullVec(t.embeddings), coarse)
       .select(col("vec_id"), col("code").as("cluster"), col("dist"))
       .withColumn("is_new", pmod(col("vec_id"), lit(5)) === 4)

@@ -99,7 +99,11 @@ object Profiling {
     * statistic be oracle-checked by hash at all. Two rank windows + two
     * joins, all partitioned by customer (high-cardinality key), nothing
     * global. */
-  def orderOutliersMad(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The two-window/two-join form [[orderOutliersMad]] replaced (round
+    * 17) — kept for the StageProbe A/B record: 1.57x slower interleaved-
+    * warm; the r15 broadcast-variant note on its joins still applies. */
+  private[graft] def orderOutliersMadWindowed(spark: SparkSession,
+                                              sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tpch(spark, sfDir)
     val orders = t.orders.select(
@@ -127,6 +131,42 @@ object Profiling {
       .where(col("cust_mad") > 0 && col("abs_dev") > lit(3) * col("cust_mad"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("cust_median"), col("cust_mad"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** One-pass twin of [[orderOutliersMad]]: per-customer order counts are
+    * BOUNDED (TPC-H ~10/customer at every SF), so the whole med/MAD chain
+    * fits one groupBy — collect the customer's (price, key) list once,
+    * rank-pick the lower medians from sorted arrays (array_sort is
+    * native; the only lambda is one abs-subtract transform), explode only
+    * to test the outlier rule. Replaces 2 window passes + 2 sort-merge
+    * joins with ONE custkey shuffle (round-17 interleaved A/B: 1.57x).
+    * Rank picks are value-only, so the (value, key) tie-break of the
+    * window form picks the same VALUE — the unchanged ORACLE keeps the
+    * rank-window formulation, so the hash certifies the fusion. At a SF
+    * where a pathological customer held unbounded orders the windowed
+    * twin is the fallback; TPC-H's per-customer fan-out is constant. */
+  def orderOutliersMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tpch(spark, sfDir)
+    val agg = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_totalprice"))).as("sp"),
+        collect_list(struct(col("o_totalprice").as("p"),
+          col("o_orderkey").as("k"))).as("items"))
+      .withColumn("n", size(col("sp")))
+      .withColumn("cust_median",
+        element_at(col("sp"), expr("CAST((n + 1) DIV 2 AS INT)")))
+      .withColumn("devs", array_sort(
+        transform(col("items"), x => abs(x("p") - col("cust_median")))))
+      .withColumn("cust_mad",
+        element_at(col("devs"), expr("CAST((n + 1) DIV 2 AS INT)")))
+      .where(col("cust_mad") > 0)
+    agg
+      .select(col("o_custkey"), col("cust_median"), col("cust_mad"),
+        explode(col("items")).as("it"))
+      .where(abs(col("it.p") - col("cust_median")) > lit(3) * col("cust_mad"))
+      .select(col("it.k").as("o_orderkey"), col("o_custkey"),
+        col("it.p").as("o_totalprice"), col("cust_median"), col("cust_mad"))
       .orderBy(col("o_orderkey"))
   }
 

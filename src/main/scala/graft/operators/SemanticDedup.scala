@@ -134,7 +134,7 @@ object SemanticDedup {
   private def clustered(spark: SparkSession, sfDir: String): DataFrame =
     FrameCache.cached(clusteredCache, spark, sfDir) {
       val path = ProductQuantization.ensurePq(spark, sfDir)
-      val cells = spark.read.parquet(s"$path/codes")
+      val cells = graft.plans.CollectMemo.parquetFrame(spark, s"$path/codes")
         .select(col("vec_id"), col("cluster"))
       splitOversized(
         Tpch(spark, sfDir).embeddings

@@ -515,7 +515,7 @@ object SimilarityQueries {
   def ivfRecallCurve(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val path = ensureCentroids(spark, sfDir)
-    val cents = spark.read.parquet(path)
+    val cents = graft.plans.CollectMemo.parquetFrame(spark, path)
     val brute = cosineTopK(spark, sfDir).select(col("vec_id"))
     val rows = Seq(1, 2, 4, 10).map { np =>
       ivfProbe(spark, sfDir, cents, nProbe = np)

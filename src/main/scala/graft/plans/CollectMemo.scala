@@ -60,6 +60,16 @@ object CollectMemo {
     m.getOrElseUpdate(tag, compute).asInstanceOf[T]
   }
 
+  /** Memoized `spark.read.parquet` over an immutable artifact path: the
+    * eager file-index listing inside a fresh `read.parquet` can launch a
+    * driver job — re-creating the frame per execution made that a
+    * per-pass cost (the residual 1-3 build-phase jobs of the sim/PQ
+    * family in the round-17 job-count sweep). Reusing one frame object
+    * reuses its file index; the path's immutability (fingerprint key +
+    * `_SUCCESS` build gate) is what makes the reuse sound. */
+  def parquetFrame(spark: SparkSession, path: String): DataFrame =
+    onPath(spark, path, "__frame") { spark.read.parquet(path) }
+
   /** Memoize `compute` keyed on (session, fingerprinted artifact `path`,
     * `tag`). Only for [[ArtifactPaths]]-style immutable artifact paths. */
   def onPath[T <: AnyRef](spark: SparkSession, path: String, tag: String)

@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+
 
 /** Dev scratch tool: time labeled stages of a query's pipeline warm.
   * Not part of the driver contract; edited ad hoc while profiling.
@@ -106,114 +106,29 @@ object StageProbe {
       spark.stop()
       return
     }
-    graft.functions.Md5Shingles.register(spark)
 
-    val lineitem = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-    val documents = spark.read.parquet(s"$sfDir/documents.parquet")
-
+    // ---- round-17 interleaved A/Bs: the named floor targets ----------
     def timeIt(df: => DataFrame): Double = {
       val t0 = System.nanoTime()
       df.count()
       (System.nanoTime() - t0) / 1e9
     }
-
-    // ---- 1. clustering factor --------------------------------------
-    val cfCols = Seq("l_returnflag", "l_linestatus", "l_partkey", "l_shipdate")
-    val cfW = Window.partitionBy(col("l_orderkey"))
-      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_shipdate"),
-        col("l_returnflag"), col("l_linestatus"))
-    def cfFlagged = {
-      val base = lineitem
-        .select((Seq("l_orderkey", "l_linenumber") ++ cfCols).map(col): _*)
-      cfCols.foldLeft(base) { (df, c) =>
-        df.withColumn(s"chg_$c",
-          when(lag(col(c), 1).over(cfW).isNotNull &&
-            lag(col(c), 1).over(cfW) =!= col(c), 1L).otherwise(0L))
-      }
-    }
-    def cfCurrent = {
-      val aggCols =
-        Seq(count(lit(1)).cast("long").as("n_rows")) ++
-          cfCols.map(c => sum(col(s"chg_$c")).cast("long").as(s"chg_$c")) ++
-          cfCols.map(c => countDistinct(col(c)).cast("long").as(s"nd_$c"))
-      val one = cfFlagged.agg(aggCols.head, aggCols.tail: _*)
-      val stacked = cfCols.map(c => s"'$c', n_rows, nd_$c, chg_$c").mkString(", ")
-      one.selectExpr(
-        s"stack(${cfCols.size}, $stacked) AS (column_name, n_rows, n_distinct, n_changes)")
-        .withColumn("changes_permille",
-          expr("(n_changes * 1000) div n_rows").cast("long"))
-        .orderBy(col("column_name"))
-    }
-    def cfVariant = {
-      val aggCols =
-        Seq(count(lit(1)).cast("long").as("n_rows")) ++
-          cfCols.map(c => sum(col(s"chg_$c")).cast("long").as(s"chg_$c"))
-      val one = cfFlagged.agg(aggCols.head, aggCols.tail: _*)
-      val nd = lineitem.select(explode(array(cfCols.map(c =>
-          struct(lit(c).as("cn"), col(c).cast("string").as("v"))): _*)).as("e"))
-        .select(col("e.cn").as("column_name"), col("e.v").as("v"))
-        .groupBy(col("column_name"))
-        .agg(countDistinct(col("v")).cast("long").as("n_distinct"))
-      val stacked = cfCols.map(c => s"'$c', n_rows, chg_$c").mkString(", ")
-      one.selectExpr(
-        s"stack(${cfCols.size}, $stacked) AS (column_name, n_rows, n_changes)")
-        .join(nd, "column_name")
-        .withColumn("changes_permille",
-          expr("(n_changes * 1000) div n_rows").cast("long"))
-        .select(col("column_name"), col("n_rows"), col("n_distinct"),
-          col("n_changes"), col("changes_permille"))
-        .orderBy(col("column_name"))
-    }
-
-    // ---- 2. blamed suppliers ---------------------------------------
-    def bsJoined = lineitem
-      .join(orders.where(col("o_orderstatus") === "F"),
-        col("l_orderkey") === col("o_orderkey"))
-      .withColumn("late",
-        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    def bsCurrent = bsJoined.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
-        max(when(col("late"), col("l_suppkey"))).as("late_supp"),
-        sum(when(col("late"), 1L).otherwise(0L)).as("n_late_lines"))
-      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .groupBy(col("late_supp"))
-      .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
-    def bsVariant = bsJoined
-      .groupBy(col("l_orderkey"), col("l_suppkey"))
-      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_supp"),
-        sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"),
-        max(when(col("late_lines") > 0, col("l_suppkey"))).as("late_supp"),
-        sum(col("late_lines")).as("n_late_lines"))
-      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
-      .groupBy(col("late_supp"))
-      .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
-
-    // ---- 3. source overlap key width ---------------------------------
-    def soShingles = documents
-      .withColumn("tk", filter(split(col("text"), " "), x => x =!= ""))
-      .select(col("source"), explode(expr("graft_md5_shingles(tk, 5)")).as("fp"))
-    def soPairs(shingles: DataFrame) = shingles.groupBy(col("fp"))
-      .agg(array_sort(collect_set(col("source"))).as("ss"))
-      .where(size(col("ss")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(ss, (a, i) ->
-          |  transform(slice(ss, i + 2, size(ss)),
-          |            b -> struct(a AS source_a, b AS source_b))))"""
-          .stripMargin)).as("p"))
-      .groupBy(col("p.source_a"), col("p.source_b"))
-      .agg(count(lit(1)).as("n_shared"))
-    def soCurrent = soPairs(soShingles)
-    def soVariant = soPairs(
-      soShingles.select(col("source"), substring(col("fp"), 1, 16).as("fp")))
-
+    import graft.operators.{GraphQueries, MultimodalOps, OlapQueries, Profiling}
     val pairs = Seq[(String, () => DataFrame, () => DataFrame)](
-      ("clustering_factor", () => cfCurrent, () => cfVariant),
-      ("blamed_suppliers", () => bsCurrent, () => bsVariant),
-      ("source_overlap", () => soCurrent, () => soVariant))
+      ("nation_trade_volume",
+        () => OlapQueries.nationTradeVolumeDecimal(spark, sfDir),
+        () => graft.SparkEntry.queries("q_nation_trade_volume")(spark, sfDir)),
+      ("txn_outliers_mad",
+        () => Profiling.orderOutliersMadWindowed(spark, sfDir),
+        () => graft.SparkEntry.queries("q_txn_outliers_mad")(spark, sfDir)),
+      ("thumb_ivf",
+        () => MultimodalOps.multimodalThumbIvfBranched(spark, sfDir),
+        () => graft.SparkEntry.queries("q_multimodal_thumb_ivf")(spark, sfDir)),
+      ("link_prediction",
+        () => GraphQueries.tradeLinkPredictionDistributed(spark, sfDir),
+        () => graft.SparkEntry.queries("q_graph_link_prediction")(spark, sfDir)))
+    // warm both arms (artifact builds land here, not on the timings)
+    pairs.foreach { case (_, a, b) => a().count(); b().count() }
     pairs.foreach { case (name, cur, vr) =>
       val a = Seq.newBuilder[Double]
       val b = Seq.newBuilder[Double]

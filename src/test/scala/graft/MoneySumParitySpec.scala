@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MartQueries.{moneySum, moneySumFast}
+import graft.sources.Tables.Tpch
+
+/** [[MartQueries.moneySumFast]]'s contract: BIT-IDENTICAL to [[moneySum]]
+  * on every ≤4-true-decimal money term, corpus-wide and per-group — the
+  * long-unit sum recovers the same integer unit multiset the decimal cast
+  * does, so the rounded cent result cannot differ. Checked over the fact
+  * tables' money terms (the ones registered queries sum) and per-group on
+  * the Q7 nation-pair grouping, plus the empty-group NULL lane. */
+class MoneySumParitySpec extends SparkSpec {
+
+  private def t = Tpch(spark, Sf)
+
+  test("fast == decimal on every fact money term, globally") {
+    val terms = Seq[(String, org.apache.spark.sql.DataFrame, org.apache.spark.sql.Column)](
+      ("l_extendedprice", t.lineitem, col("l_extendedprice")),
+      ("discounted revenue", t.lineitem,
+        col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+      ("o_totalprice", t.orders, col("o_totalprice")),
+      ("c_acctbal", t.customer, col("c_acctbal")),
+      ("s_acctbal", t.supplier, col("s_acctbal")))
+    terms.foreach { case (name, df, term) =>
+      val r = df.agg(moneySum(term).as("dec"), moneySumFast(term).as("fast"))
+        .head()
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"$name: decimal ${r.getDouble(0)} != fast ${r.getDouble(1)}")
+    }
+  }
+
+  test("fast == decimal per group on the Q7 grouping") {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val per = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(moneySum(rev).as("dec"), moneySumFast(rev).as("fast"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"status ${r.getString(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+
+  test("empty input yields NULL in both forms") {
+    val none = t.orders.where(lit(false))
+    val r = none.agg(moneySum(col("o_totalprice")).as("dec"),
+      moneySumFast(col("o_totalprice")).as("fast")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("negative money terms agree (HALF_UP vs away-from-zero unreachable)") {
+    val r = t.customer // c_acctbal contains negatives in TPC-H data
+      .agg(moneySum(-col("c_acctbal")).as("dec"),
+        moneySumFast(-col("c_acctbal")).as("fast")).head()
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+}

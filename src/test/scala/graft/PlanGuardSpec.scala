@@ -61,7 +61,6 @@ class PlanGuardSpec extends SparkSpec {
     "q_audit_t_closeness", // broadcast one-row corpus-total (N) frame
     "q_text_negative_table",       // one-row Σmass + leftover frames
     "q_profile_join_cardinality",  // one-row stat frames per probed join
-    "q_graph_link_prediction", // backbone artifact's one-row threshold frame
     "q_text_zipf_fit"      // broadcast one-row corpus-totals frame beside the fit row
   )
 
@@ -162,15 +161,10 @@ class PlanGuardSpec extends SparkSpec {
     "q_sim_batch_topk" -> "phase-2 rank over per-shard top-k survivors",
     // snippet positions ride the certified BM25 two-phase ranking
     "q_text_snippets" -> "phase-2 rank over per-shard top-k survivors",
-    // median thresholds ride weight/degree VALUE histograms — rows
-    // bounded by the ≤|nations|² pair domain, never the fact: the shared
-    // backbone artifact's median-threshold cumsum (weight-VALUE
-    // histogram). kcore/communities no longer surface it — their driver
-    // fixed-points collect the artifact during construction, so the
-    // registered plans are leaf joins — leaving link-prediction as the
-    // only lineage that carries the artifact's window
-    "q_graph_link_prediction" ->
-      "backbone threshold cumsum over the weight-value histogram",
+    // (round 17: q_graph_link_prediction left this list — its driver
+    // fixed-point now collects the backbone during construction like
+    // kcore/communities, so no registered plan carries the backbone
+    // artifact's median-threshold cumsum window any more)
     // marginal windows run over the distinct-value CELL table (one row
     // per (x, y) combination — domain-bounded), never the fact tables
     "q_profile_entropy_mi" ->
