@@ -104,14 +104,12 @@ object EmbeddingStats {
     val rows = dimMeans(spark, sfDir).collect()
     // Each covariance cell sums one grid term per vector; terms are
     // bounded by 2^42 (|p| < 4 against the 2^40 grid), so a signed long
-    // holds 2^21 of them. Spark's long SUM wraps SILENTLY past that —
-    // the failure would surface only as an opaque oracle hash mismatch —
-    // so fail loudly here; the scale lever is dropping grid bits.
+    // holds 2^21 of them — checked loudly through the spec-pinned
+    // GridGuards primitive (Spark's long SUM wraps SILENTLY past the
+    // bound; the failure would surface only as an opaque oracle hash
+    // mismatch). The scale lever is dropping grid bits.
     val nVec = rows.map(_.getAs[Long]("cnt")).max
-    require(nVec <= (1L << 21),
-      s"covariance grid-sum headroom exceeded: $nVec vectors > 2^21 — " +
-        "drop grid bits (Grid = 2^40 -> 2^(40-k)) per the " +
-        "drop-bits-at-scale rule before running the covariance pass")
+    graft.plans.GridGuards.check("covariance", nVec, 42)
     val ms = rows
       .map(r => r.getAs[Long]("d") -> r.getAs[Double]("m")).sortBy(_._1)
     // string round-trip is exact for doubles (shortest-repr toString ->
@@ -287,8 +285,14 @@ object EmbeddingStats {
         .map(r => r.getAs[Long]("d") -> r.getAs[Double]("component")).toMap
     }
     val m = graft.plans.CollectMemo.onFrame(covFrame, "whiten_m") {
-      dimMeans(spark, sfDir).collect()
-        .map(r => r.getAs[Long]("d") -> r.getAs[Double]("m")).toMap
+      val rows = dimMeans(spark, sfDir).collect()
+      // means grid headroom (|v| < 1 → < 2^40 per term → 2^23 vectors):
+      // same silent-long-wrap class as the covariance grid, guarded at
+      // the same place the count is already on the driver (grid table in
+      // SCALE.md round 17)
+      val nVec = rows.map(_.getAs[Long]("cnt")).max
+      graft.plans.GridGuards.check("dim-means", nVec, 40)
+      rows.map(r => r.getAs[Long]("d") -> r.getAs[Double]("m")).toMap
     }
     val qVec = graft.plans.CollectMemo.onFrame(covFrame, "whiten_qvec") {
       t.embeddings.where(col("vec_id") === 0)

@@ -1,0 +1,37 @@
+package graft.plans
+
+/** Loud headroom guard for binary-grid LONG sums — the silent-wrap class
+  * the round-16 covariance guard closed, extracted so every grid site
+  * states its bound through ONE spec-pinned primitive instead of a local
+  * ad-hoc require.
+  *
+  * Why loud: Spark's long SUM WRAPS silently on overflow (ANSI off),
+  * while DuckDB's BIGINT sum promotes to HUGEINT — an overflowing grid
+  * sum therefore surfaces as an opaque oracle hash mismatch far from its
+  * cause, the worst possible failure shape. Past the bound the scale
+  * lever is dropping grid bits (Grid = 2^g → 2^(g−k)), trading ≤ 2^−(g−k)
+  * per-term error — still far below output rounding — for k extra bits of
+  * sum headroom (the drop-bits-at-scale rule, SCALE.md round 17 grid
+  * table).
+  *
+  * Contract: a sum of `terms` values each bounded by |t| < 2^termBits
+  * stays inside a signed long iff terms ≤ 2^(63 − termBits). Callers pass
+  * the LARGEST group's term count (for grouped sums) and the per-term
+  * magnitude bound as a bit count.
+  */
+object GridGuards {
+
+  /** Max summable terms for a per-term magnitude bound of 2^termBits. */
+  def maxTerms(termBits: Int): Long = {
+    require(termBits > 0 && termBits < 63, s"termBits out of range: $termBits")
+    1L << (63 - termBits)
+  }
+
+  /** Fail loudly (naming the site) if `terms` summed values of magnitude
+    * < 2^termBits could wrap a signed long. */
+  def check(site: String, terms: Long, termBits: Int): Unit =
+    require(terms <= maxTerms(termBits),
+      s"$site grid-sum headroom exceeded: $terms terms of |t| < 2^$termBits " +
+        s"exceed the signed-long bound 2^${63 - termBits} — drop grid bits " +
+        "(Grid = 2^g -> 2^(g-k)) per the drop-bits-at-scale rule")
+}

@@ -5,17 +5,27 @@ import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
 /** Dev tool: attribute the bench's pass-0 (artifact-cold) wall-clock to
-  * individual queries. Shared artifacts are built by whichever query
-  * touches them first in registry order — the same order graft.Bench
-  * uses — so a query's pass-0 time minus its warm floor is (mostly) the
-  * one-time build cost it triggers. Prints the top-N pass-0 costs.
+  * individual queries.
   *
-  * Usage: runMain graft.tools.WarmupProfile <sfDir> [topN]
+  * Sequential mode (threads = 1): shared artifacts are built by whichever
+  * query touches them first in registry order — the same order graft.Bench
+  * uses — so a query's pass-0 time minus its warm floor is (mostly) the
+  * one-time build cost it triggers.
+  *
+  * Pooled mode (threads > 1, the Bench default shape): per-query wall
+  * time INCLUDES build-lock waits, so the longest pooled times mark the
+  * serialized artifact-dependency chain (the lock DAG's critical path) —
+  * if total wall ≈ the longest chain rather than Σ/threads, the pool is
+  * starved by that chain; if per-query times are uniformly inflated, it
+  * is box load.
+  *
+  * Usage: runMain graft.tools.WarmupProfile <sfDir> [topN] [threads]
   */
 object WarmupProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val topN = args.lift(1).map(_.toInt).getOrElse(25)
+    val threads = args.lift(2).map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
@@ -28,17 +38,25 @@ object WarmupProfile {
       graft.sources.Tables.load(spark, sfDir, t).count()
     }
     val names = SparkEntry.queries.keys.toSeq
+    val spans = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]
     val t0All = System.nanoTime()
-    val times = names.map { name =>
+    val (failed, wall) = graft.Bench.warmupPass(names, threads) { name =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      finally spans.put(name, (t0 - t0All, System.nanoTime() - t0All))
+      ()
     }
-    val total = (System.nanoTime() - t0All) / 1e9
-    println(f"pass-0 total: $total%.1f s over ${names.size} queries")
-    times.sortBy(-_._2).take(topN).foreach { case (n, s) =>
-      println(f"$s%8.2f  $n")
+    failed.foreach(m => System.err.println(s"WARM-FAILED $m"))
+    import scala.jdk.CollectionConverters._
+    val times = spans.asScala.toSeq
+      .map { case (n, (s, e)) => (n, s / 1e9, e / 1e9, (e - s) / 1e9) }
+    val sum = times.map(_._4).sum
+    println(f"pass-0 wall: $wall%.1f s over ${names.size} queries " +
+      f"(threads=$threads, per-query sum ${sum}%.1f s, " +
+      f"parallelism ${sum / wall}%.1fx)")
+    println("  start    end   span  query   (pooled span includes lock waits)")
+    times.sortBy(-_._4).take(topN).foreach { case (n, s, e, d) =>
+      println(f"$s%7.1f $e%7.1f $d%7.2f  $n")
     }
     spark.stop()
   }

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.GridGuards
+
+/** The silent-long-wrap guard every binary-grid sum site routes through
+  * (SCALE.md round-17 grid table): Spark's long SUM wraps silently while
+  * DuckDB promotes to HUGEINT, so an overflowing grid sum surfaces as a
+  * distant oracle hash mismatch — the guard must fire LOUDLY at the exact
+  * bound, naming the site. Pure-JVM spec: the corpus-side callers
+  * (covariance / dim-means) pass driver-collected group counts into this
+  * same primitive. */
+class GridGuardsSpec extends AnyFunSuite {
+
+  test("maxTerms is the exact signed-long bound for the term magnitude") {
+    // n terms of |t| < 2^b stay under 2^63 iff n <= 2^(63-b)
+    assert(GridGuards.maxTerms(42) == (1L << 21)) // covariance: |p| < 4 on 2^40
+    assert(GridGuards.maxTerms(40) == (1L << 23)) // means: |v| < 1 on 2^40
+    assert(GridGuards.maxTerms(62) == 2L)
+  }
+
+  test("check passes at the bound and fails one past it, naming the site") {
+    GridGuards.check("covariance", 1L << 21, 42) // at the bound: fine
+    val e = intercept[IllegalArgumentException] {
+      GridGuards.check("covariance", (1L << 21) + 1, 42)
+    }
+    assert(e.getMessage.contains("covariance"), "site must be named")
+    assert(e.getMessage.contains("drop grid bits"),
+      "message must state the scale lever")
+  }
+
+  test("termBits outside (0, 63) is rejected rather than shifted wrongly") {
+    intercept[IllegalArgumentException](GridGuards.maxTerms(0))
+    intercept[IllegalArgumentException](GridGuards.maxTerms(63))
+  }
+}
