@@ -346,7 +346,7 @@ object ProductQuantization {
     * shortlist → exact re-rank. */
   def pqTopK(spark: SparkSession, sfDir: String): DataFrame =
     pqSearch(spark, sfDir,
-      spark.read.parquet(s"${ensurePq(spark, sfDir)}/codes"))
+      graft.plans.CollectMemo.parquetFrame(spark, s"${ensurePq(spark, sfDir)}/codes"))
 
   /** Route the query vector to its nProbe nearest coarse cells by dot
     * product against the TRAINED coarse centroids — CoarseK rows, so the

@@ -490,7 +490,8 @@ object SimilarityQueries {
     * not compute the brute-force side per query. */
   def ivfTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val path = ensureCentroids(spark, sfDir)
-    val probe = ivfProbe(spark, sfDir, spark.read.parquet(path), nProbe = 1)
+    val probe = ivfProbe(spark, sfDir,
+      graft.plans.CollectMemo.parquetFrame(spark, path), nProbe = 1)
     val brute = cosineTopK(spark, sfDir).select(col("vec_id"))
     // one-row recall frame; the no-condition join against it is the
     // sanctioned single-row broadcast BNLJ (PlanGuardSpec allowlist)
@@ -635,7 +636,8 @@ object SimilarityQueries {
     * indistinguishable from `q_sim_ivf_topk`'s). */
   def ivfQuantizedTopK(spark: SparkSession, sfDir: String): DataFrame = {
     val path = ensureCentroids(spark, sfDir)
-    ivfQuantizedProbe(spark, sfDir, spark.read.parquet(path), nProbe = 2)
+    ivfQuantizedProbe(spark, sfDir,
+      graft.plans.CollectMemo.parquetFrame(spark, path), nProbe = 2)
   }
 
   /** Banded sign-LSH candidate chain in DuckDB SQL (Murmur3 emulation →

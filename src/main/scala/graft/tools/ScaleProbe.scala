@@ -135,7 +135,10 @@ object ScaleProbe {
     // round 14 stretch-note evidence: one reused window shuffle + Expand
     // aggregate over the 10x fact; linear per-row JSON codec with the
     // now-conditional fan-out
-    "q_profile_clustering_factor", "q_cdc_roundtrip")
+    "q_profile_clustering_factor", "q_cdc_roundtrip",
+    // round 17 floor rewrites: one-groupBy med/MAD over per-customer
+    // sorted arrays; the dual-path nation join on the moneySumFast grid
+    "q_txn_outliers_mad", "q_nation_trade_volume")
 
   def synthesize(spark: SparkSession, sfDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
