@@ -66,7 +66,12 @@ object CollectMemo {
     * per-pass cost (the residual 1-3 build-phase jobs of the sim/PQ
     * family in the round-17 job-count sweep). Reusing one frame object
     * reuses its file index; the path's immutability (fingerprint key +
-    * `_SUCCESS` build gate) is what makes the reuse sound. */
+    * `_SUCCESS` build gate) is what makes the reuse sound. Corollary:
+    * NOTHING may rewrite an artifact in place after its marker exists —
+    * an overwrite at the same path strands every memoized reader on
+    * deleted part-files (FAILED_READ_FILE mid-scan). Rebuild-for-test
+    * code must write to a private temp path instead (SimilaritySpec's
+    * monotone-recall test is the precedent). */
   def parquetFrame(spark: SparkSession, path: String): DataFrame =
     onPath(spark, path, "__frame") { spark.read.parquet(path) }
 

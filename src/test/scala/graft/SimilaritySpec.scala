@@ -114,7 +114,12 @@ class SimilaritySpec extends SparkSpec {
 
   test("probing more IVF clusters is monotone in recall and converges to brute force") {
     val t = Tpch(spark, Sf)
-    val path = SimilarityQueries.centroidsPath(spark, Sf)
+    // Build to a PRIVATE temp path, not centroidsPath: the shared
+    // artifact is immutable-once-built (CollectMemo.parquetFrame pins
+    // its file index on that contract) — a direct in-place rebuild here
+    // would strand every memoized reader on deleted part-files.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_spec").toString + "/cent"
     SimilarityQueries.buildCentroids(spark, Sf, path)
     val centroids = spark.read.parquet(path)
     val exact = SimilarityQueries.cosineTopK(spark, Sf)
