@@ -29,7 +29,12 @@ import graft.sources.Tables.Tpch
   *  - money sums go through DecimalType(18,4): decimal addition is exact and
   *    associative, so results are independent of partition/merge order —
   *    needed for the DuckDB oracle hash-match AND for run-to-run determinism
-  *    on a real cluster.
+  *    on a real cluster. Fact-scan sites whose per-group unit sum provably
+  *    clears the long boundary at 100 TB with ≥10× headroom ride the
+  *    bit-identical [[moneySumFast]] long-unit twin instead (each site's
+  *    scaladoc states its bound; low-cardinality groups over unfiltered
+  *    facts — status funnel, rollup, promo share, pricing summary — stay
+  *    on the decimal path because theirs don't).
   */
 object MartQueries {
 
@@ -66,10 +71,19 @@ object MartQueries {
     round(sum(round(term * lit(10000)).cast("long")).cast(DecimalType(38, 4))
       / 10000, 2).cast("double")
 
-  /** The matching oracle-side SQL fragment for [[moneySumFast]]. */
+  /** The matching oracle-side SQL fragment for [[moneySumFast]]. The
+    * unit-to-money finish MULTIPLIES by the exact decimal 0.0001 instead of
+    * dividing by 10000: DuckDB's decimal division returns DOUBLE, and a
+    * group whose unit sum lands on an exact half-cent (…50 units) then
+    * rounds DOWN off the slightly-low double while Spark's exact decimal
+    * division rounds the true half UP — a one-cent mismatch that needs only
+    * one such group in the corpus (hit by q_daily_region_revenue's 8,562
+    * groups; q_nation_trade_volume's 600 had simply never landed on a
+    * half). Decimal × decimal stays DECIMAL(38,8), so the round is exact
+    * half-away-from-zero on both engines. */
   def moneySumFastSql(term: String): String =
     s"CAST(ROUND(CAST(SUM(CAST(ROUND(($term) * 10000) AS BIGINT)) " +
-      s"AS DECIMAL(38,4)) / 10000, 2) AS DOUBLE)"
+      s"AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE)"
 
   /** Dates cross the oracle boundary as strings: parquet date32 vs DuckDB
     * DATE→pandas Timestamp makes value compares ambiguous otherwise. */
@@ -83,7 +97,13 @@ object MartQueries {
     * (shuffle) → groupBy(region, day) → exact money sum → stable sort.
     * Only the fixed-cardinality dims (nation=25, region=5) carry broadcast
     * hints; customer grows with scale factor, so its join side is left to
-    * AQE (shuffled hash / sort-merge at the 100 TB design point). */
+    * AQE (shuffled hash / sort-merge at the 100 TB design point).
+    *
+    * Money path: [[moneySumFast]] — every lineitem row crosses this
+    * aggregate, the heaviest decimal-tax site in the mart pack. Wrap
+    * bound: groups = region×day (5 × ~2,400, scale-FIXED), so per-group
+    * rows at 100 TB ≈ 6·10¹¹/12,000 = 5·10⁷ × ≤1.05·10⁹ units ≈ 5·10¹⁶ —
+    * ~170× under the long boundary even on max-unit rows. */
   def dailyRegionRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val custGeo = t.customer
@@ -96,13 +116,16 @@ object MartQueries {
       .groupBy(
         col("r_name").as("region_name"),
         dayStr(col("o_orderdate")).as("order_date"))
-      .agg(moneySum(revenueTerm).as("revenue"))
+      .agg(moneySumFast(revenueTerm).as("revenue"))
       .orderBy(col("region_name"), col("order_date"))
   }
 
   /** Customer-360: the canonical mart for the reference's banking schema —
     * one row per customer with geography + order-book aggregates. LEFT join
-    * keeps order-less customers (nullable aggregates mirror SQL semantics). */
+    * keeps order-less customers (nullable aggregates mirror SQL semantics —
+    * an all-NULL group yields NULL on both the decimal and fast paths, the
+    * parity spec's null-term lane). Money path: [[moneySumFast]]; wrap-free
+    * by grouping (per-customer: tens of orders × ≤5·10⁹ units). */
   def customer360(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     t.customer
@@ -113,7 +136,7 @@ object MartQueries {
         col("n_name").as("nation_name"))
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        moneySum(col("o_totalprice")).as("total_spend"),
+        moneySumFast(col("o_totalprice")).as("total_spend"),
         max(col("o_totalprice")).as("max_order"),
         dayStr(max(col("o_orderdate"))).as("last_order_date"))
       .orderBy(col("c_custkey"))
@@ -281,7 +304,8 @@ object MartQueries {
 
   // ---------------------------------------------------------------- oracle SQL
 
-  private val revenueSql = moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")
+  private val revenueSql =
+    moneySumFastSql("l.l_extendedprice * (1.0 - l.l_discount)")
 
   val all: Seq[NamedQuery] = Seq(
     NamedQuery("q_daily_region_revenue", dailyRegionRevenue, Some(
@@ -298,7 +322,7 @@ object MartQueries {
     NamedQuery("q_customer_360", customer360, Some(
       s"""SELECT c.c_custkey, c.c_name, c.c_mktsegment, n.n_name AS nation_name,
          |       COUNT(o.o_orderkey) AS n_orders,
-         |       ${moneySumSql("o.o_totalprice")} AS total_spend,
+         |       ${moneySumFastSql("o.o_totalprice")} AS total_spend,
          |       MAX(o.o_totalprice) AS max_order,
          |       strftime(MAX(o.o_orderdate), '%Y-%m-%d') AS last_order_date
          |FROM customer c

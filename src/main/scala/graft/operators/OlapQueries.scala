@@ -15,7 +15,10 @@ import MartQueries.{moneySum, moneySumSql}
 object OlapQueries {
 
   /** Returned-revenue per customer (TPC-H Q10 shape): which customers
-    * returned the most value. Multi-join + filter + top-k. */
+    * returned the most value. Multi-join + filter + top-k. Money path:
+    * [[MartQueries.moneySumFast]] — ~1/3 of lineitem (returnflag R)
+    * crosses the aggregate; wrap-free by grouping (per-customer returned
+    * lines are bounded: a handful × ≤1.05·10⁹ units per row). */
   def topReturningCustomers(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     t.lineitem.where(col("l_returnflag") === "R")
@@ -23,7 +26,8 @@ object OlapQueries {
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg(MartQueries.moneySumFast(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("returned_revenue"))
       .orderBy(col("returned_revenue").desc, col("c_custkey").asc)
       .limit(20)
@@ -249,7 +253,8 @@ object OlapQueries {
     * dim broadcasts, orders⋈lineitem shuffles once on the order key, and
     * the top-10 plans TakeOrderedAndProject (k rows per partition move,
     * never a global sort). Ties broken by order key so the limit is
-    * deterministic cross-engine. */
+    * deterministic cross-engine. Money path: [[MartQueries.moneySumFast]];
+    * wrap-free by grouping (per-order: ≤7 lines × ≤1.05·10⁹ units). */
   def shippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val cutoff = lit("1998-06-15").cast("timestamp")
@@ -261,7 +266,8 @@ object OlapQueries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
       .join(t.lineitem.where(col("l_shipdate") > cutoff), "l_orderkey")
       .groupBy(col("l_orderkey"), col("order_day"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg(MartQueries.moneySumFast(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
@@ -469,7 +475,8 @@ object OlapQueries {
     NamedQuery("q_shipping_priority", shippingPriority, Some(
       s"""SELECT o.o_orderkey AS l_orderkey,
          |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
-         |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |       ${MartQueries.moneySumFastSql(
+               "l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
          |FROM customer c
          |JOIN orders o ON c.c_custkey = o.o_custkey
          |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -527,7 +534,8 @@ object OlapQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     NamedQuery("q_top_returning_customers", topReturningCustomers, Some(
       s"""SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-         |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS returned_revenue
+         |       ${MartQueries.moneySumFastSql(
+               "l.l_extendedprice * (1.0 - l.l_discount)")} AS returned_revenue
          |FROM lineitem l
          |JOIN orders o   ON l.l_orderkey = o.o_orderkey
          |JOIN customer c ON o.o_custkey = c.c_custkey

@@ -67,7 +67,11 @@ object WarehouseQueries {
     * The `c_nationkey = s_nationkey` clause is a non-key equality folded
     * INTO the supplier join (not a post-filter), so the planner prunes
     * rows at the join; nation/region are broadcast; the fact flows through
-    * exactly one orderkey and one suppkey shuffle. */
+    * exactly one orderkey and one suppkey shuffle. Money path:
+    * [[MartQueries.moneySumFast]]; wrap bound: 5 ASIA-nation groups over
+    * the year × same-nation slice (~1/7 × 1/5 × 1/25 of lineitem) —
+    * per-group ≈ 1.4·10⁸ rows at 100 TB × ≤1.05·10⁹ units ≈ 1.5·10¹⁷,
+    * ~60× under the long boundary on max-unit rows. */
   def localSupplierVolume(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     t.customer
@@ -82,7 +86,8 @@ object WarehouseQueries {
       .join(broadcast(t.region.where(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .agg(MartQueries.moneySumFast(
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -142,7 +147,12 @@ object WarehouseQueries {
     * a fixed landed-cost model). Profit per (supplier nation, order year)
     * for red parts. The amount expression is written with IDENTICAL
     * association on both engines (left-to-right products, one subtraction)
-    * before the decimal-exact sum. */
+    * before the sum. Money path: [[MartQueries.moneySumFast]] — amount is
+    * a ≤4-true-decimal term (4dp revenue minus 3dp cost), sign-mixed (the
+    * parity spec's compound-amount lane pins it); wrap bound: 175 fixed
+    * (nation, year) groups over the red-part slice (~13% of lineitem) —
+    * per-group ≈ 4.4·10⁸ rows at 100 TB × ≤1.05·10⁹ units ≈ 4.6·10¹⁷,
+    * ~20× under the long boundary on max-unit rows. */
   def productTypeProfit(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
@@ -155,7 +165,7 @@ object WarehouseQueries {
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         date_format(col("o_orderdate"), "yyyy").as("o_year"))
-      .agg(moneySum(amount).as("profit"))
+      .agg(MartQueries.moneySumFast(amount).as("profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
@@ -266,7 +276,8 @@ object WarehouseQueries {
         |LIMIT 100""".stripMargin)),
     NamedQuery("q_local_supplier_volume", localSupplierVolume, Some(
       s"""SELECT n.n_name,
-         |       ${moneySumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+         |       ${MartQueries.moneySumFastSql(
+               "l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
          |FROM customer c
          |JOIN orders o ON c.c_custkey = o.o_custkey
          |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -313,7 +324,7 @@ object WarehouseQueries {
     NamedQuery("q_product_type_profit", productTypeProfit, Some(
       s"""SELECT n.n_name AS nation,
          |       strftime(o.o_orderdate, '%Y') AS o_year,
-         |       ${moneySumSql(
+         |       ${MartQueries.moneySumFastSql(
         "l.l_extendedprice * (1.0 - l.l_discount) - " +
           "p.p_retailprice * l.l_quantity * 0.1")} AS profit
          |FROM lineitem l

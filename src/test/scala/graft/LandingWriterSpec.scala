@@ -139,10 +139,13 @@ class LandingWriterSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, String)]
     val stream = mem.toDF().toDF("topic", "value")
-    val q = LandingWriter.streamingLanding(stream, root.toString,
-      Seq("customers"), ckpt.toString, Trigger.AvailableNow()).start()
+    // data BEFORE start: AvailableNow snapshots available offsets at query
+    // start — adding afterwards races the trigger's planning (can terminate
+    // on zero batches under box load; the StreamingSessionSpec flake class)
     mem.addData(("banking_server.public.customers", """{"id": 1}"""))
     mem.addData(("banking_server.public.customers", """{"id": 2}"""))
+    val q = LandingWriter.streamingLanding(stream, root.toString,
+      Seq("customers"), ckpt.toString, Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     val back = spark.read.parquet(s"$root/customers")
     assert(back.count() == 2)

@@ -10,7 +10,9 @@ import graft.sources.Tables.Tpch
   * long-unit sum recovers the same integer unit multiset the decimal cast
   * does, so the rounded cent result cannot differ. Checked over the fact
   * tables' money terms (the ones registered queries sum) and per-group on
-  * the Q7 nation-pair grouping, plus the empty-group NULL lane. */
+  * the Q7 nation-pair grouping, plus the empty-group NULL lane, the Q9
+  * compound sign-mixed amount lane, and the LEFT-join all-NULL-group lane
+  * (the customer360 shape). */
 class MoneySumParitySpec extends SparkSpec {
 
   private def t = Tpch(spark, Sf)
@@ -57,5 +59,46 @@ class MoneySumParitySpec extends SparkSpec {
       .agg(moneySum(-col("c_acctbal")).as("dec"),
         moneySumFast(-col("c_acctbal")).as("fast")).head()
     assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("compound sign-mixed amount term agrees per group (the Q9 lane)") {
+    // revenue (4dp) minus landed cost (2dp x int x 0.1 = 3dp): a <=4-true-
+    // decimal difference of products, negative for low-margin lines — the
+    // productTypeProfit term, grouped the way the query groups.
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * col("l_quantity") * lit(0.1)
+    val per = t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(moneySum(amount).as("dec"), moneySumFast(amount).as("fast"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"brand ${r.getString(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
+  }
+
+  test("all-NULL group yields NULL in both forms (the LEFT-join lane)") {
+    // customer360 LEFT-joins orders: order-less customers reach the sum as
+    // NULL terms; both paths must yield NULL, never 0. The sf0.001 fixture
+    // gives every customer an order, so the unmatched lane is induced by
+    // filtering the join side (big-ticket orders only): 57/93 split checked.
+    val withNulls = t.customer
+      .join(t.orders.where(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(moneySum(col("o_totalprice")).as("dec"),
+        moneySumFast(col("o_totalprice")).as("fast"),
+        count(col("o_orderkey")).as("n"))
+      .collect()
+    val orderless = withNulls.filter(_.getLong(3) == 0L)
+    assert(orderless.nonEmpty, "fixture should contain order-less customers")
+    orderless.foreach(r => assert(r.isNullAt(1) && r.isNullAt(2),
+      s"custkey ${r.get(0)}: all-NULL group must be NULL on both paths"))
+    withNulls.filter(_.getLong(3) > 0L).foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"custkey ${r.get(0)}: ${r.getDouble(1)} != ${r.getDouble(2)}")
+    }
   }
 }

@@ -65,12 +65,13 @@ class StreamingSessionSpec extends SparkSpec {
       .withWatermark("ts", "10 hours")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
       .agg(count(lit(1)).as("n"))
+    // data BEFORE start: AvailableNow snapshots available offsets when the
+    // query starts — adding afterwards races the trigger's planning and can
+    // terminate on zero batches (observed as an empty result under box load)
+    mem.addData(events: _*)
     val q = stream.writeStream.format("memory").queryName("sessions_par")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    try {
-      mem.addData(events: _*)
-      q.awaitTermination(60000)
-    } finally q.stop()
+    try q.awaitTermination(60000) finally q.stop()
     val streamed = spark.table("sessions_par")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
