@@ -128,6 +128,51 @@ object Bench {
       val times = passes.map(_(n))
       n -> (times.min, times.sorted.apply(times.length / 2))
     }.toMap
+    // Materialized timing (guide §1.4). The count() action above lets
+    // Catalyst prune columns and whole aggregate expressions the count
+    // does not need — round 17's disclosed finding: a money sum whose
+    // ordering the query's LIMIT ignores is removed from the counted plan
+    // outright, so the timed number misses the very work some
+    // optimizations target. The noop sink computes EVERY column of EVERY
+    // row and discards it. Both actions are timed this transition round:
+    // `total`/`queries` keep their count-based meaning (directly
+    // comparable to BENCH_r17 and 16 rounds of floors), while the
+    // "total_materialized" metric line (and the same-named scalar on the
+    // report line) carries the full-materialization numbers the next
+    // round can re-baseline on. Same interleaved min/median protocol.
+    def timeMatOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val matPasses =
+      (1 to 3 * drives).map(_ => names.map(n => n -> timeMatOnce(n)).toMap)
+    val matResults = names.map { n =>
+      val times = matPasses.map(_(n))
+      n -> (times.min, times.sorted.apply(times.length / 2))
+    }.toMap
+    val totalMat = matResults.values.map(_._1).sum
+    // Core-scaling probe (round-17 PERF `suspect_cpus_ignored`): adds
+    // `<name>_x10` entries — shuffle-heavy queries on a synthesized,
+    // run-local 10× warehouse slice under the noop sink — to the report
+    // map so the driver's low-core/high-core comparison has entries whose
+    // executor work dominates the per-job overhead. Never added to the
+    // `value` total. SPARK_GRAFT_SCALE_PROBE=0 disables.
+    val scaleEntries: Seq[(String, Double)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE_PROBE", "1") == "0") Seq.empty
+      else try {
+        val (synthSec, entries) = graft.tools.ScaleSignal.run(spark, sfDir)
+        System.err.println(s"scale10x synthesize ${fmt(synthSec, 2)} s")
+        entries
+      } catch {
+        case t: Throwable =>
+          System.err.println(
+            s"SCALE-PROBE-FAILED ${t.getClass.getSimpleName}: ${t.getMessage}")
+          Seq.empty
+      }
     // A min still 2x over the median marks a query whose BEST run was slow
     // — under interleaving that is no longer explainable by one spike, so
     // surface it for the judge instead of letting the number read as a
@@ -148,6 +193,12 @@ object Bench {
     System.err.println(
       s"""{"metric":"total","value":${fmt(total, 4)},"unit":"sec","total_median":${fmt(totalMedian, 4)},""" +
         s""""warmup":${fmt(warmupSec, 4)},"queries":${obj(_._1, 4)},"queries_median":${obj(_._2, 4)},"sf":"$sfDir"}""")
+    def objMat(f: ((Double, Double)) => Double, dp: Int): String = matResults
+      .map { case (k, v) => "\"" + k + "\":" + fmt(f(v), dp) }
+      .mkString("{", ",", "}")
+    System.err.println(
+      s"""{"metric":"total_materialized","value":${fmt(totalMat, 4)},"unit":"sec",""" +
+        s""""queries":${objMat(_._1, 4)},"queries_median":${objMat(_._2, 4)},"sf":"$sfDir"}""")
     // Cold-path record: pass-0 wall-clock (JVM-warm but artifact-cold — one
     // run of every query including every one-time build). Printed BEFORE
     // the final report line so the driver still parses the total as the
@@ -160,30 +211,46 @@ object Bench {
     // must stay inside the driver's bounded tail. Degrade precision first;
     // if still too long, drop the FASTEST queries from the map (the slow
     // ones are the performance signal) and say how many were omitted.
-    val budget = 1800
-    val suspectJson =
-      if (suspects.isEmpty) ""
-      else suspects.map("\"" + _ + "\"").mkString(""","suspect":[""", ",", "]")
-    def line(qs: Seq[(String, Double)], dp: Int, omitted: Int): String = {
-      val m = qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
-        .mkString("{", ",", "}")
-      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"""" +
-        s""","warmup":${fmt(warmupSec, 3)},"queries":$m$omit$suspectJson,"sf":"$sfDir"}"""
-    }
-    val mins = results.toSeq.map { case (k, v) => k -> v._1 }
     // Bounded search so the empty-map fallback is genuinely reachable
     // (the old unbounded Iterator.find could spin forever once keep
     // bottomed out at 1 without the line ever fitting).
-    val fitted = Iterator.range(0, mins.size / 5 + 3)
-      .map { step =>
-        val dp = if (step == 0) 2 else 1
-        val keep = if (step <= 1) mins.size else mins.size - (step - 1) * 5
-        val kept = mins.sortBy(-_._2).take(keep.max(1))
-        line(kept, dp, mins.size - kept.size)
-      }
-      .find(_.length <= budget)
-      .getOrElse(line(Seq.empty, 1, mins.size))
+    val budget = 1800
+    def fitLine(ms: Seq[(String, Double)])(
+        mk: (Seq[(String, Double)], Int, Int) => String): String =
+      Iterator.range(0, ms.size / 5 + 3)
+        .map { step =>
+          val dp = if (step == 0) 2 else 1
+          val keep = if (step <= 1) ms.size else ms.size - (step - 1) * 5
+          val kept = ms.sortBy(-_._2).take(keep.max(1))
+          mk(kept, dp, ms.size - kept.size)
+        }
+        .find(_.length <= budget)
+        .getOrElse(mk(Seq.empty, 1, ms.size))
+    def qmap(qs: Seq[(String, Double)], dp: Int): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+    def omitJson(omitted: Int): String =
+      if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+    // Full-materialization record (noop sink, guide §1.4) as its own
+    // metric line, BEFORE the final report line so the driver still
+    // parses the count-based total as the last JSON line.
+    println(fitLine(matResults.toSeq.map { case (k, v) => k -> v._1 }) {
+      (qs, dp, omitted) =>
+        s"""{"metric":"total_materialized","value":${fmt(totalMat, 3)},""" +
+          s""""unit":"sec","queries":${qmap(qs, dp)}${omitJson(omitted)},"sf":"$sfDir"}"""
+    })
+    val suspectJson =
+      if (suspects.isEmpty) ""
+      else suspects.map("\"" + _ + "\"").mkString(""","suspect":[""", ",", "]")
+    // The report map carries the 240 registry mins PLUS the `_x10`
+    // scaling-probe entries; `value` stays the sum over the registry
+    // entries only, so it remains comparable to every prior round.
+    val mins = results.toSeq.map { case (k, v) => k -> v._1 } ++ scaleEntries
+    val fitted = fitLine(mins) { (qs, dp, omitted) =>
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec"""" +
+        s""","warmup":${fmt(warmupSec, 3)},"total_materialized":${fmt(totalMat, 3)}""" +
+        s""","queries":${qmap(qs, dp)}${omitJson(omitted)}$suspectJson,"sf":"$sfDir"}"""
+    }
     println(fitted)
     spark.stop()
   }

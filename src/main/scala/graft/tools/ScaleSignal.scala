@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The bench's core-scaling probe (round-17 PERF flagged
+  * `suspect_cpus_ignored`): at sf0.1 every reported query runs 0.5–1.6 s,
+  * dominated by fixed per-job driver/scheduling overhead that does not
+  * scale with cores, so an 8-core vs 32-core bench run shows per-query
+  * ratios ≈ 1 and the driver cannot verify that anything parallelizes.
+  *
+  * This probe makes the signal readable on the SAME one-line bench
+  * contract: it synthesizes the 10× warehouse slice
+  * ([[ScaleProbe.synthesizeWarehouse]] — facts grow, dimensions do not)
+  * into an application-id-scoped temp dir, times a fixed set of
+  * shuffle-heavy registry queries there under the noop sink (full
+  * materialization, optimization guide §1.4), and returns `<name>_x10`
+  * entries for the bench's `queries` map. At 10× the executor work
+  * dominates the per-job overhead, so the low-core/high-core wall-clock
+  * ratio is materially > 1 exactly when the query parallelizes.
+  *
+  * Not caching, not a benchmark of the registry: the slice is INPUT
+  * synthesis recomputed from the parquet tables inside every run and
+  * deleted afterwards — nothing persists across invocations — and the
+  * probe entries are ADDED map keys; the 240 registry entries and the
+  * `value` total are untouched.
+  */
+object ScaleSignal {
+
+  /** Shuffle-heavy, artifact-free warehouse probes: a fact–fact
+    * sort-merge join + aggregate (Q7 shape), a two-level per-order census
+    * aggregate (Q21 shape), window-family marts (RFM, rolling 7-day
+    * spend), and a cohort matrix — the shapes whose 100 TB cost is
+    * exchange-bound, i.e. exactly the ones whose parallelism the driver's
+    * scaling run needs to see. */
+  private[graft] val Probes: Seq[String] = Seq(
+    "q_nation_trade_volume", "q_blamed_suppliers", "q_rfm_segments",
+    "q_rolling_7d_spend", "q_cohort_retention")
+
+  /** Synthesize the 10× slice, time each probe (1 untimed warm run for
+    * plan/codegen, then best of 2), delete the slice. Returns
+    * (synthesis seconds, `(name_x10, seconds)` entries). */
+  def run(spark: SparkSession, sfDir: String): (Double, Seq[(String, Double)]) = {
+    val out = s"/tmp/graft_scale10x_${spark.sparkContext.applicationId}"
+    val t0 = System.nanoTime()
+    ScaleProbe.synthesizeWarehouse(spark, sfDir, out)
+    val synthSec = (System.nanoTime() - t0) / 1e9
+    try {
+      val entries = Probes.map { n =>
+        val fn = graft.SparkEntry.queries(n)
+        def once(): Double = {
+          val s0 = System.nanoTime()
+          fn(spark, out).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - s0) / 1e9
+        }
+        once() // warm: 10×-input planning and codegen land here
+        (s"${n}_x10", math.min(once(), once()))
+      }
+      (synthSec, entries)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ()
+    }
+  }
+}
