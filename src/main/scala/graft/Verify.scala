@@ -28,6 +28,13 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Correctness gate runs with the money-sum wrap guard planned in:
+    // a converted fast-path site whose data outgrows its scaladoc wrap
+    // bound fails HERE with the site name, instead of wrapping silently
+    // in Spark and surfacing as an opaque oracle hash mismatch
+    // (MartQueries.moneyGuard scaladoc). Bench/production plans are
+    // untouched (default false).
+    graft.operators.MartQueries.moneyGuard = true
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

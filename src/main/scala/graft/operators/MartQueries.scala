@@ -67,9 +67,73 @@ object MartQueries {
     * drop-bits-at-scale rule — SCALE.md grid table). NOT for terms with
     * more than 4 true decimals (the ×(1+tax) 6-decimal charge stays on
     * [[moneySum]]'s decimal path). */
-  def moneySumFast(term: Column): Column =
-    round(sum(round(term * lit(10000)).cast("long")).cast(DecimalType(38, 4))
-      / 10000, 2).cast("double")
+  def moneySumFast(term: Column): Column = moneySumFast(term, "moneySumFast")
+
+  /** Unit grid for [[moneySumFast]]: 10⁻⁴ money units — exact for every
+    * ≤4-decimal money term in this schema. The documented FALLBACK past a
+    * site's wrap bound is the CENT grid ([[CentScale]], 10⁻²): +100×
+    * headroom, exact only for ≤2-decimal terms (bare 2-dp price columns —
+    * NOT discount/tax products, which have 4 true decimals). A site that
+    * outgrows its unit bound switches scale in ONE place on each side
+    * (Spark agg + SQL fragment) rather than reinventing the idiom. */
+  private[graft] val UnitScale = 10000L
+  private[graft] val CentScale = 100L
+
+  /** When true, [[moneySumFast]] plans a per-group wrap guard alongside
+    * the sum. Default FALSE so bench/production plans carry zero guard
+    * tax; [[graft.Verify]] (the correctness gate the DuckDB oracle runs
+    * against) and the parity specs turn it ON. Why: Spark's long SUM
+    * WRAPS silently (ANSI off) while DuckDB's BIGINT sum promotes to
+    * HUGEINT, so a converted site whose data outgrows its scaladoc wrap
+    * analysis (fixture regeneration with larger prices, skew, scale past
+    * the 100 TB design point) would surface only as an opaque oracle hash
+    * mismatch far from the cause. `max(|unit|) × count(unit)` ≥ |Σ unit|
+    * per group, so requiring it to clear the signed-long boundary with
+    * the rollout's ≥10× headroom policy turns the silent-wrap class into
+    * a loud, site-named failure in exactly the runs that exist to catch
+    * it (machine enforcement of the r17 rollout policy — VERDICT item 4 /
+    * ADVICE). */
+  @volatile private[graft] var moneyGuard: Boolean = false
+
+  /** ≥10× rollout policy: the guard fires when one group's unit bound
+    * eats more than a tenth of the signed-long range. */
+  private[graft] val GuardHeadroom = 10L
+
+  /** [[moneySumFast]] with a site label for the wrap guard's error
+    * message (call sites pass their query name). */
+  def moneySumFast(term: Column, site: String): Column =
+    moneySumFastUnits(round(term * lit(10000)).cast("long"), site)
+
+  /** The aggregate half of [[moneySumFast]] over a PRE-COMPUTED unit
+    * column (`round(term · 10⁴) AS LONG`, the same per-row conversion
+    * [[moneySumFast]] plans): lets a query project the 8-byte unit BEFORE
+    * its fact-side exchanges (guide §2.3 — the shuffle then carries one
+    * long instead of two doubles) while summing the identical integer
+    * multiset, so the finished money value is bit-identical. Same wrap
+    * guard. */
+  def moneySumFastUnits(unit: Column, site: String): Column = {
+    val finish =
+      round(sum(unit).cast(DecimalType(38, 4)) / 10000, 2).cast("double")
+    if (!moneyGuard) finish
+    else {
+      // Decimal product: max(|unit|) and count are both ≤ 2^63, so their
+      // long product could itself wrap — the guard must not need guarding.
+      val bound = max(abs(unit)).cast(DecimalType(38, 0)) *
+        count(unit).cast(DecimalType(38, 0))
+      val limit = lit(Long.MaxValue / GuardHeadroom).cast(DecimalType(38, 0))
+      // Empty/all-NULL group: bound is NULL, coalesce keeps the guard
+      // quiet and `finish` yields the NULL the decimal path yields.
+      when(coalesce(bound > limit, lit(false)),
+        raise_error(concat(
+          lit(s"$site: moneySumFast wrap-headroom guard: max(|unit|)*rows="),
+          bound.cast("string"),
+          lit(s" > ${Long.MaxValue / GuardHeadroom} (signed-long / " +
+            s"$GuardHeadroom policy headroom) — switch the site to the " +
+            "cent grid (CentScale) or the decimal path (moneySum)"))
+        ).cast("double"))
+        .otherwise(finish)
+    }
+  }
 
   /** The matching oracle-side SQL fragment for [[moneySumFast]]. The
     * unit-to-money finish MULTIPLIES by the exact decimal 0.0001 instead of
@@ -116,7 +180,7 @@ object MartQueries {
       .groupBy(
         col("r_name").as("region_name"),
         dayStr(col("o_orderdate")).as("order_date"))
-      .agg(moneySumFast(revenueTerm).as("revenue"))
+      .agg(moneySumFast(revenueTerm, "q_daily_region_revenue").as("revenue"))
       .orderBy(col("region_name"), col("order_date"))
   }
 
@@ -136,7 +200,7 @@ object MartQueries {
         col("n_name").as("nation_name"))
       .agg(
         count(col("o_orderkey")).as("n_orders"),
-        moneySumFast(col("o_totalprice")).as("total_spend"),
+        moneySumFast(col("o_totalprice"), "q_customer_360").as("total_spend"),
         max(col("o_totalprice")).as("max_order"),
         dayStr(max(col("o_orderdate"))).as("last_order_date"))
       .orderBy(col("c_custkey"))

@@ -87,7 +87,8 @@ object WarehouseQueries {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(MartQueries.moneySumFast(
-        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "q_local_supplier_volume")
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -165,7 +166,7 @@ object WarehouseQueries {
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"),
         date_format(col("o_orderdate"), "yyyy").as("o_year"))
-      .agg(MartQueries.moneySumFast(amount).as("profit"))
+      .agg(MartQueries.moneySumFast(amount, "q_product_type_profit").as("profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 

@@ -79,6 +79,65 @@ class MoneySumParitySpec extends SparkSpec {
     }
   }
 
+  test("wrap guard: at-bound group passes with the identical value") {
+    // Two rows whose units are 4.6e17 each: max(|unit|)*count = 9.2e17,
+    // just UNDER Long.MaxValue/10 (922337203685477580) — the guard must
+    // stay quiet and the guarded plan must return the unguarded value.
+    import spark.implicits._
+    val df = Seq(4.6e13, 4.6e13).toDF("v")
+    graft.operators.MartQueries.moneyGuard = true
+    try {
+      val guarded = df.agg(
+        graft.operators.MartQueries.moneySumFast(col("v"), "at-bound-lane")
+          .as("m")).head().getDouble(0)
+      graft.operators.MartQueries.moneyGuard = false
+      val plain = df.agg(moneySumFast(col("v")).as("m")).head().getDouble(0)
+      assert(guarded == plain, s"guarded $guarded != unguarded $plain")
+    } finally graft.operators.MartQueries.moneyGuard = false
+  }
+
+  test("wrap guard: past-bound group fails LOUDLY naming the site") {
+    // Units of 1e18 each, 2 rows: max(|unit|)*count = 2e18 > Long.Max/10.
+    // The sum itself (2e18) still fits a long — this is the ≥10× POLICY
+    // boundary firing before the wrap, which is the point.
+    import spark.implicits._
+    val df = Seq(1.0e14, 1.0e14).toDF("v")
+    graft.operators.MartQueries.moneyGuard = true
+    try {
+      val e = intercept[Exception] {
+        df.agg(graft.operators.MartQueries
+          .moneySumFast(col("v"), "past-bound-lane").as("m")).head()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      val all = messages(e).mkString(" | ")
+      assert(all.contains("past-bound-lane") &&
+        all.contains("wrap-headroom guard"), s"unexpected error: $all")
+    } finally graft.operators.MartQueries.moneyGuard = false
+  }
+
+  test("wrap guard: all-NULL and empty groups stay NULL, guard quiet") {
+    graft.operators.MartQueries.moneyGuard = true
+    try {
+      val none = t.orders.where(lit(false))
+      val r = none.agg(graft.operators.MartQueries
+        .moneySumFast(col("o_totalprice"), "null-lane").as("m")).head()
+      assert(r.isNullAt(0))
+      val withNulls = t.customer
+        .join(t.orders.where(col("o_totalprice") > 450000),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(graft.operators.MartQueries
+          .moneySumFast(col("o_totalprice"), "null-lane").as("m"),
+          count(col("o_orderkey")).as("n"))
+        .collect()
+      val orderless = withNulls.filter(_.getLong(2) == 0L)
+      assert(orderless.nonEmpty)
+      orderless.foreach(r2 => assert(r2.isNullAt(1)))
+    } finally graft.operators.MartQueries.moneyGuard = false
+  }
+
   test("all-NULL group yields NULL in both forms (the LEFT-join lane)") {
     // customer360 LEFT-joins orders: order-less customers reach the sum as
     // NULL terms; both paths must yield NULL, never 0. The sf0.001 fixture

@@ -116,6 +116,43 @@ class OracleGuardSpec extends AnyFunSuite {
     assert(unmaterializedChains(sql) == Seq("r1", "r2"))
   }
 
+  test("moneySumFastSql emits the pinned half-cent-safe fragment") {
+    // The fragment's ONE semantic trap (found and fixed in r17): DuckDB's
+    // decimal DIVISION returns DOUBLE, so a `/ 10000` finish loses exact
+    // half-cents (a unit sum ending in …50 rounds DOWN off the
+    // slightly-low double while Spark's exact decimal division rounds the
+    // true half UP). The fragment must MULTIPLY by the exact decimal
+    // 0.0001. This golden string is the in-repo regression the external
+    // oracle gate can't provide, and it pins the shape that
+    // tools/check_money_fragment.py evaluates in DuckDB on constructed
+    // half-cent groups — edit both together.
+    assert(graft.operators.MartQueries.moneySumFastSql("T") ==
+      "CAST(ROUND(CAST(SUM(CAST(ROUND((T) * 10000) AS BIGINT)) " +
+        "AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE)")
+  }
+
+  test("every oracle using the unit-sum idiom finishes by decimal multiply") {
+    // Mechanical twin of the golden-string test over every REGISTERED
+    // oracle: any hand-inlined copy of the unit-sum idiom that reverts to
+    // the double-producing division finish is flagged at the query name.
+    val unitSum = raw"(?i)AS\s+BIGINT\)\)\s*AS\s+DECIMAL\(38,4\)\)".r
+    val divFinish = raw"(?i)AS\s+DECIMAL\(38,4\)\)\s*/\s*\d".r
+    val mulFinish =
+      raw"(?i)AS\s+DECIMAL\(38,4\)\)\s*\*\s*CAST\(0\.0*1\s+AS\s+DECIMAL".r
+    val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
+      case (name, sql) if unitSum.findFirstIn(sql).isDefined =>
+        if (divFinish.findFirstIn(sql).isDefined)
+          Some(s"$name: unit-sum finish DIVIDES (DuckDB returns DOUBLE, " +
+            "loses exact half-cents)")
+        else if (mulFinish.findFirstIn(sql).isEmpty)
+          Some(s"$name: unit-sum finish is neither the pinned decimal " +
+            "multiply nor recognizable — keep moneySumFastSql's shape")
+        else None
+      case _ => None
+    }
+    assert(offenders.isEmpty, s"\n${offenders.mkString("\n  ")}")
+  }
+
   test("every registered oracle's round-chain CTEs are AS MATERIALIZED") {
     val offenders = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap {
       case (name, sql) =>

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Regression check for MartQueries.moneySumFastSql's DuckDB semantics.
+
+The r17 rollout exposed a one-cent mismatch class: DuckDB's decimal
+DIVISION returns DOUBLE, so a unit-to-money finish `/ 10000` loses exact
+half-cents — a group whose unit sum ends in ...50 rounds DOWN off the
+slightly-low double while Spark's exact decimal division rounds the true
+half UP. The fix multiplies by the exact decimal 0.0001 (decimal x decimal
+stays DECIMAL(38,8); ROUND is exact half-away-from-zero on both engines).
+
+That fix lives in the SQL FRAGMENT, which the in-JVM parity spec cannot
+exercise (it pins Spark-fast == Spark-decimal only); before this script it
+was tested only by the external oracle gate happening to contain a
+half-cent group. Here we construct the half-cent groups deliberately and
+evaluate the fragment in DuckDB itself.
+
+The fragment text below is pinned against the Scala source by
+OracleGuardSpec ("moneySumFastSql emits the pinned half-cent-safe
+fragment") — edit both together.
+
+Usage: python3 tools/check_money_fragment.py   (exit 0 = all lanes pass)
+"""
+import sys
+
+import duckdb
+
+
+def fragment(term: str) -> str:
+    # Must equal MartQueries.moneySumFastSql(term) verbatim.
+    return (
+        f"CAST(ROUND(CAST(SUM(CAST(ROUND(({term}) * 10000) AS BIGINT)) "
+        f"AS DECIMAL(38,4)) * CAST(0.0001 AS DECIMAL(8,4)), 2) AS DOUBLE)"
+    )
+
+
+def run(lane: str, values, expected):
+    con = duckdb.connect()
+    rows = ", ".join(f"({v!r})" for v in values)
+    got = con.execute(
+        f"SELECT {fragment('v')} FROM (VALUES {rows}) AS t(v)"
+    ).fetchone()[0]
+    ok = got == expected
+    print(f"[{'OK ' if ok else 'FAIL'}] {lane}: got {got}, expected {expected}")
+    return ok
+
+
+def main() -> int:
+    lanes = [
+        # exact half-cent group: units sum to 123450 -> 12.345 must round UP
+        ("half-cent up", [12.3450], 12.35),
+        ("half-cent up, split terms", [6.1725, 6.1725], 12.35),
+        # negative half-cent: -12.345 must round AWAY from zero to -12.35
+        ("negative half-cent away", [-6.1725, -6.1725], -12.35),
+        # off-half lanes stay plain
+        ("off-half low", [12.3449], 12.34),
+        ("off-half high", [12.3451], 12.35),
+        # a large group whose double-division image is slightly low:
+        # 9999999.995 (units 99999999950) is the classic failing value
+        ("large half-cent", [9999999.995], 10000000.0),
+        ("sign-mixed to a half", [20.0, -7.655], 12.35),
+    ]
+    ok = all(run(*lane) for lane in lanes)
+    # Demonstrate (not assert) why the division finish is banned: at least
+    # one lane must DIFFER under `/ 10000`, or this check tests nothing.
+    con = duckdb.connect()
+    div = (
+        "CAST(ROUND(CAST(SUM(CAST(ROUND((v) * 10000) AS BIGINT)) "
+        "AS DECIMAL(38,4)) / 10000, 2) AS DOUBLE)"
+    )
+    diverged = any(
+        con.execute(
+            f"SELECT {div} FROM (VALUES {', '.join(f'({v!r})' for v in vals)}) AS t(v)"
+        ).fetchone()[0]
+        != exp
+        for _, vals, exp in lanes
+    )
+    print(
+        f"[{'OK ' if diverged else 'FAIL'}] division finish diverges on at "
+        f"least one lane (the bug this check exists to catch)"
+    )
+    return 0 if ok and diverged else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -58,6 +58,9 @@ echo "== [3/5] check_oracle -> CORRECTNESS_local_r${N}.json"
 python3 tools/check_oracle.py "${SF_VERIFY}" "${VOUT}" \
   "CORRECTNESS_local_r${N}.json" | tail -3
 
+echo "== [3b] money-fragment DuckDB semantics (half-cent lanes)"
+python3 tools/check_money_fragment.py | tail -2
+
 echo "== [4/5] time_oracles @ ${SF_CAP} (10 s cap)"
 sbt -batch "runMain graft.Verify ${SF_CAP} ${VOUT_CAP}" > /dev/null
 python3 tools/time_oracles.py "${SF_CAP}" "${VOUT_CAP}" 10 | tail -3
