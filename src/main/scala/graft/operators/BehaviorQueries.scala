@@ -76,6 +76,44 @@ object BehaviorQueries {
         min(when(col("cum") * 4 >= col("n") * 3, col("v"))).as("q3"))
   }
 
+  /** All three RFM metrics' quartile bounds in ONE leg: the metrics are
+    * stacked in-row ((k, v) with k ∈ r/f/m — every customer contributes
+    * one row per metric, so each metric's histogram and total are exactly
+    * [[quartileBounds]]'s), then one (k, v) histogram, one window
+    * PARTITIONED by k (same per-metric cum/total the three global windows
+    * computed), and one 9-column pick — replacing three histogram
+    * exchanges + three single-partition windows + three one-row
+    * broadcasts with one of each, and cutting the customer aggregate's
+    * consumers from 4 to 2 (the r18 action-phase job-tail fix: 16 action
+    * jobs per pass). Values cross the stack as LONG — exact for all three
+    * integer metrics, so the rank-picked bounds are the identical
+    * integers and every label comparison is unchanged. */
+  private def rfmBounds(m: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stacked = m.select(explode(array(
+      struct(lit("r").as("metric"), col("rmax").cast("long").as("v")),
+      struct(lit("f").as("metric"), col("f").cast("long").as("v")),
+      struct(lit("m").as("metric"), col("monk").cast("long").as("v")))).as("e"))
+      .select(col("e.metric").as("metric"), col("e.v").as("v"))
+    val hist =
+      stacked.groupBy(col("metric"), col("v")).agg(count(lit(1)).as("freq"))
+    val ord = Window.partitionBy(col("metric")).orderBy(col("v").asc)
+    val all = Window.partitionBy(col("metric"))
+    def pick(m: String, mul: Int, nMul: Int): Column =
+      min(when(col("metric") === m && col("cum") * mul >= col("n") * nMul,
+        col("v")))
+    hist
+      .withColumn("cum", sum(col("freq")).over(ord))
+      .withColumn("n", sum(col("freq")).over(all))
+      .agg(
+        pick("r", 4, 1).as("rq1"), pick("r", 2, 1).as("rq2"),
+        pick("r", 4, 3).as("rq3"),
+        pick("f", 4, 1).as("fq1"), pick("f", 2, 1).as("fq2"),
+        pick("f", 4, 3).as("fq3"),
+        pick("m", 4, 1).as("mq1"), pick("m", 2, 1).as("mq2"),
+        pick("m", 4, 3).as("mq3"))
+  }
+
   /** 1-based quartile label of `v` against one-row bounds frame columns
     * `pfx`q1/q2/q3. */
   private def label(v: Column, pfx: String): Column =
@@ -103,13 +141,7 @@ object BehaviorQueries {
         round(sum(col("o_totalprice").cast(DecimalType(18, 4))), 0)
           .cast("long").as("mon"))
       .withColumn("monk", expr("mon div 1000"))
-    val rq = quartileBounds(m.select(col("rmax").as("v")))
-      .select(col("q1").as("rq1"), col("q2").as("rq2"), col("q3").as("rq3"))
-    val fq = quartileBounds(m.select(col("f").as("v")))
-      .select(col("q1").as("fq1"), col("q2").as("fq2"), col("q3").as("fq3"))
-    val mq = quartileBounds(m.select(col("monk").as("v")))
-      .select(col("q1").as("mq1"), col("q2").as("mq2"), col("q3").as("mq3"))
-    m.join(broadcast(rq)).join(broadcast(fq)).join(broadcast(mq))
+    m.join(broadcast(rfmBounds(m)))
       .select(
         label(col("rmax"), "r").as("r_q"),
         label(col("f"), "f").as("f_q"),

@@ -44,10 +44,16 @@ object CorpusStats {
     val docs = t.documents.select(col("source"), col("n_chars"))
     val hist = docs.groupBy(col("source"), col("n_chars"))
       .agg(count(lit(1)).as("cnt"))
-    val values = docs.select(col("n_chars")).distinct()
-    val sources = docs.select(col("source")).distinct()
-    val totals = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-    val totalAll = docs.agg(count(lit(1)).as("n_all")) // one-row broadcast
+    // Every other leg is derived from `hist`, NOT from `docs`: the five
+    // derivations below then share hist's (source, n_chars) exchange via
+    // ReusedExchange — ONE corpus scan and ONE corpus-sized shuffle per
+    // execution instead of six scans (the r18 action-phase job-tail fix;
+    // the values are identical integers: Σ over the histogram ≡ COUNT
+    // over the rows it tallies).
+    val values = hist.select(col("n_chars")).distinct()
+    val sources = hist.select(col("source")).distinct()
+    val totals = hist.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val totalAll = hist.agg(sum(col("cnt")).as("n_all")) // one-row broadcast
 
     // source × pooled-value grid. The join key is an all-equal DERIVED
     // column (not a foldable literal, so Catalyst cannot rewrite the
@@ -63,8 +69,9 @@ object CorpusStats {
     val cum = grid.join(hist, Seq("source", "n_chars"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .withColumn("cum_s", sum(col("cnt")).over(wSrc))
-    // corpus CDF numerator over the global value histogram
-    val gcum = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("gcnt"))
+    // corpus CDF numerator over the global value histogram (from `hist`,
+    // same ReusedExchange note as above)
+    val gcum = hist.groupBy(col("n_chars")).agg(sum(col("cnt")).as("gcnt"))
       .withColumn("cum_all", sum(col("gcnt")).over(Window.orderBy(col("n_chars"))))
       .select(col("n_chars"), col("cum_all"))
 

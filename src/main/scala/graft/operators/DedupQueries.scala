@@ -355,9 +355,26 @@ object DedupQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Verification rides the SHARED portable pair store
+    * ([[portableNearDups]]) instead of running its own salted shingle-set
+    * fetch: every incremental candidate shares a band bucket, so it is a
+    * SUBSET of the store's candidate set (the full in-bucket pair
+    * enumeration), and the store IS that superset verified at the same
+    * exact-integer jaccard ≥ 1/2 threshold — an inner join on (doc_a,
+    * doc_b) therefore returns the identical pairs with the identical
+    * stored ni/uni counts (the screenFromStore lesson, r18: the previous
+    * shape re-ran the semi-join + two salted array fetches per timed
+    * pass, 19 AQE action jobs; at 100 TB the daily screen joins its
+    * per-batch candidate table against the maintained pair store rather
+    * than re-fetching shingle sets the store already verified). DedupSpec
+    * pins the contract either way: output == the full-corpus portable
+    * pair graph restricted to pairs touching the batch. */
   def incrementalNearDups(spark: SparkSession, sfDir: String): DataFrame =
-    verifiedJaccardPairs(incrementalCandidates(spark, sfDir),
-      sharedPortableShingled(spark, sfDir))
+    incrementalCandidates(spark, sfDir)
+      .join(portableNearDups(spark, sfDir), Seq("doc_a", "doc_b"))
+      .withColumn("jaccard",
+        round(col("ni").cast("double") / col("uni").cast("double"), 4))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** SimHash near-duplicate pairs: 64-bit signed-bit-sum signature over

@@ -27,7 +27,8 @@ object OlapQueries {
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation"))
       .agg(MartQueries.moneySumFast(
-        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "q_top_returning_customers")
         .as("returned_revenue"))
       .orderBy(col("returned_revenue").desc, col("c_custkey").asc)
       .limit(20)
@@ -125,15 +126,23 @@ object OlapQueries {
     val suppNation = t.supplier
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"), col("n_name").as("supp_nation"))
-    t.lineitem
+    // The per-row money unit is projected BEFORE the fact-side exchanges
+    // (guide §2.3: the o_custkey shuffle of the joined fact then carries
+    // ONE long instead of the price+discount double pair — 32 → 24 bytes
+    // per row — and the ×/− arithmetic runs scan-side, not post-shuffle).
+    // Identical per-row integer multiset, so the finished money value is
+    // bit-identical (MartQueries.moneySumFastUnits scaladoc).
+    val fact = t.lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        * lit(10000)).cast("long").as("unit"))
+    fact
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .join(custNation, col("o_custkey") === col("c_custkey"))
       .join(suppNation, col("l_suppkey") === col("s_suppkey"))
       .where(col("cust_nation") =!= col("supp_nation"))
       .groupBy(col("cust_nation"), col("supp_nation"))
       .agg(count(lit(1)).as("n_lines"),
-        MartQueries.moneySumFast(
-          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        MartQueries.moneySumFastUnits(col("unit"), "q_nation_trade_volume")
           .as("volume"))
       .orderBy(col("volume").desc, col("cust_nation"), col("supp_nation"))
       .limit(30)
@@ -267,7 +276,8 @@ object OlapQueries {
       .join(t.lineitem.where(col("l_shipdate") > cutoff), "l_orderkey")
       .groupBy(col("l_orderkey"), col("order_day"))
       .agg(MartQueries.moneySumFast(
-        col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        "q_shipping_priority")
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)

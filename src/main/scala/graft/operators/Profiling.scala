@@ -370,7 +370,31 @@ object Profiling {
     * these types (char flags, int keys, dates), so the counts are the
     * identical integers; the ORACLE keeps the single-aggregate
     * COUNT(DISTINCT) form — two independent formulations, hash-pinned. */
-  def clusteringFactor(spark: SparkSession, sfDir: String): DataFrame = {
+  def clusteringFactor(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringFactorOn(spark, sfDir, v => countDistinct(v))
+
+  /** PRODUCTION twin of [[clusteringFactor]] (`_fast`, rows-only in the
+    * driver gate): identical window/change leg — n_rows, n_changes and
+    * changes_permille are the same exact integers — with the distinct-
+    * count leg on `approx_count_distinct` (HLL++, rsd 0.5%) instead of
+    * exact COUNT(DISTINCT). Why a twin exists (guide §2.3/§5): the exact
+    * leg's partial aggregate buffers each task's (column, value) DOMAIN
+    * before the shuffle — fine at sf0.1 where the widest domain is
+    * l_partkey's ~2·10⁵, but at the 100 TB design point l_partkey is
+    * ~2·10¹⁰ values, so the per-task distinct buffers and the shuffled
+    * domain rows grow with the corpus while HLL++ sketches stay KB-sized
+    * and merge in constant space. HLL++ is deterministic and
+    * merge-commutative (no RNG, partition-order-insensitive), so the
+    * twin is rows-stable; ClusteringFactorParitySpec pins the exact
+    * columns pair-for-pair against the oracle-checked query and bounds
+    * the approx column's relative error. The EXACT query stays declared
+    * and oracle-hash-checked — this is the q_text_source_overlap_fast
+    * pattern. */
+  def clusteringFactorFast(spark: SparkSession, sfDir: String): DataFrame =
+    clusteringFactorOn(spark, sfDir, v => approx_count_distinct(v, 0.005))
+
+  private def clusteringFactorOn(spark: SparkSession, sfDir: String,
+                                 distinctAgg: Column => Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cols = Seq("l_returnflag", "l_linestatus", "l_partkey", "l_shipdate")
     // (l_orderkey, l_linenumber) is NOT unique in this corpus — order by
@@ -395,7 +419,7 @@ object Profiling {
         struct(lit(c).as("cn"), col(c).cast("string").as("v"))): _*)).as("e"))
       .select(col("e.cn").as("column_name"), col("e.v").as("v"))
       .groupBy(col("column_name"))
-      .agg(countDistinct(col("v")).cast("long").as("n_distinct"))
+      .agg(distinctAgg(col("v")).cast("long").as("n_distinct"))
     val stacked = cols.map(c => s"'$c', n_rows, chg_$c").mkString(", ")
     one.selectExpr(
       s"stack(${cols.size}, $stacked) AS (column_name, n_rows, n_changes)")
@@ -523,35 +547,35 @@ object Profiling {
     * join correctly; a large error flags the join where a planner needs
     * histograms instead. Estimates cross-multiply on DECIMAL(38,0)/
     * HUGEINT (|L|·|R| overflows a long at warehouse scale).
-    * Scale, per join shape: FK probes (PK side distinct) count the
-    * materialized equi-join — it emits exactly |FK side| rows, the PK
-    * side is dimension-sized and broadcasts, so the count is one fact
-    * scan with zero shuffle; the MANY-TO-MANY nation probe instead
-    * derives the true cardinality as Σₖ cnt_L(k)·cnt_R(k) over per-key
-    * count aggregates — materializing THAT join would emit ~|C|·|S|/25
-    * rows at warehouse scale to count and throw away. Either way,
-    * exactly the work ANALYZE costs. */
+    * Scale, per join shape: EVERY probe derives its three statistics from
+    * ONE per-key count aggregate per side — `g = side.groupBy(key).count`
+    * gives n (Σ cnt), ndv (group count over non-null keys) and, joined
+    * against the other side's g, the TRUE cardinality Σₖ cnt_L(k)·cnt_R(k)
+    * (exactly the materialized join's row count, for FK and many-to-many
+    * alike — materializing the m2m nation join would emit ~|C|·|S|/25 rows
+    * at warehouse scale to count and throw away). One scan per (table,
+    * key), and the grouped exchange is REUSED by the stats and the actual
+    * legs (the r18 job-tail fix: the previous shape scanned each fact
+    * once for count+countDistinct — an Expand ×2 over the fact — and
+    * AGAIN for the materialized-join count, 23 action jobs per pass).
+    * Exactly the work ANALYZE costs. */
   def joinCardinalityEstimates(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     def probe(name: String, left: DataFrame, lk: String,
-              right: DataFrame, rk: String,
-              manyToMany: Boolean = false): DataFrame = {
-      val ls = left.agg(count(lit(1)).as("n_left"),
-        countDistinct(col(lk)).as("ndv_left"))
-      val rs = right.agg(count(lit(1)).as("n_right"),
-        countDistinct(col(rk)).as("ndv_right"))
-      val actual =
-        if (manyToMany)
-          left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
-            .join(right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr")),
-              Seq("k"))
-            .agg(coalesce(
-              sum(col("cl").cast(DecimalType(38, 0)) * col("cr")), lit(0))
-              .cast("long").as("actual_rows"))
-        else
-          left.select(col(lk).as("k"))
-            .join(right.select(col(rk).as("k")), Seq("k"))
-            .agg(count(lit(1)).as("actual_rows"))
+              right: DataFrame, rk: String): DataFrame = {
+      val gl = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+      val gr = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr"))
+      // n = Σ cnt over ALL groups (a NULL key still counts its rows, as
+      // COUNT(*) does); ndv = non-null group count (COUNT(DISTINCT k)
+      // semantics). The join below drops NULL keys like SQL equi-joins.
+      val ls = gl.agg(sum(col("cl")).cast("long").as("n_left"),
+        count(col("k")).as("ndv_left"))
+      val rs = gr.agg(sum(col("cr")).cast("long").as("n_right"),
+        count(col("k")).as("ndv_right"))
+      val actual = gl.join(gr, Seq("k"))
+        .agg(coalesce(
+          sum(col("cl").cast(DecimalType(38, 0)) * col("cr")), lit(0))
+          .cast("long").as("actual_rows"))
       ls.crossJoin(rs).crossJoin(actual)
         .withColumn("est_rows",
           expr("""CAST(CAST(n_left AS DECIMAL(38,0)) * n_right
@@ -572,8 +596,7 @@ object Profiling {
       .unionByName(
         probe("lineitem_part", t.lineitem, "l_partkey", t.part, "p_partkey"))
       .unionByName(probe("customer_supplier_nation",
-        t.customer, "c_nationkey", t.supplier, "s_nationkey",
-        manyToMany = true))
+        t.customer, "c_nationkey", t.supplier, "s_nationkey"))
       .orderBy(col("join_name"))
   }
 
@@ -812,6 +835,7 @@ object Profiling {
          |$sels
          |ORDER BY column_name""".stripMargin
     }),
+    NamedQuery("q_profile_clustering_factor_fast", clusteringFactorFast, None),
     NamedQuery("q_profile_benford", benfordScreen, Some(
       """WITH lead AS (SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS INT) AS leading_digit
         |              FROM orders WHERE o_totalprice >= 1),

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Profiling
+
+/** The approx-distinct production twin of the clustering-factor profile
+  * (`q_profile_clustering_factor_fast`, rows-only in the driver gate)
+  * must agree with the oracle-hash-checked exact query on every column
+  * the two COMPUTE identically — n_rows, n_changes, changes_permille are
+  * the same window/change leg, so they must be the same exact integers —
+  * and its approx n_distinct must sit inside the declared HLL++ error
+  * envelope. Run at sf0.01, the driver's correctness SF, so the parity
+  * claim covers exactly the gated corpus (the SourceOverlapParitySpec
+  * pattern).
+  */
+class ClusteringFactorParitySpec extends SparkSpec {
+
+  private val Sf001 = "/root/testdata/sf0.01"
+
+  private def byColumn(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("exact legs are row-identical; approx n_distinct inside rsd bound") {
+    val exact = byColumn(Profiling.clusteringFactor(spark, Sf001))
+    val fast = byColumn(Profiling.clusteringFactorFast(spark, Sf001))
+    assert(exact.keySet == fast.keySet)
+    assert(exact.nonEmpty)
+    exact.foreach { case (c, (nRows, nd, nChg, permille)) =>
+      val (fRows, fNd, fChg, fPermille) = fast(c)
+      assert(fRows == nRows, s"$c n_rows")
+      assert(fChg == nChg, s"$c n_changes")
+      assert(fPermille == permille, s"$c changes_permille")
+      // HLL++ at rsd 0.005: allow 3 standard deviations, floor of ±1 for
+      // the tiny-domain columns (they resolve exactly in sparse mode).
+      val tol = math.max(1L, math.ceil(nd * 0.015).toLong)
+      assert(math.abs(fNd - nd) <= tol,
+        s"$c n_distinct approx $fNd vs exact $nd (tol $tol)")
+    }
+  }
+
+  test("twin is deterministic across executions (rows-only gate stability)") {
+    val a = Profiling.clusteringFactorFast(spark, Sf001).collect().toSeq
+    val b = Profiling.clusteringFactorFast(spark, Sf001).collect().toSeq
+    assert(a == b)
+  }
+}

@@ -86,7 +86,10 @@ class PlanGuardSpec extends SparkSpec {
     "lang", "source", "event_type", "status", "split", "kind", "label",
     "o_orderstatus", "l_returnflag", "l_linestatus", "c_mktsegment",
     "account_type", "currency", "txn_type", "r_name", "cust_nation",
-    "key_col", "tbl", "q_id", "q_vec_id", "pair", "x", "y")
+    "key_col", "tbl", "q_id", "q_vec_id", "pair", "x", "y",
+    // the stacked RFM metric tag (r/f/m — 3 values): the r18 one-leg
+    // quartile rewrite partitions its histogram window by it
+    "metric")
 
   /** Queries whose bounded-key (or global) windows run over inputs that
     * are provably SMALL — not the raw table — so the funnel is bounded by
@@ -114,7 +117,8 @@ class PlanGuardSpec extends SparkSpec {
     "q_multimodal_thumb_ivf" -> "monotonicity lag over the 4-row thumb curve",
     // three global cumsums, each over a VALUE histogram bounded by its
     // domain: months, per-customer order counts, $1000 spend buckets
-    "q_rfm_segments" -> "global cumsum over domain-bounded RFM value histograms",
+    "q_rfm_segments" ->
+      "per-metric cumsum over the stacked domain-bounded RFM value histogram",
     // CUSUM runs entirely over the per-day revenue aggregate — rows =
     // days, time-domain-bounded
     "q_ts_cusum_changepoint" -> "global cumsum over per-day revenue aggregates",
