@@ -547,35 +547,41 @@ object Profiling {
     * join correctly; a large error flags the join where a planner needs
     * histograms instead. Estimates cross-multiply on DECIMAL(38,0)/
     * HUGEINT (|L|·|R| overflows a long at warehouse scale).
-    * Scale, per join shape: EVERY probe derives its three statistics from
-    * ONE per-key count aggregate per side — `g = side.groupBy(key).count`
-    * gives n (Σ cnt), ndv (group count over non-null keys) and, joined
-    * against the other side's g, the TRUE cardinality Σₖ cnt_L(k)·cnt_R(k)
-    * (exactly the materialized join's row count, for FK and many-to-many
-    * alike — materializing the m2m nation join would emit ~|C|·|S|/25 rows
-    * at warehouse scale to count and throw away). One scan per (table,
-    * key), and the grouped exchange is REUSED by the stats and the actual
-    * legs (the r18 job-tail fix: the previous shape scanned each fact
-    * once for count+countDistinct — an Expand ×2 over the fact — and
-    * AGAIN for the materialized-join count, 23 action jobs per pass).
-    * Exactly the work ANALYZE costs. */
+    * Scale, per join shape: FK probes (PK side distinct) count the
+    * materialized equi-join — it emits exactly |FK side| rows, the PK
+    * side is dimension-sized and broadcasts, so the count is one fact
+    * scan with zero shuffle; the MANY-TO-MANY nation probe instead
+    * derives the true cardinality as Σₖ cnt_L(k)·cnt_R(k) over per-key
+    * count aggregates — materializing THAT join would emit ~|C|·|S|/25
+    * rows at warehouse scale to count and throw away. Either way,
+    * exactly the work ANALYZE costs. (An r18 A/B tried deriving EVERY
+    * probe's three statistics from one `groupBy(key).count` per side so
+    * the stats and actual legs share the grouped exchange; it measured
+    * 0.65 → 1.05 s and 24 → 30 action jobs and was REVERTED — grouping a
+    * fact by its UNIQUE key is a full-table shuffle with no map-side
+    * collapse, strictly worse than the broadcast-count the FK probes
+    * already use.) */
   def joinCardinalityEstimates(spark: SparkSession, sfDir: String): DataFrame = {
     val t = Tpch(spark, sfDir)
     def probe(name: String, left: DataFrame, lk: String,
-              right: DataFrame, rk: String): DataFrame = {
-      val gl = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
-      val gr = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr"))
-      // n = Σ cnt over ALL groups (a NULL key still counts its rows, as
-      // COUNT(*) does); ndv = non-null group count (COUNT(DISTINCT k)
-      // semantics). The join below drops NULL keys like SQL equi-joins.
-      val ls = gl.agg(sum(col("cl")).cast("long").as("n_left"),
-        count(col("k")).as("ndv_left"))
-      val rs = gr.agg(sum(col("cr")).cast("long").as("n_right"),
-        count(col("k")).as("ndv_right"))
-      val actual = gl.join(gr, Seq("k"))
-        .agg(coalesce(
-          sum(col("cl").cast(DecimalType(38, 0)) * col("cr")), lit(0))
-          .cast("long").as("actual_rows"))
+              right: DataFrame, rk: String,
+              manyToMany: Boolean = false): DataFrame = {
+      val ls = left.agg(count(lit(1)).as("n_left"),
+        countDistinct(col(lk)).as("ndv_left"))
+      val rs = right.agg(count(lit(1)).as("n_right"),
+        countDistinct(col(rk)).as("ndv_right"))
+      val actual =
+        if (manyToMany)
+          left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("cl"))
+            .join(right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cr")),
+              Seq("k"))
+            .agg(coalesce(
+              sum(col("cl").cast(DecimalType(38, 0)) * col("cr")), lit(0))
+              .cast("long").as("actual_rows"))
+        else
+          left.select(col(lk).as("k"))
+            .join(right.select(col(rk).as("k")), Seq("k"))
+            .agg(count(lit(1)).as("actual_rows"))
       ls.crossJoin(rs).crossJoin(actual)
         .withColumn("est_rows",
           expr("""CAST(CAST(n_left AS DECIMAL(38,0)) * n_right
@@ -596,7 +602,8 @@ object Profiling {
       .unionByName(
         probe("lineitem_part", t.lineitem, "l_partkey", t.part, "p_partkey"))
       .unionByName(probe("customer_supplier_nation",
-        t.customer, "c_nationkey", t.supplier, "s_nationkey"))
+        t.customer, "c_nationkey", t.supplier, "s_nationkey",
+        manyToMany = true))
       .orderBy(col("join_name"))
   }
 
