@@ -90,6 +90,49 @@ object StageProbe {
     }
   }
 
+  /** Mode "blamed": decompose q_blamed_suppliers' ~0.85 s floor (r18
+    * verdict item 3: "likely at its floor, prove it") into cumulative
+    * stages, each timed warm (min of 3): (a) the status-F orders ⋈
+    * lineitem join alone, (b) + the per-(order, supplier) census,
+    * (c) + the per-order rollup/filter, (d) the full registered query.
+    * If (a) is most of (d), the cost IS the fact join the query is about
+    * and there is nothing left to remove without changing what it
+    * computes. */
+  private def blamedSuppliersDecomposition(spark: SparkSession,
+                                           sfDir: String): Unit = {
+    val t = graft.sources.Tables.Tpch(spark, sfDir)
+    def lo = t.lineitem
+      .join(t.orders.where(col("o_orderstatus") === "F"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    def census = lo
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("late_lines"))
+    def perOrder = census
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("n_late_supp"),
+        max(when(col("late_lines") > 0, col("l_suppkey"))).as("late_supp"),
+        sum(col("late_lines")).as("n_late_lines"))
+      .where(col("n_supp") >= 2 && col("n_late_supp") === 1)
+    val stages = Seq[(String, () => DataFrame)](
+      ("a_join_only", () => lo.select(col("l_orderkey"), col("late"))),
+      ("b_plus_census", () => census),
+      ("c_plus_rollup", () => perOrder),
+      ("d_full_query",
+        () => graft.SparkEntry.queries("q_blamed_suppliers")(spark, sfDir)))
+    stages.foreach { case (_, f) => f().count() } // warm
+    stages.foreach { case (name, f) =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name: min ${times.min}%.3f s (runs ${times.map(x => f"$x%.2f").mkString(", ")})")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
@@ -103,6 +146,11 @@ object StageProbe {
     if (args.lift(1).contains("nextbrand")) {
       nextBrandDecomposition(spark,
         Seq(sfDir, args.lift(2).getOrElse("/tmp/sf1x10")))
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("blamed")) {
+      blamedSuppliersDecomposition(spark, sfDir)
       spark.stop()
       return
     }
