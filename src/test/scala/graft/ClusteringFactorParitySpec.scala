@@ -30,9 +30,10 @@ class ClusteringFactorParitySpec extends SparkSpec {
       assert(fRows == nRows, s"$c n_rows")
       assert(fChg == nChg, s"$c n_changes")
       assert(fPermille == permille, s"$c changes_permille")
-      // HLL++ at rsd 0.005: allow 3 standard deviations, floor of ±1 for
-      // the tiny-domain columns (they resolve exactly in sparse mode).
-      val tol = math.max(1L, math.ceil(nd * 0.015).toLong)
+      // HLL++ at the standard rsd 0.05: allow 3 standard deviations,
+      // floor of ±1 for the tiny-domain columns (they resolve exactly in
+      // sparse mode).
+      val tol = math.max(1L, math.ceil(nd * 0.15).toLong)
       assert(math.abs(fNd - nd) <= tol,
         s"$c n_distinct approx $fNd vs exact $nd (tol $tol)")
     }
